@@ -1,8 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +13,8 @@ import graft.functions._
   * the driver hash-compares against at sf0.01. Column names and row order
   * are aligned on both sides; double aggregates go through the
   * decimal-exact [[graft.functions.dsum]] pattern so the hashes are
-  * reproducible across engines.
+  * reproducible across engines. Event timestamps are µs-truncated
+  * identically on both sides (see [[Tables.events]]).
   */
 object SparkEntry {
 
@@ -19,8 +22,47 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** events in the telemetry long/narrow shape the query planner takes:
+    * (ts, stream_id, tags: map, value) — SURVEY.md §1.1.4.
+    */
+  private def eventsPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("ts"),
+      col("user_id").as("stream_id"),
+      map(
+        lit("event_type"), col("event_type"),
+        lit("k"), get_json_object(col("props"), "$.k")).as("tags"),
+      col("value"))
+
+  // DECIMAL(30,6)-exact sum / mean fragments for the DuckDB twins
+  private def DSUM(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(30,6))) AS DOUBLE)"
+  private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
+  /** normalized text + distinct word 3-gram shingles, DuckDB side */
+  private val SHINGLES_CTE =
+    """tok AS (SELECT doc_id,
+      |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(len(toks)-2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+      |  FROM tok WHERE len(toks) >= 3),
+      |shz AS (SELECT doc_id, s, len(s) AS sz FROM sh)""".stripMargin
+  private val JACCARD_PAIRS_SQL =
+    s"""WITH $SHINGLES_CTE,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.s, b.s)) AS inter,
+       |    a.sz + b.sz - len(list_intersect(a.s, b.s)) AS union_sz
+       |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter, union_sz,
+       |  CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE) AS jaccard
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
     // A2/A3/A4 — grouped aggregation menu over the fact table (the
     // reference's conditional-sum reducer generalized; ref
     // option_trade_aggs/main.py:85-140).
@@ -38,25 +80,599 @@ object SparkEntry {
           davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A1+A2+A3 — the reference's defining computation: keyed tumbling
+    // 1-minute window with conditional-sum buckets (whale split analog;
+    // ref option_trade_aggs/main.py:85-140,221-225). Batch twin of
+    // streaming.StreamingOps.windowedAgg.
+    "q02_windowed_buckets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val big = col("value") > 75.0
+      val purchase = col("event_type") === "purchase"
+      ev.groupBy(window(col("ts"), "1 minute"), col("user_id"))
+        .agg(
+          sumWhen(big && purchase, col("value")).as("vol_big_purchase"),
+          sumWhen(big && !purchase, col("value")).as("vol_big_other"),
+          sumWhen(!big && purchase, col("value")).as("vol_small_purchase"),
+          sumWhen(!big && !purchase, col("value")).as("vol_small_other"),
+          countWhen(col("event_type") === "error").as("n_error"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").as("minute_ts"), col("user_id"),
+          col("vol_big_purchase"), col("vol_big_other"),
+          col("vol_small_purchase"), col("vol_small_other"),
+          col("n_error"), col("n_events"))
+        .orderBy(col("minute_ts"), col("user_id"))
+    }),
+
+    // A4+A7 — telemetry planner: time-bucket down-sampling with the
+    // full numeric aggregation menu (ref numericAggregationType.ts:16,
+    // groupByTimeSettings.ts:17-23).
+    "q03_bucketed_agg_menu" -> ((s, dir) => {
+      import Telemetry._
+      plan(eventsPoints(s, dir), Request(
+        bucketNs = Some(3600L * 1000 * 1000 * 1000), // 1 hour in ns
+        aggs = Seq(
+          NumericAgg("value", AggMean, "mean_value"),
+          NumericAgg("value", AggMax, "max_value"),
+          NumericAgg("value", AggMin, "min_value"),
+          NumericAgg("value", AggFirst, "first_value"),
+          NumericAgg("value", AggLast, "last_value"),
+          NumericAgg("value", AggSum, "sum_value"),
+          NumericAgg("value", AggCount, "count_value"),
+          NumericAgg("value", AggMedian, "median_value"),
+          NumericAgg("value", AggSpread, "spread_value")),
+        orderBy = Seq(Ordering("bucket_ts"))))
+    }),
+
+    // F4+F5+A9 — telemetry planner: time-range + stream-id IN + tag
+    // Equal(list)/NotLike filters, tag group-by (ref
+    // getDataRequestBase.ts:14-33, tagFilter.ts:17-27).
+    "q04_tag_filter_groupby" -> ((s, dir) => {
+      import Telemetry._
+      plan(eventsPoints(s, dir), Request(
+        from = Some("2024-01-05 00:00:00"),
+        to = Some("2024-01-20 00:00:00"),
+        streamIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L),
+        tagFilters = Seq(
+          TagFilter("event_type", TagEqual, Seq("purchase", "click", "view")),
+          TagFilter("event_type", TagNotLike, Seq("err%"))),
+        groupByTags = Seq("event_type"),
+        aggs = Seq(
+          NumericAgg("value", AggSum, "sum_value"),
+          NumericAgg("value", AggCount, "count_value")),
+        orderBy = Seq(Ordering("event_type"))))
+    }),
+
+    // O1+O2 — raw-point fetch with multi-column ordering and paging
+    // (ref ordering.ts:17-23, paging.ts:13-22).
+    "q05_order_page" -> ((s, dir) => {
+      import Telemetry._
+      plan(eventsPoints(s, dir), Request(
+        aggs = Seq(NumericAgg("value", AggNone, "value")),
+        orderBy = Seq(Ordering("value", descending = true), Ordering("ts")),
+        paging = Some(Paging(2, 50))))
+    }),
+
+    // A7+A8 — gap-fill, interpolation=Previous over the densified daily
+    // spine (ref interpolationType.ts:16). Spine generated per-key on
+    // executors (GapFill.densify).
+    "q06_gapfill_prev" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_type") === "signup")
+      val daily = ev.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day_ts"))
+        .agg(davg(col("value")).as("avg_value"))
+      val dense = GapFill.densify(daily, "user_id", "day_ts", "INTERVAL 1 DAY")
+      GapFill.fillPrevious(dense, "user_id", "day_ts", "avg_value", "filled_value")
+        .orderBy(col("user_id"), col("day_ts"))
+    }),
+
+    // A8 — interpolation=Linear between surrounding non-null points
+    // (ref interpolationType.ts:16).
+    "q07_gapfill_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_type") === "signup")
+      val daily = ev.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day_ts"))
+        .agg(davg(col("value")).as("avg_value"))
+      val dense = GapFill.densify(daily, "user_id", "day_ts", "INTERVAL 1 DAY")
+      GapFill.fillLinear(dense, "user_id", "day_ts", "avg_value", "filled_value")
+        .orderBy(col("user_id"), col("day_ts"))
+    }),
+
+    // P3-P8+P11+P13+P14 — the enrichment projection chain
+    // (ref option_trades/utils.py:81-145, darkpool_trades/main.py:88-120).
+    "q08_enrich" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val baseTags = array(col("event_type"))
+      val valueTags = Enrich.premiumTags(col("value"), 75.0, 100.0, 250.0, 250.0)
+      val sideTags =
+        when(col("event_type").isin("purchase", "signup"), array(lit("ask_side")))
+          .when(col("event_type") === "error", array(lit("bid_side")))
+          .otherwise(array(lit("no_side")))
+      val dtx = datediff(lit("2024-02-01").cast("date"), to_date(col("ts")))
+      ev.select(
+          col("event_id"),
+          col("user_id"),
+          Enrich.epochMillis(col("ts")).as("ts_ms"),
+          dtx.cast("long").as("days_to_expiry"),
+          concat_ws(",", Enrich.expiryTags(lit(31) - dtx)).as("expiry_tags"),
+          Enrich.sideFromTags(sideTags).as("side"),
+          Enrich.positionType(sideTags, col("event_type")).as("position_type"),
+          concat_ws(",", Enrich.mergeTags(baseTags, valueTags)).as("tags"),
+          Enrich.sentimentTag(
+            signedSigmoid((col("value") - lit(50.0)) / lit(50.0))).as("sentiment"),
+          Enrich.surrogateKey(col("event_id"), col("user_id"),
+            Enrich.epochMillis(col("ts"))).as("row_key"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W1+W2 — per-key lag analytics: percent value gap vs previous and
+    // inter-arrival staleness (ref darkpool_trades/metrics.py:105-123).
+    "q09_lag_metrics" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("prev_value", lag(col("value"), 1).over(ord))
+        .withColumn("pct_gap",
+          Enrich.pctGap(col("value"), col("prev_value")))
+        .withColumn("staleness_us",
+          col("ts_us") - lag(col("ts_us"), 1).over(ord))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // LLM dedup 1 — exact content-hash dedup over documents.
+    "q10_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
+    // LLM dedup 2 — exact n-gram Jaccard similarity self-join with
+    // prefix filtering (no crossJoin; inverted index over rare-shingle
+    // prefixes).
+    "q11_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardSimilarityJoin(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, t = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LLM dedup 3 — MinHash-LSH banded near-dup with exact verification;
+    // same output contract as q11 (recall ≈ 1 at J≥0.5 with 16×4).
+    "q12_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, t = 0.5, bands = 16, rows = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LLM similarity — brute-force cosine top-k baseline over the
+    // embeddings table (broadcast query set, one corpus pass).
+    "q13_topk_sim" -> ((s, dir) => {
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryIds = (0L until 10L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // J1 — star-schema join: fact × orders × customer × nation, small
+    // dim broadcast; revenue rollup by segment and nation.
+    "q14_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = broadcast(Tables.nation(s, dir))
+      val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"), col("n_name"))
+        .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("c_mktsegment"), col("n_name"))
+    }),
+
+    // J1b — as-of join: each purchase enriched with the latest
+    // preceding click of the same user (union + running last — one
+    // shuffle, no range explosion).
+    "q15_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+          payloadCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F7 — catalog search: smart-case Contains, case-insensitive
+    // StartsWith, Include/Exclude lists, full-text Search
+    // (ref getAllStreamsRequest.ts:20-69).
+    "q16_catalog_search" -> ((s, dir) => {
+      Catalog.search(Tables.part(s, dir), Seq(
+          Catalog.Contains("p_name", "red"),
+          Catalog.Include("p_type", Seq("ECONOMY", "SMALL", "STANDARD")),
+          Catalog.Exclude("p_brand", Seq("Brand#13")),
+          Catalog.Search(Seq("p_name", "p_type"), "e")))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // A5+A10 — string aggregation menu (First/Last/Count) + distinct
+    // tag values per stream (ref aggregationType.ts:16,
+    // getTagValuesRequest.ts:14-31).
+    "q17_string_agg_menu" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(
+          count(col("event_type")).as("n_events"),
+          firstByTime(col("event_type"), col("ts")).as("first_type"),
+          lastByTime(col("event_type"), col("ts")).as("last_type"),
+          count_distinct(col("event_type")).as("n_types"),
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types_str"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A11 — max-by pagination cursor: newest row per key
+    // (ref darkpool_trades/main.py:178).
+    "q18_maxby_cursor" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(
+          max(unix_micros(col("ts"))).as("last_seen_us"),
+          max_by(col("event_id"), unix_micros(col("ts"))).as("last_event_id"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A12+W1+W2 — rolling data-quality stats over the trailing 100 rows
+    // per key (ref darkpool_trades/metrics.py:59-183).
+    "q19_rolling_quality" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      Quality.rollingStats(ev, "user_id", "ts_us", "value", 100,
+          tieCol = Some("event_id"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // LLM text analysis — token stats, quality score, language-ID
+    // heuristic, canonical fingerprint.
+    "q20_text_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = TextAnalysis.tokenStats(col("text"))
+      val profiles = Seq(
+        "query" -> Seq("join", "filter", "group", "order", "sort", "query", "window"),
+        "data" -> Seq("data", "row", "column", "table", "value", "batch", "stream"))
+      docs.select(
+          col("doc_id"),
+          stats.getField("n_tokens").cast("long").as("n_tokens"),
+          stats.getField("n_distinct").cast("long").as("n_distinct"),
+          stats.getField("type_token_ratio").as("type_token_ratio"),
+          stats.getField("mean_token_len").as("mean_token_len"),
+          TextAnalysis.langIdPredict(col("text"), profiles).as("lang_pred"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM dedup 4 — SimHash near-dup (pigeonhole banding + exact
+    // hamming). No SQL twin (xxhash64 is Spark-specific) → rows-only.
+    "q21_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // J2 — multi-stream fan-in via unionByName with missing-column
+    // alignment (SURVEY.md §2.8).
+    "q22_union_fanin" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"), lit("purchases").as("src"))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("value"), col("user_id"), lit("errors").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"),
+          count(col("user_id")).as("n_with_user"))
+        .orderBy(col("src"))
+    }),
+
+    // Multimodal — binary payload column + typed metadata extraction
+    // (deterministic stub decode; real Spark plumbing).
+    "q23_multimodal_meta" -> ((s, dir) => {
+      Multimodal.withMedia(Tables.documents(s, dir), "text")
+        .select(
+          col("doc_id"),
+          col("media_meta.n_bytes").cast("long").as("n_bytes"),
+          col("media_meta.format_id").cast("long").as("format_id"),
+          col("media_meta.width").cast("long").as("width"),
+          col("media_meta.height").cast("long").as("height"),
+          col("media_meta.content_md5").as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM similarity 2 — LSH-bucketed ANN top-k (the 100 TB path:
+    // candidates only within shared hyperplane buckets, exact re-rank).
+    // Rows-only check: candidate membership is engine-defined.
+    "q24_lsh_topk" -> ((s, dir) => {
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryIds = (0L until 10L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for q21/q24 (engine-specific
+    * hash/bucket semantics) → driver records a rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${DSUM("l_quantity")} AS sum_qty,
+        |  ${DSUM("l_extendedprice")} AS sum_base_price,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        |  ${DAVG("l_quantity")} AS avg_qty,
+        |  ${DAVG("l_extendedprice")} AS avg_price,
+        |  ${DAVG("l_discount")} AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_windowed_buckets" ->
+      s"""SELECT date_trunc('minute', ts) AS minute_ts, user_id,
+        |  ${DSUM("CASE WHEN value > 75.0 AND event_type = 'purchase' THEN value ELSE 0.0 END")} AS vol_big_purchase,
+        |  ${DSUM("CASE WHEN value > 75.0 AND event_type <> 'purchase' THEN value ELSE 0.0 END")} AS vol_big_other,
+        |  ${DSUM("CASE WHEN value <= 75.0 AND event_type = 'purchase' THEN value ELSE 0.0 END")} AS vol_small_purchase,
+        |  ${DSUM("CASE WHEN value <= 75.0 AND event_type <> 'purchase' THEN value ELSE 0.0 END")} AS vol_small_other,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q03_bucketed_agg_menu" ->
+      s"""SELECT date_trunc('hour', ts) AS bucket_ts,
+        |  ${DAVG("value")} AS mean_value,
+        |  max(value) AS max_value,
+        |  min(value) AS min_value,
+        |  arg_min(value, ts) AS first_value,
+        |  arg_max(value, ts) AS last_value,
+        |  ${DSUM("value")} AS sum_value,
+        |  COUNT(value) AS count_value,
+        |  median(value) AS median_value,
+        |  max(value) - min(value) AS spread_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q04_tag_filter_groupby" ->
+      s"""SELECT event_type,
+        |  ${DSUM("value")} AS sum_value,
+        |  COUNT(value) AS count_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id IN (0,1,2,3,4,5,6,7)
+        |  AND event_type IN ('purchase','click','view')
+        |  AND event_type NOT LIKE 'err%'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q05_order_page" ->
+      """SELECT ts, user_id AS stream_id, value
+        |FROM events
+        |ORDER BY value DESC, ts
+        |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q06_gapfill_prev" ->
+      s"""WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    ${DAVG("value")} AS avg_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(day_ts) AS mn, max(day_ts) AS mx FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day_ts FROM bounds),
+        |j AS (SELECT s.user_id, s.day_ts, d.avg_value
+        |      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day_ts = d.day_ts)
+        |SELECT user_id, day_ts, avg_value,
+        |  last_value(avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM j
+        |ORDER BY user_id, day_ts""".stripMargin,
+
+    "q07_gapfill_linear" ->
+      s"""WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    ${DAVG("value")} AS avg_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(day_ts) AS mn, max(day_ts) AS mx FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day_ts FROM bounds),
+        |j AS (SELECT s.user_id, s.day_ts, d.avg_value
+        |      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day_ts = d.day_ts),
+        |k AS (SELECT user_id, day_ts, avg_value, epoch_us(day_ts) AS tu,
+        |  last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN avg_value IS NOT NULL THEN epoch_us(day_ts) END IGNORE NULLS) OVER wp AS pt,
+        |  first_value(avg_value IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN avg_value IS NOT NULL THEN epoch_us(day_ts) END IGNORE NULLS) OVER wn AS nt
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day_ts
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY user_id ORDER BY day_ts
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day_ts, avg_value,
+        |  CASE WHEN avg_value IS NOT NULL THEN avg_value
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (CAST(tu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS filled_value
+        |FROM k
+        |ORDER BY user_id, day_ts""".stripMargin,
+
+    "q08_enrich" ->
+      """SELECT event_id, user_id,
+        |  epoch_ms(ts) AS ts_ms,
+        |  datediff('day', CAST(ts AS DATE), DATE '2024-02-01') AS days_to_expiry,
+        |  CASE WHEN 31 - datediff('day', CAST(ts AS DATE), DATE '2024-02-01') <= 0 THEN 'expires_today'
+        |       WHEN 31 - datediff('day', CAST(ts AS DATE), DATE '2024-02-01') <= 7 THEN 'expires_soon'
+        |       ELSE '' END AS expiry_tags,
+        |  CASE WHEN event_type IN ('purchase','signup') THEN 'buy'
+        |       WHEN event_type = 'error' THEN 'sell'
+        |       ELSE 'no_side' END AS side,
+        |  (CASE WHEN event_type IN ('purchase','signup') THEN 'long_'
+        |        WHEN event_type = 'error' THEN 'short_'
+        |        ELSE 'no_side_' END) || event_type AS position_type,
+        |  event_type ||
+        |    (CASE WHEN value > 75.0 THEN ',large_trade' ELSE '' END) ||
+        |    (CASE WHEN value > 100.0 AND value < 250.0 THEN ',whale' ELSE '' END) ||
+        |    (CASE WHEN value > 250.0 THEN ',millionaire' ELSE '' END) AS tags,
+        |  'sentiment:' ||
+        |    (CASE WHEN 2.0 / (1.0 + exp(-((value - 50.0) / 50.0))) - 1.0 > 0.25 THEN 'bullish'
+        |          WHEN 2.0 / (1.0 + exp(-((value - 50.0) / 50.0))) - 1.0 < -0.25 THEN 'bearish'
+        |          ELSE 'neutral' END) AS sentiment,
+        |  sha256(event_id || '|' || user_id || '|' || epoch_ms(ts)) AS row_key
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q09_lag_metrics" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  (value - lag(value, 1) OVER w) / lag(value, 1) OVER w * 100.0 AS pct_gap,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS staleness_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q10_dedup_exact" ->
+      """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        |  min(doc_id) AS canonical_id,
+        |  COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q11_jaccard_pairs" -> JACCARD_PAIRS_SQL,
+    "q12_minhash_lsh" -> JACCARD_PAIRS_SQL,
+
+    "q13_topk_sim" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS nbr_id,
+        |    list_cosine_similarity(q.qv, e.embedding) AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, nbr_id, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos_sim DESC, nbr_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, rank, nbr_id, cos_sim
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q14_star_join" ->
+      s"""SELECT c_mktsegment, n_name,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q15_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |  c.event_id AS asof_event_id, c.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q16_catalog_search" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE contains(lower(p_name), 'red')
+        |  AND p_type IN ('ECONOMY', 'SMALL', 'STANDARD')
+        |  AND p_brand NOT IN ('Brand#13')
+        |  AND (contains(lower(p_name), 'e') OR contains(lower(p_type), 'e'))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q17_string_agg_menu" ->
+      """SELECT user_id,
+        |  COUNT(event_type) AS n_events,
+        |  arg_min(event_type, ts) AS first_type,
+        |  arg_max(event_type, ts) AS last_type,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_str
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q18_maxby_cursor" ->
+      """SELECT user_id,
+        |  max(epoch_us(ts)) AS last_seen_us,
+        |  arg_max(event_id, epoch_us(ts)) AS last_event_id,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q19_rolling_quality" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  COUNT(value) OVER frame AS rolling_count,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER frame AS DOUBLE)
+        |    / COUNT(value) OVER frame AS rolling_mean,
+        |  min(value) OVER frame AS rolling_min,
+        |  max(value) OVER frame AS rolling_max,
+        |  (value - lag(value, 1) OVER w) / lag(value, 1) OVER w * 100.0 AS pct_gap,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS staleness_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |       frame AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q20_text_stats" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  CAST(len(list_filter(toks, t -> t IN ('join','filter','group','order','sort','query','window'))) AS DOUBLE)
+        |    / len(toks) AS s_query,
+        |  CAST(len(list_filter(toks, t -> t IN ('data','row','column','table','value','batch','stream'))) AS DOUBLE)
+        |    / len(toks) AS s_data
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+        |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+        |  CASE WHEN s_data > s_query THEN 'data' ELSE 'query' END AS lang_pred,
+        |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+        |FROM st
+        |ORDER BY doc_id""".stripMargin,
+
+    "q22_union_fanin" ->
+      s"""SELECT src, COUNT(*) AS n_rows, ${DSUM("value")} AS sum_value,
+        |  COUNT(user_id) AS n_with_user
+        |FROM (
+        |  SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id, 'purchases' AS src
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, value, user_id, 'errors' AS src
+        |  FROM events WHERE event_type = 'error')
+        |GROUP BY src
+        |ORDER BY src""".stripMargin,
+
+    "q23_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ord(text[1]) AS BIGINT) AS format_id,
+        |  CAST(ord(text[2]) * 16 AS BIGINT) AS width,
+        |  CAST(ord(text[3]) * 16 AS BIGINT) AS height,
+        |  md5(text) AS content_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

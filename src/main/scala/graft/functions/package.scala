@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Shared column-expression helpers. Everything here is built from
   * codegen'd `org.apache.spark.sql.functions` — no UDFs — so the whole
@@ -39,6 +39,13 @@ package object functions {
     */
   def spread(c: Column): Column = max(c) - min(c)
 
+  /** Telemetry "First"/"Last" by event time: deterministic (unlike
+    * Spark's `first()`, which is order-dependent under shuffles).
+    * DuckDB twin: `arg_min(v, ts)` / `arg_max(v, ts)`.
+    */
+  def firstByTime(v: Column, ts: Column): Column = min_by(v, ts)
+  def lastByTime(v: Column, ts: Column): Column  = max_by(v, ts)
+
   /** Sigmoid mapped to [-1, 1] — side-confidence score
     * (ref darkpool_trades/main.py:80-86). Pure expression, codegen'd.
     */
@@ -51,10 +58,70 @@ package object functions {
     */
   def smartCaseContains(col: Column, pattern: String): Column =
     if (pattern.exists(_.isUpper)) col.contains(lit(pattern))
-    else lower(col).contains(lit(pattern.toLowerCase))
+    else lower(col).contains(lit(pattern.toLowerCase(java.util.Locale.ROOT)))
 
-  /** Smart-case StartsWith (same contract as [[smartCaseContains]]). */
-  def smartCaseStartsWith(col: Column, pattern: String): Column =
-    if (pattern.exists(_.isUpper)) col.startsWith(lit(pattern))
-    else lower(col).startsWith(lit(pattern.toLowerCase))
+  /** Catalog StartsWith: always case-insensitive — the reference topic
+    * filter contract documents StartsWith as case-insensitive, only the
+    * name Contains filter is smart-case
+    * (ref dashboard/src/Models/getAllStreamsRequest.ts:24-62).
+    */
+  def startsWithCI(col: Column, pattern: String): Column =
+    lower(col).startsWith(lit(pattern.toLowerCase(java.util.Locale.ROOT)))
+
+  // ---------------------------------------------------------------- text
+
+  /** Canonical text normalization for dedup/fingerprinting: lowercase,
+    * collapse whitespace runs, trim. DuckDB twin:
+    * `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`.
+    */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokenizer over normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Distinct word n-gram shingles of a token array — the unit set for
+    * Jaccard/MinHash dedup. Empty array when the doc has < n tokens.
+    * DuckDB twin: `list_distinct(list_transform(range(len(toks)-n+1),
+    * i -> toks[i+1] || ' ' || ... ))`.
+    */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  // ------------------------------------------------------------- vectors
+
+  /** Dot product of two float-array columns as a deterministic
+    * left-to-right double fold (`aggregate` over `zip_with`), matching
+    * DuckDB's sequential `list_inner_product` evaluation order.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (double). */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity between two float-array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // ------------------------------------------------------------ time
+
+  /** Nanosecond-epoch long → microsecond TimestampType by truncation —
+    * the same truncation DuckDB v1 applies when reading parquet
+    * TIMESTAMP(NANOS), so both engines see identical values
+    * (SURVEY.md §7 hard part 6).
+    */
+  def nsToTimestamp(ns: Column): Column = {
+    // NOT `ns / 1000`: Column./ is double division and epoch-ns (~1.7e18)
+    // exceeds 2^53, so the quotient could round up across a microsecond.
+    // DECIMAL(20,0)/1000 is exact (3 fractional digits), cast truncates.
+    val us = ns.cast(DecimalType(20, 0)) / lit(1000)
+    timestamp_micros(us.cast(LongType))
+  }
 }

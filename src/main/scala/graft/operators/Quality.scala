@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.operators.Enrich.pctGap
+
+/** Data-quality observability — the MarketDataMonitor capability
+  * (ref darkpool_trades/metrics.py:28-183): rolling per-key statistics
+  * over the last N rows, previous-value price gaps and inter-arrival
+  * staleness (W1/W2: ref metrics.py:105-123), plus a zero-cost
+  * `observe()` metric set for streaming/batch listeners.
+  */
+object Quality {
+
+  /** Rolling stats over the trailing `n` rows per key (the reference's
+    * deque(maxlen=1000) — ref metrics.py:59). The rolling mean
+    * accumulates in DECIMAL so the sliding sum is re-association-proof.
+    * Adds: rolling_count, rolling_mean, rolling_min, rolling_max,
+    * pct_gap (vs previous value), staleness_us (vs previous ts).
+    */
+  def rollingStats(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, n: Int,
+                   tieCol: Option[String] = None): DataFrame = {
+    val ordCols = col(tsCol) +: tieCol.map(col).toSeq
+    val ord = Window.partitionBy(col(keyCol)).orderBy(ordCols: _*)
+    // works for TimestampType or an already-epoch-µs long column
+    val tsUs = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _                                        => col(tsCol)
+    }
+    val frame = ord.rowsBetween(-(n - 1), Window.currentRow)
+    val v = col(valueCol)
+    df
+      .withColumn("rolling_count", count(v).over(frame))
+      .withColumn("rolling_mean",
+        (sum(v.cast(DecimalType(30, 6))).over(frame).cast(DoubleType)
+          / count(v).over(frame)))
+      .withColumn("rolling_min", min(v).over(frame))
+      .withColumn("rolling_max", max(v).over(frame))
+      .withColumn("pct_gap", pctGap(v, lag(v, 1).over(ord)))
+      .withColumn("staleness_us", tsUs - lag(tsUs, 1).over(ord))
+  }
+
+  /** Attach an `observe()` metric set (ref metrics.py:67-161: missing
+    * fields, zero/negative values, total) — collected by a
+    * QueryExecutionListener / StreamingQueryListener at zero extra scan
+    * cost.
+    */
+  def observed(df: DataFrame, valueCol: String, name: String = "quality"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      count(when(col(valueCol).isNull, 1)).as("n_null_value"),
+      count(when(col(valueCol) <= 0, 1)).as("n_nonpositive"),
+      max(col(valueCol)).as("max_value"))
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale brief: a brute-force cosine top-k baseline
+  * (broadcast the small query set against the corpus — one pass, no
+  * shuffle of the corpus), and a random-hyperplane LSH-bucketed variant
+  * whose candidate generation is a keyed join on (table, bucket) — the
+  * 100 TB path, where only same-bucket vectors are compared.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: every query (a small id set, broadcast)
+    * against every corpus vector. The corpus is scanned once; ranking is
+    * a per-query window over the similarity scores. Exact — serves as
+    * the oracle-checkable baseline and the re-rank primitive for ANN.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = corpus.join(broadcast(queries), col("nbr_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
+    * weights in [-0.5, 0.5), derived from a seeded xorshift so every run
+    * and every executor sees the same planes (no Math.random).
+    */
+  private[operators] def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var s = seed ^ 0x5DEECE66DL
+    def next(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    Array.fill(planes)(Array.fill(dim)(next()))
+  }
+
+  /** Sign-bucket of one vector under `tbl`'s hyperplane set: a bit per
+    * plane (sign of the dot product), packed to a long. Pure column
+    * expression — the plane weights are literals, so codegen inlines
+    * them.
+    */
+  private def bucketCol(vec: org.apache.spark.sql.Column,
+                        planeSet: Array[Array[Double]]): org.apache.spark.sql.Column =
+    planeSet.zipWithIndex.map { case (plane, i) =>
+      val dot = aggregate(
+        zip_with(vec, lit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed ANN: `tables` independent hyperplane sets of
+    * `planesPerTable` bits each. A vector lands in one bucket per table;
+    * query/corpus candidates meet via an equi-join on (table, bucket),
+    * then candidates are exactly re-ranked by cosine. Recall is tuned by
+    * (tables × planesPerTable); candidate volume per bucket is corpus/2^planes
+    * on average — this is the plan that survives 100 TB, since no pair
+    * outside a shared bucket is ever scored.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int,
+              tables: Int = 8, planesPerTable: Int = 6, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val planes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        posexplode(array(planes.map(p => bucketCol(col(vec), p)): _*)))
+        .toDF(id, vec, "tbl", "bucket")
+    val corpus  = withBuckets(emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")), "nbr_id", "nbr_vec")
+    val queries = withBuckets(
+      emb.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
+      "query_id", "query_vec")
+    val cand = corpus.join(queries, Seq("tbl", "bucket"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select("query_id", "query_vec", "nbr_id", "nbr_vec").distinct()
+    val scored = cand.withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos_sim")
+  }
+
+  /** Embedding-cosine near-dup pairs (id_a < id_b, cos >= t) via the
+    * same multi-table LSH candidate generation, exact-verified — the
+    * embedding flavor of near-duplicate detection.
+    */
+  def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String, t: Double,
+                    tables: Int = 8, planesPerTable: Int = 6, dim: Int = 64,
+                    seed: Long = 42L): DataFrame = {
+    val planes = (0 until tables).map(tb => hyperplanes(planesPerTable, dim, seed + tb))
+    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(array(planes.map(p => bucketCol(col("vec"), p)): _*)))
+      .toDF("id", "vec", "tbl", "bucket")
+    val cand = withB.as("a").join(withB.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.vec").as("vec_a"),
+        col("b.id").as("id_b"), col("b.vec").as("vec_b")).distinct()
+    cand.withColumn("cos_sim", cosineSim(col("vec_a"), col("vec_b")))
+      .filter(col("cos_sim") >= t)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

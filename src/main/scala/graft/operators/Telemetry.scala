@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Batch query planner for the reference's Telemetry Query API contract
+  * (ref dashboard/src/Models/getParameterDataRequest.ts:17-50,
+  * getDataRequestBase.ts:14-33, tagFilter.ts:17-27,
+  * groupByTimeSettings.ts:17-23, numericAggregationType.ts:16,
+  * ordering.ts:17-23, paging.ts:13-22).
+  *
+  * A request is compiled into ONE declarative DataFrame so Catalyst sees
+  * the whole plan: filters push to the parquet scan, the bucket+tag
+  * group-by is a single partial+final hash aggregate, and paging rides on
+  * the global sort. Input is the long/narrow telemetry shape:
+  * `(ts: timestamp, stream_id: long, tags: map<string,string>,
+  * <numeric value columns>)`.
+  */
+object Telemetry {
+
+  /** Tag filter operators (ref tagFilter.ts:17-27, tagOperator.ts:16).
+    * A multi-valued Equal is an implicit IN; NotEqual an implicit NOT IN.
+    */
+  sealed trait TagOp
+  case object TagEqual    extends TagOp
+  case object TagNotEqual extends TagOp
+  case object TagLike     extends TagOp
+  case object TagNotLike  extends TagOp
+  final case class TagFilter(key: String, op: TagOp, values: Seq[String])
+
+  /** The 10-item numeric aggregation menu
+    * (ref numericAggregationType.ts:16). `AggNone` = raw points.
+    */
+  sealed trait AggType
+  case object AggNone   extends AggType
+  case object AggMean   extends AggType
+  case object AggMax    extends AggType
+  case object AggMin    extends AggType
+  case object AggFirst  extends AggType
+  case object AggLast   extends AggType
+  case object AggSum    extends AggType
+  case object AggCount  extends AggType
+  case object AggMedian extends AggType
+  case object AggSpread extends AggType
+  final case class NumericAgg(column: String, agg: AggType, as: String)
+
+  final case class Ordering(by: String, descending: Boolean = false)
+  /** Paging {index, length} (ref paging.ts:13-22). */
+  final case class Paging(index: Int, length: Int)
+
+  /** GetParameterDataRequest analog. `from`/`to` are inclusive/exclusive
+    * ISO timestamps; `bucketNs` the time-bucket duration in NANOSECONDS
+    * (the contract's unit — ref groupByTimeSettings.ts:17-23);
+    * `groupByTags` the tag keys to group by alongside the time bucket
+    * (ref getParameterDataRequest.ts:21-25).
+    */
+  final case class Request(
+      from: Option[String]          = None,
+      to: Option[String]            = None,
+      streamIds: Seq[Long]          = Nil,
+      tagFilters: Seq[TagFilter]    = Nil,
+      bucketNs: Option[Long]        = None,
+      groupByTags: Seq[String]      = Nil,
+      aggs: Seq[NumericAgg]         = Nil,
+      orderBy: Seq[Ordering]        = Nil,
+      paging: Option[Paging]        = None)
+
+  /** Epoch-aligned time bucket: floor(ts to a multiple of the bucket),
+    * in pure long arithmetic (`u - pmod(u, b)` — no double division, so
+    * exact at any epoch magnitude).
+    */
+  def timeBucket(ts: Column, bucketNs: Long): Column = {
+    val us = bucketNs / 1000L
+    val u = unix_micros(ts)
+    timestamp_micros(u - pmod(u, lit(us)))
+  }
+
+  /** Compile one tag filter to a predicate over the `tags` map column. */
+  def tagPredicate(f: TagFilter): Column = {
+    val tag = element_at(col("tags"), f.key)
+    f.op match {
+      case TagEqual =>
+        if (f.values.size == 1) tag === f.values.head else tag.isin(f.values: _*)
+      case TagNotEqual =>
+        if (f.values.size == 1) tag =!= f.values.head else !tag.isin(f.values: _*)
+      case TagLike    => f.values.map(tag.like).reduce(_ || _)
+      case TagNotLike => f.values.map(v => !tag.like(v)).reduce(_ && _)
+    }
+  }
+
+  def aggColumn(a: NumericAgg): Column = {
+    val c = col(a.column)
+    (a.agg match {
+      case AggNone   => c // only valid un-aggregated; guarded in plan()
+      case AggMean   => davg(c)
+      case AggMax    => max(c)
+      case AggMin    => min(c)
+      case AggFirst  => firstByTime(c, col("ts"))
+      case AggLast   => lastByTime(c, col("ts"))
+      case AggSum    => dsum(c)
+      case AggCount  => count(c)
+      case AggMedian => median(c)
+      case AggSpread => spread(c)
+    }).as(a.as)
+  }
+
+  /** Compile the request into a DataFrame over `points`. */
+  def plan(points: DataFrame, req: Request): DataFrame = {
+    // ---- filter stage (F4/F5): one conjunctive predicate → scan pushdown
+    val preds =
+      req.from.map(f => col("ts") >= to_timestamp(lit(f))).toSeq ++
+      req.to.map(t => col("ts") < to_timestamp(lit(t))).toSeq ++
+      (if (req.streamIds.nonEmpty) Seq(col("stream_id").isin(req.streamIds: _*)) else Nil) ++
+      req.tagFilters.map(tagPredicate)
+    val filtered = preds.foldLeft(points)((df, p) => df.filter(p))
+
+    // ---- group-by stage (A7 time bucket + A9 tag dims + A4 menu)
+    val wantsAgg = req.aggs.exists(_.agg != AggNone)
+    val grouped =
+      if (!wantsAgg) {
+        // raw-point fetch (AggNone): project requested columns
+        val tagCols = req.groupByTags.map(k => element_at(col("tags"), k).as(k))
+        val valCols = req.aggs.map(a => col(a.column).as(a.as))
+        filtered.select(col("ts") +: col("stream_id") +: tagCols ++: valCols: _*)
+      } else {
+        val bucketCol = req.bucketNs.map(b =>
+          timeBucket(col("ts"), b).as("bucket_ts")).toSeq
+        val tagCols = req.groupByTags.map(k => element_at(col("tags"), k).as(k))
+        val keys = bucketCol ++ tagCols
+        val aggCols = req.aggs.filter(_.agg != AggNone).map(aggColumn)
+        if (keys.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+        else filtered.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+
+    // ---- ordering + paging stage (O1/O2)
+    val ordered =
+      if (req.orderBy.isEmpty) grouped
+      else grouped.orderBy(req.orderBy.map(o =>
+        if (o.descending) col(o.by).desc else col(o.by).asc): _*)
+    req.paging match {
+      case Some(Paging(i, len)) => ordered.offset(i * len).limit(len)
+      case None                 => ordered
+    }
+  }
+
+  /** Distinct values of one tag key (A10, ref getTagValuesRequest.ts:14-31). */
+  def tagValues(points: DataFrame, key: String): DataFrame =
+    points.select(element_at(col("tags"), key).as("value"))
+      .filter(col("value").isNotNull).distinct()
+}

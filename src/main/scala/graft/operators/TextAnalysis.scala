@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text analysis for training-data pipelines: token statistics, quality
+  * scoring, n-gram language-ID heuristic, document fingerprinting.
+  * All pure column expressions over the normalized token array — one
+  * narrow projection per document, no shuffle at all until the caller
+  * aggregates.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics: token count (whitespace tokenizer),
+    * distinct-token count, type/token ratio, mean token length.
+    */
+  def tokenStats(text: Column): Column = {
+    val toks = tokens(text)
+    val n  = size(toks)
+    val nd = size(array_distinct(toks))
+    struct(
+      n.as("n_tokens"),
+      nd.as("n_distinct"),
+      (nd.cast("double") / n.cast("double")).as("type_token_ratio"),
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / n.cast("double")).as("mean_token_len"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, stopword ratio band
+    * and lexical diversity — the shape of heuristic quality filters used
+    * for pretraining corpora (length/punct/stopword ratios). Stopword
+    * list is a parameter.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+      .cast("double") / n
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    val lengthOk = when(size(toks).between(20, 1000), 1.0).otherwise(0.5)
+    // fixed-weight blend; each term in [0,1]
+    (lengthOk * 0.4 + stopRatio * 0.3 + diversity * 0.3)
+  }
+
+  /** Language-ID by stopword-profile voting: score per language =
+    * fraction of tokens found in that language's profile; predicted
+    * language = argmax (ties broken by profile order). The classic
+    * n-gram/stopword heuristic, as a single expression.
+    */
+  def langIdScores(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val entries = profiles.flatMap { case (lang, words) =>
+      Seq(lit(lang),
+        size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double") / n)
+    }
+    map(entries: _*)
+  }
+
+  def langIdPredict(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = langIdScores(text, profiles)
+    val best = profiles.map { case (lang, _) =>
+      struct(element_at(scores, lang).as("score"), lit(lang).as("lang"))
+    }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    best.getField("lang")
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token
+    * set — robust to word order and duplication, cheap to group on.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling polynomial hash over the token stream (order-SENSITIVE,
+    * unlike [[fingerprint]]): h = h * 1000003 xor xxhash64(token),
+    * folded left-to-right with wrapping long arithmetic.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * lit(1000003L)).bitwiseXOR(xxhash64(t)))
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming parity for the reference's stream processors.
+  *
+  * The defining computation (ref option_trade_aggs/main.py:203-230):
+  * Kafka consume → extract event time → 1-minute tumbling window per
+  * key with 1 s grace → reduce → emit FINAL results only → produce.
+  * Spark mapping (SURVEY.md §2.10): `withWatermark(ts, grace)` +
+  * `groupBy(window(ts, size), key)` + append output mode — append emits
+  * a window exactly once, when the watermark passes window_end + grace,
+  * which is Quix `.final()`.
+  */
+object StreamingOps {
+
+  /** Tumbling-window keyed aggregation with final-only emission.
+    * Works on any streaming (or batch) DataFrame with an event-time
+    * column. Use `writeStream.outputMode("append")` for `.final()`
+    * semantics, `update` for Quix `.current()`.
+    */
+  def windowedAgg(df: DataFrame, tsCol: String, keyCol: String,
+                  windowSize: String, grace: String,
+                  aggs: Seq[Column]): DataFrame = {
+    val agged = df.withWatermark(tsCol, grace)
+      .groupBy(window(col(tsCol), windowSize), col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(
+      col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        agged.columns.filterNot(_ == "window").map(col).toSeq: _*)
+  }
+
+  /** Exactly-once-effect dedup by business key within the watermark —
+    * the Spark answer to the reference's exactly-once claim on an
+    * at-least-once transport (SURVEY.md §7 hard part 4; dedup key = the
+    * SHA-256 surrogate of ref darkpool_trades/main.py:88-92).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, grace: String,
+                           keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, grace)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** File/console sink wiring with checkpointing (K1/K3 analog; the
+    * Kafka sink is the same writer with format("kafka")).
+    */
+  def sink(df: DataFrame, format: String, path: Option[String],
+           checkpoint: String, mode: OutputMode = OutputMode.Append(),
+           trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    val w = df.writeStream.format(format).outputMode(mode).trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+    path.map(w.option("path", _)).getOrElse(w)
+  }
+}
