@@ -559,7 +559,7 @@ object SparkEntry {
         |           WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
         |scored AS (
         |  SELECT q.query_id, e.vec_id AS nbr_id,
-        |    list_cosine_similarity(q.qv, e.embedding) AS cos_sim
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos_sim
         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
         |r AS (SELECT query_id, nbr_id, cos_sim,
         |        row_number() OVER (PARTITION BY query_id

@@ -95,8 +95,12 @@ object Enrich {
   def epochMillis(ts: Column): Column = unix_millis(ts)
 
   /** W1 analog — percent gap vs a previous value
-    * (ref darkpool_trades/metrics.py:105-115).
+    * (ref darkpool_trades/metrics.py:105-115). NULL when the previous
+    * value is 0: plain `/` throws DIVIDE_BY_ZERO under ANSI mode the
+    * moment any key's history touches zero, so the division must be
+    * `try_divide` to survive real data (DuckDB's double division yields
+    * NULL on 0 natively, so oracle hashes agree).
     */
   def pctGap(cur: Column, prev: Column): Column =
-    (cur - prev) / prev * lit(100.0)
+    try_divide(cur - prev, prev) * lit(100.0)
 }

@@ -50,6 +50,12 @@ def main():
             for c in s.columns:
                 a, b = s[c], o[c]
                 try:
+                    # normalize timestamp unit (Spark parquet read gives ns,
+                    # DuckDB us) — the driver's hash compare does the same
+                    if str(a.dtype).startswith("datetime64"):
+                        a = a.astype("datetime64[us]")
+                    if str(b.dtype).startswith("datetime64"):
+                        b = b.astype("datetime64[us]")
                     if a.dtype != b.dtype:
                         mismatches[c] = f"dtype {a.dtype} vs {b.dtype}"
                         continue
