@@ -24,13 +24,22 @@ object Dedup {
 
   /** Shingle table: (id, sh: array<string>, sz) with distinct word
     * n-grams of the normalized text.
+    *
+    * Two-step on purpose: the token array is materialized as a column
+    * BEFORE the n-gram `transform` runs. Inlining `tokens(text)` into
+    * the lambda makes Spark re-evaluate the whole normalize+split per
+    * array element (no CSE inside lambda bodies) — measured 27× slower
+    * at sf0.1 (20.7 s vs 0.8 s for the gram stage alone). The
+    * min-length filter BETWEEN the two projections references `toks`,
+    * so `PushDownPredicates` cannot sink it and `CollapseProject`
+    * cannot re-merge the projections (which would silently re-inline
+    * the tokenizer into the lambda — it did, costing the full 15 s).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
-        col(idCol).as("id"),
-        wordShingles(tokens(col(textCol)), n).as("sh"))
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), wordShingles(col("toks"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .filter(col("sz") > 0)
 
   /** Exact n-gram Jaccard similarity self-join with PPJoin-style prefix
     * filtering: shingles are ranked by global document frequency
@@ -46,7 +55,11 @@ object Dedup {
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
                             n: Int, t: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // The shingle table feeds four branches of this DAG (df-count,
+    // ranking, and both sides of the verify); without persisting, Spark
+    // re-tokenizes the corpus once per branch. At cluster scale this is
+    // the standard "materialize the shingle index once" step.
+    val sh = shingles(docs, idCol, textCol, n).persist()
 
     // global shingle document-frequency → rarest-first total order
     val dfreq = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -60,13 +73,26 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("sorted"))
       .select(col("id"), col("sz"),
         transform(slice(col("sorted"), lit(1), prefixLen), x => x.getField("s")).as("prefix"))
+      .persist() // both sides of the candidate self-join read this
 
-    // inverted index over prefixes → candidate pairs (+ size filter)
-    val idx = ranked.select(col("id"), col("sz"), explode(col("prefix")).as("s"))
+    // inverted index over prefixes → candidate pairs. Pruning before
+    // the distinct: (1) length filter — |b| >= t|a| is necessary for
+    // J >= t; (2) PPJoin positional filter — if the matched shingle is
+    // at 0-based rank p in the rarest-first order, at most sz - p
+    // shingles of that doc can still be common, so
+    // min(sz_a - p_a, sz_b - p_b) bounds the overlap from above and
+    // must reach the overlap threshold O = ceil(t/(1+t) * (sz_a+sz_b)).
+    // Both filters are exact (no true pair is lost: the first common
+    // shingle in the global order realizes the largest bound).
+    val idx = ranked.select(col("id"), col("sz"),
+      posexplode(col("prefix")).as(Seq("p", "s")))
+    val overlapMin =
+      ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")))
     val cand = idx.as("a").join(idx.as("b"), Seq("s"))
       .filter(col("a.id") < col("b.id") &&
         col("b.sz") >= ceil(lit(t) * col("a.sz")) &&
-        col("a.sz") >= ceil(lit(t) * col("b.sz")))
+        col("a.sz") >= ceil(lit(t) * col("b.sz")) &&
+        least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= overlapMin)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
 
     verifyJaccard(cand, sh, t)
@@ -86,35 +112,42 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_sz", "jaccard")
   }
 
-  /** MinHash signatures: k independent hash slots, each the min of a
-    * seeded xxhash64 over the doc's shingles. One explode + one grouped
-    * aggregate; deterministic (xxhash64 is a fixed function of
-    * (seed-slot, shingle)).
+  /** MinHash signature as ONE per-row expression: slot i is the min of
+    * xxhash64(i, shingle) over the doc's shingle array — a nested
+    * `transform`/`array_min`, zero shuffle (the previous explode +
+    * k min-aggregates shape paid a full shuffle of k agg columns for
+    * the same numbers). Deterministic: xxhash64 is a fixed function of
+    * (slot, shingle).
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-    val slots = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    exploded.groupBy("id").agg(slots.head, slots.tail: _*)
-  }
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
 
   /** MinHash-LSH near-dup: signatures banded into `bands` groups of
     * `rows` slots; docs colliding on any band hash become candidates
     * (a keyed self-join per band bucket — no crossJoin), then candidates
     * are verified with the EXACT Jaccard so the output has no false
     * positives. Band/row counts tune recall at the target threshold:
-    * P(detect) = 1 - (1 - J^rows)^bands.
+    * P(detect) = 1 - (1 - J^rows)^bands — callers must size them so the
+    * miss probability is negligible at the advertised threshold
+    * (e.g. 32×2 → miss 1e-4 at J = 0.5, < 1e-9 at J = 0.7).
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, t: Double, bands: Int, rows: Int): DataFrame = {
-    val sh  = shingles(docs, idCol, textCol, n)
-    val sig = minhashSignatures(sh, bands * rows)
+    // persist: the shingle table feeds the signature branch and both
+    // sides of the exact verify
+    val sh = shingles(docs, idCol, textCol, n).persist()
+    // sz-filter = CollapseProject barrier (always true): without it the
+    // signature lambda would re-inline the whole shingle transform and
+    // evaluate it once per slot — 64× per row (measured: 52 s → 9 s).
+    val sig = sh.filter(col("sz") > 0).select(col("id"),
+      minhashSignature(col("sh"), bands * rows).as("sig"))
     val bandCols = (0 until bands).map { bnd =>
-      val slice = (0 until rows).map(r => col(s"h${bnd * rows + r}"))
-      xxhash64(lit(bnd) +: slice: _*).as(s"band$bnd")
+      val slice = (0 until rows).map(r => element_at(col("sig"), bnd * rows + r + 1))
+      xxhash64(lit(bnd) +: slice: _*)
     }
-    val banded = sig.select(col("id") +: bandCols: _*)
-    val buckets = banded.select(col("id"),
-        posexplode(array((0 until bands).map(bnd => col(s"band$bnd")): _*)))
+    val buckets = sig.select(col("id"),
+        posexplode(array(bandCols: _*)))
       .toDF("id", "band_idx", "band_hash")
     val cand = buckets.as("a").join(buckets.as("b"), Seq("band_idx", "band_hash"))
       .filter(col("a.id") < col("b.id"))
@@ -122,44 +155,93 @@ object Dedup {
     verifyJaccard(cand, sh, t)
   }
 
-  /** 64-bit SimHash over tokens: bit i of the fingerprint is the sign of
-    * sum over tokens of ±1 according to bit i of xxhash64(token).
-    * Near-dup pairs = fingerprints within `maxHamming` bits, found by
-    * the pigeonhole band trick (split 64 bits into maxHamming+1 chunks;
-    * any pair within the bound collides on >= 1 chunk) — keyed join on
-    * (chunk_idx, chunk_value), then exact hamming via bit_count(xor).
+  /** 64-bit SimHash over tokens as ONE per-row expression: bit i of the
+    * fingerprint is the majority vote of bit i of xxhash64(token) over
+    * the doc's tokens (sign of the classic ±1 sum). The token hashes
+    * are materialized once per row; no explode, no shuffle (the
+    * previous explode + 64 bit-sum aggregates paid a full shuffle for
+    * the same fingerprints).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tk"))
-      .withColumn("h", xxhash64(col("tk")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val hashed = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0) // CollapseProject barrier, always true
+      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hs"))
+      .filter(size(col("hs")) > 0)   // barrier before the 64 bit-filters
+    val n = size(col("hs"))
     val fp = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      val ones = size(filter(col("hs"),
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    sums.select(col("id"), fp.as("simhash"))
+    hashed.select(col("id"), fp.as("simhash"))
   }
 
-  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int): DataFrame = {
-    val fp = simhash(docs, idCol, textCol)
+  /** 64-bit PORTABLE SimHash: bit i (0..31) = majority over tokens of
+    * (hex digit i of md5(token) >= '8') — the high bit of each of md5's
+    * 32 hex digits — and bits 32..63 the same over md5('x' || token)
+    * (a second salt for 32 more independent bits). md5 produces
+    * identical lowercase hex in Spark and DuckDB, so an oracle can
+    * recompute the fingerprint — and the exact near-dup pair set —
+    * bit-for-bit in SQL, unlike the xxhash64-based [[simhash]].
+    */
+  def simhashPortable64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0) // CollapseProject barrier, always true
+      .select(col("id"),
+        transform(col("toks"), t => md5(t)).as("hs"),
+        transform(col("toks"), t => md5(concat(lit("x"), t))).as("hs2"))
+      .filter(size(col("hs")) > 0)   // barrier before the 64 bit-filters
+    val n = size(col("hs"))
+    val fp = ((0 until 32).map { i =>
+      val ones = size(filter(col("hs"), h => substring(h, i + 1, 1) >= "8"))
+      when(ones * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    } ++ (0 until 32).map { i =>
+      val ones = size(filter(col("hs2"), h => substring(h, i + 1, 1) >= "8"))
+      when(ones * 2 > n, shiftleft(lit(1L), i + 32)).otherwise(lit(0L))
+    }).reduce(_.bitwiseOR(_))
+    hashed.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs from any fingerprint table (id, simhash) within
+    * `maxHamming` bits, via the pigeonhole band trick: split the
+    * `bits`-wide fingerprint into maxHamming+1 chunks — any pair within
+    * the bound MUST collide on >= 1 chunk (pigeonhole; the candidate
+    * set is provably complete, not probabilistic) — keyed join on
+    * (chunk_idx, chunk_value), then exact hamming via bit_count(xor).
+    */
+  def hammingPairs(fp: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
+    require(chunks <= bits, s"maxHamming+1=$chunks exceeds bits=$bits")
+    // contiguous chunk ranges; when bits % chunks != 0 the first chunks
+    // are one bit wider (pigeonhole holds for any partition into
+    // maxHamming+1 ranges)
+    val base = bits / chunks
+    val rem = bits % chunks
+    val widths = (0 until chunks).map(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val chunked = fp.select(col("id"), col("simhash"),
         posexplode(array((0 until chunks).map { c =>
-          shiftright(col("simhash"), c * width)
-            .bitwiseAND(lit((1L << width) - 1))
+          val w = widths(c)
+          val mask = if (w >= 64) -1L else (1L << w) - 1
+          shiftright(col("simhash"), offsets(c)).bitwiseAND(lit(mask))
         }: _*)))
       .toDF("id", "simhash", "chunk_idx", "chunk_val")
     chunked.as("a").join(chunked.as("b"), Seq("chunk_idx", "chunk_val"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b")).distinct()
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dup over the 64-bit xxhash64 fingerprint (the
+    * engine-fast default; for an oracle-reproducible variant use
+    * [[simhashPortable32]] + [[hammingPairs]]).
+    */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol), 64, maxHamming)
 }

@@ -54,4 +54,15 @@ object Quality {
       count(when(col(valueCol).isNull, 1)).as("n_null_value"),
       count(when(col(valueCol) <= 0, 1)).as("n_nonpositive"),
       max(col(valueCol)).as("max_value"))
+
+  /** Same metric set bound to an [[org.apache.spark.sql.Observation]],
+    * so batch callers can read the metrics without a listener.
+    */
+  def observed(df: DataFrame, valueCol: String,
+               obs: org.apache.spark.sql.Observation): DataFrame =
+    df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col(valueCol).isNull, 1)).as("n_null_value"),
+      count(when(col(valueCol) <= 0, 1)).as("n_nonpositive"),
+      max(col(valueCol)).as("max_value"))
 }

@@ -94,6 +94,60 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos_sim")
   }
 
+  /** IVF (inverted-file) ANN: the second scale path, complementary to
+    * [[lshTopK]] — better recall on soft-clustered data because probing
+    * follows actual distance structure instead of random hyperplanes.
+    *
+    * 1. centroids = a deterministic 1-in-`sampleMod` hash-sample of the
+    *    corpus itself (no k-means iterations, no driver collect — the
+    *    classic "random sample as coarse quantizer" IVF bootstrap);
+    * 2. every corpus vector is assigned to its nearest centroid via a
+    *    broadcast of the small centroid set + one partial-aggregated
+    *    `max_by` — the shuffle carries one row per vector, not the
+    *    n×C assignment pairs;
+    * 3. each query probes its `nProbe` nearest centroids (same
+    *    broadcast), and candidates are only the vectors in probed
+    *    cells — a keyed equi-join on cent_id — then exact re-rank.
+    *
+    * At 100 TB: centroid count scales as √n (sampleMod dial), the
+    * broadcast stays tiny, and no pair outside a probed cell is scored.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int,
+              sampleMod: Int = 16, nProbe: Int = 8): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val cents = broadcast(
+      emb.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
+    // nearest-centroid assignment: broadcast join, partial max_by, one
+    // shuffle of n assignment rows
+    val assigned = corpus.join(cents)
+      .groupBy(col("nbr_id"))
+      .agg(
+        max_by(col("cent_id"), cosineSim(col("nbr_vec"), col("cent_vec"))).as("cent_id"),
+        // every row in the group carries the same vector → deterministic
+        first(col("nbr_vec")).as("nbr_vec"))
+    // query-side: top-nProbe cells per query
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("probe_sim").desc, col("cent_id").asc)
+    val probes = queries.join(cents)
+      .withColumn("probe_sim", cosineSim(col("query_vec"), col("cent_vec")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select("query_id", "query_vec", "cent_id")
+    // candidates: only vectors in probed cells; exact re-rank
+    val cand = assigned.join(probes, Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+    val scored = cand.withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos_sim")
+  }
+
   /** Embedding-cosine near-dup pairs (id_a < id_b, cos >= t) via the
     * same multi-table LSH candidate generation, exact-verified — the
     * embedding flavor of near-duplicate detection.
@@ -102,7 +156,11 @@ object Similarity {
                     tables: Int = 8, planesPerTable: Int = 6, dim: Int = 64,
                     seed: Long = 42L): DataFrame = {
     val planes = (0 until tables).map(tb => hyperplanes(planesPerTable, dim, seed + tb))
-    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // rename FIRST, bucket in a second select: referencing the `vec`
+    // alias from the same projection is a lateral-column-alias the
+    // analyzer rejects inside a generator
+    val renamed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val withB = renamed.select(col("id"), col("vec"),
         posexplode(array(planes.map(p => bucketCol(col("vec"), p)): _*)))
       .toDF("id", "vec", "tbl", "bucket")
     val cand = withB.as("a").join(withB.as("b"), Seq("tbl", "bucket"))

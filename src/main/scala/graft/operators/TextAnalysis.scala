@@ -72,11 +72,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Rolling polynomial hash over the token stream (order-SENSITIVE,
-    * unlike [[fingerprint]]): h = h * 1000003 xor xxhash64(token),
-    * folded left-to-right with wrapping long arithmetic.
+  /** Rolling hash over the token stream (order-SENSITIVE, unlike
+    * [[fingerprint]]): h = xxhash64(h, token), chained left-to-right.
+    * Hash-chaining instead of the classic `h * p ^ hash(t)` polynomial:
+    * a raw long multiply overflows — and under ANSI mode THROWS — on
+    * any document longer than a few tokens, while the chain is
+    * overflow-free and equally order-sensitive.
     */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => (acc * lit(1000003L)).bitwiseXOR(xxhash64(t)))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Deduplication operators on a tiny corpus with hand-computable
+  * Jaccard values; LSH variants are checked against the exact answer.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** docs 1/2 near-identical (J=7/9 at 2-gram), 3 unrelated, 4=dup of 3. */
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text about data pipelines"),
+    (4L, "completely different text about data pipelines"),
+    (5L, "short")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text, keeps min id (ref darkpool_trades/main.py:88-92)") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    out.count() shouldBe 4 // docs 3,4 collapse
+    val dupGroup = out.filter($"dup_count" === 2).collect()(0)
+    dupGroup.getAs[Long]("canonical_id") shouldBe 3L
+  }
+
+  test("exact dedup is whitespace/case insensitive via normText") {
+    val messy = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other")).toDF("doc_id", "text")
+    Dedup.exact(messy, "doc_id", "text").count() shouldBe 2
+  }
+
+  test("jaccardSimilarityJoin finds exactly the hand-computed qualifying pairs") {
+    // 2-gram shingles of docs 1,2: 8 each, 7 shared -> J = 7/9 ≈ 0.778
+    // docs 3,4 identical -> J = 1. No other pair reaches 0.5.
+    val out = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", n = 2, t = 0.5)
+      .orderBy($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    out.length shouldBe 2
+    out(0)._1 shouldBe 1L; out(0)._2 shouldBe 2L
+    out(0)._3 shouldBe (7.0 / 9.0) +- 1e-12
+    out(1)._1 shouldBe 3L; out(1)._2 shouldBe 4L
+    out(1)._3 shouldBe 1.0
+  }
+
+  test("minhashLsh output equals the exact Jaccard pair set (32x2 bands)") {
+    val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 2, 0.5, bands = 32, rows = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe exact
+  }
+
+  test("minhashSignature is deterministic and monotone under subset growth") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2)
+    val sig1 = sh.select($"id", Dedup.minhashSignature($"sh", 16).as("sig"))
+      .orderBy($"id").collect().map(_.getSeq[Long](1).toSeq)
+    val sig2 = sh.select($"id", Dedup.minhashSignature($"sh", 16).as("sig"))
+      .orderBy($"id").collect().map(_.getSeq[Long](1).toSeq)
+    sig1.toSeq shouldBe sig2.toSeq   // deterministic across runs
+    all(sig1.map(_.size).toSeq) shouldBe 16
+  }
+
+  test("hammingPairs pigeonhole candidates are complete: equals brute-force hamming join") {
+    val fp = Dedup.simhashPortable64(docs, "doc_id", "text")
+    val viaBands = Dedup.hammingPairs(fp, 64, maxHamming = 16)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("h"))
+      .filter(col("h") <= 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    viaBands shouldBe brute
+    // identical docs 3,4 have hamming 0
+    assert(viaBands.contains((3L, 4L, 0L)))
+  }
+
+  test("simhash (xxhash64) and simhashPortable64 both give hamming 0 for identical docs") {
+    for (f <- Seq(Dedup.simhash(docs, "doc_id", "text"),
+                  Dedup.simhashPortable64(docs, "doc_id", "text"))) {
+      val m = f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      m(3L) shouldBe m(4L)
+      m(1L) should not be m(3L)
+    }
+  }
+}

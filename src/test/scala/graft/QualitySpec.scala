@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import graft.operators.Quality
+
+/** Rolling data-quality stats (ref darkpool_trades/metrics.py:59-183)
+  * and the observe()-based zero-cost metric set.
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val series = Seq(
+    ("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 0.0),
+    ("k", 4L, 40.0), ("j", 1L, 5.0)
+  ).toDF("key", "ts_us", "value")
+
+  test("rollingStats over trailing N rows: count/mean/min/max windows, pct_gap, staleness") {
+    val out = Quality.rollingStats(series, "key", "ts_us", "value", n = 3)
+      .filter($"key" === "k").orderBy($"ts_us").collect()
+    out.map(_.getAs[Long]("rolling_count")).toSeq shouldBe Seq(1L, 2L, 3L, 3L)
+    out.map(_.getAs[Double]("rolling_mean")).toSeq shouldBe Seq(10.0, 15.0, 10.0, 20.0)
+    out.map(_.getAs[Double]("rolling_min")).toSeq shouldBe Seq(10.0, 10.0, 0.0, 0.0)
+    out.map(_.getAs[Double]("rolling_max")).toSeq shouldBe Seq(10.0, 20.0, 20.0, 40.0)
+    // pct_gap: null, +100%, -100%, NULL (prev value 0 -> try_divide)
+    out(0).isNullAt(out(0).fieldIndex("pct_gap")) shouldBe true
+    out(1).getAs[Double]("pct_gap") shouldBe 100.0 +- 1e-9
+    out(2).getAs[Double]("pct_gap") shouldBe -100.0 +- 1e-9
+    out(3).isNullAt(out(3).fieldIndex("pct_gap")) shouldBe true
+    out.drop(1).map(_.getAs[Long]("staleness_us")).toSeq shouldBe Seq(1L, 1L, 1L)
+  }
+
+  test("rollingStats keys are independent") {
+    val out = Quality.rollingStats(series, "key", "ts_us", "value", n = 3)
+      .filter($"key" === "j").collect()
+    out.length shouldBe 1
+    out(0).getAs[Long]("rolling_count") shouldBe 1L
+    out(0).isNullAt(out(0).fieldIndex("pct_gap")) shouldBe true
+  }
+
+  test("observed() metric set is collectable via Observation without a second scan (ref metrics.py:67-161)") {
+    val obs = new Observation("quality")
+    val df = Seq(Some(1.0), Some(-2.0), None, Some(4.0)).toDF("v")
+    Quality.observed(df, "v", obs).collect()
+    val m = obs.get
+    m("n_rows") shouldBe 4L
+    m("n_null_value") shouldBe 1L
+    m("n_nonpositive") shouldBe 1L
+    m("max_value") shouldBe 4.0
+  }
+}

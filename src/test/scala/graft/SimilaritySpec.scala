@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Similarity-search operators on hand-constructed vectors where the
+  * exact answer is obvious.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 0 and 1 nearly parallel; 2 orthogonal; 3 opposite; 4 close to 1. */
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)),
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0f)),
+    (4L, Array(0.85f, 0.15f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by exact cosine, excludes self, respects k") {
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        queryIds = Seq(0L), k = 3)
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.map(_._2).toSeq shouldBe Seq(1L, 4L, 2L) // by cosine to [1,0,0,0]
+    out(0)._3 should be > out(1)._3
+    out(1)._3 should be > out(2)._3
+    out.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L) // ranks 1..3
+  }
+
+  test("bruteForceTopK emits k rows per query for multiple queries") {
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queryIds = Seq(0L, 2L), k = 2)
+    out.count() shouldBe 4
+    out.groupBy($"query_id").count().collect()
+      .map(_.getLong(1)).toSeq shouldBe Seq(2L, 2L)
+  }
+
+  test("lshTopK returns exactly-ranked subsets: every reported pair's cosine is exact and ranks are consistent") {
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        queryIds = Seq(0L), k = 3, tables = 8, planesPerTable = 2, dim = 4)
+      .orderBy($"rank").collect()
+    // whatever candidates LSH surfaced, ranks must be 1..n without gaps
+    out.map(_.getLong(1)).toSeq shouldBe (1L to out.length)
+    // and cos_sim must be the true cosine (exact re-rank, no approximation)
+    val byId = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    if (byId.contains(1L)) byId(1L) shouldBe (0.9 / math.sqrt(0.82)) +- 1e-9
+  }
+
+  test("ivfTopK assigns, probes and re-ranks exactly; high-probe setting recovers the exact top-k") {
+    // with nProbe >= number of cells, IVF degrades to exact brute force
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), 3)
+      .select($"query_id", $"rank", $"nbr_id").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", Seq(0L), 3,
+        sampleMod = 2, nProbe = 5)
+      .select($"query_id", $"rank", $"nbr_id").collect().map(_.toSeq).toSet
+    ivf shouldBe exact
+  }
+
+  test("cosineNearDup finds the near-parallel pairs above threshold with exact cosines") {
+    val out = Similarity.cosineNearDup(vecs, "vec_id", "embedding", t = 0.95,
+        tables = 8, planesPerTable = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cos(1,4) ≈ 0.9989, cos(0,1) ≈ 0.9939, cos(0,4) ≈ 0.9847 — all >= 0.95
+    out should contain((1L, 4L))
+    // no false positives possible (exact verify); orthogonal/opposite never appear
+    out.foreach { case (a, b) => Set(2L, 3L) should not contain a }
+  }
+}

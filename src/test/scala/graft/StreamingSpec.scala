@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.functions._
+import graft.streaming.StreamingOps
+
+case class Ev(ts: Timestamp, key: String, value: Double)
+case class Keyed(ts: Timestamp, k: String, payload: String)
+
+/** Streaming-parity tests for the defining computation (SURVEY.md §7
+  * hard part 1): Quix `.final()` ≡ Spark append output mode — a window
+  * emits exactly once, when the watermark passes window_end + grace,
+  * and late data beyond the grace is dropped. MemoryStream + manual
+  * batch advancement; a sentinel event advances the watermark.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedAgg append mode: final-only emission equals the batch result (ref option_trade_aggs/main.py:221-225)") {
+    val input = MemoryStream[Ev](spark)
+    val agged = StreamingOps.windowedAgg(input.toDF(), "ts", "key",
+      "1 minute", "1 second",
+      Seq(dsum(col("value")).as("sum_v"), count(lit(1)).as("n")))
+    val ckpt = Files.createTempDirectory("ckpt_agg").toString
+    val q = agged.writeStream.format("memory").queryName("agg_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // window 10:00-10:01, two keys
+      val first = Seq(
+        Ev(ts("2024-01-01 10:00:05"), "a", 10.0),
+        Ev(ts("2024-01-01 10:00:20"), "b", 5.0),
+        Ev(ts("2024-01-01 10:00:50"), "a", 7.0))
+      input.addData(first)
+      q.processAllAvailable()
+      // nothing may be emitted: the watermark has not passed 10:01:00+1s
+      spark.table("agg_out").count() shouldBe 0
+
+      // sentinel far past window_end + grace closes the first window
+      input.addData(Ev(ts("2024-01-01 10:02:30"), "z", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("agg_out")
+        .select($"window_start", $"key", $"sum_v", $"n")
+        .orderBy($"key")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getDouble(2), r.getLong(3)))
+
+      // batch twin over the same first-window rows
+      val batch = first.toDF()
+        .groupBy(window($"ts", "1 minute"), $"key")
+        .agg(dsum($"value").as("sum_v"), count(lit(1)).as("n"))
+        .select($"window.start", $"key", $"sum_v", $"n").orderBy($"key")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getDouble(2), r.getLong(3)))
+
+      emitted.toSeq shouldBe batch.toSeq
+      emitted.length shouldBe 2
+
+      // a late event for the already-closed window is DROPPED (grace exceeded)
+      input.addData(Ev(ts("2024-01-01 10:00:30"), "a", 100.0))
+      q.processAllAvailable()
+      spark.table("agg_out").count() shouldBe 2 // unchanged, no re-emission
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark: duplicate business keys collapse to first within the watermark (SURVEY.md §7 hard part 4)") {
+    val input = MemoryStream[Keyed](spark)
+    val deduped = StreamingOps.dedupWithinWatermark(input.toDF(), "ts", "10 seconds", Seq("k"))
+    val ckpt = Files.createTempDirectory("ckpt_dedup").toString
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(
+        Keyed(ts("2024-01-01 10:00:00"), "k1", "first"),
+        Keyed(ts("2024-01-01 10:00:01"), "k1", "dup-within-watermark"),
+        Keyed(ts("2024-01-01 10:00:02"), "k2", "other"))
+      q.processAllAvailable()
+      input.addData(Keyed(ts("2024-01-01 10:00:03"), "k1", "dup-again"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select($"k", $"payload")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      out.toSeq shouldBe Seq(("k1", "first"), ("k2", "other"))
+    } finally q.stop()
+  }
+
+  test("streaming windowedAgg batch twin: the same helper works on a batch DataFrame") {
+    val batchDf = Seq(
+      Ev(ts("2024-01-01 10:00:05"), "a", 1.0),
+      Ev(ts("2024-01-01 10:00:06"), "a", 2.0)).toDF()
+    val out = StreamingOps.windowedAgg(batchDf, "ts", "key", "1 minute", "1 second",
+      Seq(dsum(col("value")).as("sum_v")))
+    val row = out.collect()(0)
+    row.getAs[Timestamp]("window_start").toString shouldBe "2024-01-01 10:00:00.0"
+    row.getAs[Double]("sum_v") shouldBe 3.0
+  }
+}

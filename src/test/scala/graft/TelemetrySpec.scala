@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Telemetry
+import graft.operators.Telemetry._
+
+/** Golden tests for the telemetry query planner: the full aggregation
+  * menu, every tag-filter operator, metadata equals-filter (F6), the
+  * event-flavor aggregation (A6), tag values (A10), ordering + paging.
+  */
+class TelemetrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** 6 points, 2 streams, tags {device, event_type}. */
+  private lazy val points: DataFrame = Seq(
+    (ts("2024-01-01 10:00:05"), 1L, Map("device" -> "ios", "event_type" -> "click"), 10.0),
+    (ts("2024-01-01 10:00:30"), 1L, Map("device" -> "android", "event_type" -> "view"), 20.0),
+    (ts("2024-01-01 10:01:10"), 1L, Map("device" -> "ios", "event_type" -> "click"), 40.0),
+    (ts("2024-01-01 10:01:45"), 2L, Map("device" -> "web", "event_type" -> "error"), 5.0),
+    (ts("2024-01-01 10:02:00"), 2L, Map("device" -> "web", "event_type" -> "click"), 15.0),
+    (ts("2024-01-01 10:02:30"), 1L, Map("device" -> "ios", "event_type" -> "view"), 25.0)
+  ).toDF("ts", "stream_id", "tags", "value")
+
+  test("A4 full numeric menu over one global group") {
+    val out = plan(points, Request(aggs = Seq(
+      NumericAgg("value", AggMean, "mean"), NumericAgg("value", AggMax, "max"),
+      NumericAgg("value", AggMin, "min"), NumericAgg("value", AggFirst, "first"),
+      NumericAgg("value", AggLast, "last"), NumericAgg("value", AggSum, "sum"),
+      NumericAgg("value", AggCount, "count"), NumericAgg("value", AggMedian, "median"),
+      NumericAgg("value", AggSpread, "spread")))).collect()(0)
+    out.getDouble(0) shouldBe (115.0 / 6) +- 1e-9   // mean
+    out.getDouble(1) shouldBe 40.0                  // max
+    out.getDouble(2) shouldBe 5.0                   // min
+    out.getDouble(3) shouldBe 10.0                  // first by time
+    out.getDouble(4) shouldBe 25.0                  // last by time
+    out.getDouble(5) shouldBe 115.0                 // sum
+    out.getLong(6) shouldBe 6L                      // count
+    out.getDouble(7) shouldBe 17.5 +- 1e-9          // median of {5,10,15,20,25,40}
+    out.getDouble(8) shouldBe 35.0                  // spread
+  }
+
+  test("A7 time-bucket down-sampling: 1-minute buckets, epoch-aligned") {
+    val out = plan(points, Request(
+      bucketNs = Some(60L * 1000000000L),
+      aggs = Seq(NumericAgg("value", AggSum, "sum_v")),
+      orderBy = Seq(Telemetry.Ordering("bucket_ts"))))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1)))
+    out.toSeq shouldBe Seq(
+      ("2024-01-01 10:00:00.0", 30.0),
+      ("2024-01-01 10:01:00.0", 45.0),
+      ("2024-01-01 10:02:00.0", 40.0))
+  }
+
+  test("F4 time-range + stream IN filter") {
+    val out = plan(points, Request(
+      from = Some("2024-01-01 10:01:00"), to = Some("2024-01-01 10:02:00"),
+      streamIds = Seq(1L),
+      aggs = Seq(NumericAgg("value", AggCount, "n"))))
+      .collect()(0).getLong(0)
+    out shouldBe 1L // only the 10:01:10 stream-1 point
+  }
+
+  test("F5 all four tag-filter operators") {
+    def n(f: TagFilter): Long =
+      plan(points, Request(tagFilters = Seq(f),
+        aggs = Seq(NumericAgg("value", AggCount, "n")))).collect()(0).getLong(0)
+    n(TagFilter("device", TagEqual, Seq("ios"))) shouldBe 3
+    n(TagFilter("device", TagEqual, Seq("ios", "web"))) shouldBe 5   // implicit IN
+    n(TagFilter("device", TagNotEqual, Seq("ios"))) shouldBe 3
+    n(TagFilter("device", TagNotEqual, Seq("ios", "web"))) shouldBe 1
+    n(TagFilter("event_type", TagLike, Seq("cl%"))) shouldBe 3
+    n(TagFilter("event_type", TagNotLike, Seq("cl%", "vi%"))) shouldBe 1
+  }
+
+  test("F6 metadata/tag equals-filter via element_at (ref metadataFilter.ts:16-25)") {
+    val out = points.filter(element_at($"tags", "event_type") === "error").count()
+    out shouldBe 1
+  }
+
+  test("A9 group-by tag dimension alongside time bucket") {
+    val out = plan(points, Request(
+      bucketNs = Some(3600L * 1000000000L),
+      groupByTags = Seq("device"),
+      aggs = Seq(NumericAgg("value", AggSum, "sum_v")),
+      orderBy = Seq(Telemetry.Ordering("device"))))
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq(("android", 20.0), ("ios", 75.0), ("web", 20.0))
+  }
+
+  test("A6 event-flavor aggregation: First/Last/Count of a string tag over an interval (ref getEventDataRequest.ts:18-43)") {
+    // events are (ts, tag-value) points; aggregate the tag string itself
+    val ev = points.select($"ts", $"stream_id",
+      element_at($"tags", "event_type").as("etype"))
+    val out = ev.groupBy(Telemetry.timeBucket($"ts", 60L * 1000000000L).as("bucket"))
+      .agg(
+        graft.functions.firstByTime($"etype", $"ts").as("first_event"),
+        graft.functions.lastByTime($"etype", $"ts").as("last_event"),
+        count($"etype").as("n"))
+      .orderBy($"bucket")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      ("click", "view", 2L), ("click", "error", 2L), ("click", "view", 2L))
+  }
+
+  test("A10 tagValues: distinct values of one tag key (ref getTagValuesRequest.ts:14-31)") {
+    val out = Telemetry.tagValues(points, "device")
+      .collect().map(_.getString(0)).sorted.toSeq
+    out shouldBe Seq("android", "ios", "web")
+  }
+
+  test("O1+O2 ordering + paging: page 1 of length 2 by value desc") {
+    val out = plan(points, Request(
+      aggs = Seq(NumericAgg("value", AggNone, "v")),
+      orderBy = Seq(Telemetry.Ordering("v", descending = true)),
+      paging = Some(Paging(1, 2))))
+      .collect().map(_.getDouble(2)).toSeq
+    out shouldBe Seq(20.0, 15.0) // global order 40,25 | 20,15 | 10,5
+  }
+
+  test("AggNone raw fetch projects requested tag columns") {
+    val out = plan(points, Request(
+      groupByTags = Seq("device"),
+      aggs = Seq(NumericAgg("value", AggNone, "v"))))
+    out.columns.toSeq shouldBe Seq("ts", "stream_id", "device", "v")
+    out.count() shouldBe 6
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Text-analysis operators: token stats, quality score, language-ID,
+  * fingerprints.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: counts, distinct, ratio, mean length on a known sentence") {
+    val row = Seq("aa bb aa cc").toDF("text")
+      .select(TextAnalysis.tokenStats($"text").as("s"))
+      .select($"s.n_tokens", $"s.n_distinct", $"s.type_token_ratio", $"s.mean_token_len")
+      .collect()(0)
+    row.getInt(0) shouldBe 4
+    row.getInt(1) shouldBe 3
+    row.getDouble(2) shouldBe 0.75
+    row.getDouble(3) shouldBe 2.0
+  }
+
+  test("qualityScore in [0,1]; long diverse text scores higher than tiny text") {
+    val stop = Seq("the", "a", "of")
+    val texts = Seq(
+      ("tiny", "word"),
+      ("good", (1 to 50).map(i => s"the word$i of").mkString(" ")))
+    val scores = texts.toDF("k", "text")
+      .select($"k", TextAnalysis.qualityScore($"text", stop).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    all(scores.values.toSeq) should (be >= 0.0 and be <= 1.0)
+    scores("good") should be > scores("tiny")
+  }
+
+  test("langIdPredict votes by stopword profile (argmax, ties -> earlier profile)") {
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "es" -> Seq("el", "la", "de"))
+    val got = Seq(
+      "the cat and the dog", "el gato de la casa", "zzz yyy xxx")
+      .toDF("text")
+      .select(TextAnalysis.langIdPredict($"text", profiles))
+      .collect().map(_.getString(0)).toSeq
+    got shouldBe Seq("en", "es", "en") // no votes at all -> first profile
+  }
+
+  test("fingerprint is word-order and duplication invariant; rollingHash is order sensitive") {
+    val df = Seq(
+      ("a", "alpha beta gamma"),
+      ("b", "gamma beta alpha alpha"),
+      ("c", "alpha beta delta")).toDF("k", "text")
+    val fp = df.select($"k", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fp("a") shouldBe fp("b")
+    fp("a") should not be fp("c")
+    val rh = df.select($"k", TextAnalysis.rollingHash($"text").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rh("a") should not be rh("b") // order matters
+  }
+}
