@@ -462,6 +462,57 @@ object SparkEntry {
         .agg(
           count_distinct(col("query_id")).as("n_queries"),
           (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
+    }),
+
+    // P1/F3/S6 — the ingestion layer end-to-end: events serialized to
+    // JSON (the Kafka value shape), parsed back via from_json with a
+    // DECLARED schema in PERMISSIVE mode, corrupt payloads quarantined
+    // (one poison record injected), missing fields null-defaulted the
+    // map_fields way (ref option_trades/utils.py:111-145,
+    // option_trade_aggs/main.py:203-208).
+    "q26_json_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, dir)
+      val json = ev.select(to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value"))).as("raw"))
+      val poisoned = json.unionByName(
+        s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("{not json")),
+          StructType(Seq(StructField("raw", StringType)))))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("channel", StringType))) // absent in the data
+      val parsed = sources.Ingest.parseJson(poisoned, "raw", schema)
+      sources.Ingest.valid(parsed)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          coalesce(col("channel"), lit("unknown")).as("channel"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P9+P10+P12 — darkpool quote-side enrichment: nearest-quote side
+    // rule, sigmoid side-confidence (rounded to 9 dp so cross-engine
+    // libm ULP differences cannot flip a hash), tz conversion
+    // (ref darkpool_trades/main.py:45,71-96).
+    "q27_quote_side" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bid = col("value") * lit(0.99)
+      val ask = col("value") * lit(1.01)
+      val price = col("value") * (lit(1.0) + (col("event_id") % 3 - lit(1)) * lit(0.004))
+      ev.select(
+          col("event_id"),
+          Enrich.nearestQuoteSide(price, bid, ask).as("side"),
+          round(Enrich.sideConfidence(price, bid, ask), 9).as("confidence"),
+          date_format(Enrich.toEastern(col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_et"))
+        .orderBy(col("event_id"))
+    }),
+
+    // A10 — distinct tag values for a key (ref getTagValuesRequest.ts:14-31).
+    "q28_tag_values" -> ((s, dir) => {
+      Telemetry.tagValues(eventsPoints(s, dir), "k").orderBy(col("value"))
     })
   )
 
@@ -719,6 +770,32 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q21_simhash" -> SIMHASH_SQL,
+
+    "q26_json_ingest" ->
+      """SELECT event_id, user_id, event_type, value, 'unknown' AS channel
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q27_quote_side" ->
+      """WITH q AS (
+        |  SELECT event_id, ts,
+        |    value * 0.99 AS bid, value * 1.01 AS ask,
+        |    value * (1.0 + (event_id % 3 - 1) * 0.004) AS price
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN abs(price - bid) < abs(price - ask) THEN 'S'
+        |       WHEN abs(price - bid) > abs(price - ask) THEN 'B'
+        |       ELSE 'N' END AS side,
+        |  round(2.0 / (1.0 + exp(-((price - (bid + ask) / 2.0) / NULLIF(ask - bid, 0.0)))) - 1.0, 9) AS confidence,
+        |  strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS ts_et
+        |FROM q
+        |ORDER BY event_id""".stripMargin,
+
+    "q28_tag_values" ->
+      """SELECT DISTINCT json_extract_string(props, '$.k') AS value
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY 1""".stripMargin,
 
     "q24_ann_recall" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(TRUE AS BOOLEAN) AS recall_ok",

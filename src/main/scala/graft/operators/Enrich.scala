@@ -68,11 +68,14 @@ object Enrich {
       .otherwise("N")
 
   /** P10 — side-confidence: sigmoid of (price-mid)/(ask-bid) mapped to
-    * [-1,1] (ref darkpool_trades/main.py:80-86).
+    * [-1,1] (ref darkpool_trades/main.py:80-86). NULL on a crossed or
+    * zero-width quote (ask == bid): plain division would throw
+    * DIVIDE_BY_ZERO under ANSI mode the moment one degenerate quote
+    * appears — same failure class as [[pctGap]].
     */
   def sideConfidence(price: Column, bid: Column, ask: Column): Column = {
     val mid = (bid + ask) / lit(2.0)
-    signedSigmoid((price - mid) / (ask - bid))
+    signedSigmoid(try_divide(price - mid, ask - bid))
   }
 
   /** P11 — SHA-256 surrogate key over identifying fields

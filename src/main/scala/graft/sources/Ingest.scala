@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The raw-bytes → typed-DataFrame ingestion layer (SURVEY.md §2.1,
+  * §2.3-2.4): permissive JSON parsing with corrupt-record quarantine,
+  * the vendor→canonical `map_fields` projection with null-defaulting,
+  * and provenance headers. Works identically on batch DataFrames and
+  * on `readStream` sources (a Kafka value column is just a string
+  * column here — ref option_trade_aggs/main.py:203-208).
+  */
+object Ingest {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Permissive schema-on-read: parse `jsonCol` against `schema`,
+    * keeping unparseable payloads in [[CorruptCol]] instead of failing
+    * the job — the reference's skip-bad-record-and-continue policy
+    * (ref option_trades/utils.py:205-208; SURVEY.md §2.10 error
+    * handling). Returns all rows; use [[valid]]/[[corrupt]] to split.
+    */
+  def parseJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add(CorruptCol, org.apache.spark.sql.types.StringType)
+    df.withColumn("__parsed",
+        from_json(col(jsonCol), withCorrupt,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+      .select(col("*"), col("__parsed.*")).drop("__parsed")
+  }
+
+  /** Rows that parsed cleanly (F3 schema-validator filter,
+    * ref equity_quotes/main.py:78-84). Drops the corrupt column.
+    */
+  def valid(parsed: DataFrame): DataFrame =
+    parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** Quarantined rows with the raw payload for a dead-letter sink. */
+  def corrupt(parsed: DataFrame): DataFrame =
+    parsed.filter(col(CorruptCol).isNotNull)
+
+  /** P1 `map_fields` — vendor→canonical option-trade projection: rename
+    * ~25 vendor fields, cast the string numerics with `or '0'`-style
+    * null-defaulting, merge report flags into tags
+    * (ref option_trades/utils.py:111-145). Input has
+    * [[Schemas.optionTradeVendor]] columns; output is canonical
+    * [[Schemas.optionTrade]] minus the derived enrichment columns.
+    */
+  def mapFields(vendor: DataFrame): DataFrame = {
+    def d(c: String): Column = coalesce(col(c), lit("0")).cast("double")
+    def l(c: String): Column = coalesce(col(c), lit("0")).cast("long")
+    vendor.select(
+      col("id"),
+      coalesce(col("executed_at"), lit(0L)).as("ts"),
+      col("option_symbol").as("osym"),
+      col("underlying_symbol").as("usym"),
+      d("underlying_price").as("spot"),
+      d("strike").as("strike"),
+      col("expiry").as("expiration"),
+      col("option_type").as("otype"),
+      l("size").as("qty"),
+      d("price").as("price"),
+      d("premium").as("premium"),
+      col("exchange").as("xchg"),
+      col("condition").as("cond"),
+      d("implied_volatility").as("iv"),
+      l("open_interest").as("oi"),
+      d("nbbo_bid").as("bid"),
+      d("nbbo_ask").as("ask"),
+      d("theo_price").as("theo"),
+      d("delta").as("delta"),
+      d("gamma").as("gamma"),
+      d("vega").as("vega"),
+      d("theta").as("theta"),
+      d("rho").as("rho"),
+      concat(
+        coalesce(col("tags"), array()),
+        coalesce(col("report_flags"), array())).as("tags"))
+  }
+
+  /** P2 — Polygon bar → canonical OHLCV record
+    * (ref equity_quotes/main.py:52-75).
+    */
+  def barTransform(raw: DataFrame): DataFrame =
+    raw.select(
+      col("sym").as("symbol"),
+      coalesce(col("ev"), lit("A")).as("event"),
+      col("o").as("open"), col("h").as("high"),
+      col("l").as("low"), col("c").as("close"),
+      coalesce(col("vw"), col("c")).as("vwap"),
+      col("v").as("bar_volume"),
+      coalesce(col("z"), lit(0L)).as("num_of_trades"),
+      coalesce(col("av"), lit(0L)).as("session_volume"),
+      col("s").as("timestamp"))
+
+  /** P15 — provenance headers as a map column, the shape a Kafka sink
+    * writes as record headers (ref option_trades/utils.py:187-190).
+    */
+  def withProvenance(df: DataFrame, provider: String,
+                     integrationId: String): DataFrame =
+    df.withColumn("headers", map(
+      lit("data_provider"), lit(provider),
+      lit("integration_id"), lit(integrationId)))
+
+  /** P16/S6 — producer-record projection: key, JSON value, event-time
+    * (the key/timestamp/value extraction callbacks as columns;
+    * ref equity_quotes/main.py:35-49, option_trades/utils.py:191-204).
+    */
+  def toProducerRecords(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"),
+      col(tsCol).as("ts"))
+}

@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.CursorIngest
+
+/** Incremental REST-polling emulation (S4/S5): cursor = max(ts)+ in
+  * the sink, repeated polls are idempotent, new data ingests
+  * incrementally (ref news/main.py:45-95,
+  * darkpool_trades/main.py:157-179).
+  */
+class CursorIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pollOnce ingests all on first run, nothing on re-poll, only new rows after") {
+    val sink = Files.createTempDirectory("cursor_sink").toString + "/data"
+
+    // cycle 1: backfill page
+    val page1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("ts", "payload")
+    CursorIngest.cursor(spark, sink, "ts") shouldBe None
+    CursorIngest.pollOnce(spark, page1, sink, "ts") shouldBe 3L
+    CursorIngest.cursor(spark, sink, "ts") shouldBe Some(3L)
+
+    // cycle 2: same page again — at-least-once source, exactly-once effect
+    CursorIngest.pollOnce(spark, page1, sink, "ts") shouldBe 0L
+    spark.read.parquet(sink).count() shouldBe 3
+
+    // cycle 3: overlapping page with 2 new rows
+    val page2 = Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("ts", "payload")
+    CursorIngest.pollOnce(spark, page2, sink, "ts") shouldBe 2L
+    val rows = spark.read.parquet(sink).orderBy($"ts")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.toSeq shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Ingest, Schemas}
+
+/** Ingestion layer: permissive from_json with corrupt quarantine (F3),
+  * the vendor->canonical map_fields projection with null defaults (P1),
+  * provenance headers (P15), producer-record projection (P16).
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseJson splits valid rows from corrupt payloads instead of failing (F2/F3)") {
+    val raw = Seq(
+      """{"symbol":"AAPL","event":"A","open":1.0,"high":2.0,"low":0.5,"close":1.5,"vwap":1.2,"bar_volume":100,"num_of_trades":5,"session_volume":1000,"timestamp":1704067200000}""",
+      """{"symbol":"TSLA","close":2.5,"timestamp":1704067201000}""", // sparse but valid
+      """not json at all""",
+      """{"symbol": 12, "timestamp": "also-bad"}"""                  // type mismatch
+    ).toDF("raw")
+    val parsed = Ingest.parseJson(raw, "raw", Schemas.equityBar)
+    Ingest.valid(parsed).count() shouldBe 2
+    Ingest.corrupt(parsed).count() shouldBe 2
+    // corrupt rows keep the raw payload for a dead-letter sink
+    Ingest.corrupt(parsed).select($"raw").collect()
+      .map(_.getString(0)) should contain("not json at all")
+    // sparse row: missing fields are null, not an error
+    val tsla = Ingest.valid(parsed).filter($"symbol" === "TSLA").collect()(0)
+    tsla.isNullAt(tsla.fieldIndex("open")) shouldBe true
+    tsla.getAs[Double]("close") shouldBe 2.5
+  }
+
+  test("mapFields: vendor fields rename + string-numeric casts with '0' defaults (P1, ref utils.py:111-145)") {
+    val vendorJson = Seq(
+      """{"id":"t-1","executed_at":1704110460500,"option_symbol":"AAPL240118C00100000",
+        |"underlying_symbol":"AAPL","underlying_price":"101.2","strike":"100.0",
+        |"expiry":"2024-01-18","option_type":"call","size":"120","price":"2.15",
+        |"premium":"258000.0","exchange":"CBOE","condition":"S",
+        |"implied_volatility":null,"open_interest":"5400","nbbo_bid":"2.10",
+        |"nbbo_ask":"2.20","theo_price":"2.14","delta":"0.55","gamma":"0.04",
+        |"vega":"0.11","theta":"-0.05","rho":"0.02",
+        |"report_flags":["sweep"],"tags":["ask_side"]}""".stripMargin.replace("\n", "")
+    ).toDF("raw")
+    val vendor = Ingest.valid(Ingest.parseJson(vendorJson, "raw", Schemas.optionTradeVendor))
+    val out = Ingest.mapFields(vendor).collect()(0)
+    out.getAs[String]("osym") shouldBe "AAPL240118C00100000"
+    out.getAs[Long]("ts") shouldBe 1704110460500L
+    out.getAs[Double]("spot") shouldBe 101.2
+    out.getAs[Long]("qty") shouldBe 120L
+    out.getAs[Double]("iv") shouldBe 0.0          // null -> '0' default
+    out.getAs[Seq[String]]("tags") shouldBe Seq("ask_side", "sweep") // merged
+  }
+
+  test("withProvenance adds the header map (P15, ref utils.py:187-190)") {
+    val out = Ingest.withProvenance(Seq(1).toDF("x"), "unusualwhales", "uw-1")
+      .select($"headers").collect()(0).getMap[String, String](0)
+    out("data_provider") shouldBe "unusualwhales"
+    out("integration_id") shouldBe "uw-1"
+  }
+
+  test("toProducerRecords: key/value-json/event-time projection round-trips (P16/S6)") {
+    val df = Seq((7L, "click", 1704067200000L)).toDF("id", "etype", "ts")
+    val rec = Ingest.toProducerRecords(df, "id", "ts").collect()(0)
+    rec.getAs[String]("key") shouldBe "7"
+    rec.getAs[Long]("ts") shouldBe 1704067200000L
+    // value JSON parses back to the original row
+    val back = Ingest.valid(Ingest.parseJson(
+      Seq(rec.getAs[String]("value")).toDF("raw"),
+      "raw",
+      StructType(Seq(StructField("id", LongType), StructField("etype", StringType),
+        StructField("ts", LongType))))).collect()(0)
+    back.getAs[Long]("id") shouldBe 7L
+    back.getAs[String]("etype") shouldBe "click"
+  }
+}
