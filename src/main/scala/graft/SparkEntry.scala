@@ -513,6 +513,44 @@ object SparkEntry {
     // A10 — distinct tag values for a key (ref getTagValuesRequest.ts:14-31).
     "q28_tag_values" -> ((s, dir) => {
       Telemetry.tagValues(eventsPoints(s, dir), "k").orderBy(col("value"))
+    }),
+
+    // A5+A6+F6 — event-flavor aggregation through the planner: metadata
+    // equals-filter, daily interval, First/Last/Count of a string tag
+    // (ref getEventDataRequest.ts:18-43, metadataFilter.ts:16-25,
+    // eventDataAggregation.ts:18-25). First/Last tie-break on the value
+    // itself so timestamp collisions can never diverge between engines.
+    "q29_event_planner" -> ((s, dir) => {
+      import Telemetry._
+      plan(eventsPoints(s, dir), Request(
+        metadataFilters = Seq(MetadataFilter("event_type", "purchase")),
+        bucketNs = Some(24L * 3600 * 1000 * 1000 * 1000),
+        stringAggs = Seq(
+          StringAgg("k", StrFirst, "first_k"),
+          StringAgg("k", StrLast, "last_k"),
+          StringAgg("k", StrCount, "n_k")),
+        orderBy = Seq(Ordering("bucket_ts"))))
+    }),
+
+    // §2.11 — the generic user-supplied reducer (initializer/reducer
+    // dict-fold, ref option_trade_aggs/main.py:85-188) registered via
+    // udaf and run inside the keyed 1-minute window: same results as
+    // q02's built-in conditional sums, through the custom-Aggregator
+    // path. Decimal-buffered so the fold is reassociation-proof.
+    "q30_udaf_buckets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val f = udaf(Reduce.eventBucketReducer)
+      val m = col("m")
+      ev.groupBy(window(col("ts"), "1 minute"), col("user_id"))
+        .agg(f(col("value"), col("event_type")).as("m"))
+        .select(col("window.start").as("minute_ts"), col("user_id"),
+          coalesce(element_at(m, "vol_big_purchase"), lit(0.0)).as("vol_big_purchase"),
+          coalesce(element_at(m, "vol_big_other"), lit(0.0)).as("vol_big_other"),
+          coalesce(element_at(m, "vol_small_purchase"), lit(0.0)).as("vol_small_purchase"),
+          coalesce(element_at(m, "vol_small_other"), lit(0.0)).as("vol_small_other"),
+          coalesce(element_at(m, "n_error"), lit(0.0)).cast("long").as("n_error"),
+          element_at(m, "n_events").cast("long").as("n_events"))
+        .orderBy(col("minute_ts"), col("user_id"))
     })
   )
 
@@ -796,6 +834,32 @@ object SparkEntry {
         |FROM events
         |WHERE json_extract_string(props, '$.k') IS NOT NULL
         |ORDER BY 1""".stripMargin,
+
+    "q29_event_planner" ->
+      """WITH p AS (
+        |  SELECT date_trunc('day', ts) AS bucket_ts,
+        |    json_extract_string(props, '$.k') AS k,
+        |    printf('%020d', epoch_us(ts)) AS tk
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT bucket_ts,
+        |  arg_min(k, tk || k) AS first_k,
+        |  arg_max(k, tk || k) AS last_k,
+        |  COUNT(k) AS n_k
+        |FROM p
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q30_udaf_buckets" ->
+      s"""SELECT date_trunc('minute', ts) AS minute_ts, user_id,
+        |  ${DSUM("CASE WHEN value > 75.0 AND event_type = 'purchase' THEN value ELSE 0.0 END")} AS vol_big_purchase,
+        |  ${DSUM("CASE WHEN value > 75.0 AND event_type <> 'purchase' THEN value ELSE 0.0 END")} AS vol_big_other,
+        |  ${DSUM("CASE WHEN value <= 75.0 AND event_type = 'purchase' THEN value ELSE 0.0 END")} AS vol_small_purchase,
+        |  ${DSUM("CASE WHEN value <= 75.0 AND event_type <> 'purchase' THEN value ELSE 0.0 END")} AS vol_small_other,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q24_ann_recall" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(TRUE AS BOOLEAN) AS recall_ok",

@@ -45,6 +45,24 @@ object Telemetry {
   case object AggSpread extends AggType
   final case class NumericAgg(column: String, agg: AggType, as: String)
 
+  /** String/binary/event aggregation menu: None, First, Last, Count
+    * (ref aggregationType.ts:16, eventDataAggregationType.ts:16 — the
+    * event flavor A6 shares the same three aggregations over an
+    * interval, ref eventDataAggregation.ts:18-25).
+    */
+  sealed trait StrAggType
+  case object StrNone  extends StrAggType
+  case object StrFirst extends StrAggType
+  case object StrLast  extends StrAggType
+  case object StrCount extends StrAggType
+  final case class StringAgg(column: String, agg: StrAggType, as: String)
+
+  /** Stream-metadata equals-filter (ref metadataFilter.ts:16-25): key
+    * must equal value in the `metadata` map column (F6). Falls back to
+    * the `tags` map when the points table has no metadata column.
+    */
+  final case class MetadataFilter(key: String, value: String)
+
   final case class Ordering(by: String, descending: Boolean = false)
   /** Paging {index, length} (ref paging.ts:13-22). */
   final case class Paging(index: Int, length: Int)
@@ -56,15 +74,17 @@ object Telemetry {
     * (ref getParameterDataRequest.ts:21-25).
     */
   final case class Request(
-      from: Option[String]          = None,
-      to: Option[String]            = None,
-      streamIds: Seq[Long]          = Nil,
-      tagFilters: Seq[TagFilter]    = Nil,
-      bucketNs: Option[Long]        = None,
-      groupByTags: Seq[String]      = Nil,
-      aggs: Seq[NumericAgg]         = Nil,
-      orderBy: Seq[Ordering]        = Nil,
-      paging: Option[Paging]        = None)
+      from: Option[String]              = None,
+      to: Option[String]                = None,
+      streamIds: Seq[Long]              = Nil,
+      tagFilters: Seq[TagFilter]        = Nil,
+      metadataFilters: Seq[MetadataFilter] = Nil,
+      bucketNs: Option[Long]            = None,
+      groupByTags: Seq[String]          = Nil,
+      aggs: Seq[NumericAgg]             = Nil,
+      stringAggs: Seq[StringAgg]        = Nil,
+      orderBy: Seq[Ordering]            = Nil,
+      paging: Option[Paging]            = None)
 
   /** Epoch-aligned time bucket: floor(ts to a multiple of the bucket),
     * in pure long arithmetic (`u - pmod(u, b)` — no double division, so
@@ -105,30 +125,52 @@ object Telemetry {
     }).as(a.as)
   }
 
+  /** Compile one string/event aggregation (A5/A6). The column resolves
+    * to a real column when present, else to a tag value. First/Last
+    * tie-break on the value itself so engines can never diverge when
+    * two events share a timestamp within a bucket.
+    */
+  def strAggColumn(points: DataFrame, a: StringAgg): Column = {
+    val c = if (points.columns.contains(a.column)) col(a.column)
+            else element_at(col("tags"), a.column)
+    (a.agg match {
+      case StrNone  => c
+      case StrFirst => min_by(c, struct(col("ts"), c))
+      case StrLast  => max_by(c, struct(col("ts"), c))
+      case StrCount => count(c)
+    }).as(a.as)
+  }
+
   /** Compile the request into a DataFrame over `points`. */
   def plan(points: DataFrame, req: Request): DataFrame = {
-    // ---- filter stage (F4/F5): one conjunctive predicate → scan pushdown
+    // ---- filter stage (F4/F5/F6): one conjunctive predicate → scan pushdown
+    val metaCol =
+      if (points.columns.contains("metadata")) "metadata" else "tags"
     val preds =
       req.from.map(f => col("ts") >= to_timestamp(lit(f))).toSeq ++
       req.to.map(t => col("ts") < to_timestamp(lit(t))).toSeq ++
       (if (req.streamIds.nonEmpty) Seq(col("stream_id").isin(req.streamIds: _*)) else Nil) ++
-      req.tagFilters.map(tagPredicate)
+      req.tagFilters.map(tagPredicate) ++
+      req.metadataFilters.map(m => element_at(col(metaCol), m.key) === m.value)
     val filtered = preds.foldLeft(points)((df, p) => df.filter(p))
 
-    // ---- group-by stage (A7 time bucket + A9 tag dims + A4 menu)
-    val wantsAgg = req.aggs.exists(_.agg != AggNone)
+    // ---- group-by stage (A7 time bucket + A9 tag dims + A4/A5/A6 menus)
+    val wantsAgg = req.aggs.exists(_.agg != AggNone) ||
+      req.stringAggs.exists(_.agg != StrNone)
     val grouped =
       if (!wantsAgg) {
         // raw-point fetch (AggNone): project requested columns
         val tagCols = req.groupByTags.map(k => element_at(col("tags"), k).as(k))
-        val valCols = req.aggs.map(a => col(a.column).as(a.as))
+        val valCols = req.aggs.map(a => col(a.column).as(a.as)) ++
+          req.stringAggs.map(a => strAggColumn(points, a))
         filtered.select(col("ts") +: col("stream_id") +: tagCols ++: valCols: _*)
       } else {
         val bucketCol = req.bucketNs.map(b =>
           timeBucket(col("ts"), b).as("bucket_ts")).toSeq
         val tagCols = req.groupByTags.map(k => element_at(col("tags"), k).as(k))
         val keys = bucketCol ++ tagCols
-        val aggCols = req.aggs.filter(_.agg != AggNone).map(aggColumn)
+        val aggCols = req.aggs.filter(_.agg != AggNone).map(aggColumn) ++
+          req.stringAggs.filter(_.agg != StrNone).map(strAggColumn(points, _))
         if (keys.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
         else filtered.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
       }

@@ -32,12 +32,22 @@ object CursorIngest {
   /** One poll: append source rows strictly newer than the cursor.
     * Returns the number of rows ingested. `source` is whatever this
     * cycle's REST page / landing directory parsed to.
+    *
+    * @param pageLimit O3 source-side page cap — the reference requests
+    *   `limit=500` oldest-first per backfill page
+    *   (ref darkpool_trades/main.py:168: page until empty); None = all.
     */
   def pollOnce(spark: SparkSession, source: DataFrame, sinkDir: String,
-               tsCol: String): Long = {
-    val incremental = cursor(spark, sinkDir, tsCol) match {
+               tsCol: String, pageLimit: Option[Int] = None): Long = {
+    val newer = cursor(spark, sinkDir, tsCol) match {
       case Some(c) => source.filter(col(tsCol) > c) // F9: cursor predicate
       case None    => source
+    }
+    // page = oldest `limit` of the remaining rows, so repeated polls
+    // walk the backlog in order exactly like the reference's loop
+    val incremental = pageLimit match {
+      case Some(n) => newer.orderBy(col(tsCol).asc).limit(n)
+      case None    => newer
     }
     // two passes (count + write): acceptable for a poll cycle; the
     // count is what the reference logs per page (news/main.py:88-95)
@@ -45,5 +55,22 @@ object CursorIngest {
     if (n > 0)
       incremental.write.mode(SaveMode.Append).parquet(sinkDir)
     n
+  }
+
+  /** Full backfill: page with [[pollOnce]] until a cycle ingests
+    * nothing (ref darkpool_trades/main.py:157-179's loop-until-empty).
+    * Returns total rows ingested.
+    */
+  def backfill(spark: SparkSession, source: DataFrame, sinkDir: String,
+               tsCol: String, pageLimit: Int, maxPages: Int = 10000): Long = {
+    var total = 0L
+    var pages = 0
+    var last = -1L
+    while (pages < maxPages && last != 0L) {
+      last = pollOnce(spark, source, sinkDir, tsCol, Some(pageLimit))
+      total += last
+      pages += 1
+    }
+    total
   }
 }

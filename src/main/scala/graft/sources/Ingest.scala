@@ -78,6 +78,19 @@ object Ingest {
         coalesce(col("report_flags"), array())).as("tags"))
   }
 
+  /** F2 + §2.11 flattening — one WebSocket frame carries a JSON ARRAY
+    * whose element 0 is a channel-status sentinel; real records are
+    * `data[1:]` (ref option_trades/utils.py:183). Parse the array,
+    * explode with position, drop the sentinel — the generator/UDTF
+    * shape executed as `posexplode`, fully distributed.
+    */
+  def explodeFrames(df: DataFrame, jsonCol: String, elementSchema: StructType): DataFrame =
+    df.withColumn("__arr",
+        from_json(col(jsonCol), org.apache.spark.sql.types.ArrayType(elementSchema)))
+      .select(col("*"), posexplode_outer(col("__arr")).as(Seq("__pos", "__rec")))
+      .filter(col("__pos") >= 1) // data[1:] — skip the sentinel element
+      .select(col("__rec.*"))
+
   /** P2 — Polygon bar → canonical OHLCV record
     * (ref equity_quotes/main.py:52-75).
     */

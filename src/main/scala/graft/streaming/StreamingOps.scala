@@ -1,9 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
+
+/** Typed rows for the stateful per-key lag metrics (W1/W2 streaming). */
+case class LagPoint(key: String, tsUs: Long, value: Double)
+case class LagMetrics(key: String, tsUs: Long, value: Double,
+                      pctGap: Option[Double], stalenessUs: Option[Long])
+private[streaming] case class LagState(lastTs: Long, lastValue: Double)
 
 /** Structured-Streaming parity for the reference's stream processors.
   *
@@ -43,6 +49,35 @@ object StreamingOps {
                            keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, grace)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** W1/W2 as a STREAMING stateful operator: per-key previous-value
+    * percent gap and inter-arrival staleness, carried across
+    * micro-batches in the state store — the MarketDataMonitor's
+    * record-at-a-time state (ref darkpool_trades/metrics.py:105-123)
+    * on Spark's `flatMapGroupsWithState`. Works on batch Datasets too
+    * (state spans the whole group). Gap is NULL on a zero previous
+    * value, matching [[graft.operators.Enrich.pctGap]].
+    */
+  def lagMetricsStateful(ds: Dataset[LagPoint]): Dataset[LagMetrics] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[LagState, LagMetrics](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[LagState]) =>
+          var st = state.getOption
+          val out = rows.toSeq.sortBy(r => (r.tsUs, r.value)).map { r =>
+            val m = LagMetrics(key, r.tsUs, r.value,
+              st.flatMap(s =>
+                if (s.lastValue == 0.0) None
+                else Some((r.value - s.lastValue) / s.lastValue * 100.0)),
+              st.map(r.tsUs - _.lastTs))
+            st = Some(LagState(r.tsUs, r.value))
+            m
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
 
   /** File/console sink wiring with checkpointing (K1/K3 analog; the
     * Kafka sink is the same writer with format("kafka")).

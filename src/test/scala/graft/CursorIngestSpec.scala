@@ -31,4 +31,14 @@ class CursorIngestSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     rows.toSeq shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
   }
+
+  test("backfill pages oldest-first with a limit until drained (O3/S5, ref darkpool main.py:157-179)") {
+    val sink = Files.createTempDirectory("cursor_bf").toString + "/data"
+    val src = (1L to 23L).map(i => (i, s"r$i")).toDF("ts", "payload")
+    CursorIngest.backfill(spark, src, sink, "ts", pageLimit = 10) shouldBe 23L
+    spark.read.parquet(sink).count() shouldBe 23
+    // pages were ordered: cursor after page 1 must be 10 (oldest-first)
+    val again = CursorIngest.backfill(spark, src, sink, "ts", pageLimit = 10)
+    again shouldBe 0L
+  }
 }

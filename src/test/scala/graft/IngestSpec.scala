@@ -51,6 +51,16 @@ class IngestSpec extends SparkSpec {
     out.getAs[Seq[String]]("tags") shouldBe Seq("ask_side", "sweep") // merged
   }
 
+  test("explodeFrames skips the sentinel element and flattens the rest (F2, ref utils.py:183)") {
+    val frame =
+      """[{"symbol":"STATUS","timestamp":0},
+        |{"symbol":"AAPL","close":1.5,"timestamp":1704067200000},
+        |{"symbol":"TSLA","close":2.5,"timestamp":1704067201000}]""".stripMargin.replace("\n", "")
+    val out = Ingest.explodeFrames(Seq(frame).toDF("raw"), "raw", Schemas.equityBar)
+    out.count() shouldBe 2
+    out.select($"symbol").collect().map(_.getString(0)).toSeq shouldBe Seq("AAPL", "TSLA")
+  }
+
   test("withProvenance adds the header map (P15, ref utils.py:187-190)") {
     val out = Ingest.withProvenance(Seq(1).toDF("x"), "unusualwhales", "uw-1")
       .select($"headers").collect()(0).getMap[String, String](0)

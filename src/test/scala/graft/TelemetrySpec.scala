@@ -112,6 +112,29 @@ class TelemetrySpec extends SparkSpec {
     out shouldBe Seq("android", "ios", "web")
   }
 
+  test("A5 string-agg menu + F6 metadata filter through the planner") {
+    val out = plan(points, Request(
+      metadataFilters = Seq(MetadataFilter("device", "ios")),
+      stringAggs = Seq(
+        StringAgg("event_type", StrFirst, "first_e"),
+        StringAgg("event_type", StrLast, "last_e"),
+        StringAgg("event_type", StrCount, "n_e")))).collect()(0)
+    out.getString(0) shouldBe "click" // 10:00:05
+    out.getString(1) shouldBe "view"  // 10:02:30
+    out.getLong(2) shouldBe 3L
+  }
+
+  test("A6 event aggregation through the planner: per-bucket First/Last/Count of a tag") {
+    val out = plan(points, Request(
+      bucketNs = Some(60L * 1000000000L),
+      stringAggs = Seq(
+        StringAgg("event_type", StrFirst, "first_e"),
+        StringAgg("event_type", StrCount, "n_e")),
+      orderBy = Seq(Telemetry.Ordering("bucket_ts"))))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(("click", 2L), ("click", 2L), ("click", 2L))
+  }
+
   test("O1+O2 ordering + paging: page 1 of length 2 by value desc") {
     val out = plan(points, Request(
       aggs = Seq(NumericAgg("value", AggNone, "v")),
