@@ -28,6 +28,7 @@ object SparkEntry {
   private def eventsPoints(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("ts"),
+      col("ts_ns"), // raw long survives → time-range predicates push to the scan
       col("user_id").as("stream_id"),
       map(
         lit("event_type"), col("event_type"),

@@ -146,7 +146,22 @@ object Telemetry {
     // ---- filter stage (F4/F5/F6): one conjunctive predicate → scan pushdown
     val metaCol =
       if (points.columns.contains("metadata")) "metadata" else "tags"
-    val preds =
+    // When the raw nanosecond long survives on the table (ts is the
+    // DERIVED µs timestamp, so a predicate on it cannot reach the
+    // parquet scan), emit an EQUIVALENT predicate on ts_ns too:
+    // trunc(ns/1000) >= F_µs ⟺ ns >= F_µs·1000 (truncation is
+    // monotone and F has µs precision). That predicate DOES push down
+    // (`PushedFilters: GreaterThanOrEqual(ts_ns, …)`), which at 100 TB
+    // is the row-group/partition pruning that makes time-range queries
+    // scan only the touched time slice.
+    val hasRawNs = points.columns.contains("ts_ns")
+    def nsOf(iso: String): Column =
+      (unix_micros(to_timestamp(lit(iso))) * 1000L)
+    val nsPreds =
+      if (!hasRawNs) Nil
+      else req.from.map(f => col("ts_ns") >= nsOf(f)).toSeq ++
+        req.to.map(t => col("ts_ns") < nsOf(t)).toSeq
+    val preds = nsPreds ++
       req.from.map(f => col("ts") >= to_timestamp(lit(f))).toSeq ++
       req.to.map(t => col("ts") < to_timestamp(lit(t))).toSeq ++
       (if (req.streamIds.nonEmpty) Seq(col("stream_id").isin(req.streamIds: _*)) else Nil) ++
