@@ -35,7 +35,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed ::= name
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop this query's persisted tables so later queries aren't
+      // timed under the accumulated heap pressure of the whole suite
+      // (observed 4x run-to-run swings on the dedup self-joins without)
+      spark.sqlContext.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
