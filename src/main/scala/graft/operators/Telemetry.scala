@@ -205,4 +205,64 @@ object Telemetry {
   def tagValues(points: DataFrame, key: String): DataFrame =
     points.select(element_at(col("tags"), key).as("value"))
       .filter(col("value").isNotNull).distinct()
+
+  /** A DataSnippet — a named saved slice (streams × [from, to] ns)
+    * that expands into a query request
+    * (ref dataSnippet.ts:13-49: the saved-query primitive of the API).
+    */
+  final case class DataSnippet(name: String, streamIds: Seq[Long],
+                               fromNs: Long, toNs: Long)
+
+  /** Expand a snippet into a Request; extra knobs (aggs, bucketing)
+    * compose on top via `copy`.
+    */
+  def snippetRequest(s: DataSnippet): Request = {
+    def iso(ns: Long): String =
+      java.time.Instant.ofEpochSecond(0, ns)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    Request(from = Some(iso(s.fromNs)), to = Some(iso(s.toNs)),
+      streamIds = s.streamIds)
+  }
+
+  /** §3.3 — transpose a query result into the reference's COLUMNAR
+    * `ParameterData` payload: one row per group carrying
+    * `timestamps: array<long ns>` plus parallel per-parameter value
+    * arrays and per-tag arrays (ref parameterData.ts:16-40 —
+    * `{timestamps, numericValues: {param → double[]}, tagValues}`).
+    *
+    * Executed distributed: ONE `array_sort(collect_list(struct))` per
+    * group builds the row set in timestamp order, then each output
+    * array is a `transform` over it — no driver-side transposition.
+    * This is the presentation boundary: the payload for one stream's
+    * window is bounded (the API pages it), so a per-group array is the
+    * intended shape, not a scale risk.
+    */
+  def toColumnarResponse(df: DataFrame, tsCol: String,
+                         numericCols: Seq[String],
+                         tagCols: Seq[String] = Nil,
+                         groupBy: Seq[String] = Nil): DataFrame = {
+    val tsNs = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(tsCol)) * 1000L // contract speaks nanoseconds
+      case _ => col(tsCol)
+    }
+    val rowStruct = struct(
+      tsNs.as("__ts") +: (numericCols ++ tagCols).map(col): _*)
+    val collected =
+      if (groupBy.isEmpty) df.agg(array_sort(collect_list(rowStruct)).as("__rows"))
+      else df.groupBy(groupBy.map(col): _*)
+        .agg(array_sort(collect_list(rowStruct)).as("__rows"))
+    val rows = col("__rows")
+    val outCols =
+      groupBy.map(col) ++
+      Seq(transform(rows, r => r.getField("__ts")).as("timestamps")) ++
+      Seq(map(numericCols.flatMap(c =>
+        Seq(lit(c), transform(rows, r => r.getField(c)))): _*).as("numericValues"))
+        .filter(_ => numericCols.nonEmpty) ++
+      Seq(map(tagCols.flatMap(c =>
+        Seq(lit(c), transform(rows, r => r.getField(c)))): _*).as("tagValues"))
+        .filter(_ => tagCols.nonEmpty)
+    collected.select(outCols: _*)
+  }
 }

@@ -133,4 +133,41 @@ object Schemas {
     StructField("str_value", StringType),
     StructField("bin_value", BinaryType),
     StructField("tags", MapType(StringType, StringType))))
+
+  /** Stream catalog dimension (ref dashboard/src/Models/stream.ts:17-66:
+    * id/name/topic, data bounds in ns, 8-state status enum
+    * streamStatus.ts:16, metadata map, parents lineage, hierarchical
+    * location).
+    */
+  val streamCatalog: StructType = StructType(Seq(
+    StructField("stream_id", StringType),
+    StructField("name", StringType),
+    StructField("topic", StringType),
+    StructField("data_start_ns", LongType),
+    StructField("data_end_ns", LongType),
+    StructField("status", StringType), // 8 states, streamStatus.ts:16
+    StructField("metadata", MapType(StringType, StringType)),
+    StructField("parents", ArrayType(StringType)),
+    StructField("location", StringType))) // '/'-separated path tree
+
+  /** Parameter catalog dimension (ref parameter.ts:17-58,
+    * parameterType.ts:16: Unknown | Numeric | String | Binary).
+    */
+  val parameterCatalog: StructType = StructType(Seq(
+    StructField("parameter_id", StringType),
+    StructField("name", StringType),
+    StructField("min_value", DoubleType),
+    StructField("max_value", DoubleType),
+    StructField("unit", StringType),
+    StructField("format", StringType),
+    StructField("param_type", StringType)))
+
+  /** Event catalog dimension (ref event.ts:17-43, eventLevel.ts:16:
+    * Trace..Critical).
+    */
+  val eventCatalog: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("name", StringType),
+    StructField("level", StringType),
+    StructField("custom_properties", StringType)))
 }

@@ -40,6 +40,36 @@ object StreamingOps {
         agged.columns.filterNot(_ == "window").map(col).toSeq: _*)
   }
 
+  /** Sliding-window variant (SURVEY.md §2.10: the reference uses
+    * tumbling only; Spark's sliding windows are exposed behind the
+    * same API surface). An event lands in size/slide windows.
+    */
+  def windowedAggSliding(df: DataFrame, tsCol: String, keyCol: String,
+                         windowSize: String, slide: String, grace: String,
+                         aggs: Seq[Column]): DataFrame = {
+    val agged = df.withWatermark(tsCol, grace)
+      .groupBy(window(col(tsCol), windowSize, slide), col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(
+      col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        agged.columns.filterNot(_ == "window").map(col).toSeq: _*)
+  }
+
+  /** Session-window variant: windows close after `gap` of per-key
+    * silence (same exposure rationale as [[windowedAggSliding]]).
+    */
+  def sessionAgg(df: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, grace: String, aggs: Seq[Column]): DataFrame = {
+    val agged = df.withWatermark(tsCol, grace)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(
+      col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        agged.columns.filterNot(_ == "session_window").map(col).toSeq: _*)
+  }
+
   /** Exactly-once-effect dedup by business key within the watermark —
     * the Spark answer to the reference's exactly-once claim on an
     * at-least-once transport (SURVEY.md §7 hard part 4; dedup key = the

@@ -141,4 +141,28 @@ class StreamingSpec extends SparkSpec {
     row.getAs[Timestamp]("window_start").toString shouldBe "2024-01-01 10:00:00.0"
     row.getAs[Double]("sum_v") shouldBe 3.0
   }
+
+  test("sliding windows: one event lands in size/slide windows") {
+    val df = Seq(Ev(ts("2024-01-01 10:00:30"), "a", 5.0)).toDF()
+    val out = StreamingOps.windowedAggSliding(df, "ts", "key",
+      "1 minute", "30 seconds", "1 second", Seq(dsum(col("value")).as("s")))
+      .orderBy($"window_start")
+      .collect().map(_.getAs[Timestamp]("window_start").toString)
+    // windows are end-exclusive: 10:00:30 ∈ [10:00:00, 10:01:00) and
+    // [10:00:30, 10:01:30), NOT [09:59:30, 10:00:30)
+    out.toSeq shouldBe Seq("2024-01-01 10:00:00.0", "2024-01-01 10:00:30.0")
+  }
+
+  test("session windows close after the per-key gap") {
+    val df = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(ts("2024-01-01 10:00:20"), "a", 2.0),  // within 30s gap -> same session
+      Ev(ts("2024-01-01 10:05:00"), "a", 3.0)   // new session
+    ).toDF()
+    val out = StreamingOps.sessionAgg(df, "ts", "key", "30 seconds", "1 second",
+      Seq(dsum(col("value")).as("s"), count(lit(1)).as("n")))
+      .orderBy($"session_start")
+      .collect().map(r => (r.getAs[Double]("s"), r.getAs[Long]("n")))
+    out.toSeq shouldBe Seq((3.0, 2L), (3.0, 1L))
+  }
 }

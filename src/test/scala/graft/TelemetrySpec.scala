@@ -144,6 +144,36 @@ class TelemetrySpec extends SparkSpec {
     out shouldBe Seq(20.0, 15.0) // global order 40,25 | 20,15 | 10,5
   }
 
+  test("§3.3 columnar ParameterData transposition: aligned parallel arrays per group") {
+    val out = Telemetry.toColumnarResponse(
+      points.withColumn("device", element_at($"tags", "device")),
+      "ts", numericCols = Seq("value"), tagCols = Seq("device"),
+      groupBy = Seq("stream_id"))
+      .orderBy($"stream_id").collect()
+    out.length shouldBe 2
+    val s1 = out(0)
+    s1.getLong(0) shouldBe 1L
+    val tss = s1.getSeq[Long](1)
+    tss.size shouldBe 4
+    tss shouldBe tss.sorted // timestamps ascending
+    val nums = s1.getMap[String, Seq[Double]](2)
+    nums("value") shouldBe Seq(10.0, 20.0, 40.0, 25.0) // time order
+    val tags = s1.getMap[String, Seq[String]](3)
+    tags("device") shouldBe Seq("ios", "android", "ios", "ios")
+    // arrays are parallel: same length
+    nums("value").size shouldBe tss.size
+    tags("device").size shouldBe tss.size
+  }
+
+  test("DataSnippet expands to a stream/time-range request (ref dataSnippet.ts:13-49)") {
+    val snip = DataSnippet("slice-1", Seq(1L),
+      fromNs = 1704103260000000000L, // 2024-01-01 10:01:00 UTC
+      toNs = 1704103320000000000L)   // 2024-01-01 10:02:00
+    val req = Telemetry.snippetRequest(snip)
+      .copy(aggs = Seq(NumericAgg("value", AggCount, "n")))
+    plan(points, req).collect()(0).getLong(0) shouldBe 1L // only 10:01:10 stream 1
+  }
+
   test("AggNone raw fetch projects requested tag columns") {
     val out = plan(points, Request(
       groupByTags = Seq("device"),
