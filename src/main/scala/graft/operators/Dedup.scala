@@ -59,7 +59,20 @@ object Dedup {
     // ranking, and both sides of the verify); without persisting, Spark
     // re-tokenizes the corpus once per branch. At cluster scale this is
     // the standard "materialize the shingle index once" step.
-    val sh = shingles(docs, idCol, textCol, n).persist()
+    //
+    // Shingles are hashed to 64-bit longs once, up front: every
+    // downstream stage (df-count groupBy, rank sort, prefix-index
+    // self-join, exact intersect) then keys/compares fixed-width longs
+    // instead of ~30-char strings. Set cardinalities are preserved
+    // modulo 64-bit collisions inside one document's ~50-shingle set
+    // (P ≈ sz²/2⁶⁵ ≈ 1e-16 — far below any practical concern; the
+    // rarest-first total order just becomes hash order, and prefix
+    // filtering is valid for ANY fixed global order).
+    val sh = shingles(docs, idCol, textCol, n)
+      .filter(col("sz") > 0) // barrier: keep the gram transform out of the hash lambda
+      .select(col("id"),
+        transform(col("sh"), s => xxhash64(s)).as("sh"), col("sz"))
+      .persist()
 
     // global shingle document-frequency → rarest-first total order
     val dfreq = sh.select(col("id"), explode(col("sh")).as("s"))
