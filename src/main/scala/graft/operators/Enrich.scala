@@ -106,4 +106,23 @@ object Enrich {
     */
   def pctGap(cur: Column, prev: Column): Column =
     try_divide(cur - prev, prev) * lit(100.0)
+
+  /** The full option-trade enrichment chain (SURVEY §7 Phase 1),
+    * composing P3-P8 over a canonical option-trade DataFrame
+    * ([[graft.sources.Schemas.optionTrade]] shape with epoch-ms `ts`):
+    * days-to-expiry, premium-bucket + expiry tags merged into `tags`,
+    * side classification, position-type label
+    * (ref option_trades/utils.py:81-149 `map_fields` tail).
+    */
+  def enrichOptionTrade(trades: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dtx = daysToExpiry(col("expiration"), timestamp_millis(col("ts")))
+    trades
+      .withColumn("dtx", dtx)
+      .withColumn("tags", mergeTags(col("tags"),
+        mergeTags(
+          premiumTags(col("premium"), 75000.0, 250000.0, 1000000.0, 1000000.0),
+          expiryTags(col("dtx")))))
+      .withColumn("side", sideFromTags(col("tags")))
+      .withColumn("position_type", positionType(col("tags"), col("otype")))
+  }
 }
