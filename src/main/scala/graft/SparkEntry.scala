@@ -533,6 +533,50 @@ object SparkEntry {
         orderBy = Seq(Ordering("bucket_ts"))))
     }),
 
+    // Hard part 5 — Decimal-as-string round trip with EXACT decimal
+    // arithmetic (ref darkpool_trades/main.py:97-99): vendor string
+    // prices → DECIMAL(18,4), nearest-quote side + value = price×qty
+    // computed in decimal, SHA-256 surrogate key over the string forms,
+    // strings again at the boundary. The whole darkpool transform
+    // (Ingest.darkpoolTransform) against a synthesized vendor feed.
+    "q31_darkpool_decimal" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val raw = ev.select(
+        unix_millis(col("ts")).as("ts"),
+        col("event_type").as("symbol"),
+        (col("value") * lit(0.99)).cast("decimal(18,4)").cast("string").as("bid"),
+        (col("value") * lit(1.01)).cast("decimal(18,4)").cast("string").as("ask"),
+        col("value").cast("decimal(18,4)").cast("string").as("price"),
+        (col("event_id") % 50 + 1).cast("int").as("qty"),
+        lit("DP1").as("venue"))
+      sources.Ingest.darkpoolTransform(raw)
+        .orderBy(col("ts"), col("row_key"))
+    }),
+
+    // Nested-JSON ingestion (ref news/main.py:56-79): a nested payload
+    // (publisher struct + tickers array) parsed with the DECLARED
+    // newsArticle schema, nested struct access, header derivation.
+    "q32_news_nested" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val json = ev.select(to_json(struct(
+        col("event_id").cast("string").as("id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("published_utc"),
+        struct(col("event_type").as("name"),
+          lit("https://example.com").as("homepage_url")).as("publisher"),
+        array(upper(col("event_type")), lit("SPY")).as("tickers"),
+        concat(lit("title-"), col("event_id")).as("title"),
+        lit("u").as("article_url"),
+        lit("d").as("description"))).as("raw"))
+      val parsed = sources.Ingest.valid(
+        sources.Ingest.parseJson(json, "raw", sources.Schemas.newsArticle))
+      sources.Ingest.newsTransform(parsed)
+        .select(col("id"), col("published_at"), col("publisher_name"),
+          concat_ws(",", col("tickers")).as("tickers_str"), col("title"),
+          element_at(col("headers"), "published_date").as("published_date"),
+          element_at(col("headers"), "tickers").as("header_tickers"))
+        .orderBy(col("id"))
+    }),
+
     // §2.11 — the generic user-supplied reducer (initializer/reducer
     // dict-fold, ref option_trade_aggs/main.py:85-188) registered via
     // udaf and run inside the keyed 1-minute window: same results as
@@ -849,6 +893,47 @@ object SparkEntry {
         |FROM p
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q31_darkpool_decimal" ->
+      """WITH raw AS (
+        |  SELECT epoch_ms(ts) AS ts, event_type AS symbol,
+        |    CAST(CAST(value * 0.99 AS DECIMAL(18,4)) AS VARCHAR) AS bid_s,
+        |    CAST(CAST(value * 1.01 AS DECIMAL(18,4)) AS VARCHAR) AS ask_s,
+        |    CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR) AS price_s,
+        |    CAST(event_id % 50 + 1 AS INTEGER) AS qty
+        |  FROM events),
+        |t AS (
+        |  SELECT ts, symbol, qty,
+        |    CAST(bid_s AS DECIMAL(18,4)) AS bid_d,
+        |    CAST(ask_s AS DECIMAL(18,4)) AS ask_d,
+        |    CAST(price_s AS DECIMAL(18,4)) AS price_d,
+        |    bid_s, ask_s, price_s
+        |  FROM raw)
+        |SELECT ts, symbol,
+        |  CAST(bid_d AS VARCHAR) AS bid,
+        |  CAST(ask_d AS VARCHAR) AS ask,
+        |  CAST(price_d AS VARCHAR) AS price,
+        |  CAST(CAST(price_d * qty AS DECIMAL(18,4)) AS VARCHAR) AS value,
+        |  qty,
+        |  CASE WHEN abs(price_d - bid_d) < abs(price_d - ask_d) THEN 'S'
+        |       WHEN abs(price_d - bid_d) > abs(price_d - ask_d) THEN 'B'
+        |       ELSE 'N' END AS side,
+        |  sha256(symbol || '|' || CAST(ts AS VARCHAR) || '|' || price_s
+        |         || '|' || CAST(qty AS VARCHAR)) AS row_key,
+        |  'DP1' AS venue
+        |FROM t
+        |ORDER BY ts, row_key""".stripMargin,
+
+    "q32_news_nested" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id,
+        |  ts AS published_at,
+        |  event_type AS publisher_name,
+        |  upper(event_type) || ',SPY' AS tickers_str,
+        |  'title-' || CAST(event_id AS VARCHAR) AS title,
+        |  strftime(ts, '%Y-%m-%d') AS published_date,
+        |  upper(event_type) || ',SPY' AS header_tickers
+        |FROM events
+        |ORDER BY id""".stripMargin,
 
     "q30_udaf_buckets" ->
       s"""SELECT date_trunc('minute', ts) AS minute_ts, user_id,

@@ -106,6 +106,56 @@ object Ingest {
       coalesce(col("av"), lit(0L)).as("session_volume"),
       col("s").as("timestamp"))
 
+  /** News-article transform (ref news/main.py:56-79): nested publisher
+    * struct access, ISO timestamp parse, ticker list passthrough, and
+    * the per-record headers the reference attaches (publisher name,
+    * `yyyy-MM-dd` date, tickers — ref news/main.py:63-67).
+    */
+  def newsTransform(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id"),
+      to_timestamp(col("published_utc")).as("published_at"),
+      col("publisher.name").as("publisher_name"),
+      col("tickers"),
+      col("title"),
+      col("description"),
+      map(
+        lit("publisher"), coalesce(col("publisher.name"), lit("")),
+        lit("published_date"),
+        date_format(to_timestamp(col("published_utc")), "yyyy-MM-dd"),
+        lit("tickers"), concat_ws(",", coalesce(col("tickers"), array()))
+      ).as("headers"))
+
+  /** Darkpool-trade transform with EXACT decimal arithmetic
+    * (SURVEY §7 hard part 5; ref darkpool_trades/main.py:71-133):
+    * Decimal-as-string vendor prices → DecimalType(18,4) internally,
+    * nearest-quote side rule and value = price × qty computed in
+    * decimal (never float round-tripped), SHA-256 surrogate key,
+    * condition/sentiment tags — and the prices serialized BACK to
+    * strings at the output boundary, matching the Avro contract.
+    */
+  def darkpoolTransform(raw: DataFrame): DataFrame = {
+    def dec(c: String) = col(c).cast("decimal(18,4)")
+    val side = graft.operators.Enrich.nearestQuoteSide(dec("price"), dec("bid"), dec("ask"))
+    raw.select(
+        col("ts"), col("symbol"),
+        dec("bid").as("bid_d"), dec("ask").as("ask_d"),
+        dec("price").as("price_d"),
+        col("qty"),
+        side.as("side"),
+        graft.operators.Enrich.surrogateKey(
+          col("symbol"), col("ts"), col("price"), col("qty")).as("row_key"),
+        col("venue"))
+      .withColumn("value_d", col("price_d") * col("qty"))
+      .select(
+        col("ts"), col("symbol"),
+        col("bid_d").cast("string").as("bid"),
+        col("ask_d").cast("string").as("ask"),
+        col("price_d").cast("string").as("price"),
+        col("value_d").cast("decimal(18,4)").cast("string").as("value"),
+        col("qty"), col("side"), col("row_key"), col("venue"))
+  }
+
   /** P15 — provenance headers as a map column, the shape a Kafka sink
     * writes as record headers (ref option_trades/utils.py:187-190).
     */

@@ -68,6 +68,38 @@ class IngestSpec extends SparkSpec {
     out("integration_id") shouldBe "uw-1"
   }
 
+  test("newsTransform: nested publisher access + headers (ref news/main.py:56-79)") {
+    val raw =
+      """{"id":"n-1","published_utc":"2024-01-15T09:30:00Z",
+        |"publisher":{"name":"Reuters","homepage_url":"https://r.com"},
+        |"tickers":["AAPL","MSFT"],"title":"T","article_url":"u","description":"d"}"""
+        .stripMargin.replace("\n", "")
+    val parsed = Ingest.valid(Ingest.parseJson(Seq(raw).toDF("raw"), "raw", Schemas.newsArticle))
+    val out = Ingest.newsTransform(parsed).collect()(0)
+    out.getAs[String]("publisher_name") shouldBe "Reuters"
+    out.getAs[Seq[String]]("tickers") shouldBe Seq("AAPL", "MSFT")
+    val h = out.getAs[Map[String, String]]("headers")
+    h("publisher") shouldBe "Reuters"
+    h("published_date") shouldBe "2024-01-15"
+    h("tickers") shouldBe "AAPL,MSFT"
+  }
+
+  test("darkpoolTransform: exact decimal arithmetic, string round-trip at the boundary (hard part 5)") {
+    val raw = Seq(
+      // price*qty = 12.3456*7 = 86.4192 — exact in decimal, NOT in float
+      (1704067200000L, "AAPL", "12.3400", "12.3500", "12.3456", 7, "NYSE"),
+      (1704067201000L, "AAPL", "10.0000", "10.0100", "10.0010", 3, "NYSE")
+    ).toDF("ts", "symbol", "bid", "ask", "price", "qty", "venue")
+    val out = Ingest.darkpoolTransform(raw).orderBy($"ts").collect()
+    out(0).getAs[String]("value") shouldBe "86.4192"
+    out(0).getAs[String]("price") shouldBe "12.3456"
+    out(0).getAs[String]("side") shouldBe "B"  // 12.3456 closer to ask 12.35
+    out(1).getAs[String]("side") shouldBe "S"  // 10.0010 closer to bid 10.00
+    out(0).getAs[String]("row_key") should fullyMatch regex "[0-9a-f]{64}"
+    // distinct rows get distinct surrogate keys
+    out(0).getAs[String]("row_key") should not be out(1).getAs[String]("row_key")
+  }
+
   test("toProducerRecords: key/value-json/event-time projection round-trips (P16/S6)") {
     val df = Seq((7L, "click", 1704067200000L)).toDF("id", "etype", "ts")
     val rec = Ingest.toProducerRecords(df, "id", "ts").collect()(0)
