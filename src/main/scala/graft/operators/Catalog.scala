@@ -25,6 +25,11 @@ object Catalog {
   final case class Exclude(column: String, values: Seq[String])     extends Match
   /** naive full-text: smart-case contains across the given columns. */
   final case class Search(columns: Seq[String], pattern: String)    extends Match
+  /** hierarchical location-tree subtree match over a '/'-separated
+    * path column (ref streamLocation.ts:16-28): the node itself or any
+    * descendant — "/a/b" matches "/a/b" and "/a/b/c" but NOT "/a/bc".
+    */
+  final case class UnderLocation(column: String, path: String)      extends Match
 
   def compile(m: Match): Column = m match {
     case Equals(c, v)       => col(c) === v
@@ -34,6 +39,9 @@ object Catalog {
     case Include(c, vs)     => col(c).isin(vs: _*)
     case Exclude(c, vs)     => !col(c).isin(vs: _*)
     case Search(cols, p)    => cols.map(c => smartCaseContains(col(c), p)).reduce(_ || _)
+    case UnderLocation(c, path) =>
+      val norm = if (path.endsWith("/")) path.dropRight(1) else path
+      col(c) === norm || col(c).startsWith(norm + "/")
   }
 
   def search(catalog: DataFrame, filters: Seq[Match]): DataFrame =

@@ -174,4 +174,22 @@ object Ingest {
       col(keyCol).cast("string").as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"),
       col(tsCol).as("ts"))
+
+  /** S3 — the configurable-source adapter: the reference's five
+    * plug-in callbacks (validator, transform, key_func, timestamp_func,
+    * headers — ref equity_quotes/main.py:35-84) composed over a raw
+    * JSON column into keyed, timestamped producer records. Each
+    * callback is a declarative piece: schema-on-read + corrupt
+    * quarantine (validator), a DataFrame→DataFrame transform, and
+    * key/ts column names.
+    */
+  def adapt(raw: DataFrame, jsonCol: String, schema: StructType,
+            transform: DataFrame => DataFrame,
+            keyCol: String, tsCol: String,
+            provider: String, integrationId: String): DataFrame = {
+    val typed = valid(parseJson(raw, jsonCol, schema)).drop(jsonCol)
+    toProducerRecords(
+      withProvenance(transform(typed), provider, integrationId),
+      keyCol, tsCol)
+  }
 }

@@ -43,6 +43,16 @@ class CatalogSpec extends SparkSpec {
     Catalog.search(streams, Seq(Search(Seq("name", "status"), "live"))).count() shouldBe 2
   }
 
+  test("UnderLocation matches the subtree, not sibling prefixes (ref streamLocation.ts:16-28)") {
+    val located = Seq(
+      ("a", "/cars/gt3"), ("b", "/cars/gt3/telemetry"),
+      ("c", "/cars/gt3x"), ("d", "/cars")).toDF("id", "location")
+    Catalog.search(located, Seq(UnderLocation("location", "/cars/gt3")))
+      .collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("a", "b")
+    Catalog.search(located, Seq(UnderLocation("location", "/cars/")))
+      .count() shouldBe 4 // trailing slash normalized
+  }
+
   test("filters compose conjunctively; empty filter list is identity") {
     Catalog.search(streams, Seq(
       Contains("name", "market"), Equals("status", "live"))).count() shouldBe 2

@@ -68,6 +68,32 @@ class IngestSpec extends SparkSpec {
     out("integration_id") shouldBe "uw-1"
   }
 
+  test("S3 adapt: validator + transform + key/ts callbacks compose into producer records") {
+    val frames = Seq(
+      """{"sym":"AAPL","ev":"A","o":1.0,"h":2.0,"l":0.5,"c":1.5,"vw":1.2,"v":100,"z":5,"av":1000,"s":1704067200000}""",
+      """broken"""
+    ).toDF("raw")
+    val vendorBar = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sym", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ev", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("l", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("vw", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("z", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("av", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.LongType)))
+    val out = Ingest.adapt(frames, "raw", vendorBar,
+      Ingest.barTransform, keyCol = "symbol", tsCol = "timestamp",
+      provider = "polygon", integrationId = "pg-1").collect()
+    out.length shouldBe 1 // broken frame quarantined by the validator
+    out(0).getAs[String]("key") shouldBe "AAPL"
+    out(0).getAs[Long]("ts") shouldBe 1704067200000L
+    out(0).getAs[String]("value") should include(""""headers":{"data_provider":"polygon"""")
+  }
+
   test("newsTransform: nested publisher access + headers (ref news/main.py:56-79)") {
     val raw =
       """{"id":"n-1","published_utc":"2024-01-15T09:30:00Z",

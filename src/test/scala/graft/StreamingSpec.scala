@@ -142,6 +142,30 @@ class StreamingSpec extends SparkSpec {
     row.getAs[Double]("sum_v") shouldBe 3.0
   }
 
+  test("§2.11 user reducer runs inside a STREAMING windowed aggregation") {
+    import graft.operators.Reduce
+    val input = MemoryStream[Ev](spark)
+    val f = udaf(Reduce.eventBucketReducer)
+    val agged = input.toDF().withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "1 minute"), col("key"))
+      .agg(f(col("value"), col("key")).as("m")) // key doubles as event_type here
+    val ckpt = Files.createTempDirectory("ckpt_udaf").toString
+    val q = agged.select(col("window.start").as("w"), col("key"),
+        element_at(col("m"), "n_events").as("n"))
+      .writeStream.format("memory").queryName("udaf_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:00:10"), "purchase", 100.0),
+        Ev(ts("2024-01-01 10:00:20"), "purchase", 10.0),
+        Ev(ts("2024-01-01 10:02:00"), "z", 1.0)) // watermark sentinel
+      q.processAllAvailable()
+      val rows = spark.table("udaf_out").collect()
+        .map(r => (r.getString(1), r.getDouble(2)))
+      rows.toSeq shouldBe Seq(("purchase", 2.0))
+    } finally q.stop()
+  }
+
   test("sliding windows: one event lands in size/slide windows") {
     val df = Seq(Ev(ts("2024-01-01 10:00:30"), "a", 5.0)).toDF()
     val out = StreamingOps.windowedAggSliding(df, "ts", "key",
