@@ -94,21 +94,30 @@ package object functions {
 
   // ------------------------------------------------------------- vectors
 
-  /** Dot product of two float-array columns as a deterministic
-    * left-to-right double fold (`aggregate` over `zip_with`), matching
-    * DuckDB's sequential `list_inner_product` evaluation order.
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** Dot product of two float/double-array columns as a deterministic
+    * left-to-right double accumulation — a native codegen'd Catalyst
+    * expression ([[graft.expressions.DotProduct]]); the former
+    * `aggregate`-over-`zip_with` fold was interpreted and dominated the
+    * LSH bucketing cost (48 folds per row). Evaluation order matches
+    * DuckDB's sequential `list_inner_product`.
     */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    toCol(graft.expressions.DotProduct(toExpr(a), toExpr(b)))
 
   /** L2 norm (double). */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** Cosine similarity between two float-array columns. */
+  /** Cosine similarity between two float/double-array columns — one
+    * native codegen'd pass accumulating dot and both norms
+    * ([[graft.expressions.CosineSimilarity]]).
+    */
   def cosineSim(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    toCol(graft.expressions.CosineSimilarity(toExpr(a), toExpr(b)))
 
   // ------------------------------------------------------------ time
 

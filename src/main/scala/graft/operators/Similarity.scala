@@ -48,17 +48,16 @@ object Similarity {
   }
 
   /** Sign-bucket of one vector under `tbl`'s hyperplane set: a bit per
-    * plane (sign of the dot product), packed to a long. Pure column
-    * expression — the plane weights are literals, so codegen inlines
-    * them.
+    * plane (sign of the dot product), packed to a long. Uses the
+    * native codegen'd [[graft.functions.dotProduct]] — the interpreted
+    * HOF fold here ran planesPerTable × tables times per row and was
+    * the LSH bucketing bottleneck.
     */
   private def bucketCol(vec: org.apache.spark.sql.Column,
                         planeSet: Array[Array[Double]]): org.apache.spark.sql.Column =
     planeSet.zipWithIndex.map { case (plane, i) =>
-      val dot = aggregate(
-        zip_with(vec, lit(plane), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dotProduct(vec, lit(plane)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** LSH-bucketed ANN: `tables` independent hyperplane sets of
