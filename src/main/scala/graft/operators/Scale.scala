@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques for skewed and co-located workloads — the two
+  * levers (salting, bucketing) for when the default shuffle hash
+  * partitioning degrades at 100 TB.
+  */
+object Scale {
+
+  /** Skew-safe equi-join: scatter the skewed (probe) side across
+    * `salts` sub-keys and replicate the build side once per salt, so a
+    * hot key's rows land on `salts` reducers instead of one.
+    *
+    * AQE's skew-join handles sort-merge skew automatically at runtime;
+    * explicit salting remains the tool where AQE cannot rewrite —
+    * streaming joins, aggregation-after-join pipelines that must keep
+    * a partitioning, or engines with AQE off. The salt is derived
+    * deterministically from the probe row (no rand()), so retries and
+    * re-runs produce identical partitioning.
+    *
+    * @param saltFrom probe-side columns that disambiguate rows within
+    *                 a hot key (e.g. the event id); the salt is
+    *                 xxhash64 of them mod `salts`.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salts: Int, saltFrom: Seq[String]): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(saltFrom.map(col): _*), lit(salts)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a DataFrame as a bucketed table: rows are hash-bucketed by
+    * `key` into `nBuckets` files per partition, so a subsequent join
+    * or aggregation on `key` between co-bucketed tables needs NO
+    * shuffle (Exchange disappears from the plan — the parquet layout
+    * IS the partitioning). The 100 TB pattern for repeated joins on
+    * the same key.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}
