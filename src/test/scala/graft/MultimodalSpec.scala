@@ -32,6 +32,29 @@ class MultimodalSpec extends SparkSpec {
     out.columns should not contain "frames"
   }
 
+  test("decodePartitions: mapPartitions batch-decode with pluggable decoder, deterministic stub") {
+    val df = Seq((1L, "ABC data"), (2L, "XYZ other")).toDF("id", "text")
+      .withColumn("payload", $"text".cast("binary"))
+    val out = Multimodal.decodePartitions(df, "id", "payload")
+      .collect().sortBy(_.id)
+    out.length shouldBe 2
+    out(0).format_id shouldBe 'A'.toInt
+    out(0).width shouldBe 'B'.toInt * 16
+    out(0).n_bytes shouldBe 8L
+    out(0).features.length shouldBe 8
+    all(out(0).features.toSeq) should (be >= 0.0f and be <= 1.0f)
+    // deterministic: same payload -> same features; different -> different
+    val again = Multimodal.decodePartitions(df, "id", "payload")
+      .collect().sortBy(_.id)
+    again(0).features.toSeq shouldBe out(0).features.toSeq
+    out(0).features.toSeq should not be out(1).features.toSeq
+    // a custom decoder plugs into the same harness
+    val custom = Multimodal.decodePartitions(df, "id", "payload",
+      (id, p) => Multimodal.DecodedMedia(id, p.length.toLong, 99, 0, 0, Array(1f)))
+      .collect()
+    all(custom.map(_.format_id).toSeq) shouldBe 99
+  }
+
   test("repartitionForPayloads sizes partitions from rows-per-task") {
     val df = (1L to 100L).toDF("id")
     val out = Multimodal.repartitionForPayloads(df, "id", rowsPerTask = 10, totalRows = 100)
