@@ -533,6 +533,29 @@ object SparkEntry {
         orderBy = Seq(Ordering("bucket_ts"))))
     }),
 
+    // A8 — interpolation=Null: the densified spine with missing
+    // buckets left null (the fourth interpolation mode; q06/q07 cover
+    // Previous/Linear, ref interpolationType.ts:16).
+    "q33_gapfill_null" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_type") === "signup")
+      val daily = ev.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day_ts"))
+        .agg(davg(col("value")).as("avg_value"))
+      GapFill.densify(daily, "user_id", "day_ts", "INTERVAL 1 DAY")
+        .orderBy(col("user_id"), col("day_ts"))
+    }),
+
+    // A12 alerting — consecutive-breach rule: alert when the last 3
+    // checks for a key all breached (ref darkpool_trades/
+    // metrics.py:46-49: ">= 3 consecutive failures").
+    "q34_breach_alerts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      Quality.consecutiveBreaches(ev, "user_id", "ts_us",
+          breach = col("value") < 20.0, n = 3)
+        .orderBy(col("user_id"), col("ts_us"))
+    }),
+
     // Hard part 5 — Decimal-as-string round trip with EXACT decimal
     // arithmetic (ref darkpool_trades/main.py:97-99): vendor string
     // prices → DECIMAL(18,4), nearest-quote side + value = price×qty
@@ -893,6 +916,26 @@ object SparkEntry {
         |FROM p
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q33_gapfill_null" ->
+      s"""WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    ${DAVG("value")} AS avg_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(day_ts) AS mn, max(day_ts) AS mx FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day_ts FROM bounds)
+        |SELECT s.user_id, s.day_ts, d.avg_value
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day_ts = d.day_ts
+        |ORDER BY s.user_id, s.day_ts""".stripMargin,
+
+    "q34_breach_alerts" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  (SUM(CASE WHEN value < 20.0 THEN 1 ELSE 0 END) OVER w = 3
+        |   AND COUNT(*) OVER w = 3) AS alert
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us""".stripMargin,
 
     "q31_darkpool_decimal" ->
       """WITH raw AS (

@@ -43,6 +43,22 @@ object Quality {
       .withColumn("staleness_us", tsUs - lag(tsUs, 1).over(ord))
   }
 
+  /** Alerting rule: a row alerts when the last `n` checks for its key
+    * ALL breached (ref metrics.py:46-49: alert after >= 3 consecutive
+    * failures). One window sum over the trailing n breach flags.
+    */
+  def consecutiveBreaches(df: DataFrame, keyCol: String, tsCol: String,
+                          breach: org.apache.spark.sql.Column,
+                          n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    df.withColumn("__breach", breach.cast("int"))
+      .withColumn("alert",
+        sum(col("__breach")).over(w) === n &&
+          count(lit(1)).over(w) === n)
+      .drop("__breach")
+  }
+
   /** Attach an `observe()` metric set (ref metrics.py:67-161: missing
     * fields, zero/negative values, total) — collected by a
     * QueryExecutionListener / StreamingQueryListener at zero extra scan

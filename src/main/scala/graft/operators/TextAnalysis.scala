@@ -27,6 +27,21 @@ object TextAnalysis {
         / n.cast("double")).as("mean_token_len"))
   }
 
+  /** BPE-ish token counting: the cheap subword-count estimate used for
+    * budgeting pretraining corpora without running a real tokenizer —
+    * word/number/punctuation pieces from one regex pass, plus the
+    * classic chars/4 estimator for comparison. A real BPE count sits
+    * between the two for English-like text.
+    */
+  def tokenCounts(text: Column): Column = {
+    val pieces = size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    struct(
+      size(tokens(text)).as("n_whitespace"),
+      pieces.as("n_bpeish"),
+      ceil(length(text).cast("double") / 4.0).cast("int").as("n_chars_div4"))
+  }
+
   /** Quality score in [0,1]: blend of length band, stopword ratio band
     * and lexical diversity — the shape of heuristic quality filters used
     * for pretraining corpora (length/punct/stopword ratios). Stopword

@@ -37,6 +37,22 @@ class QualitySpec extends SparkSpec {
     out(0).isNullAt(out(0).fieldIndex("pct_gap")) shouldBe true
   }
 
+  test("consecutiveBreaches alerts only after n consecutive failures (ref metrics.py:46-49)") {
+    val checks = Seq(
+      ("k", 1L, 5.0), ("k", 2L, 5.0), ("k", 3L, 5.0),   // 3 consecutive low
+      ("k", 4L, 50.0),                                   // recovery resets
+      ("k", 5L, 5.0), ("k", 6L, 5.0),                    // only 2 consecutive
+      ("j", 1L, 5.0), ("j", 2L, 5.0)                     // short history never alerts
+    ).toDF("key", "ts", "value")
+    val out = Quality.consecutiveBreaches(checks, "key", "ts", $"value" < 10.0, n = 3)
+      .orderBy($"key", $"ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+    out.toSeq shouldBe Seq(
+      ("j", 1L, false), ("j", 2L, false),
+      ("k", 1L, false), ("k", 2L, false), ("k", 3L, true),
+      ("k", 4L, false), ("k", 5L, false), ("k", 6L, false))
+  }
+
   test("observed() metric set is collectable via Observation without a second scan (ref metrics.py:67-161)") {
     val obs = new Observation("quality")
     val df = Seq(Some(1.0), Some(-2.0), None, Some(4.0)).toDF("v")

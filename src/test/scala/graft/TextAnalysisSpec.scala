@@ -19,6 +19,17 @@ class TextAnalysisSpec extends SparkSpec {
     row.getDouble(3) shouldBe 2.0
   }
 
+  test("tokenCounts: whitespace vs BPE-ish vs chars/4 estimators") {
+    val row = Seq("Hello, world! It's 2024.").toDF("text")
+      .select(TextAnalysis.tokenCounts($"text").as("c"))
+      .select($"c.n_whitespace", $"c.n_bpeish", $"c.n_chars_div4")
+      .collect()(0)
+    row.getInt(0) shouldBe 4
+    // pieces: Hello , world ! It ' s 2024 . = 9
+    row.getInt(1) shouldBe 9
+    row.getInt(2) shouldBe 6 // ceil(24/4)
+  }
+
   test("qualityScore in [0,1]; long diverse text scores higher than tiny text") {
     val stop = Seq("the", "a", "of")
     val texts = Seq(
