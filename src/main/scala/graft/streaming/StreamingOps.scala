@@ -109,6 +109,42 @@ object StreamingOps {
       }
   }
 
+  /** The same per-key lag metrics on Spark 4's `transformWithState` —
+    * the modern stateful-processor API (typed ValueState handles, TTL
+    * support, timers) that supersedes flatMapGroupsWithState. Both
+    * variants are kept: [[lagMetricsStateful]] for the classic API,
+    * this for TWS-based pipelines.
+    */
+  def lagMetricsTws(ds: Dataset[LagPoint]): Dataset[LagMetrics] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    class LagProcessor extends StatefulProcessor[String, LagPoint, LagMetrics] {
+      @transient private var state: ValueState[LagState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        // session-free encoder: anything session-bound in this closure
+        // would be invoked on the executor (SPARK-28702)
+        state = getHandle.getValueState[LagState]("lag",
+          org.apache.spark.sql.Encoders.product[LagState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[LagPoint],
+                                   timerValues: TimerValues): Iterator[LagMetrics] = {
+        var st = if (state.exists()) Some(state.get()) else None
+        val out = rows.toSeq.sortBy(r => (r.tsUs, r.value)).map { r =>
+          val m = LagMetrics(key, r.tsUs, r.value,
+            st.flatMap(s =>
+              if (s.lastValue == 0.0) None
+              else Some((r.value - s.lastValue) / s.lastValue * 100.0)),
+            st.map(r.tsUs - _.lastTs))
+          st = Some(LagState(r.tsUs, r.value))
+          m
+        }
+        st.foreach(state.update)
+        out.iterator
+      }
+    }
+    ds.groupByKey(_.key)
+      .transformWithState(new LagProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** File/console sink wiring with checkpointing (K1/K3 analog; the
     * Kafka sink is the same writer with format("kafka")).
     */

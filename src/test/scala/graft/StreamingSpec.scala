@@ -142,6 +142,36 @@ class StreamingSpec extends SparkSpec {
     row.getAs[Double]("sum_v") shouldBe 3.0
   }
 
+  test("lagMetricsTws (transformWithState) matches the flatMapGroupsWithState variant across batches") {
+    import graft.streaming.{LagPoint, LagMetrics}
+    // transformWithState needs a column-family-capable state store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[LagPoint](spark)
+    val out = StreamingOps.lagMetricsTws(input.toDS())
+    val ckpt = Files.createTempDirectory("ckpt_tws").toString
+    val q = out.writeStream.format("memory").queryName("tws_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(LagPoint("a", 1000L, 100.0))
+      q.processAllAvailable()
+      input.addData(LagPoint("a", 3000L, 150.0)) // state from batch 1
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").as[LagMetrics].collect().sortBy(_.tsUs)
+      rows.map(r => (r.tsUs, r.pctGap, r.stalenessUs)).toSeq shouldBe Seq(
+        (1000L, None, None),
+        (3000L, Some(50.0), Some(2000L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("§2.11 user reducer runs inside a STREAMING windowed aggregation") {
     import graft.operators.Reduce
     val input = MemoryStream[Ev](spark)
