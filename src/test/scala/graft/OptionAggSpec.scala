@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Enrich, OptionAgg}
 import graft.sources.{Ingest, Schemas}
 
+case class Trade(osym: String, ts: Timestamp, otype: String,
+                 qty: Long, premium: Double, side: String)
+
 /** FIXTURES.md §2's golden-check example driven through the literal
   * 24-measure aggregation, and the full enrichment chain over the §1
   * sample row — the reference's core record path end-to-end: JSON →
@@ -42,6 +45,32 @@ class OptionAggSpec extends SparkSpec {
     // window bounds in epoch ms, 1 minute apart
     r.getAs[Long]("end") - r.getAs[Long]("start") shouldBe 60000L
     r.getAs[String]("usym") shouldBe "AAPL"
+  }
+
+  test("the 24-measure aggregation runs in STREAMING with final-only emission (the reference's production shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val enc: org.apache.spark.sql.Encoder[Trade] =
+      org.apache.spark.sql.Encoders.product[Trade]
+    val input = MemoryStream[Trade](spark)
+    val agged = StreamingOps.windowedAgg(input.toDF(), "ts", "osym",
+      "1 minute", "1 second",
+      count(lit(1)).as("count") +: OptionAgg.measures())
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_oagg").toString
+    val q = agged.writeStream.format("memory").queryName("oagg_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(
+        Trade("A", Timestamp.valueOf("2024-01-02 14:30:10"), "call", 120L, 258000.0, "buy"),
+        Trade("A", Timestamp.valueOf("2024-01-02 14:30:40"), "put", 10L, 4000.0, "sell"),
+        Trade("A", Timestamp.valueOf("2024-01-02 14:32:30"), "call", 1L, 1.0, "buy")) // sentinel
+      q.processAllAvailable()
+      val rows = spark.table("oagg_out").collect()
+      rows.length shouldBe 1 // only the closed 14:30 window emitted
+      rows(0).getAs[Long]("count") shouldBe 2L
+      rows(0).getAs[Long]("whale_bought_call_vol") shouldBe 120L
+      rows(0).getAs[Double]("sold_put_prem") shouldBe 4000.0
+    } finally q.stop()
   }
 
   test("FIXTURES §1 sample row: JSON -> map_fields -> enrich chain end-to-end") {
