@@ -23,6 +23,9 @@ object AsOfJoin {
     * @return left rows + nullable payload columns (null when no right
     *         row precedes). A right row at exactly left.ts matches
     *         (<= semantics, like DuckDB's ASOF and pandas merge_asof).
+    *         When MULTIPLE right rows share one (key, ts) the winner is
+    *         engine-defined (same as DuckDB ASOF); de-duplicate the
+    *         right side first if that matters.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            payloadCols: Seq[String]): DataFrame = {
