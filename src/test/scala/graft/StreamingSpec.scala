@@ -196,6 +196,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J2 streaming fan-in: two sources union into one keyed window (streamIds[] disjunctive scan)") {
+    val a = MemoryStream[Ev](spark)
+    val b = MemoryStream[Ev](spark)
+    val fanin = a.toDF().unionByName(b.toDF())
+    val agged = StreamingOps.windowedAgg(fanin, "ts", "key", "1 minute", "1 second",
+      Seq(dsum(col("value")).as("sum_v"), count(lit(1)).as("n")))
+    val ckpt = Files.createTempDirectory("ckpt_fanin").toString
+    val q = agged.writeStream.format("memory").queryName("fanin_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      a.addData(Ev(ts("2024-01-01 10:00:10"), "k", 1.0))
+      b.addData(Ev(ts("2024-01-01 10:00:20"), "k", 2.0))
+      q.processAllAvailable()
+      // watermark = min over BOTH sources; advance both past the window
+      a.addData(Ev(ts("2024-01-01 10:02:30"), "z", 0.0))
+      b.addData(Ev(ts("2024-01-01 10:02:30"), "z", 0.0))
+      q.processAllAvailable()
+      val r = spark.table("fanin_out").filter($"key" === "k").collect()(0)
+      r.getAs[Double]("sum_v") shouldBe 3.0 // rows from both sources in ONE window
+      r.getAs[Long]("n") shouldBe 2L
+    } finally q.stop()
+  }
+
   test("sliding windows: one event lands in size/slide windows") {
     val df = Seq(Ev(ts("2024-01-01 10:00:30"), "a", 5.0)).toDF()
     val out = StreamingOps.windowedAggSliding(df, "ts", "key",
