@@ -265,4 +265,35 @@ object Telemetry {
         .filter(_ => tagCols.nonEmpty)
     collected.select(outCols: _*)
   }
+
+  /** The write-back inverse of [[toColumnarResponse]]: a columnar
+    * `ParameterData` frame (one row per group with parallel arrays)
+    * exploded back to long rows — the `SendParameterData` publish path
+    * (ref dashboard/src/services/quix.ts:133-136, App.js:28-38: the
+    * dashboard writes columnar frames INTO the topic). `posexplode` on
+    * the timestamps array drives the index; every value/tag array is
+    * read at the same position, so ragged payloads fail fast (null)
+    * rather than silently misalign.
+    */
+  def fromColumnarResponse(df: DataFrame,
+                           numericCols: Seq[String],
+                           tagCols: Seq[String] = Nil,
+                           groupBy: Seq[String] = Nil): DataFrame = {
+    val exploded = df.select(
+      groupBy.map(col) :+
+        col("numericValues") :+
+        (if (tagCols.nonEmpty) col("tagValues") else lit(null).as("tagValues")) :+
+        posexplode(col("timestamps")).as(Seq("__pos", "__ts")): _*)
+    val valueCols =
+      numericCols.map(c =>
+        element_at(element_at(col("numericValues"), c), col("__pos") + 1).as(c)) ++
+      tagCols.map(c =>
+        element_at(element_at(col("tagValues"), c), col("__pos") + 1).as(c))
+    exploded.select(
+      groupBy.map(col) ++
+        // exact ns→µs truncation — Column./ is double division and
+        // epoch-ns exceeds 2^53 (see graft.functions.nsToTimestamp)
+        Seq(graft.functions.nsToTimestamp(col("__ts")).as("ts")) ++
+        valueCols: _*)
+  }
 }

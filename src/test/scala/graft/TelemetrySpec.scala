@@ -165,6 +165,23 @@ class TelemetrySpec extends SparkSpec {
     tags("device").size shouldBe tss.size
   }
 
+  test("§3.3 write-back: fromColumnarResponse inverts toColumnarResponse exactly") {
+    val original = points
+      .withColumn("device", element_at($"tags", "device"))
+      .select($"stream_id", $"ts", $"value", $"device")
+    val columnar = Telemetry.toColumnarResponse(original, "ts",
+      numericCols = Seq("value"), tagCols = Seq("device"),
+      groupBy = Seq("stream_id"))
+    val back = Telemetry.fromColumnarResponse(columnar,
+      numericCols = Seq("value"), tagCols = Seq("device"),
+      groupBy = Seq("stream_id"))
+    val a = original.collect().map(_.toSeq).toSet
+    val b = back.select($"stream_id", $"ts", $"value", $"device")
+      .collect().map(_.toSeq).toSet
+    b shouldBe a
+    back.count() shouldBe 6
+  }
+
   test("DataSnippet expands to a stream/time-range request (ref dataSnippet.ts:13-49)") {
     val snip = DataSnippet("slice-1", Seq(1L),
       fromNs = 1704103260000000000L, // 2024-01-01 10:01:00 UTC
