@@ -59,6 +59,19 @@ package object functions {
   def signedSigmoid(x: Column): Column =
     lit(2.0) / (lit(1.0) + exp(-x)) - lit(1.0)
 
+  /** Hash-safe rounding for oracle-compared float columns. Spark's
+    * `round` routes through BigDecimal, which has no −0, so a negative
+    * value that rounds to zero emits +0.0 — while DuckDB's C++ round
+    * keeps the sign bit and emits −0.0. Values compare equal but the
+    * byte-level hash differs. Adding +0.0 after the round normalizes
+    * both engines (IEEE 754: −0.0 + 0.0 = +0.0). Use this for every
+    * hashed float column derived from arithmetic that can produce ±0
+    * (sigmoids, ratios, differences of near-equal terms). DuckDB twin:
+    * `round(x, n) + 0.0`.
+    */
+  def hashSafeRound(c: Column, scale: Int): Column =
+    round(c, scale) + lit(0.0)
+
   /** Smart-case Contains from the catalog filter contract: the match is
     * case-sensitive iff the pattern contains a capital letter
     * (ref dashboard/src/Models/getAllStreamsRequest.ts:55-58).

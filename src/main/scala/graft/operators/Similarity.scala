@@ -97,9 +97,11 @@ object Similarity {
     * [[lshTopK]] — better recall on soft-clustered data because probing
     * follows actual distance structure instead of random hyperplanes.
     *
-    * 1. centroids = a deterministic 1-in-`sampleMod` hash-sample of the
-    *    corpus itself (no k-means iterations, no driver collect — the
-    *    classic "random sample as coarse quantizer" IVF bootstrap);
+    * 1. centroids = a deterministic FIXED-SIZE hash-order sample of the
+    *    corpus itself (the `centroids` smallest by `xxhash64(id)` — a
+    *    `TakeOrderedAndProject`, no full shuffle, no k-means iterations,
+    *    no driver collect — the classic "random sample as coarse
+    *    quantizer" IVF bootstrap);
     * 2. every corpus vector is assigned to its nearest centroid via a
     *    broadcast of the small centroid set + one partial-aggregated
     *    `max_by` — the shuffle carries one row per vector, not the
@@ -108,16 +110,28 @@ object Similarity {
     *    broadcast), and candidates are only the vectors in probed
     *    cells — a keyed equi-join on cent_id — then exact re-rank.
     *
-    * At 100 TB: centroid count scales as √n (sampleMod dial), the
-    * broadcast stays tiny, and no pair outside a probed cell is scored.
+    * At 100 TB: C is a FIXED dial (not a corpus fraction — an earlier
+    * 1-in-mod sampling made assignment n×n/mod, i.e. quadratic), so
+    * assignment is n×C cosine evaluations, the broadcast stays tiny,
+    * and no pair outside a probed cell is scored. Size C ≈ √n and
+    * nProbe/C for the recall/cost trade-off, as in any IVF index.
     */
+  /** The IVF coarse quantizer: the `centroids` corpus vectors smallest
+    * by `xxhash64(id)` — a deterministic fixed-size sample that Spark
+    * executes as `TakeOrderedAndProject` (per-partition top-C, no full
+    * sort/shuffle). |result| = min(centroids, |corpus|) by construction.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: Int): DataFrame =
+    emb.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
+      .limit(centroids)
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
-              sampleMod: Int = 16, nProbe: Int = 8): DataFrame = {
+              centroids: Int = 64, nProbe: Int = 8): DataFrame = {
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
-    val cents = broadcast(
-      emb.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
+    val cents = broadcast(ivfCentroids(emb, idCol, vecCol, centroids))
     // nearest-centroid assignment: broadcast join, partial max_by, one
     // shuffle of n assignment rows
     val assigned = corpus.join(cents)

@@ -95,6 +95,24 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hashSafeRound normalizes signed zero: negative-tiny inputs yield +0.0 bit pattern") {
+    // Spark's round goes through BigDecimal (no −0) and already emits
+    // +0.0; the helper exists so the ORACLE side can match by appending
+    // + 0.0 too. Property: for any input that rounds to zero — from
+    // either sign — the result's raw bits are exactly +0.0, and nonzero
+    // results are untouched vs plain round.
+    val tiny = Seq(-1e-15, -1e-12, -4.9e-10, -0.0, 0.0, 4.9e-10, 1e-12)
+    val bits = tiny.toDF("x").select(hashSafeRound($"x", 9).as("y"))
+      .collect().map(r => java.lang.Double.doubleToRawLongBits(r.getDouble(0)))
+    all(bits.toSeq) shouldBe 0L // +0.0 bit pattern for every row
+    // non-zero magnitudes are unchanged relative to plain round
+    val xs = seededDoubles(200)
+    val both = xs.toDF("x")
+      .select(round($"x", 9).as("r"), hashSafeRound($"x", 9).as("h"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    all(both.toSeq.map { case (r, h) => r == h }) shouldBe true
+  }
+
   test("firstByTime/lastByTime pick by timestamp not encounter order") {
     val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("ts", "v").repartition(2)
     val row = df.agg(

@@ -53,9 +53,26 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), 3)
       .select($"query_id", $"rank", $"nbr_id").collect().map(_.toSeq).toSet
     val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", Seq(0L), 3,
-        sampleMod = 2, nProbe = 5)
+        centroids = 5, nProbe = 5)
       .select($"query_id", $"rank", $"nbr_id").collect().map(_.toSeq).toSet
     ivf shouldBe exact
+  }
+
+  test("ivfCentroids is a bounded fixed-size quantizer: |cents| <= C regardless of corpus size") {
+    // the scale contract: assignment is n × C, never n × (n/mod). C
+    // caps the centroid set even when the corpus is much larger.
+    val big = spark.range(0, 1000)
+      .select($"id".as("vec_id"),
+        array(Seq(rand(7), rand(8), rand(9), rand(10)).map(_.cast("float")): _*)
+          .as("embedding"))
+    Similarity.ivfCentroids(big, "vec_id", "embedding", 64).count() shouldBe 64
+    Similarity.ivfCentroids(big, "vec_id", "embedding", 5000).count() shouldBe 1000
+    // deterministic: same corpus → same centroid ids, twice
+    val a = Similarity.ivfCentroids(big, "vec_id", "embedding", 64)
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    val b = Similarity.ivfCentroids(big, "vec_id", "embedding", 64)
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    a shouldBe b
   }
 
   test("cosineNearDup finds the near-parallel pairs above threshold with exact cosines") {
