@@ -13,6 +13,16 @@ import graft.functions._
   */
 object Dedup {
 
+  /** ceil guarded against double-rounding-UP: for thresholds like
+    * t = 0.1 whose product `t * sz` can land one ulp ABOVE the true
+    * rational value, a plain ceil over-counts by 1 and the candidate
+    * filters would silently over-prune true pairs. Subtracting 1e-9
+    * (far above one ulp at these magnitudes, far below the 1/sz
+    * quantum that separates distinct thresholds for any sz < 1e8)
+    * restores the exact integer ceiling in both directions.
+    */
+  private def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
+
   /** Exact dedup: canonical SHA-256 over normalized text; each content
     * group keeps its smallest id. One hash-partitioned aggregate.
     */
@@ -79,7 +89,7 @@ object Dedup {
       .groupBy("s").agg(count(lit(1)).as("df"))
 
     // per-doc shingles sorted by (df, s); keep the filtering prefix
-    val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")
+    val prefixLen = (col("sz") - ceilSafe(lit(t) * col("sz")) + 1).cast("int")
     val ranked = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
       .join(dfreq, "s")
       .groupBy(col("id"), col("sz"))
@@ -100,15 +110,32 @@ object Dedup {
     val idx = ranked.select(col("id"), col("sz"),
       posexplode(col("prefix")).as(Seq("p", "s")))
     val overlapMin =
-      ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")))
+      ceilSafe(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")))
     val cand = idx.as("a").join(idx.as("b"), Seq("s"))
       .filter(col("a.id") < col("b.id") &&
-        col("b.sz") >= ceil(lit(t) * col("a.sz")) &&
-        col("a.sz") >= ceil(lit(t) * col("b.sz")) &&
+        col("b.sz") >= ceilSafe(lit(t) * col("a.sz")) &&
+        col("a.sz") >= ceilSafe(lit(t) * col("b.sz")) &&
         least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= overlapMin)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
 
-    verifyJaccard(cand, sh, t)
+    materializeAndRelease(verifyJaccard(cand, sh, t), sh, ranked)
+  }
+
+  /** Caching contract for the dedup joins: the corpus-sized shingle
+    * intermediates are persisted only for the duration of the call —
+    * the (small) result is materialized into the cache here and the
+    * intermediates unpersisted before returning, so repeated library
+    * calls cannot accrete corpus-sized cached blocks for the session's
+    * lifetime. The returned DataFrame IS cached (pairs — orders of
+    * magnitude smaller than the corpus); callers that are fully done
+    * with it may `.unpersist()` it.
+    */
+  private def materializeAndRelease(result: DataFrame,
+                                    intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count() // force: populate the result cache while inputs are hot
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
@@ -178,7 +205,7 @@ object Dedup {
     val cand = buckets.as("a").join(buckets.as("b"), Seq("band_idx", "band_hash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    verifyJaccard(cand, sh, t)
+    materializeAndRelease(verifyJaccard(cand, sh, t), sh)
   }
 
   /** 64-bit SimHash over tokens: bit i of the fingerprint is the
@@ -265,7 +292,7 @@ object Dedup {
 
   /** SimHash near-dup over the 64-bit xxhash64 fingerprint (the
     * engine-fast default; for an oracle-reproducible variant use
-    * [[simhashPortable32]] + [[hammingPairs]]).
+    * [[simhashPortable64]] + [[hammingPairs]]).
     */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int): DataFrame =

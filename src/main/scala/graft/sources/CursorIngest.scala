@@ -43,11 +43,23 @@ object CursorIngest {
       case Some(c) => source.filter(col(tsCol) > c) // F9: cursor predicate
       case None    => source
     }
-    // page = oldest `limit` of the remaining rows, so repeated polls
-    // walk the backlog in order exactly like the reference's loop
+    // page = oldest `limit` of the remaining rows, EXTENDED to the full
+    // tie group at the boundary timestamp. A naive `limit(n)` can cut
+    // through rows sharing the page's max ts; the next poll filters
+    // strictly ts > cursor and the cut-off ties are lost forever (600
+    // rows on one ts with limit 500 would ingest only 500). Ingesting
+    // every row with ts <= the n-th smallest ts keeps the invariant
+    // "everything ≤ cursor is fully in the sink" without needing a
+    // unique id column — a page may exceed `limit` by the tie width,
+    // which is how the reference's `newer_than = max(executed_at)`
+    // cursor behaves too (ref darkpool_trades/main.py:157-179).
     val incremental = pageLimit match {
-      case Some(n) => newer.orderBy(col(tsCol).asc).limit(n)
-      case None    => newer
+      case Some(n) =>
+        val bound = newer.orderBy(col(tsCol).asc).limit(n)
+          .agg(max(col(tsCol))).collect()
+        if (bound.isEmpty || bound(0).isNullAt(0)) newer.limit(0)
+        else newer.filter(col(tsCol) <= bound(0).getLong(0))
+      case None => newer
     }
     // two passes (count + write): acceptable for a poll cycle; the
     // count is what the reference logs per page (news/main.py:88-95)

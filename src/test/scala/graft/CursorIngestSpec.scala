@@ -32,6 +32,22 @@ class CursorIngestSpec extends SparkSpec {
     rows.toSeq shouldBe Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
   }
 
+  test("page boundary through cursor-timestamp ties loses no rows") {
+    // 6 rows share ts=100; pageLimit 4 cuts through the tie group. The
+    // page must extend to the whole tie group (cursor = max(ts) ingested;
+    // the next poll filters strictly ts > cursor, so cut-off ties would
+    // otherwise be skipped forever).
+    val sink = Files.createTempDirectory("cursor_tie").toString + "/data"
+    val src = ((1 to 6).map(i => (100L, s"tie$i")) ++
+      Seq((200L, "after1"), (300L, "after2"))).toDF("ts", "payload")
+    val first = CursorIngest.pollOnce(spark, src, sink, "ts", pageLimit = Some(4))
+    first shouldBe 6L // the full tie group, not a truncated 4
+    CursorIngest.backfill(spark, src, sink, "ts", pageLimit = 4) shouldBe 2L
+    spark.read.parquet(sink).count() shouldBe 8
+    // idempotent after drain
+    CursorIngest.pollOnce(spark, src, sink, "ts", pageLimit = Some(4)) shouldBe 0L
+  }
+
   test("backfill pages oldest-first with a limit until drained (O3/S5, ref darkpool main.py:157-179)") {
     val sink = Files.createTempDirectory("cursor_bf").toString + "/data"
     val src = (1L to 23L).map(i => (i, s"r$i")).toDF("ts", "payload")

@@ -43,6 +43,37 @@ class DedupSpec extends SparkSpec {
     out(1)._3 shouldBe 1.0
   }
 
+  test("jaccardSimilarityJoin matches brute force at float-hostile thresholds (ceilSafe)") {
+    // t = 0.1 / 0.3 / 0.7 have no exact double representation; a plain
+    // ceil over `t * sz` can round one ulp above the true integer
+    // threshold and over-prune candidates. Compare against the
+    // filter-free brute-force pair set at each threshold.
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "a b c x y z q r s t"),
+      (4L, "u v w x y z a a b b"),
+      (5L, "m n o p q r s t u v"),
+      (6L, "a b c d e f g h i j") // exact dup of 1
+    ).toDF("doc_id", "text")
+    def shingleSets: Map[Long, Set[String]] =
+      Dedup.shingles(corpus, "doc_id", "text", 2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val sets = shingleSets
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7)) {
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        j = inter.toDouble / (sets(a) ++ sets(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      val got = Dedup.jaccardSimilarityJoin(corpus, "doc_id", "text", 2, t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"t=$t: ") { got shouldBe brute }
+    }
+  }
+
   test("minhashLsh output equals the exact Jaccard pair set (32x2 bands)") {
     val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
