@@ -28,7 +28,12 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name subset for local iteration; the driver
+    // passes none and gets the full suite
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

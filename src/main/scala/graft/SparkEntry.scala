@@ -447,16 +447,19 @@ object SparkEntry {
           (count(col("hit")).cast("double") / count(lit(1)) >= 0.4).as("recall_ok"))
     }),
 
-    // LLM similarity 3 — IVF ANN (sampled coarse quantizer, nearest-
+    // LLM similarity 3 — IVF ANN (fixed-C coarse quantizer, nearest-
     // cell assignment, nProbe probed cells, exact re-rank), same
-    // recall-floor check vs brute force. Measured recall 0.50/0.32 at
-    // sf0.01/sf0.1 (mod=16, probe=8); floor 0.3.
+    // recall-floor check vs brute force. C is a FIXED count (bounded
+    // n×C assignment — a corpus-fraction sample made assignment
+    // quadratic); measured recall 0.56/0.60 at sf0.01/sf0.1
+    // (C=64, probe=16 — vs 0.50/0.32 for the old fractional sampler);
+    // floor 0.3.
     "q25_ivf_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qids = (0L until 10L)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 5)
       val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 5,
-        sampleMod = 16, nProbe = 8)
+        centroids = 64, nProbe = 16)
       exact.select(col("query_id"), col("nbr_id"))
         .join(approx.select(col("query_id"), col("nbr_id"), lit(1).as("hit")),
           Seq("query_id", "nbr_id"), "left")
@@ -495,9 +498,13 @@ object SparkEntry {
     }),
 
     // P9+P10+P12 — darkpool quote-side enrichment: nearest-quote side
-    // rule, sigmoid side-confidence (rounded to 9 dp so cross-engine
-    // libm ULP differences cannot flip a hash), tz conversion
-    // (ref darkpool_trades/main.py:45,71-96).
+    // rule, sigmoid side-confidence, tz conversion
+    // (ref darkpool_trades/main.py:45,71-96). The confidence is rounded
+    // to 9 dp AND sign-normalized via hashSafeRound: ~1/3 of rows have
+    // price == value exactly, making the sigmoid argument ±tiny; the
+    // round collapses it to zero, and Spark (BigDecimal round, no −0)
+    // emits +0.0 where DuckDB (C++ round) keeps −0.0 — a value-equal
+    // but hash-different result without the +0.0 normalization.
     "q27_quote_side" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val bid = col("value") * lit(0.99)
@@ -506,7 +513,7 @@ object SparkEntry {
       ev.select(
           col("event_id"),
           Enrich.nearestQuoteSide(price, bid, ask).as("side"),
-          round(Enrich.sideConfidence(price, bid, ask), 9).as("confidence"),
+          graft.functions.hashSafeRound(Enrich.sideConfidence(price, bid, ask), 9).as("confidence"),
           date_format(Enrich.toEastern(col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_et"))
         .orderBy(col("event_id"))
     }),
@@ -619,6 +626,25 @@ object SparkEntry {
           coalesce(element_at(m, "n_error"), lit(0.0)).cast("long").as("n_error"),
           element_at(m, "n_events").cast("long").as("n_events"))
         .orderBy(col("minute_ts"), col("user_id"))
+    }),
+
+    // Binary-parameter aggregation path (ref parameterAggregation.ts:
+    // 17-23, parameterData.ts:25-28): a BinaryType value column driven
+    // through the planner's First/Last/Count string-agg menu. First/
+    // Last tie-break on the value bytes themselves (struct(ts, bin) —
+    // mirrored in SQL by padded-epoch || hex, which orders identically
+    // to the raw bytes since hex is monotone in them).
+    "q35_binary_params" -> ((s, dir) => {
+      import Telemetry._
+      val ev = Tables.events(s, dir).withColumn("payload",
+        unhex(md5(concat_ws(":", col("event_id"), col("event_type")))))
+      plan(ev, Request(
+        bucketNs = Some(24L * 3600 * 1000 * 1000 * 1000),
+        stringAggs = Seq(
+          StringAgg("payload", StrFirst, "first_payload"),
+          StringAgg("payload", StrLast, "last_payload"),
+          StringAgg("payload", StrCount, "n_payload"))))
+        .orderBy(col("bucket_ts"))
     })
   )
 
@@ -892,7 +918,7 @@ object SparkEntry {
         |  CASE WHEN abs(price - bid) < abs(price - ask) THEN 'S'
         |       WHEN abs(price - bid) > abs(price - ask) THEN 'B'
         |       ELSE 'N' END AS side,
-        |  round(2.0 / (1.0 + exp(-((price - (bid + ask) / 2.0) / NULLIF(ask - bid, 0.0)))) - 1.0, 9) AS confidence,
+        |  round(2.0 / (1.0 + exp(-((price - (bid + ask) / 2.0) / NULLIF(ask - bid, 0.0)))) - 1.0, 9) + 0.0 AS confidence,
         |  strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS ts_et
         |FROM q
         |ORDER BY event_id""".stripMargin,
@@ -936,6 +962,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us""".stripMargin,
+
+    "q35_binary_params" ->
+      """WITH p AS (
+        |  SELECT date_trunc('day', ts) AS bucket_ts,
+        |    from_hex(md5(CAST(event_id AS VARCHAR) || ':' || event_type)) AS payload,
+        |    printf('%020d', epoch_us(ts)) || md5(CAST(event_id AS VARCHAR) || ':' || event_type) AS tk
+        |  FROM events)
+        |SELECT bucket_ts,
+        |  arg_min(payload, tk) AS first_payload,
+        |  arg_max(payload, tk) AS last_payload,
+        |  COUNT(payload) AS n_payload
+        |FROM p
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q31_darkpool_decimal" ->
       """WITH raw AS (

@@ -47,4 +47,105 @@ object Catalog {
   def search(catalog: DataFrame, filters: Seq[Match]): DataFrame =
     filters.map(compile).reduceOption(_ && _)
       .map(catalog.filter).getOrElse(catalog)
+
+  // ---------------------------------------------------------- enum filters
+
+  /** The 8-state stream-status vocabulary (ref streamStatus.ts:16). */
+  val StreamStatuses: Seq[String] = Seq("Open", "Closed", "Aborted",
+    "Terminated", "Interrupted", "Deleting", "SoftDeleted", "Idle")
+
+  /** The 6-level event-severity vocabulary (ref eventLevel.ts:16). */
+  val EventLevels: Seq[String] = Seq("Trace", "Debug", "Information",
+    "Warning", "Error", "Critical")
+
+  private def enumMatch(column: String, values: Seq[String],
+                        vocab: Seq[String], include: Boolean): Match = {
+    val bad = values.filterNot(vocab.contains)
+    require(bad.isEmpty, s"unknown $column value(s): ${bad.mkString(", ")} " +
+      s"(vocabulary: ${vocab.mkString(", ")})")
+    if (include) Include(column, values) else Exclude(column, values)
+  }
+
+  /** Enum-checked include/exclude over the `status` column — rejects
+    * values outside the contract's 8-state vocabulary at plan time.
+    */
+  def statusFilter(values: Seq[String], include: Boolean = true): Match =
+    enumMatch("status", values, StreamStatuses, include)
+
+  /** Enum-checked include/exclude over the `level` column — rejects
+    * values outside the contract's 6 severities at plan time.
+    */
+  def levelFilter(values: Seq[String], include: Boolean = true): Match =
+    enumMatch("level", values, EventLevels, include)
+
+  // -------------------------------------------------------------- lineage
+
+  /** Transitive ancestor closure over the stream dimension's `parents`
+    * array (ref stream.ts:49-52 — "The stream Ids this session is
+    * derived from"): returns `(id, ancestor_id, depth)` with depth 1 =
+    * direct parent, each pair at its SHALLOWEST depth. Driver-
+    * coordinated iterative BFS of keyed joins — the stream catalog is a
+    * dimension table (catalog-scale, not the 100 TB fact path), so a
+    * bounded loop of small hash joins is the right plan. The per-round
+    * anti-join against already-seen pairs both deduplicates diamond
+    * lineages and terminates cycles; `maxDepth` hard-caps the loop.
+    */
+  def ancestors(streams: DataFrame, idCol: String, parentsCol: String,
+                maxDepth: Int = 20): DataFrame = {
+    val edges = streams
+      .select(col(idCol).cast("string").as("id"),
+        explode(col(parentsCol)).as("__anc"))
+      .select(col("id"), col("__anc").cast("string").as("ancestor_id"))
+      .distinct().persist()
+    var persisted = List[DataFrame](edges)
+    var acc = edges.withColumn("depth", lit(1))
+    var frontier = acc
+    var depth = 1
+    var done = false
+    while (!done && depth < maxDepth) {
+      val next = frontier.select(col("id"), col("ancestor_id").as("__mid"))
+        .join(edges.select(col("id").as("__mid"), col("ancestor_id")), "__mid")
+        .select(col("id"), col("ancestor_id")).distinct()
+        .join(acc.select("id", "ancestor_id"), Seq("id", "ancestor_id"), "left_anti")
+        .withColumn("depth", lit(depth + 1))
+        .persist()
+      persisted ::= next
+      if (next.limit(1).count() == 0) done = true
+      else { acc = acc.union(next); frontier = next; depth += 1 }
+    }
+    val out = acc.persist()
+    out.count() // materialize before releasing the per-round caches
+    persisted.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  // ---------------------------------------------------------- group trees
+
+  /** Parent path within a '/'-separated hierarchy ("a/b/c" → "a/b",
+    * top-level → null) — shared by the parameter-group and event-group
+    * trees (ref parameterGroup.ts:17-20, eventGroup.ts:17-20: `path` is
+    * the absolute hierarchy path and unique identifier).
+    */
+  def parentPath(path: Column): Column = {
+    val norm = when(length(path) > 1, regexp_replace(path, "/+$", ""))
+      .otherwise(path) // strip trailing '/', but leave a bare root "/"
+    val parent = regexp_replace(norm, "/[^/]*$", "")
+    when(parent === norm || parent === "", lit(null)).otherwise(parent)
+  }
+
+  /** Attach `childrenCount` — the number of DIRECT child groups — to a
+    * group dimension (ref parameterGroup.ts:37-40 / eventGroup.ts:37-40)
+    * via one self-aggregation join on the parent path. Subtree queries
+    * over the same tables reuse [[UnderLocation]] on the `path` column
+    * (the two group hierarchies and the stream location tree share the
+    * '/'-path shape — ref streamLocation.ts:16-28).
+    */
+  def withChildrenCount(groups: DataFrame, pathCol: String): DataFrame = {
+    val counts = groups
+      .select(parentPath(col(pathCol)).as(pathCol))
+      .filter(col(pathCol).isNotNull)
+      .groupBy(pathCol).agg(count(lit(1)).as("childrenCount"))
+    groups.join(counts, Seq(pathCol), "left")
+      .withColumn("childrenCount", coalesce(col("childrenCount"), lit(0L)))
+  }
 }

@@ -215,21 +215,39 @@ object Telemetry {
 
   /** Expand a snippet into a Request; extra knobs (aggs, bucketing)
     * compose on top via `copy`.
+    *
+    * The snippet contract is ns-precision (ref dataSnippet.ts:13-49)
+    * while the Request's ISO bounds — like the ts column — carry µs.
+    * Both bounds are formatted at full µs precision with ns rounded UP
+    * (`ceil(ns/1000)`): a µs-grid point p is in the snippet's
+    * [fromNs, toNs) iff `ceil(fromNs/1000) <= p < ceil(toNs/1000)`, so
+    * the expanded inclusive/exclusive µs range selects exactly the
+    * snippet's rows. Whole-second truncation here previously admitted
+    * up to 1 s of extra leading data and dropped up to 1 s before `to`.
     */
   def snippetRequest(s: DataSnippet): Request = {
-    def iso(ns: Long): String =
-      java.time.Instant.ofEpochSecond(0, ns)
+    def iso(ns: Long): String = {
+      val us = Math.floorDiv(ns + 999L, 1000L) // ceil to the µs grid
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
         .atZone(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    }
     Request(from = Some(iso(s.fromNs)), to = Some(iso(s.toNs)),
       streamIds = s.streamIds)
   }
 
   /** §3.3 — transpose a query result into the reference's COLUMNAR
-    * `ParameterData` payload: one row per group carrying
+    * `ParameterData`/`Data` payload: one row per group carrying
     * `timestamps: array<long ns>` plus parallel per-parameter value
-    * arrays and per-tag arrays (ref parameterData.ts:16-40 —
-    * `{timestamps, numericValues: {param → double[]}, tagValues}`).
+    * arrays, per-tag arrays, string/binary parameter arrays and the
+    * event-flavor `events` map (ref parameterData.ts:16-40 /
+    * data.ts:16-41 — `{timestamps, numericValues: {param → double[]},
+    * stringValues, binaryValues, tagValues, events}`). Each family is
+    * its own map column because Spark maps are monomorphic in the value
+    * type; `binaryValues` carries raw `array<binary>` here — the
+    * base64-string encoding the JSON contract speaks is a serialization
+    * concern at the HTTP boundary, not an engine representation.
     *
     * Executed distributed: ONE `array_sort(collect_list(struct))` per
     * group builds the row set in timestamp order, then each output
@@ -241,28 +259,34 @@ object Telemetry {
   def toColumnarResponse(df: DataFrame, tsCol: String,
                          numericCols: Seq[String],
                          tagCols: Seq[String] = Nil,
-                         groupBy: Seq[String] = Nil): DataFrame = {
+                         groupBy: Seq[String] = Nil,
+                         stringCols: Seq[String] = Nil,
+                         binaryCols: Seq[String] = Nil,
+                         eventCols: Seq[String] = Nil): DataFrame = {
     val tsNs = df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampType =>
         unix_micros(col(tsCol)) * 1000L // contract speaks nanoseconds
       case _ => col(tsCol)
     }
-    val rowStruct = struct(
-      tsNs.as("__ts") +: (numericCols ++ tagCols).map(col): _*)
+    val dataCols = numericCols ++ tagCols ++ stringCols ++ binaryCols ++ eventCols
+    val rowStruct = struct(tsNs.as("__ts") +: dataCols.map(col): _*)
     val collected =
       if (groupBy.isEmpty) df.agg(array_sort(collect_list(rowStruct)).as("__rows"))
       else df.groupBy(groupBy.map(col): _*)
         .agg(array_sort(collect_list(rowStruct)).as("__rows"))
     val rows = col("__rows")
+    def family(name: String, cols: Seq[String]): Seq[Column] =
+      if (cols.isEmpty) Nil
+      else Seq(map(cols.flatMap(c =>
+        Seq(lit(c), transform(rows, r => r.getField(c)))): _*).as(name))
     val outCols =
       groupBy.map(col) ++
       Seq(transform(rows, r => r.getField("__ts")).as("timestamps")) ++
-      Seq(map(numericCols.flatMap(c =>
-        Seq(lit(c), transform(rows, r => r.getField(c)))): _*).as("numericValues"))
-        .filter(_ => numericCols.nonEmpty) ++
-      Seq(map(tagCols.flatMap(c =>
-        Seq(lit(c), transform(rows, r => r.getField(c)))): _*).as("tagValues"))
-        .filter(_ => tagCols.nonEmpty)
+      family("numericValues", numericCols) ++
+      family("tagValues", tagCols) ++
+      family("stringValues", stringCols) ++
+      family("binaryValues", binaryCols) ++
+      family("events", eventCols)
     collected.select(outCols: _*)
   }
 
@@ -278,17 +302,21 @@ object Telemetry {
   def fromColumnarResponse(df: DataFrame,
                            numericCols: Seq[String],
                            tagCols: Seq[String] = Nil,
-                           groupBy: Seq[String] = Nil): DataFrame = {
+                           groupBy: Seq[String] = Nil,
+                           stringCols: Seq[String] = Nil,
+                           binaryCols: Seq[String] = Nil,
+                           eventCols: Seq[String] = Nil): DataFrame = {
+    val families = Seq(
+      "numericValues" -> numericCols, "tagValues" -> tagCols,
+      "stringValues" -> stringCols, "binaryValues" -> binaryCols,
+      "events" -> eventCols).filter(_._2.nonEmpty)
     val exploded = df.select(
-      groupBy.map(col) :+
-        col("numericValues") :+
-        (if (tagCols.nonEmpty) col("tagValues") else lit(null).as("tagValues")) :+
+      groupBy.map(col) ++ families.map(f => col(f._1)) :+
         posexplode(col("timestamps")).as(Seq("__pos", "__ts")): _*)
-    val valueCols =
-      numericCols.map(c =>
-        element_at(element_at(col("numericValues"), c), col("__pos") + 1).as(c)) ++
-      tagCols.map(c =>
-        element_at(element_at(col("tagValues"), c), col("__pos") + 1).as(c))
+    val valueCols = families.flatMap { case (fam, cols) =>
+      cols.map(c =>
+        element_at(element_at(col(fam), c), col("__pos") + 1).as(c))
+    }
     exploded.select(
       groupBy.map(col) ++
         // exact ns→µs truncation — Column./ is double division and

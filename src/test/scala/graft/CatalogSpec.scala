@@ -58,4 +58,57 @@ class CatalogSpec extends SparkSpec {
       Contains("name", "market"), Equals("status", "live"))).count() shouldBe 2
     Catalog.search(streams, Nil).count() shouldBe 4
   }
+
+  test("statusFilter/levelFilter pin the contract vocabularies (ref streamStatus.ts:16, eventLevel.ts:16)") {
+    Catalog.StreamStatuses should have size 8
+    Catalog.EventLevels should have size 6
+    val dim = Seq(("s1", "Open"), ("s2", "Closed"), ("s3", "SoftDeleted"))
+      .toDF("id", "status")
+    Catalog.search(dim, Seq(statusFilter(Seq("Open", "Closed")))).count() shouldBe 2
+    Catalog.search(dim,
+      Seq(statusFilter(Seq("SoftDeleted"), include = false))).count() shouldBe 2
+    // out-of-vocabulary values are rejected at plan time, not silently zero-matched
+    an[IllegalArgumentException] should be thrownBy statusFilter(Seq("open"))
+    an[IllegalArgumentException] should be thrownBy levelFilter(Seq("Fatal"))
+    val ev = Seq(("e1", "Error"), ("e2", "Trace"), ("e3", "Critical"))
+      .toDF("id", "level")
+    Catalog.search(ev,
+      Seq(levelFilter(Seq("Error", "Critical")))).count() shouldBe 2
+  }
+
+  test("ancestors: transitive parents-closure with shallowest depth, diamonds and cycles handled (ref stream.ts:49-52)") {
+    // s4 -> {s2, s3} -> s1 (diamond); s5 <-> s6 (cycle); s1 root
+    val dim = Seq(
+      ("s1", Seq.empty[String]),
+      ("s2", Seq("s1")),
+      ("s3", Seq("s1")),
+      ("s4", Seq("s2", "s3")),
+      ("s5", Seq("s6")),
+      ("s6", Seq("s5"))
+    ).toDF("streamId", "parents")
+    val got = Catalog.ancestors(dim, "streamId", "parents")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    got shouldBe Set(
+      ("s2", "s1", 1), ("s3", "s1", 1),
+      ("s4", "s2", 1), ("s4", "s3", 1), ("s4", "s1", 2),
+      ("s5", "s6", 1), ("s6", "s5", 1),   // cycle: each is the other's parent
+      ("s5", "s5", 2), ("s6", "s6", 2))   // ...and its own depth-2 ancestor; loop terminates
+  }
+
+  test("withChildrenCount counts DIRECT children via parentPath (ref parameterGroup.ts:37-40)") {
+    val groups = Seq(
+      ("Chassis", "g-chassis"), ("Chassis/Suspension", "g-susp"),
+      ("Chassis/Suspension/Front", "g-front"), ("Chassis/Suspension/Rear", "g-rear"),
+      ("Chassis/Brakes", "g-brakes"), ("Engine", "g-engine")
+    ).toDF("path", "name")
+    val got = Catalog.withChildrenCount(groups, "path")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("childrenCount")).toMap
+    got("Chassis") shouldBe 2            // Suspension, Brakes — NOT the grandchildren
+    got("Chassis/Suspension") shouldBe 2 // Front, Rear
+    got("Chassis/Brakes") shouldBe 0
+    got("Engine") shouldBe 0
+    // subtree queries over the same tree reuse UnderLocation on `path`
+    Catalog.search(groups, Seq(UnderLocation("path", "Chassis/Suspension")))
+      .count() shouldBe 3
+  }
 }

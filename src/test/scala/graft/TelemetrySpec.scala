@@ -191,6 +191,71 @@ class TelemetrySpec extends SparkSpec {
     plan(points, req).collect()(0).getLong(0) shouldBe 1L // only 10:01:10 stream 1
   }
 
+  test("binary parameters run the First/Last/Count menu through the planner (ref parameterAggregation.ts:17-23)") {
+    // a BinaryType value column: First/Last tie-break on (ts, bytes) —
+    // binary is orderable in Spark, so the same strAggColumn path serves
+    // string, tag AND binary parameters
+    val bin = points.withColumn("payload", unhex(md5(concat_ws(":",
+      unix_micros($"ts"), $"stream_id"))))
+    val out = plan(bin, Request(
+      groupByTags = Nil,
+      stringAggs = Seq(
+        StringAgg("payload", StrFirst, "first_payload"),
+        StringAgg("payload", StrLast, "last_payload"),
+        StringAgg("payload", StrCount, "n_payload")))).collect()(0)
+    val firstExpected = bin.orderBy($"ts".asc).select($"payload").collect()(0).getAs[Array[Byte]](0)
+    val lastExpected = bin.orderBy($"ts".desc).select($"payload").collect()(0).getAs[Array[Byte]](0)
+    out.getAs[Array[Byte]]("first_payload").toSeq shouldBe firstExpected.toSeq
+    out.getAs[Array[Byte]]("last_payload").toSeq shouldBe lastExpected.toSeq
+    out.getAs[Long]("n_payload") shouldBe 6L
+  }
+
+  test("§3.3 columnar payload carries string/binary/events families; round-trips through fromColumnarResponse (ref data.ts:16-41)") {
+    val df = points
+      .withColumn("note", concat(lit("n-"), $"value".cast("int")))
+      .withColumn("blob", unhex(md5($"value".cast("string"))))
+      .withColumn("ev_state", element_at($"tags", "event_type"))
+      .select($"stream_id", $"ts", $"value", $"note", $"blob", $"ev_state")
+    val columnar = Telemetry.toColumnarResponse(df, "ts",
+      numericCols = Seq("value"), groupBy = Seq("stream_id"),
+      stringCols = Seq("note"), binaryCols = Seq("blob"),
+      eventCols = Seq("ev_state"))
+    columnar.columns.toSeq shouldBe Seq("stream_id", "timestamps",
+      "numericValues", "stringValues", "binaryValues", "events")
+    // events map: per-key parallel arrays in timestamp order
+    val s1 = columnar.filter($"stream_id" === 1L).collect()(0)
+    s1.getMap[String, Seq[String]](s1.fieldIndex("events"))("ev_state") shouldBe
+      Seq("click", "view", "click", "view")
+    // full inverse
+    val back = Telemetry.fromColumnarResponse(columnar,
+      numericCols = Seq("value"), groupBy = Seq("stream_id"),
+      stringCols = Seq("note"), binaryCols = Seq("blob"),
+      eventCols = Seq("ev_state"))
+      .select($"stream_id", $"ts", $"value", $"note", $"blob", $"ev_state")
+    back.count() shouldBe 6
+    val a = df.collect().map(r => r.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x }).toSet
+    val b = back.collect().map(r => r.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x }).toSet
+    b shouldBe a
+  }
+
+  test("snippetRequest keeps sub-second precision: ns bounds round up to the µs grid") {
+    // ns-precision bounds (ref dataSnippet.ts is ns); whole-second
+    // formatting would admit up to 1s of extra data before `from` and
+    // drop up to 1s before `to`.
+    val snip = DataSnippet("slice-ns", Seq(1L),
+      fromNs = 1704103260123456789L,  // 10:01:00.123456789 → ceil .123457
+      toNs   = 1704103321000000000L)  // 10:02:01.000000000 → exact
+    val req = Telemetry.snippetRequest(snip)
+    req.from shouldBe Some("2024-01-01 10:01:00.123457")
+    req.to shouldBe Some("2024-01-01 10:02:01.000000")
+    // a µs-aligned bound passes through unchanged (ceil is identity)
+    Telemetry.snippetRequest(DataSnippet("a", Nil,
+      1704103260123456000L, 1704103260123457000L)).from shouldBe
+      Some("2024-01-01 10:01:00.123456")
+  }
+
   test("AggNone raw fetch projects requested tag columns") {
     val out = plan(points, Request(
       groupByTags = Seq("device"),
