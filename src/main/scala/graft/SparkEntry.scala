@@ -655,6 +655,22 @@ object SparkEntry {
           StringAgg("payload", StrLast, "last_payload"),
           StringAgg("payload", StrCount, "n_payload"))))
         .orderBy(col("bucket_ts"))
+    }),
+
+    // Stream lineage parents-closure (ref stream.ts:49-52) against a
+    // DuckDB RECURSIVE CTE oracle — an exact cross-engine check of the
+    // BFS expansion. The dimension is synthesized from the user ids
+    // with parents = [id / 2] (a binary tree, so every (id, ancestor)
+    // pair has a unique depth and shallowest-depth semantics are
+    // unambiguous).
+    "q36_lineage" -> ((s, dir) => {
+      val dim = Tables.events(s, dir).select(col("user_id")).distinct()
+        .select(col("user_id").as("streamId"),
+          when(col("user_id") > 1,
+            array(floor(col("user_id") / 2).cast("long")))
+            .otherwise(array().cast("array<long>")).as("parents"))
+      Catalog.ancestors(dim, "streamId", "parents")
+        .orderBy(col("id"), col("ancestor_id"), col("depth"))
     })
   )
 
@@ -986,6 +1002,20 @@ object SparkEntry {
         |FROM p
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q36_lineage" ->
+      """WITH RECURSIVE dim AS (SELECT DISTINCT user_id AS id FROM events),
+        |edges AS (
+        |  SELECT CAST(id AS VARCHAR) AS id,
+        |    CAST(id // 2 AS VARCHAR) AS ancestor_id
+        |  FROM dim WHERE id > 1),
+        |clos AS (
+        |  SELECT id, ancestor_id, 1 AS depth FROM edges
+        |  UNION ALL
+        |  SELECT c.id, e.ancestor_id, c.depth + 1
+        |  FROM clos c JOIN edges e ON c.ancestor_id = e.id)
+        |SELECT id, ancestor_id, depth FROM clos
+        |ORDER BY id, ancestor_id, depth""".stripMargin,
 
     "q31_darkpool_decimal" ->
       """WITH raw AS (
