@@ -62,9 +62,17 @@ object Dedup {
     *
     * Returns (id_a, id_b, inter, union_sz, jaccard) for pairs with
     * jaccard >= t, id_a < id_b.
+    *
+    * @param prefixDfCap OPTIONAL recall dial for corpora with very hot
+    *   shingles: prefix entries with document frequency > cap are
+    *   dropped from the inverted INDEX only (verification stays exact,
+    *   so no false positives ever). A qualifying pair is missed only if
+    *   EVERY shingle its two prefixes share is hotter than the cap —
+    *   i.e. boilerplate-only overlap. None (default) = exact.
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int, t: Double): DataFrame = {
+                            n: Int, t: Double,
+                            prefixDfCap: Option[Long] = None): DataFrame = {
     // The shingle table feeds four branches of this DAG (df-count,
     // ranking, and both sides of the verify); without persisting, Spark
     // re-tokenizes the corpus once per branch. At cluster scale this is
@@ -95,7 +103,7 @@ object Dedup {
       .groupBy(col("id"), col("sz"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("sorted"))
       .select(col("id"), col("sz"),
-        transform(slice(col("sorted"), lit(1), prefixLen), x => x.getField("s")).as("prefix"))
+        slice(col("sorted"), lit(1), prefixLen).as("prefix")) // (df, s) structs
       .persist() // both sides of the candidate self-join read this
 
     // inverted index over prefixes → candidate pairs. Pruning before
@@ -107,8 +115,14 @@ object Dedup {
     // must reach the overlap threshold O = ceil(t/(1+t) * (sz_a+sz_b)).
     // Both filters are exact (no true pair is lost: the first common
     // shingle in the global order realizes the largest bound).
-    val idx = ranked.select(col("id"), col("sz"),
-      posexplode(col("prefix")).as(Seq("p", "s")))
+    val idx0 = ranked.select(col("id"), col("sz"),
+        posexplode(col("prefix")).as(Seq("p", "e")))
+      .select(col("id"), col("sz"), col("p"),
+        col("e.s").as("s"), col("e.df").as("df"))
+    // df-cap prunes INDEX entries only; `p` keeps the original prefix
+    // rank, so the positional filter below stays valid on survivors
+    val idx = prefixDfCap.map(cap => idx0.filter(col("df") <= cap))
+      .getOrElse(idx0).select("id", "sz", "p", "s")
     val overlapMin =
       ceilSafe(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")))
     val cand = idx.as("a").join(idx.as("b"), Seq("s"))

@@ -74,6 +74,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefixDfCap drops only index entries: generous cap is exact, any cap yields a subset with exact scores") {
+    val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // cap above every df -> identical output
+    val generous = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5,
+      prefixDfCap = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    generous shouldBe exact
+    // aggressive cap -> subset (verification is exact, so never MORE
+    // pairs, and surviving pairs keep their exact scores)
+    val aggressive = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5,
+      prefixDfCap = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    aggressive.subsetOf(exact) shouldBe true
+  }
+
   test("minhashLsh output equals the exact Jaccard pair set (32x2 bands)") {
     val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
