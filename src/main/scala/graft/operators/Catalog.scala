@@ -89,6 +89,14 @@ object Catalog {
     * bounded loop of small hash joins is the right plan. The per-round
     * anti-join against already-seen pairs both deduplicates diamond
     * lineages and terminates cycles; `maxDepth` hard-caps the loop.
+    *
+    * Every round is cut with an EAGER `localCheckpoint`: the round
+    * plan references both the previous frontier and the accumulated
+    * closure, so without truncation the logical plan doubles per round
+    * and Catalyst analysis goes exponential in depth (observed as a
+    * driver-bound hang at depth ≈ 11 on the sf0.1 lineage — the
+    * standard iterative-algorithm failure mode, same reason GraphX
+    * checkpoints). The checkpointed data is only the closure itself.
     */
   def ancestors(streams: DataFrame, idCol: String, parentsCol: String,
                 maxDepth: Int = 20): DataFrame = {
@@ -96,9 +104,8 @@ object Catalog {
       .select(col(idCol).cast("string").as("id"),
         explode(col(parentsCol)).as("__anc"))
       .select(col("id"), col("__anc").cast("string").as("ancestor_id"))
-      .distinct().persist()
-    var persisted = List[DataFrame](edges)
-    var acc = edges.withColumn("depth", lit(1))
+      .distinct().localCheckpoint(true)
+    var acc = edges.withColumn("depth", lit(1)).localCheckpoint(true)
     var frontier = acc
     var depth = 1
     var done = false
@@ -108,15 +115,11 @@ object Catalog {
         .select(col("id"), col("ancestor_id")).distinct()
         .join(acc.select("id", "ancestor_id"), Seq("id", "ancestor_id"), "left_anti")
         .withColumn("depth", lit(depth + 1))
-        .persist()
-      persisted ::= next
-      if (next.limit(1).count() == 0) done = true
-      else { acc = acc.union(next); frontier = next; depth += 1 }
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else { acc = acc.union(next).localCheckpoint(true); frontier = next; depth += 1 }
     }
-    val out = acc.persist()
-    out.count() // materialize before releasing the per-round caches
-    persisted.foreach(_.unpersist(blocking = false))
-    out
+    acc
   }
 
   // ---------------------------------------------------------- group trees
