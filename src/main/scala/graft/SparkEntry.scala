@@ -676,6 +676,42 @@ object SparkEntry {
             .otherwise(array().cast("array<long>")).as("parents"))
       Catalog.ancestors(dim, "streamId", "parents")
         .orderBy(col("id"), col("ancestor_id"), col("depth"))
+    }),
+
+    // LLM dedup 5 — embedding-cosine near-dup as a measured recall
+    // gate vs the exact all-pairs answer (like q24/q25: the testdata
+    // embeddings are soft-clustered noise, so no sublinear method can
+    // promise high recall here — measured 0.71/0.72 at sf0.01/sf0.1
+    // with t=0.4 and 16 tables; floor 0.5). no_false_pos must ALWAYS
+    // hold: the operator exact-verifies every candidate. The exact
+    // baseline's n² join is gate-only scaffolding, not the operator.
+    "q37_cosine_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val t = 0.4
+      val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+        .filter(graft.functions.cosineSim(col("a.vec"), col("b.vec")) >= t)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val approx = Similarity.cosineNearDup(emb, "vec_id", "embedding", t,
+          tables = 16)
+        .select(col("id_a"), col("id_b"))
+      val recallDf = exact
+        .join(approx.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg((count(col("hit")).cast("double") / count(lit(1)) >= 0.5).as("recall_ok"))
+      val fpDf = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg((count(lit(1)) === 0).as("no_false_pos"))
+      recallDf.crossJoin(fpDf)
+    }),
+
+    // LLM dedup 6 — duplicate-cluster canonicalization: connected
+    // components over q11's exact Jaccard pair graph (component = min
+    // reachable doc id), checked against a DuckDB RECURSIVE reachability
+    // oracle — an exact cross-engine gate for the label-propagation loop.
+    "q38_dup_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardSimilarityJoin(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, t = 0.5, prefixDfCap = Some(100L))
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
     })
   )
 
@@ -1007,6 +1043,28 @@ object SparkEntry {
         |FROM p
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q37_cosine_neardup" ->
+      "SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST(TRUE AS BOOLEAN) AS no_false_pos",
+
+    "q38_dup_components" ->
+      s"""WITH RECURSIVE $SHINGLES_CTE,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, v AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
+        |SELECT id, least(id, min(r)) AS comp
+        |FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     "q36_lineage" ->
       """WITH RECURSIVE dim AS (SELECT DISTINCT user_id AS id FROM events),

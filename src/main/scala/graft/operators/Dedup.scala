@@ -304,6 +304,49 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * the canonicalization step that turns pairwise dedup output into
+    * "keep one document per duplicate cluster": returns
+    * `(id, component)` with component = the minimum id reachable.
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels, so the cluster minimum
+    * reaches everything in O(cluster diameter) rounds — near-dup
+    * clusters are shallow (most are pairs/stars), so the loop is
+    * short; `maxIter` caps pathological chains. Each round is cut with
+    * an eager `localCheckpoint` (same exponential-plan reason as the
+    * lineage BFS). The graph here is the PAIR set — orders of
+    * magnitude smaller than the corpus — not the 100 TB fact path; at
+    * extreme component diameters the alternating small-star/large-star
+    * contraction (O(log d) rounds) would replace the propagation loop.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u")).agg(min(col("vcomp")).as("nmin"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup over the 64-bit xxhash64 fingerprint (the
     * engine-fast default; for an oracle-reproducible variant use
     * [[simhashPortable64]] + [[hammingPairs]]).

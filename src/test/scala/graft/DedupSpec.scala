@@ -123,6 +123,22 @@ class DedupSpec extends SparkSpec {
     assert(viaBands.contains((3L, 4L, 0L)))
   }
 
+  test("connectedComponents: min-label propagation over chains, pairs and triangles") {
+    // chain 1-2-3-4 (diameter 3, needs multiple rounds), isolated pair
+    // 10-11, triangle 20-21-22
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
   test("simhash (xxhash64) and simhashPortable64 both give hamming 0 for identical docs") {
     for (f <- Seq(Dedup.simhash(docs, "doc_id", "text"),
                   Dedup.simhashPortable64(docs, "doc_id", "text"))) {
