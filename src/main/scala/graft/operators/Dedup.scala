@@ -344,6 +344,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // partially-propagated labels are silently WRONG — refuse them
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

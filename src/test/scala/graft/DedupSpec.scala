@@ -139,6 +139,18 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L)
   }
 
+  test("connectedComponents refuses to return unconverged (silently wrong) labels") {
+    // a 6-node chain has diameter 5; with maxIter=2 the min label cannot
+    // reach the far end — must throw, not return partial propagation
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    an[IllegalStateException] should be thrownBy
+      Dedup.connectedComponents(chain, maxIter = 2)
+    // and converges fine with the default budget
+    val got = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.values.toSet shouldBe Set(1L)
+  }
+
   test("simhash (xxhash64) and simhashPortable64 both give hamming 0 for identical docs") {
     for (f <- Seq(Dedup.simhash(docs, "doc_id", "text"),
                   Dedup.simhashPortable64(docs, "doc_id", "text"))) {
