@@ -86,8 +86,16 @@ object Dedup {
     // (P ≈ sz²/2⁶⁵ ≈ 1e-16 — far below any practical concern; the
     // rarest-first total order just becomes hash order, and prefix
     // filtering is valid for ANY fixed global order).
+    //
+    // NO filter between the gram and hash projections: an earlier
+    // always-true `sz > 0` "CollapseProject barrier" was PUSHED DOWN
+    // by PushDownPredicates with the full shingle expression inlined —
+    // the Filter at the scan re-tokenized every row (with per-element
+    // re-split inside the gram lambda), costing ~20× the legitimate
+    // work (14.6 s vs 0.7 s measured at sf0.1). CollapseProject's
+    // multi-reference rule alone keeps the projections apart here
+    // (`sh` is referenced by both the hash transform and `sz`).
     val sh = shingles(docs, idCol, textCol, n)
-      .filter(col("sz") > 0) // barrier: keep the gram transform out of the hash lambda
       .select(col("id"),
         transform(col("sh"), s => xxhash64(s)).as("sh"), col("sz"))
       .persist()
@@ -201,13 +209,18 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, t: Double, bands: Int, rows: Int): DataFrame = {
-    // persist: the shingle table feeds the signature branch and both
-    // sides of the exact verify
+    // persist AND materialize the shingle table before deriving the
+    // signatures: it feeds the signature branch and both sides of the
+    // exact verify, and — decisively — the signature's first action
+    // would otherwise optimize against the raw parquet plan and inline
+    // the whole shingle transform into the 64-slot signature lambda
+    // (re-evaluated once per slot). Reading from the materialized
+    // cache makes the signature projection a plain map over stored
+    // arrays: measured 23.8 s (old filter-barrier shape) → 13.5 s
+    // (no barrier) → 1.8 s (materialized cache) at sf0.1.
     val sh = shingles(docs, idCol, textCol, n).persist()
-    // sz-filter = CollapseProject barrier (always true): without it the
-    // signature lambda would re-inline the whole shingle transform and
-    // evaluate it once per slot — 64× per row (measured: 52 s → 9 s).
-    val sig = sh.filter(col("sz") > 0).select(col("id"),
+    sh.count()
+    val sig = sh.select(col("id"),
       minhashSignature(col("sh"), bands * rows).as("sig"))
     val bandCols = (0 until bands).map { bnd =>
       val slice = (0 until rows).map(r => element_at(col("sig"), bnd * rows + r + 1))
