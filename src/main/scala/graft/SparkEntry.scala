@@ -689,12 +689,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val t = 0.4
       val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // both gate branches (recall, false-positive) read both sides —
+      // persist so the n² exact baseline and the LSH pass run once each
       val exact = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
         .filter(graft.functions.cosineSim(col("a.vec"), col("b.vec")) >= t)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).persist()
       val approx = Similarity.cosineNearDup(emb, "vec_id", "embedding", t,
           tables = 16)
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b")).persist()
       val recallDf = exact
         .join(approx.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
         .agg((count(col("hit")).cast("double") / count(lit(1)) >= 0.5).as("recall_ok"))
