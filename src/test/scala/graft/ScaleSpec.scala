@@ -32,6 +32,38 @@ class ScaleSpec extends SparkSpec {
     saltSpread should be > 4L
   }
 
+  test("telemetry time-range predicates reach the parquet scan as ts_ns pushdown with pruned columns") {
+    // At 100 TB this IS the row-group/partition pruning that makes a
+    // time-range query scan only the touched slice: the planner emits
+    // an equivalent predicate against the RAW ns long (the derived µs
+    // timestamp's predicate cannot push), and only requested columns
+    // reach ReadSchema.
+    import graft.operators.Telemetry._
+    val dir = java.nio.file.Files.createTempDirectory("pushdown").toString + "/pts"
+    // base = 2024-01-01 10:00:00 UTC, one row per second after it
+    (1 to 100).map(i => (1704103200000000000L + i * 1000000000L, i.toLong % 4,
+        Map("k" -> s"v${i % 3}"), i * 1.0))
+      .toDF("ts_ns", "stream_id", "tags", "value")
+      .write.parquet(dir)
+    val points = spark.read.parquet(dir)
+      .withColumn("ts", graft.functions.nsToTimestamp($"ts_ns"))
+    val planned = plan(points, Request(
+      from = Some("2024-01-01 10:00:30"), to = Some("2024-01-01 10:01:00"),
+      streamIds = Seq(1L, 2L),
+      bucketNs = Some(60L * 1000 * 1000 * 1000),
+      aggs = Seq(NumericAgg("value", AggSum, "s"))))
+    planned.count() should be > 0L
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000) // untruncated PushedFilters
+    val scan = planned.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan should include("GreaterThanOrEqual(ts_ns")
+    scan should include("LessThan(ts_ns")
+    scan should include("In(stream_id")
+    // column pruning: the scan must not read the tags map for this request
+    scan should not include "tags"
+  }
+
   test("bucketed tables join without a shuffle (co-located layout)") {
     val left = (1L to 500L).map(i => (i, s"l$i")).toDF("id", "lv")
     val right = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "rv")
