@@ -364,6 +364,22 @@ object Dedup {
     labels
   }
 
+  /** The end-product of the dedup pipeline: every corpus row tagged
+    * with its duplicate-cluster canonical id and a `keep` flag
+    * (true = this row IS the canonical representative; docs outside
+    * any near-dup pair are their own canonical). One left join of the
+    * corpus against the (small) component table — the corpus is never
+    * shuffled beyond the join on its id.
+    */
+  def canonicalize(docs: DataFrame, idCol: String,
+                   components: DataFrame): DataFrame =
+    docs.join(
+        components.select(col("id").as(idCol), col("comp")),
+        Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("comp"), col(idCol)))
+      .withColumn("keep", col("canonical_id") === col(idCol))
+      .drop("comp")
+
   /** SimHash near-dup over the 64-bit xxhash64 fingerprint (the
     * engine-fast default; for an oracle-reproducible variant use
     * [[simhashPortable64]] + [[hammingPairs]]).

@@ -139,6 +139,47 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L)
   }
 
+  test("connectedComponents property: equals driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // union-find with union-by-min: the root is always the component min
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          maxIter = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe expected
+    }
+  }
+
+  test("canonicalize tags every doc with its cluster canonical and a keep flag") {
+    val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5)
+    val comps = Dedup.connectedComponents(pairs)
+    val out = Dedup.canonicalize(docs, "doc_id", comps)
+      .select("doc_id", "canonical_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // pairs: (1,2) J=7/9 and (3,4) J=1 -> clusters {1,2}->1, {3,4}->3;
+    // doc 5 is untouched and keeps itself
+    out shouldBe Set(
+      (1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 3L, false),
+      (5L, 5L, true))
+    // exactly one kept representative per canonical id
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      rows.count(_._3) shouldBe 1
+    }
+  }
+
   test("connectedComponents refuses to return unconverged (silently wrong) labels") {
     // a 6-node chain has diameter 5; with maxIter=2 the min label cannot
     // reach the far end — must throw, not return partial propagation
