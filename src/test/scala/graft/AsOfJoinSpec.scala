@@ -39,6 +39,31 @@ class AsOfJoinSpec extends SparkSpec {
       (4L, 200L, 3.0))
   }
 
+  test("asOf property: equals brute-force latest-preceding on random data, any partitioning") {
+    val rnd = new scala.util.Random(23)
+    val keys = Seq("a", "b", "c", "d")
+    val leftRows = Seq.fill(120)((keys(rnd.nextInt(4)),
+      rnd.nextInt(1000).toLong, rnd.nextLong()))
+    val rightRows = Seq.fill(80)((keys(rnd.nextInt(4)),
+      rnd.nextInt(1000).toLong, rnd.nextLong()))
+    // distinct right (key, ts) so the engine-defined winner on duplicate
+    // right timestamps cannot diverge from the reference computation
+    val right = rightRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val lDf = leftRows.toDF("k", "ts", "lid").repartition(7)
+    val rDf = right.toDF("k", "ts", "rid").repartition(3)
+    val got = AsOfJoin.asOf(lDf, rDf, "k", "ts", payloadCols = Seq("rid"))
+      .select($"k", $"ts", $"lid", $"asof_rid")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    got.length shouldBe 120
+    val expected = leftRows.map { case (k, t, lid) =>
+      val prev = right.filter(q => q._1 == k && q._2 <= t)
+      (k, t, lid, if (prev.isEmpty) None else Some(prev.maxBy(_._2)._3))
+    }
+    got.sortBy(r => (r._1, r._2, r._3)).toSeq shouldBe
+      expected.sortBy(r => (r._1, r._2, r._3))
+  }
+
   test("asOf keys are isolated: right rows never leak across keys") {
     val left = Seq(("X", ts("2024-01-01 00:00:10"), 1L)).toDF("k", "ts", "id")
     val right = Seq(("Y", ts("2024-01-01 00:00:00"), 9L)).toDF("k", "ts", "id")
