@@ -10,6 +10,10 @@ import graft.streaming.StreamingOps
 
 case class Ev(ts: Timestamp, key: String, value: Double)
 case class Keyed(ts: Timestamp, k: String, payload: String)
+/** A columnar ParameterData frame as published INTO a topic (ref
+  * quix.ts:133-136 SendParameterData). */
+case class CFrame(stream_id: Long, timestamps: Seq[Long],
+                  numericValues: Map[String, Seq[Double]])
 
 /** Streaming-parity tests for the defining computation (SURVEY.md §7
   * hard part 1): Quix `.final()` ≡ Spark append output mode — a window
@@ -63,6 +67,48 @@ class StreamingSpec extends SparkSpec {
       input.addData(Ev(ts("2024-01-01 10:00:30"), "a", 100.0))
       q.processAllAvailable()
       spark.table("agg_out").count() shouldBe 2 // unchanged, no re-emission
+    } finally q.stop()
+  }
+
+  test("streaming columnar write-back: ParameterData frames explode and window-aggregate like batch (ref quix.ts:133-136)") {
+    import graft.operators.Telemetry
+    val input = MemoryStream[CFrame](spark)
+    // frames carry ns timestamps + parallel value arrays; the same
+    // fromColumnarResponse used in batch runs stateless inside the stream
+    val rows = Telemetry.fromColumnarResponse(input.toDF(),
+      numericCols = Seq("value"), groupBy = Seq("stream_id"))
+    val agged = StreamingOps.windowedAgg(rows, "ts", "stream_id",
+      "1 minute", "1 second",
+      Seq(dsum(col("value")).as("sum_v"), count(lit(1)).as("n")))
+    val ckpt = Files.createTempDirectory("ckpt_cols").toString
+    val q = agged.writeStream.format("memory").queryName("cols_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      def ns(s: String): Long = Timestamp.valueOf(s).getTime * 1000000L
+      val frames = Seq(
+        CFrame(1L, Seq(ns("2024-01-01 10:00:05"), ns("2024-01-01 10:00:40")),
+          Map("value" -> Seq(10.0, 30.0))),
+        CFrame(2L, Seq(ns("2024-01-01 10:00:20")),
+          Map("value" -> Seq(5.0))))
+      input.addData(frames)
+      q.processAllAvailable()
+      spark.table("cols_out").count() shouldBe 0 // window still open
+      // sentinel frame far past window_end + grace closes it
+      input.addData(CFrame(9L, Seq(ns("2024-01-01 10:02:30")),
+        Map("value" -> Seq(0.0))))
+      q.processAllAvailable()
+      val emitted = spark.table("cols_out")
+        .select($"stream_id", $"sum_v", $"n").orderBy($"stream_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // batch twin: explode the same frames and aggregate
+      val batch = Telemetry.fromColumnarResponse(frames.toDF(),
+          numericCols = Seq("value"), groupBy = Seq("stream_id"))
+        .groupBy(window($"ts", "1 minute"), $"stream_id")
+        .agg(dsum($"value").as("sum_v"), count(lit(1)).as("n"))
+        .select($"stream_id", $"sum_v", $"n").orderBy($"stream_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      emitted.toSeq shouldBe batch.toSeq
+      emitted.length shouldBe 2
     } finally q.stop()
   }
 
