@@ -705,6 +705,25 @@ object SparkEntry {
       recallDf.crossJoin(fpDf)
     }),
 
+    // Text quality + token budgeting + portable fingerprint chain:
+    // qualityScore (length/stopword/diversity blend — the SQL mirrors
+    // the exact operation order so IEEE doubles are bit-identical),
+    // BPE-ish subword counting for corpus budgeting, and the portable
+    // md5-chain rolling hash (order-SENSITIVE, engine-reproducible).
+    "q39_text_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stop = Seq("the", "a", "of", "to", "and", "in", "is", "for")
+      val counts = TextAnalysis.tokenCounts(col("text"))
+      docs.select(
+          col("doc_id"),
+          TextAnalysis.qualityScore(col("text"), stop).as("quality"),
+          counts.getField("n_whitespace").cast("long").as("n_whitespace"),
+          counts.getField("n_bpeish").cast("long").as("n_bpeish"),
+          counts.getField("n_chars_div4").cast("long").as("n_chars_div4"),
+          TextAnalysis.rollingHashPortable(col("text")).as("roll_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM dedup 6 — duplicate-cluster canonicalization: connected
     // components over q11's exact Jaccard pair graph (component = min
     // reachable doc id), checked against a DuckDB RECURSIVE reachability
@@ -1048,6 +1067,21 @@ object SparkEntry {
 
     "q37_cosine_neardup" ->
       "SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST(TRUE AS BOOLEAN) AS no_false_pos",
+
+    "q39_text_quality" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+        |    + (CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','for'))) AS DOUBLE) / len(toks)) * 0.3
+        |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3 AS quality,
+        |  CAST(len(toks) AS BIGINT) AS n_whitespace,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4,
+        |  list_reduce(list_prepend('', toks), (acc, t) -> md5(acc || t)) AS roll_hash
+        |FROM tok
+        |ORDER BY doc_id""".stripMargin,
 
     "q38_dup_components" ->
       s"""WITH RECURSIVE $SHINGLES_CTE,

@@ -96,4 +96,14 @@ object TextAnalysis {
     */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** PORTABLE order-sensitive rolling hash: h = md5(h || token),
+    * chained left-to-right — reproducible in any engine with md5
+    * (DuckDB twin: `list_reduce(list_prepend('', toks),
+    * (acc, t) -> md5(acc || t))`), unlike the engine-fast xxhash64
+    * [[rollingHash]]. Interpreted HOF fold — fine at one fold per
+    * document; prefer [[rollingHash]] on hot paths.
+    */
+  def rollingHashPortable(text: Column): Column =
+    aggregate(tokens(text), lit(""), (acc, t) => md5(concat(acc, t)))
 }

@@ -67,4 +67,17 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rh("a") should not be rh("b") // order matters
   }
+
+  test("rollingHashPortable: md5 chain matches a reference computation and is order sensitive") {
+    val df = Seq(("a", "x y z"), ("b", "z y x")).toDF("k", "text")
+    val got = df.select($"k", TextAnalysis.rollingHashPortable($"text").as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // reference: h = md5(h || token), starting from ""
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = Seq("x", "y", "z").foldLeft("")((h, t) => md5Hex(h + t))
+    got("a") shouldBe expected
+    got("a") should not be got("b") // order matters
+  }
 }
