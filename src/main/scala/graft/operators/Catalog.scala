@@ -122,6 +122,73 @@ object Catalog {
     acc
   }
 
+  /** Downward closure — every (id, descendant_id, depth) — derived from
+    * [[ancestors]] by swapping the pair (descendant-of is the inverse
+    * relation of ancestor-of; ref streamWithChildren.ts:16-18's
+    * children tree is the depth-1 slice of this).
+    */
+  def descendants(streams: DataFrame, idCol: String, parentsCol: String,
+                  maxDepth: Int = 20): DataFrame =
+    ancestors(streams, idCol, parentsCol, maxDepth)
+      .select(col("ancestor_id").as("id"), col("id").as("descendant_id"),
+        col("depth"))
+
+  // ------------------------------------------------- stream lifecycle
+
+  /** Soft-delete request (ref deleteStreamRequest.ts:16-24): target
+    * streams get status SoftDeleted and a softDeleteAt stamp;
+    * hardDelete=true removes the rows instead. `now` is caller-supplied
+    * so the transform stays deterministic/replayable.
+    */
+  def deleteStreams(streams: DataFrame, idCol: String, ids: Seq[String],
+                    now: java.sql.Timestamp,
+                    hardDelete: Boolean = false): DataFrame = {
+    val hit = col(idCol).cast("string").isin(ids: _*)
+    if (hardDelete) streams.filter(!hit)
+    else streams
+      .withColumn("status", when(hit, lit("SoftDeleted")).otherwise(col("status")))
+      .withColumn("softDeleteAt", when(hit, lit(now)).otherwise(col("softDeleteAt")))
+  }
+
+  /** Restore request (ref restoreStreamRequest.ts:16-19): soft-deleted
+    * targets return to Closed with the stamp cleared.
+    */
+  def restoreStreams(streams: DataFrame, idCol: String, ids: Seq[String]): DataFrame = {
+    val hit = col(idCol).cast("string").isin(ids: _*) &&
+      col("status") === "SoftDeleted"
+    // ONE projection: a second withColumn would re-evaluate `hit`
+    // against the already-rewritten status and never clear the stamp
+    streams.select(streams.columns.map {
+      case "status" => when(hit, lit("Closed")).otherwise(col("status")).as("status")
+      case "softDeleteAt" =>
+        when(hit, lit(null).cast("timestamp")).otherwise(col("softDeleteAt")).as("softDeleteAt")
+      case c => col(c)
+    }: _*)
+  }
+
+  /** Patch request (ref patchStreamRequest.ts:16-31): set any of name /
+    * status / location / metadata on one stream. Enum-checked like
+    * [[statusFilter]].
+    */
+  def patchStream(streams: DataFrame, idCol: String, id: String,
+                  name: Option[String] = None,
+                  status: Option[String] = None,
+                  location: Option[String] = None,
+                  metadata: Option[Map[String, String]] = None): DataFrame = {
+    status.foreach(s => require(StreamStatuses.contains(s),
+      s"unknown status $s (vocabulary: ${StreamStatuses.mkString(", ")})"))
+    val hit = col(idCol).cast("string") === id
+    def set(df: DataFrame, c: String, v: Column): DataFrame =
+      df.withColumn(c, when(hit, v).otherwise(col(c)))
+    var out = streams
+    name.foreach(v => out = set(out, "name", lit(v)))
+    status.foreach(v => out = set(out, "status", lit(v)))
+    location.foreach(v => out = set(out, "location", lit(v)))
+    metadata.foreach(m => out = set(out, "metadata",
+      map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)))
+    out
+  }
+
   // ---------------------------------------------------------- group trees
 
   /** Parent path within a '/'-separated hierarchy ("a/b/c" → "a/b",

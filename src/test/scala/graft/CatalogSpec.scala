@@ -95,6 +95,46 @@ class CatalogSpec extends SparkSpec {
       ("s5", "s5", 2), ("s6", "s6", 2))   // ...and its own depth-2 ancestor; loop terminates
   }
 
+  test("descendants is the inverse closure of ancestors (ref streamWithChildren.ts children tree)") {
+    val dim = Seq(
+      ("s1", Seq.empty[String]), ("s2", Seq("s1")), ("s3", Seq("s2"))
+    ).toDF("streamId", "parents")
+    val got = Catalog.descendants(dim, "streamId", "parents")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    got shouldBe Set(("s1", "s2", 1), ("s2", "s3", 1), ("s1", "s3", 2))
+  }
+
+  test("stream lifecycle: soft-delete stamps, restore clears, hard-delete removes, patch edits one row") {
+    val now = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val dim = Seq(
+      ("s1", "live-a", "Open", null.asInstanceOf[java.sql.Timestamp], "/cars/gt3"),
+      ("s2", "live-b", "Closed", null.asInstanceOf[java.sql.Timestamp], "/cars")
+    ).toDF("streamId", "name", "status", "softDeleteAt", "location")
+    val deleted = Catalog.deleteStreams(dim, "streamId", Seq("s1"), now)
+    val d1 = deleted.filter($"streamId" === "s1").collect()(0)
+    d1.getAs[String]("status") shouldBe "SoftDeleted"
+    d1.getAs[java.sql.Timestamp]("softDeleteAt") shouldBe now
+    deleted.filter($"streamId" === "s2").collect()(0)
+      .getAs[String]("status") shouldBe "Closed" // untouched
+    // restore brings it back to Closed and clears the stamp
+    val restored = Catalog.restoreStreams(deleted, "streamId", Seq("s1", "s2"))
+    val r1 = restored.filter($"streamId" === "s1").collect()(0)
+    r1.getAs[String]("status") shouldBe "Closed"
+    r1.getAs[java.sql.Timestamp]("softDeleteAt") shouldBe null
+    // hard delete removes the row
+    Catalog.deleteStreams(dim, "streamId", Seq("s1"), now, hardDelete = true)
+      .count() shouldBe 1
+    // patch edits exactly the target row; bad status rejected at plan time
+    val patched = Catalog.patchStream(dim, "streamId", "s2",
+      name = Some("renamed"), status = Some("Idle"))
+    patched.filter($"streamId" === "s2").collect()(0)
+      .getAs[String]("name") shouldBe "renamed"
+    patched.filter($"streamId" === "s1").collect()(0)
+      .getAs[String]("name") shouldBe "live-a"
+    an[IllegalArgumentException] should be thrownBy
+      Catalog.patchStream(dim, "streamId", "s2", status = Some("nope"))
+  }
+
   test("withChildrenCount counts DIRECT children via parentPath (ref parameterGroup.ts:37-40)") {
     val groups = Seq(
       ("Chassis", "g-chassis"), ("Chassis/Suspension", "g-susp"),
