@@ -97,7 +97,13 @@ package object functions {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** Whitespace tokenizer over normalized text. */
+  /** Whitespace tokenizer over normalized text. Deliberately the
+    * two-step `split(normText(c), " ")` rather than a direct
+    * `split(trim(lower(c)), "\s+")`: SQL `trim` strips only spaces, so
+    * the one-pass form emits a trailing "" token for text ending in a
+    * tab/newline — not equivalent on edge whitespace (and the DuckDB
+    * twins everywhere mirror the two-step form).
+    */
   def tokens(c: Column): Column = split(normText(c), " ")
 
   /** Distinct word n-gram shingles of a token array — the unit set for
