@@ -188,15 +188,19 @@ object Dedup {
   }
 
   /** MinHash signature as ONE per-row expression: slot i is the min of
-    * xxhash64(i, shingle) over the doc's shingle array — a nested
-    * `transform`/`array_min`, zero shuffle (the previous explode +
-    * k min-aggregates shape paid a full shuffle of k agg columns for
-    * the same numbers). Deterministic: xxhash64 is a fixed function of
-    * (slot, shingle).
+    * xxhash64(i, shingle) over the doc's shingle array — zero shuffle
+    * (the original explode + k min-aggregates shape paid a full
+    * shuffle of k agg columns for the same numbers). Since round 4 a
+    * native codegen'd k×n loop ([[graft.expressions.MinHashSignature]])
+    * replaces the nested interpreted `transform`/`array_min` lambdas,
+    * BIT-IDENTICAL by construction (same XXH64 seed chain; DedupSpec
+    * pins parity against the HOF formulation). Deterministic: xxhash64
+    * is a fixed function of (slot, shingle).
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.GraftColumnBridge.expression(sh), k))
 
   /** MinHash-LSH near-dup: signatures banded into `bands` groups of
     * `rows` slots; docs colliding on any band hash become candidates

@@ -98,6 +98,24 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("native minhashSignature is bit-identical to the HOF xxhash64 formulation") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2)
+    val hof = sh.select($"id", transform(sequence(lit(0), lit(15)),
+        i => array_min(transform($"sh", s => xxhash64(i, s)))).as("sig"))
+      .orderBy($"id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val native = sh.select($"id", Dedup.minhashSignature($"sh", 16).as("sig"))
+      .orderBy($"id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    native shouldBe hof
+    // and over pre-hashed long shingles too
+    val hashed = sh.select($"id", transform($"sh", s => xxhash64(s)).as("sh"))
+    val hofL = hashed.select($"id", transform(sequence(lit(0), lit(15)),
+        i => array_min(transform($"sh", s => xxhash64(i, s)))).as("sig"))
+      .orderBy($"id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val nativeL = hashed.select($"id", Dedup.minhashSignature($"sh", 16).as("sig"))
+      .orderBy($"id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    nativeL shouldBe hofL
+  }
+
   test("minhashSignature is deterministic and monotone under subset growth") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 2)
     val sig1 = sh.select($"id", Dedup.minhashSignature($"sh", 16).as("sig"))
