@@ -268,24 +268,17 @@ object Dedup {
     * identical lowercase hex in Spark and DuckDB, so an oracle can
     * recompute the fingerprint — and the exact near-dup pair set —
     * bit-for-bit in SQL, unlike the xxhash64-based [[simhash]].
-    * Same explode + codegen'd-sums shape as [[simhash]] (measured 2.3×
-    * faster than the per-row lambda formulation, identical output).
+    *
+    * Since round 4 this is ONE per-row native expression
+    * ([[graft.expressions.SimHashPortable64]]) — no explode, no
+    * shuffle, no 64-column aggregate; the former explode +
+    * codegen'd-sums formulation is pinned bit-identical in DedupSpec.
     */
   def simhashPortable64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(tokens(col(textCol))).as("tk"))
-      .select(col("id"),
-        md5(col("tk")).as("h1"),
-        md5(concat(lit("x"), col("tk"))).as("h2"))
-    val sums = (0 until 32).map(i =>
-        sum(when(substring(col("h1"), i + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$i")) ++
-      (0 until 32).map(i =>
-        sum(when(substring(col("h2"), i + 1, 1) >= "8", 1).otherwise(-1)).as(s"b${i + 32}"))
-    val agg = tok.groupBy("id").agg(sums.head, sums.tail: _*)
-    val fp = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), fp.as("simhash"))
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    docs.select(col(idCol).as("id"),
+      toCol(graft.expressions.SimHashPortable64(
+        toExpr(tokens(col(textCol))))).as("simhash"))
   }
 
   /** Near-dup pairs from any fingerprint table (id, simhash) within

@@ -210,6 +210,25 @@ class DedupSpec extends SparkSpec {
     got.values.toSet shouldBe Set(1L)
   }
 
+  test("native simhashPortable64 is bit-identical to the explode + 64-sums formulation") {
+    import graft.functions.tokens
+    val tok = docs.select($"doc_id".as("id"), explode(tokens($"text")).as("tk"))
+      .select($"id", md5($"tk").as("h1"), md5(concat(lit("x"), $"tk")).as("h2"))
+    val sums = (0 until 32).map(i =>
+        sum(when(substring($"h1", i + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$i")) ++
+      (0 until 32).map(i =>
+        sum(when(substring($"h2", i + 1, 1) >= "8", 1).otherwise(-1)).as(s"b${i + 32}"))
+    val agg = tok.groupBy("id").agg(sums.head, sums.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val reference = agg.select($"id", fp.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhashPortable64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    native shouldBe reference
+  }
+
   test("simhash (xxhash64) and simhashPortable64 both give hamming 0 for identical docs") {
     for (f <- Seq(Dedup.simhash(docs, "doc_id", "text"),
                   Dedup.simhashPortable64(docs, "doc_id", "text"))) {
