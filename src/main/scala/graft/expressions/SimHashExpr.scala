@@ -48,6 +48,36 @@ case class SimHashPortable64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Engine-fast 64-bit SimHash twin of [[SimHashPortable64]]: bit i is
+  * the majority vote of bit i of xxhash64(token) (Spark's default seed
+  * 42 — the same value `xxhash64(tk)` yields in SQL). Bit-identical to
+  * the explode + 64-conditional-sums formulation over
+  * `shiftright(xxhash64(tk), i) & 1`; no explode, no shuffle.
+  */
+case class SimHashXx64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash_xx64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashPortable64.hashXx(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SimHashPortable64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $helper.hashXx($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashXx64 =
+    copy(child = newChild)
+}
+
 object SimHashPortable64 {
 
   private val digests = new ThreadLocal[MessageDigest] {
@@ -81,6 +111,32 @@ object SimHashPortable64 {
         val b2 = d2(i >> 1)
         val bit2 = (b2 >> (if ((i & 1) == 0) 7 else 3)) & 1
         votes(i + 32) += (if (bit2 == 1) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** xxhash64-based voting twin (see [[SimHashXx64]]). */
+  def hashXx(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (arr.isNullAt(t))
+        throw new IllegalArgumentException(s"simhash_xx64: null token at index $t")
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(arr.getUTF8String(t), 42L)
+      var i = 0
+      while (i < 64) {
+        votes(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
         i += 1
       }
       t += 1

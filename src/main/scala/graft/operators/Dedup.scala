@@ -241,24 +241,16 @@ object Dedup {
 
   /** 64-bit SimHash over tokens: bit i of the fingerprint is the
     * majority vote of bit i of xxhash64(token) (sign of the classic ±1
-    * sum). Shape: explode + 64 codegen'd conditional sums — a per-row
-    * higher-order-function formulation was measured 2.3× SLOWER at
-    * sf0.1 (lambda bodies are interpreted, while sum(when) aggregates
-    * stay inside whole-stage codegen, and the shuffle after partial
-    * aggregation is only n_docs × 64 longs).
+    * sum). Since round 4 a per-row native expression
+    * ([[graft.expressions.SimHashXx64]]) — no explode, no shuffle, no
+    * 64-column aggregate; bit-identical to the explode + sum(when)
+    * formulation (DedupSpec parity).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(tokens(col(textCol))).as("tk"))
-      .select(col("id"), xxhash64(col("tk")).as("h"))
-    val sums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val agg = tok.groupBy("id").agg(sums.head, sums.tail: _*)
-    val fp = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), fp.as("simhash"))
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    docs.select(col(idCol).as("id"),
+      toCol(graft.expressions.SimHashXx64(
+        toExpr(tokens(col(textCol))))).as("simhash"))
   }
 
   /** 64-bit PORTABLE SimHash: bit i (0..31) = majority over tokens of

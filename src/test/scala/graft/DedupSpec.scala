@@ -229,6 +229,24 @@ class DedupSpec extends SparkSpec {
     native shouldBe reference
   }
 
+  test("native simhash (xxhash64) is bit-identical to the explode + sum(when) formulation") {
+    import graft.functions.tokens
+    val tok = docs.select($"doc_id".as("id"), explode(tokens($"text")).as("tk"))
+      .select($"id", xxhash64($"tk").as("h"))
+    val sums = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy("id").agg(sums.head, sums.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val reference = agg.select($"id", fp.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    native shouldBe reference
+  }
+
   test("simhash (xxhash64) and simhashPortable64 both give hamming 0 for identical docs") {
     for (f <- Seq(Dedup.simhash(docs, "doc_id", "text"),
                   Dedup.simhashPortable64(docs, "doc_id", "text"))) {
