@@ -35,6 +35,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaApi) // bit-identical: same expression either way
   }
 
+  test("dedup fingerprints are callable from SQL: simhash + minhash signature") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  simhash_portable64(array('alpha', 'beta')) AS sp,
+        |  simhash_xx64(array('alpha', 'beta')) AS sx,
+        |  minhash_signature(array('alpha', 'beta'), 4) AS mh
+        |""".stripMargin).collect()(0)
+    // values equal the Column-API operators on the same tokens
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaApi = graft.operators.Dedup.simhashPortable64(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0).getLong(1)
+    row.getLong(0) shouldBe viaApi
+    row.getSeq[Long](2).size shouldBe 4
+    // k must be a literal
+    intercept[Exception](spark.sql(
+      "SELECT minhash_signature(array('a'), cast(rand()*4 AS INT))").collect())
+  }
+
   test("wrong arity fails at analysis, wrong types fail the expression's type check") {
     GraftExtensions.register(spark)
     intercept[Exception](spark.sql("SELECT dot_product(array(1.0D))").collect())
