@@ -82,9 +82,17 @@ object Similarity {
       emb.filter(col(idCol).isin(queryIds: _*))
         .select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
       "query_id", "query_vec")
-    val cand = corpus.join(queries, Seq("tbl", "bucket"))
+    // distinct on NARROW id pairs — the multi-table join surfaces each
+    // pair up to `tables` times, and a distinct carrying both embedding
+    // vectors would shuffle dim×8 bytes per duplicate; vectors are
+    // joined back once per surviving pair (query side broadcast)
+    val cand = corpus.join(queries.select("tbl", "bucket", "query_id"), Seq("tbl", "bucket"))
       .filter(col("nbr_id") =!= col("query_id"))
-      .select("query_id", "query_vec", "nbr_id", "nbr_vec").distinct()
+      .select("query_id", "nbr_id").distinct()
+      .join(corpus.select("nbr_id", "nbr_vec").distinct(), "nbr_id")
+      .join(broadcast(
+        emb.filter(col(idCol).isin(queryIds: _*))
+          .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))), "query_id")
     val scored = cand.withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id").asc)
@@ -176,11 +184,17 @@ object Similarity {
     val withB = renamed.select(col("id"), col("vec"),
         posexplode(array(planes.map(p => bucketCol(col("vec"), p)): _*)))
       .toDF("id", "vec", "tbl", "bucket")
-    val cand = withB.as("a").join(withB.as("b"), Seq("tbl", "bucket"))
+    // same narrow-distinct shape as [[lshTopK]]: dedup id pairs first
+    // (each pair can collide in up to `tables` buckets), then join the
+    // two vectors back for the exact verify
+    val idx = withB.select("id", "tbl", "bucket")
+    val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.vec").as("vec_a"),
-        col("b.id").as("id_b"), col("b.vec").as("vec_b")).distinct()
-    cand.withColumn("cos_sim", cosineSim(col("vec_a"), col("vec_b")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(renamed.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(renamed.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos_sim", cosineSim(col("vec_a"), col("vec_b")))
       .filter(col("cos_sim") >= t)
       .select("id_a", "id_b", "cos_sim")
   }
