@@ -254,15 +254,15 @@ object SparkEntry {
 
     // LLM dedup 2 — exact n-gram Jaccard similarity self-join with
     // prefix filtering (no crossJoin; inverted index over rare-shingle
-    // prefixes). prefixDfCap=100 drops shingles appearing in >100 docs
-    // from the INDEX only (verify stays exact): measured pair-set
-    // IDENTICAL to the uncapped run at both sf0.01 (25 pairs) and
-    // sf0.1 (256 pairs) — on this corpus no qualifying pair overlaps
-    // exclusively on hot shingles — while cutting the candidate join's
-    // hottest posting lists.
+    // prefixes). UNCAPPED here: this query is checked against an exact
+    // DuckDB Jaccard oracle, and the prefixDfCap dial's exactness is a
+    // corpus property (a qualifying pair could in principle overlap
+    // only on hot shingles), so the oracle-hash-gated query keeps the
+    // unconditional algorithm. The capped variant is benchmarked
+    // separately as q40_jaccard_capped.
     "q11_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardSimilarityJoin(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, t = 0.5, prefixDfCap = Some(100L))
+          n = 3, t = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -504,7 +504,15 @@ object SparkEntry {
         StructField("event_type", StringType),
         StructField("value", DoubleType),
         StructField("channel", StringType))) // absent in the data
+      // Materialize the parsed (bronze→silver) table before the
+      // quarantine filter + sort: without the cut, PushDownPredicates
+      // inlines the WHOLE from_json into the corrupt-record Filter
+      // (one extra parse per row) and the range-sort's sampling pass
+      // re-parses everything again — measured 2.8 s → 1.1 s at sf0.1.
+      // At scale this cut is the ingestion layer's real parsed-table
+      // write; see Ingest.parseJson's scaladoc.
       val parsed = sources.Ingest.parseJson(poisoned, "raw", schema)
+        .localCheckpoint()
       sources.Ingest.valid(parsed)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"),
@@ -612,8 +620,11 @@ object SparkEntry {
         concat(lit("title-"), col("event_id")).as("title"),
         lit("u").as("article_url"),
         lit("d").as("description"))).as("raw"))
+      // same bronze→silver cut as q26: stop the corrupt-record filter
+      // and the sort-sampling pass from re-running the nested parse
       val parsed = sources.Ingest.valid(
-        sources.Ingest.parseJson(json, "raw", sources.Schemas.newsArticle))
+        sources.Ingest.parseJson(json, "raw", sources.Schemas.newsArticle)
+          .localCheckpoint())
       sources.Ingest.newsTransform(parsed)
         .select(col("id"), col("published_at"), col("publisher_name"),
           concat_ws(",", col("tickers")).as("tickers_str"), col("title"),
@@ -648,7 +659,10 @@ object SparkEntry {
     // through the planner's First/Last/Count string-agg menu. First/
     // Last tie-break on the value bytes themselves (struct(ts, bin) —
     // mirrored in SQL by padded-epoch || hex, which orders identically
-    // to the raw bytes since hex is monotone in them).
+    // to the raw bytes since hex is monotone in them). The aggregation
+    // runs on raw BinaryType end-to-end; only the final projection
+    // hex-encodes the two payload columns because the driver's compare
+    // hashes column values and raw bytes aren't hashable there.
     "q35_binary_params" -> ((s, dir) => {
       import Telemetry._
       val ev = Tables.events(s, dir).withColumn("payload",
@@ -659,6 +673,10 @@ object SparkEntry {
           StringAgg("payload", StrFirst, "first_payload"),
           StringAgg("payload", StrLast, "last_payload"),
           StringAgg("payload", StrCount, "n_payload"))))
+        .select(col("bucket_ts"),
+          lower(hex(col("first_payload"))).as("first_payload"),
+          lower(hex(col("last_payload"))).as("last_payload"),
+          col("n_payload"))
         .orderBy(col("bucket_ts"))
     }),
 
@@ -674,7 +692,12 @@ object SparkEntry {
           when(col("user_id") > 1,
             array(floor(col("user_id") / 2).cast("long")))
             .otherwise(array().cast("array<long>")).as("parents"))
-      Catalog.ancestors(dim, "streamId", "parents")
+      // maxDepth 64 ≥ log2 of any i64 id: the binary-tree lineage is
+      // ~log2(max user_id) deep, so depth 20 would overflow (and now
+      // throw) once max user_id ≥ 2^20 at larger scale factors. The
+      // loop still stops as soon as the frontier empties, so the
+      // higher cap costs nothing at small sf.
+      Catalog.ancestors(dim, "streamId", "parents", maxDepth = 64)
         .orderBy(col("id"), col("ancestor_id"), col("depth"))
     }),
 
@@ -730,9 +753,23 @@ object SparkEntry {
     // oracle — an exact cross-engine gate for the label-propagation loop.
     "q38_dup_components" -> ((s, dir) => {
       val pairs = Dedup.jaccardSimilarityJoin(Tables.documents(s, dir),
-        "doc_id", "text", n = 3, t = 0.5, prefixDfCap = Some(100L))
+        "doc_id", "text", n = 3, t = 0.5)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
+    }),
+
+    // Benchmark-only dial evidence for the prefix df-cap (the q11
+    // algorithm with prefixDfCap=100: shingles appearing in >100 docs
+    // are dropped from the INDEX only; every emitted pair is still
+    // exact-verified, so the dial can only MISS pairs, never invent
+    // them). Kept out of the exact-oracle gate on purpose — the dial's
+    // completeness is a corpus property, not an algorithm property
+    // (measured identical to the uncapped pair set on this corpus at
+    // sf0.01 and sf0.1; DedupSpec pins the subset relation).
+    "q40_jaccard_capped" -> ((s, dir) => {
+      Dedup.jaccardSimilarityJoin(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, t = 0.5, prefixDfCap = Some(100L))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1061,8 +1098,8 @@ object SparkEntry {
         |    printf('%020d', epoch_us(ts)) || md5(CAST(event_id AS VARCHAR) || ':' || event_type) AS tk
         |  FROM events)
         |SELECT bucket_ts,
-        |  arg_min(payload, tk) AS first_payload,
-        |  arg_max(payload, tk) AS last_payload,
+        |  lower(hex(arg_min(payload, tk))) AS first_payload,
+        |  lower(hex(arg_max(payload, tk))) AS last_payload,
         |  COUNT(payload) AS n_payload
         |FROM p
         |GROUP BY 1

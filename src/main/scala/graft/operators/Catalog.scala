@@ -109,7 +109,7 @@ object Catalog {
     var frontier = acc
     var depth = 1
     var done = false
-    while (!done && depth < maxDepth) {
+    while (!done) {
       val next = frontier.select(col("id"), col("ancestor_id").as("__mid"))
         .join(edges.select(col("id").as("__mid"), col("ancestor_id")), "__mid")
         .select(col("id"), col("ancestor_id")).distinct()
@@ -117,6 +117,15 @@ object Catalog {
         .withColumn("depth", lit(depth + 1))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
+      else if (depth >= maxDepth)
+        // Refuse to return a silently-truncated closure (same contract
+        // as connectedComponents' convergence guard): a partial result
+        // is indistinguishable from a complete one to the caller, and
+        // a depth-capped lineage would silently diverge from the
+        // unbounded recursive-CTE semantics on deeper hierarchies.
+        throw new IllegalStateException(
+          s"ancestor closure still expanding after maxDepth=$maxDepth rounds; " +
+            "raise maxDepth (the loop stops on its own once the frontier empties)")
       else { acc = acc.union(next).localCheckpoint(true); frontier = next; depth += 1 }
     }
     acc

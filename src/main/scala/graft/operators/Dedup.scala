@@ -224,7 +224,14 @@ object Dedup {
     // (no barrier) → 1.8 s (materialized cache) at sf0.1.
     val sh = shingles(docs, idCol, textCol, n).persist()
     sh.count()
-    val sig = sh.select(col("id"),
+    // Empty-shingle docs (empty/whitespace-only text shorter than the
+    // gram width) get all-null signatures, which would collide in the
+    // SAME bucket for every band — O(n_empty²) candidate pairs that
+    // verifyJaccard then discards (J with an empty set is 0 < t).
+    // Dropping them up front is safe for the same reason, and the
+    // filter sits on the already-materialized cache, so it cannot
+    // re-inline the shingle lambda into the signature projection.
+    val sig = sh.filter(size(col("sh")) > 0).select(col("id"),
       minhashSignature(col("sh"), bands * rows).as("sig"))
     val bandCols = (0 until bands).map { bnd =>
       val slice = (0 until rows).map(r => element_at(col("sig"), bnd * rows + r + 1))

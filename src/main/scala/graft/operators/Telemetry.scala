@@ -71,11 +71,17 @@ object Telemetry {
     * ISO timestamps; `bucketNs` the time-bucket duration in NANOSECONDS
     * (the contract's unit — ref groupByTimeSettings.ts:17-23);
     * `groupByTags` the tag keys to group by alongside the time bucket
-    * (ref getParameterDataRequest.ts:21-25).
+    * (ref getParameterDataRequest.ts:21-25). `fromNs`/`toNs` are EXACT
+    * nanosecond bounds (set by [[snippetRequest]] — the snippet
+    * contract is ns, ref dataSnippet.ts:13-49): on tables carrying the
+    * raw `ts_ns` long they take precedence over the necessarily-rounded
+    * ISO µs bounds, so sub-µs precision is never lost to the rounding.
     */
   final case class Request(
       from: Option[String]              = None,
       to: Option[String]                = None,
+      fromNs: Option[Long]              = None,
+      toNs: Option[Long]                = None,
       streamIds: Seq[Long]              = Nil,
       tagFilters: Seq[TagFilter]        = Nil,
       metadataFilters: Seq[MetadataFilter] = Nil,
@@ -159,11 +165,29 @@ object Telemetry {
       (unix_micros(to_timestamp(lit(iso))) * 1000L)
     val nsPreds =
       if (!hasRawNs) Nil
-      else req.from.map(f => col("ts_ns") >= nsOf(f)).toSeq ++
-        req.to.map(t => col("ts_ns") < nsOf(t)).toSeq
-    val preds = nsPreds ++
-      req.from.map(f => col("ts") >= to_timestamp(lit(f))).toSeq ++
-      req.to.map(t => col("ts") < to_timestamp(lit(t))).toSeq ++
+      else req.fromNs.map(n => col("ts_ns") >= n)
+             .orElse(req.from.map(f => col("ts_ns") >= nsOf(f))).toSeq ++
+           req.toNs.map(n => col("ts_ns") < n)
+             .orElse(req.to.map(t => col("ts_ns") < nsOf(t))).toSeq
+    // ts-level twins of the bounds. With exact ns bounds the µs ts
+    // predicate must be IMPLIED BY the ns predicate, not stricter:
+    // ts = trunc(ts_ns/1000), so `ts_ns >= F` implies
+    // `ts >= floor(F/1000)` (floor, NOT ceil — a sub-µs F would
+    // otherwise exclude rows the exact ns filter admits) and
+    // `ts_ns < T` implies `ts < ceil(T/1000)`. Without a raw ns
+    // column the data is µs-grid and the ceil'd bound on both ends is
+    // itself exact (grid point p ∈ [F, T) iff ceil(F/1000) ≤ p <
+    // ceil(T/1000)).
+    def usCeil(n: Long): Long = Math.floorDiv(n + 999L, 1000L)
+    val tsFromPred =
+      req.fromNs.map { n =>
+        val us = if (hasRawNs) Math.floorDiv(n, 1000L) else usCeil(n)
+        col("ts") >= timestamp_micros(lit(us))
+      }.orElse(req.from.map(f => col("ts") >= to_timestamp(lit(f))))
+    val tsToPred =
+      req.toNs.map(n => col("ts") < timestamp_micros(lit(usCeil(n))))
+        .orElse(req.to.map(t => col("ts") < to_timestamp(lit(t))))
+    val preds = nsPreds ++ tsFromPred.toSeq ++ tsToPred.toSeq ++
       (if (req.streamIds.nonEmpty) Seq(col("stream_id").isin(req.streamIds: _*)) else Nil) ++
       req.tagFilters.map(tagPredicate) ++
       req.metadataFilters.map(m => element_at(col(metaCol), m.key) === m.value)
@@ -218,12 +242,15 @@ object Telemetry {
     *
     * The snippet contract is ns-precision (ref dataSnippet.ts:13-49)
     * while the Request's ISO bounds — like the ts column — carry µs.
-    * Both bounds are formatted at full µs precision with ns rounded UP
-    * (`ceil(ns/1000)`): a µs-grid point p is in the snippet's
-    * [fromNs, toNs) iff `ceil(fromNs/1000) <= p < ceil(toNs/1000)`, so
-    * the expanded inclusive/exclusive µs range selects exactly the
-    * snippet's rows. Whole-second truncation here previously admitted
-    * up to 1 s of extra leading data and dropped up to 1 s before `to`.
+    * The EXACT ns bounds ride along as `fromNs`/`toNs`: on tables with
+    * the raw `ts_ns` long, plan() filters `ts_ns >= fromNs AND
+    * ts_ns < toNs` directly (true ns semantics, no rounding loss);
+    * the ISO strings remain the µs-grid rendering — rounded UP
+    * (`ceil(ns/1000)`), which is exact for µs-grid data: a grid point
+    * p is in [fromNs, toNs) iff `ceil(fromNs/1000) <= p <
+    * ceil(toNs/1000)`. Whole-second truncation here previously
+    * admitted up to 1 s of extra leading data and dropped up to 1 s
+    * before `to`.
     */
   def snippetRequest(s: DataSnippet): Request = {
     def iso(ns: Long): String = {
@@ -234,6 +261,7 @@ object Telemetry {
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
     }
     Request(from = Some(iso(s.fromNs)), to = Some(iso(s.toNs)),
+      fromNs = Some(s.fromNs), toNs = Some(s.toNs),
       streamIds = s.streamIds)
   }
 

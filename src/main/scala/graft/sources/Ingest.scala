@@ -20,6 +20,16 @@ object Ingest {
     * the job — the reference's skip-bad-record-and-continue policy
     * (ref option_trades/utils.py:205-208; SURVEY.md §2.10 error
     * handling). Returns all rows; use [[valid]]/[[corrupt]] to split.
+    *
+    * PERFORMANCE: the result is lazy, and Catalyst's PushDownPredicates
+    * will inline the whole `from_json` into any filter a caller puts on
+    * top (the [[valid]] quarantine filter included) — the JSON then
+    * parses once in the Filter and again in the projection, and a
+    * global sort's range-sampling pass doubles both. Callers that
+    * filter-and-consume should cut the plan at the parse boundary
+    * (`.localCheckpoint()` locally; at scale, the parsed-table write
+    * that an ingestion bronze→silver layer does anyway) — measured
+    * 2.6× on the q26 ingest query at sf0.1.
     */
   def parseJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
     val withCorrupt = schema.add(CorruptCol, org.apache.spark.sql.types.StringType)

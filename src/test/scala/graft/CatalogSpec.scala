@@ -95,6 +95,19 @@ class CatalogSpec extends SparkSpec {
       ("s5", "s5", 2), ("s6", "s6", 2))   // ...and its own depth-2 ancestor; loop terminates
   }
 
+  test("ancestors refuses a silently-truncated closure: throws when maxDepth is hit with a live frontier") {
+    // chain s1 <- s2 <- s3 <- s4: the closure needs depth 3
+    val dim = Seq(
+      ("s1", Seq.empty[String]), ("s2", Seq("s1")),
+      ("s3", Seq("s2")), ("s4", Seq("s3"))
+    ).toDF("streamId", "parents")
+    an[IllegalStateException] should be thrownBy
+      Catalog.ancestors(dim, "streamId", "parents", maxDepth = 2)
+    // ...and converges fine when the cap admits the true depth
+    Catalog.ancestors(dim, "streamId", "parents", maxDepth = 3)
+      .count() shouldBe 6L
+  }
+
   test("descendants is the inverse closure of ancestors (ref streamWithChildren.ts children tree)") {
     val dim = Seq(
       ("s1", Seq.empty[String]), ("s2", Seq("s1")), ("s3", Seq("s2"))

@@ -98,6 +98,22 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("minhashLsh drops empty-shingle docs before banding (no all-null-signature bucket blowup)") {
+    // whitespace/short docs produce ZERO shingles; their signatures
+    // would be k nulls, colliding in one bucket per band — O(n_empty²)
+    // candidates. They can never reach J ≥ t > 0, so excluding them
+    // from the signature path must not change the output.
+    val withEmpties = docs.unionByName(Seq(
+      (100L, ""), (101L, " "), (102L, "  "), (103L, "x")
+    ).toDF("doc_id", "text"))
+    val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(withEmpties, "doc_id", "text", 2, 0.5,
+        bands = 32, rows = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe exact
+  }
+
   test("native minhashSignature is bit-identical to the HOF xxhash64 formulation") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 2)
     val hof = sh.select($"id", transform(sequence(lit(0), lit(15)),

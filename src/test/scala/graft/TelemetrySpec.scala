@@ -256,6 +256,32 @@ class TelemetrySpec extends SparkSpec {
       Some("2024-01-01 10:01:00.123456")
   }
 
+  test("snippet on a raw-ns table filters with EXACT ns bounds (no µs rounding loss)") {
+    // data with true sub-µs precision: three rows inside the same µs.
+    // The snippet contract is ns (ref dataSnippet.ts.ts bounds), so
+    // bounds that cut through a microsecond must separate these rows —
+    // a µs-rounded predicate (ts_ns < ceil(toNs/1000)·1000) would
+    // wrongly admit the 750-ns row.
+    val baseNs = 1704103260123456000L // 10:01:00.123456 on the µs grid
+    val nsRows = Seq(baseNs + 250L, baseNs + 500L, baseNs + 750L,
+      baseNs + 2000L)
+    val df = nsRows.map { n =>
+      (new Timestamp(0), n, 1L, 1.0)
+    }.toDF("ts0", "ts_ns", "stream_id", "value")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      .drop("ts0")
+    val req = Telemetry.snippetRequest(
+      DataSnippet("ns-slice", Seq(1L), baseNs + 300L, baseNs + 700L))
+      .copy(aggs = Seq(NumericAgg("ts_ns", AggNone, "ts_ns")))
+    val got = plan(df, req).select($"ts_ns").collect().map(_.getLong(0)).toSeq
+    got shouldBe Seq(baseNs + 500L)
+    // and the derived µs ts predicate stayed consistent (floor on
+    // `from`): a row admitted by the ns bound is never excluded by ts
+    val req2 = Telemetry.snippetRequest(
+      DataSnippet("ns-slice2", Seq(1L), baseNs + 300L, baseNs + 2100L))
+    plan(df, req2).count() shouldBe 3L // +500, +750 (same µs as from) and +2000
+  }
+
   test("AggNone raw fetch projects requested tag columns") {
     val out = plan(points, Request(
       groupByTags = Seq("device"),
