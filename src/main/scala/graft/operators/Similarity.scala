@@ -38,7 +38,7 @@ object Similarity {
     * weights in [-0.5, 0.5), derived from a seeded xorshift so every run
     * and every executor sees the same planes (no Math.random).
     */
-  private[operators] def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     var s = seed ^ 0x5DEECE66DL
     def next(): Double = {
       s ^= s << 13; s ^= s >>> 7; s ^= s << 17
@@ -48,17 +48,29 @@ object Similarity {
   }
 
   /** Sign-bucket of one vector under `tbl`'s hyperplane set: a bit per
-    * plane (sign of the dot product), packed to a long. Uses the
-    * native codegen'd [[graft.functions.dotProduct]] — the interpreted
-    * HOF fold here ran planesPerTable × tables times per row and was
-    * the LSH bucketing bottleneck.
+    * plane (sign of the dot product), packed to a long. This per-plane
+    * column formulation is kept ONLY as the parity reference for
+    * [[bucketsCol]] (SimilaritySpec pins them bit-identical) — as the
+    * production path it put tables × planesPerTable separate
+    * DotProduct-with-64-double-literal nodes in one projection, whose
+    * analysis + Janino compile time dominated the query at small scale.
     */
-  private def bucketCol(vec: org.apache.spark.sql.Column,
+  private[graft] def bucketCol(vec: org.apache.spark.sql.Column,
                         planeSet: Array[Array[Double]]): org.apache.spark.sql.Column =
     planeSet.zipWithIndex.map { case (plane, i) =>
       when(dotProduct(vec, lit(plane)) >= 0, shiftleft(lit(1L), i))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** All per-table bucket hashes in ONE native codegen'd pass
+    * ([[graft.expressions.LshBucketHashes]]): element t of the
+    * `array<long>` is the packed sign-bit bucket of hyperplane set t.
+    */
+  private[graft] def bucketsCol(vec: org.apache.spark.sql.Column,
+                        planes: Seq[Array[Array[Double]]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.LshBucketHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), planes.toArray))
 
   /** LSH-bucketed ANN: `tables` independent hyperplane sets of
     * `planesPerTable` bits each. A vector lands in one bucket per table;
@@ -75,7 +87,7 @@ object Similarity {
     val planes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), col(vec),
-        posexplode(array(planes.map(p => bucketCol(col(vec), p)): _*)))
+        posexplode(bucketsCol(col(vec), planes)))
         .toDF(id, vec, "tbl", "bucket")
     val corpus  = withBuckets(emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")), "nbr_id", "nbr_vec")
     val queries = withBuckets(
@@ -182,7 +194,7 @@ object Similarity {
     // analyzer rejects inside a generator
     val renamed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val withB = renamed.select(col("id"), col("vec"),
-        posexplode(array(planes.map(p => bucketCol(col("vec"), p)): _*)))
+        posexplode(bucketsCol(col("vec"), planes)))
       .toDF("id", "vec", "tbl", "bucket")
     // same narrow-distinct shape as [[lshTopK]]: dedup id pairs first
     // (each pair can collide in up to `tables` buckets), then join the

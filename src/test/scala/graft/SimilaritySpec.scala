@@ -48,6 +48,26 @@ class SimilaritySpec extends SparkSpec {
     if (byId.contains(1L)) byId(1L) shouldBe (0.9 / math.sqrt(0.82)) +- 1e-9
   }
 
+  test("native LshBucketHashes is bit-identical to the per-plane when/dotProduct column formulation") {
+    val planes = (0 until 16).map(t =>
+      Similarity.hyperplanes(6, 4, 42L + t))
+    val native = vecs.select($"vec_id",
+        Similarity.bucketsCol($"embedding", planes).as("b"))
+      .orderBy($"vec_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val columns = vecs.select($"vec_id",
+        array(planes.map(p => Similarity.bucketCol($"embedding", p)): _*).as("b"))
+      .orderBy($"vec_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    native shouldBe columns
+    // vectors shorter than dim fold over the common prefix, same as dotProduct
+    val short = Seq((0L, Array(1f, -1f))).toDF("vec_id", "embedding")
+    val a = short.select(Similarity.bucketsCol($"embedding", planes).as("b"))
+      .collect()(0).getSeq[Long](0).toSeq
+    val b = short.select(array(planes.map(p =>
+        Similarity.bucketCol($"embedding", p)): _*).as("b"))
+      .collect()(0).getSeq[Long](0).toSeq
+    a shouldBe b
+  }
+
   test("ivfTopK assigns, probes and re-ranks exactly; high-probe setting recovers the exact top-k") {
     // with nProbe >= number of cells, IVF degrades to exact brute force
     val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), 3)
