@@ -47,4 +47,28 @@ object Scale {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write the time-range-query storage layout: hive-partitioned by
+    * the UTC date of `tsCol` (directory-level pruning — a day-range
+    * query never opens other days' files) and range-partitioned +
+    * sorted by (date, sortCols…, ts) within files, so parquet
+    * row-group min/max statistics prune WITHIN the touched day too.
+    * The write-side counterpart of the planner's ts_ns scan pushdown
+    * (Telemetry.plan): pushdown can only skip what the layout
+    * physically separates. `sortCols` first (e.g. stream_id) gives
+    * row-group locality for keyed time-range reads — the dominant
+    * telemetry access path.
+    *
+    * The range repartition also bounds file count: one writer task per
+    * range, instead of every task writing a sliver of every day
+    * (the small-files failure mode of a naive partitionBy at scale).
+    */
+  def writeTimePartitioned(df: DataFrame, tsCol: String, path: String,
+                           sortCols: Seq[String] = Nil): Unit = {
+    val sorters = sortCols.map(col) :+ col(tsCol)
+    df.withColumn("dt", to_date(col(tsCol)))
+      .repartitionByRange(col("dt") +: sorters: _*)
+      .sortWithinPartitions(col("dt") +: sorters: _*)
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+  }
 }

@@ -64,6 +64,35 @@ class ScaleSpec extends SparkSpec {
     scan should not include "tags"
   }
 
+  test("time-partitioned layout: day filters prune at the DIRECTORY level and files arrive time-sorted") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/pts"
+    // 3 days × 200 rows, deliberately shuffled input order
+    val rows = scala.util.Random.shuffle(
+      (0 until 600).map { i =>
+        (new java.sql.Timestamp(1704103200000L + (i % 3) * 86400000L + (i / 3) * 1000L),
+          (i % 4).toLong, i * 1.0)
+      })
+    Scale.writeTimePartitioned(
+      rows.toDF("ts", "stream_id", "value"), "ts", dir,
+      sortCols = Seq("stream_id"))
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 600
+    // directory-level pruning: one day's filter scans one partition dir
+    val oneDay = back.filter($"dt" === "2024-01-01")
+    oneDay.count() shouldBe 200
+    val scan = oneDay.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan.linesIterator.filter(_.contains("FileScan")).mkString should
+      include("dt")
+    // within a (day, stream) slice, rows are physically time-sorted —
+    // the layout that makes parquet row-group min/max stats prune
+    // inside the touched day
+    val slice = spark.read.parquet(dir + "/dt=2024-01-01")
+      .filter($"stream_id" === 1L)
+      .select($"ts").collect().map(_.getTimestamp(0).getTime).toSeq
+    slice shouldBe slice.sorted
+  }
+
   test("bucketed tables join without a shuffle (co-located layout)") {
     val left = (1L to 500L).map(i => (i, s"l$i")).toDF("id", "lv")
     val right = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "rv")
