@@ -774,11 +774,14 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Every query has an entry; three kinds:
-    * full recomputation twins (most), recursive-CTE twins (q36/q38),
-    * and constant-row self-oracles for the measured recall gates
-    * (q24/q25/q37 — the real check is computed in-engine against the
-    * exact answer; the constant row just pins schema and "gate passed").
+    * the same parquet tables. Three kinds of entry: full recomputation
+    * twins (most), recursive-CTE twins (q36/q38), and constant-row
+    * self-oracles for the measured recall gates (q24/q25/q37 — the
+    * real check is computed in-engine against the exact answer; the
+    * constant row just pins schema and "gate passed"). q40 is the one
+    * DELIBERATE omission: it benchmarks the prefix-df-cap dial, whose
+    * completeness is a corpus property — the driver records its
+    * rows-only check, and DedupSpec pins the capped ⊆ exact relation.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
