@@ -282,6 +282,26 @@ class TelemetrySpec extends SparkSpec {
     plan(df, req2).count() shouldBe 3L // +500, +750 (same µs as from) and +2000
   }
 
+  test("snippet ns bounds on a µs-only table keep the ceil'd-grid semantics") {
+    // no raw ts_ns column: the best achievable read of a ns range on
+    // µs-grid data admits grid point p iff ceil(from/1000) <= p <
+    // ceil(to/1000) — a sub-µs `from` must NOT pull in the grid point
+    // it truncates to.
+    val baseUs = 1704103260123456L
+    val df = Seq(baseUs, baseUs + 1, baseUs + 2).map { us =>
+      (new Timestamp(0), 1L, 1.0, us)
+    }.toDF("ts0", "stream_id", "value", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .drop("ts0")
+    // from cuts INSIDE grid point baseUs (ns = baseUs*1000 + 500):
+    // baseUs itself is before the ns bound, so it must be excluded
+    val req = Telemetry.snippetRequest(DataSnippet("us-slice", Seq(1L),
+      baseUs * 1000L + 500L, (baseUs + 2) * 1000L))
+      .copy(aggs = Seq(NumericAgg("us", AggNone, "us")))
+    plan(df, req).collect().map(_.getAs[Long]("us")).toSeq shouldBe
+      Seq(baseUs + 1)
+  }
+
   test("AggNone raw fetch projects requested tag columns") {
     val out = plan(points, Request(
       groupByTags = Seq("device"),
