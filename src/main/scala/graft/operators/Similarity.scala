@@ -101,7 +101,11 @@ object Similarity {
     val cand = corpus.join(queries.select("tbl", "bucket", "query_id"), Seq("tbl", "bucket"))
       .filter(col("nbr_id") =!= col("query_id"))
       .select("query_id", "nbr_id").distinct()
-      .join(corpus.select("nbr_id", "nbr_vec").distinct(), "nbr_id")
+      // join vectors back from the ORIGINAL table, not the bucketed
+      // branch: corpus.distinct() would re-run the 16-table bucket
+      // explode and shuffle 16 wide vector rows per doc just to dedup
+      // them again
+      .join(emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")), "nbr_id")
       .join(broadcast(
         emb.filter(col(idCol).isin(queryIds: _*))
           .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))), "query_id")
