@@ -45,6 +45,11 @@ object Bench {
       // timed under the accumulated heap pressure of the whole suite
       // (observed 4x run-to-run swings on the dedup self-joins without)
       spark.sqlContext.clearCache()
+      // clearCache only covers CacheManager entries; localCheckpoint
+      // blocks (the q26/q32 parse boundary) are freed by the
+      // ContextCleaner only after their RDD is GC'd — nudge it so the
+      // blocks don't sit in the block manager across later queries
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

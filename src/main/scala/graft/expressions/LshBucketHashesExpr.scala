@@ -23,9 +23,14 @@ import org.apache.spark.sql.types._
   * element once per plane, and codegen size is independent of
   * tables × planes.
   *
-  * Null semantics match the column formulation: a null vector yields
-  * null; a null ELEMENT made each `dotProduct` null, which failed the
-  * `>= 0` predicate — so the bit is simply left unset.
+  * Null-ELEMENT semantics match the column formulation: a null element
+  * made each `dotProduct` null, which failed the `>= 0` predicate — so
+  * the bit is left unset. A null VECTOR is the ONE deliberate
+  * divergence: the column formulation mapped it to bucket 0 of every
+  * table (`when(null >= 0, ..).otherwise(0L)`), injecting null
+  * embeddings as candidates everywhere; here it yields null, so
+  * `posexplode` drops the row from candidate generation — a null
+  * vector has no cosine to anything.
   */
 case class LshBucketHashes(child: Expression, planes: Array[Array[Array[Double]]])
   extends UnaryExpression {

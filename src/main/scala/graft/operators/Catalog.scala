@@ -88,7 +88,11 @@ object Catalog {
     * dimension table (catalog-scale, not the 100 TB fact path), so a
     * bounded loop of small hash joins is the right plan. The per-round
     * anti-join against already-seen pairs both deduplicates diamond
-    * lineages and terminates cycles; `maxDepth` hard-caps the loop.
+    * lineages and terminates cycles. The loop stops on its own when
+    * the frontier empties; if it is STILL expanding after `maxDepth`
+    * rounds the call throws rather than returning a silently-truncated
+    * closure (truncation is indistinguishable from completion to the
+    * caller).
     *
     * Every round is cut with an EAGER `localCheckpoint`: the round
     * plan references both the previous frontier and the accumulated

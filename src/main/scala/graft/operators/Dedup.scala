@@ -224,13 +224,16 @@ object Dedup {
     // (no barrier) → 1.8 s (materialized cache) at sf0.1.
     val sh = shingles(docs, idCol, textCol, n).persist()
     sh.count()
-    // Empty-shingle docs (empty/whitespace-only text shorter than the
-    // gram width) get all-null signatures, which would collide in the
-    // SAME bucket for every band — O(n_empty²) candidate pairs that
-    // verifyJaccard then discards (J with an empty set is 0 < t).
-    // Dropping them up front is safe for the same reason, and the
-    // filter sits on the already-materialized cache, so it cannot
-    // re-inline the shingle lambda into the signature projection.
+    // DEFENSIVE guard, not a reachable bug today: shingles() already
+    // excludes docs with fewer than n tokens, so an empty `sh` array
+    // cannot occur here. The invariant it protects is load-bearing
+    // though — an empty-shingle doc would get an all-null signature,
+    // colliding in the SAME bucket for every band (O(n_empty²)
+    // candidates) — so the guard keeps it local instead of depending
+    // on shingles()'s filter from three layers away. It sits on the
+    // already-materialized cache, so it cannot re-inline the shingle
+    // lambda into the signature projection; DedupSpec pins the
+    // empty-doc behavior either way.
     val sig = sh.filter(size(col("sh")) > 0).select(col("id"),
       minhashSignature(col("sh"), bands * rows).as("sig"))
     val bandCols = (0 until bands).map { bnd =>

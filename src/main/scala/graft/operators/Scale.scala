@@ -49,12 +49,13 @@ object Scale {
       .saveAsTable(table)
 
   /** Write the time-range-query storage layout: hive-partitioned by
-    * the UTC date of `tsCol` (directory-level pruning — a day-range
-    * query never opens other days' files) and range-partitioned +
-    * sorted by (date, sortCols…, ts) within files, so parquet
-    * row-group min/max statistics prune WITHIN the touched day too.
-    * The write-side counterpart of the planner's ts_ns scan pushdown
-    * (Telemetry.plan): pushdown can only skip what the layout
+    * the UTC date of `tsCol` (directory-level pruning: Telemetry.plan
+    * derives the implied `dt` day-range predicate from a request's
+    * time bounds, so a day-range query never opens other days' files)
+    * and range-partitioned + sorted by (date, sortCols…, ts) within
+    * files, so parquet row-group min/max statistics prune WITHIN the
+    * touched day too. The write-side counterpart of the planner's
+    * ts_ns scan pushdown: pushdown can only skip what the layout
     * physically separates. `sortCols` first (e.g. stream_id) gives
     * row-group locality for keyed time-range reads — the dominant
     * telemetry access path.
@@ -66,7 +67,15 @@ object Scale {
   def writeTimePartitioned(df: DataFrame, tsCol: String, path: String,
                            sortCols: Seq[String] = Nil): Unit = {
     val sorters = sortCols.map(col) :+ col(tsCol)
-    df.withColumn("dt", to_date(col(tsCol)))
+    // UTC day in pure epoch arithmetic — `to_date(ts)` would shift
+    // with spark.sql.session.timeZone, silently splitting the same
+    // instant across different dt partitions between writers.
+    // Telemetry.plan derives its dt pruning predicates with the same
+    // floorDiv(µs, 86 400 000 000) definition; the two must agree.
+    val u = unix_micros(col(tsCol))
+    val dayUs = 86400000000L
+    val epochDay = ((u - pmod(u, lit(dayUs))) / lit(dayUs)).cast("int")
+    df.withColumn("dt", date_from_unix_date(epochDay))
       .repartitionByRange(col("dt") +: sorters: _*)
       .sortWithinPartitions(col("dt") +: sorters: _*)
       .write.mode("overwrite").partitionBy("dt").parquet(path)

@@ -92,6 +92,34 @@ object Telemetry {
       orderBy: Seq[Ordering]            = Nil,
       paging: Option[Paging]            = None)
 
+  /** Ceil a nanosecond epoch to the µs grid, overflow-safe across the
+    * whole Long range (the naive `floorDiv(n + 999, 1000)` wraps for
+    * `n` near Long.MaxValue — a natural "no upper bound" sentinel).
+    */
+  private[graft] def ceilNsToUs(n: Long): Long =
+    Math.floorDiv(n, 1000L) + (if (Math.floorMod(n, 1000L) == 0L) 0L else 1L)
+
+  /** Tolerant driver-side parse of a Request ISO bound (the formats
+    * `to_timestamp` accepts under the UTC session: `yyyy-MM-dd[ HH:mm:
+    * ss[.SSSSSS]]`) to epoch µs, as UTC. None when unparseable — the
+    * caller then simply skips the derived predicate rather than
+    * failing the query.
+    */
+  private[graft] def parseUtcUs(iso: String): Option[Long] = {
+    val s = iso.trim
+    val attempts: Seq[() => java.time.Instant] = Seq(
+      () => java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC),
+      () => java.time.LocalDate.parse(s).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC),
+      () => java.time.Instant.parse(s))
+    attempts.iterator
+      .flatMap(f => scala.util.Try(f()).toOption)
+      .nextOption()
+      .map(i => Math.addExact(
+        Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+  }
+
   /** Epoch-aligned time bucket: floor(ts to a multiple of the bucket),
     * in pure long arithmetic (`u - pmod(u, b)` — no double division, so
     * exact at any epoch magnitude).
@@ -178,16 +206,38 @@ object Telemetry {
     // column the data is µs-grid and the ceil'd bound on both ends is
     // itself exact (grid point p ∈ [F, T) iff ceil(F/1000) ≤ p <
     // ceil(T/1000)).
-    def usCeil(n: Long): Long = Math.floorDiv(n + 999L, 1000L)
     val tsFromPred =
       req.fromNs.map { n =>
-        val us = if (hasRawNs) Math.floorDiv(n, 1000L) else usCeil(n)
+        val us = if (hasRawNs) Math.floorDiv(n, 1000L) else ceilNsToUs(n)
         col("ts") >= timestamp_micros(lit(us))
       }.orElse(req.from.map(f => col("ts") >= to_timestamp(lit(f))))
     val tsToPred =
-      req.toNs.map(n => col("ts") < timestamp_micros(lit(usCeil(n))))
+      req.toNs.map(n => col("ts") < timestamp_micros(lit(ceilNsToUs(n))))
         .orElse(req.to.map(t => col("ts") < to_timestamp(lit(t))))
-    val preds = nsPreds ++ tsFromPred.toSeq ++ tsToPred.toSeq ++
+    // When the table carries the Scale.writeTimePartitioned layout (a
+    // `dt` UTC-day hive partition column), derive the IMPLIED day-range
+    // predicate too: ts/ts_ns data filters cannot prune hive
+    // directories, so without this the scan lists and opens every
+    // day's files. dt = utcDay(ts) is monotone in ts, so
+    // `ts >= F ⟹ dt >= utcDay(F)` and `ts < T ⟹ dt <= utcDay(T)`
+    // (inclusive on both ends — the bound days are partially covered).
+    val hasDt = points.columns.contains("dt")
+    // from-bound µs (inclusive) and to-bound µs (EXCLUSIVE, so the last
+    // admissible µs is bound−1 — that's what the day is derived from)
+    val usFrom: Option[Long] =
+      req.fromNs.map(n => Math.floorDiv(n, 1000L))
+        .orElse(req.from.flatMap(parseUtcUs))
+    val usToExcl: Option[Long] =
+      req.toNs.map(ceilNsToUs)
+        .orElse(req.to.flatMap(parseUtcUs))
+    def utcDay(us: Long): java.sql.Date =
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(us, 86400000000L)))
+    val dtPreds =
+      if (!hasDt) Nil
+      else usFrom.map(us => col("dt") >= lit(utcDay(us))).toSeq ++
+           usToExcl.map(us => col("dt") <= lit(utcDay(us - 1L))).toSeq
+    val preds = nsPreds ++ tsFromPred.toSeq ++ tsToPred.toSeq ++ dtPreds ++
       (if (req.streamIds.nonEmpty) Seq(col("stream_id").isin(req.streamIds: _*)) else Nil) ++
       req.tagFilters.map(tagPredicate) ++
       req.metadataFilters.map(m => element_at(col(metaCol), m.key) === m.value)
@@ -254,7 +304,7 @@ object Telemetry {
     */
   def snippetRequest(s: DataSnippet): Request = {
     def iso(ns: Long): String = {
-      val us = Math.floorDiv(ns + 999L, 1000L) // ceil to the µs grid
+      val us = ceilNsToUs(ns) // ceil to the µs grid, overflow-safe
       java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
           Math.floorMod(us, 1000000L) * 1000L)
         .atZone(java.time.ZoneOffset.UTC)

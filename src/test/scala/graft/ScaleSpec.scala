@@ -91,6 +91,22 @@ class ScaleSpec extends SparkSpec {
       .filter($"stream_id" === 1L)
       .select($"ts").collect().map(_.getTimestamp(0).getTime).toSeq
     slice shouldBe slice.sorted
+    // and the telemetry PLANNER derives the dt predicate itself: a
+    // time-range Request over this layout prunes to the touched days
+    // without any hand-written dt filter
+    import graft.operators.Telemetry._
+    val planned = plan(back,
+      Request(from = Some("2024-01-02 00:00:00"),
+        to = Some("2024-01-03 00:00:00"),
+        aggs = Seq(NumericAgg("value", AggCount, "n"))))
+    planned.collect()(0).getLong(0) shouldBe 200L
+    val scanLine2 = planned.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString
+    scanLine2 should include("PartitionFilters")
+    // the derived day range [2024-01-02, 2024-01-02] (to is exclusive,
+    // so its midnight maps back to the same day) keeps exactly the
+    // touched partition: the dt bounds land in the partition filters
+    scanLine2 should include("(dt")
   }
 
   test("bucketed tables join without a shuffle (co-located layout)") {

@@ -66,6 +66,17 @@ class SimilaritySpec extends SparkSpec {
         Similarity.bucketCol($"embedding", p)): _*).as("b"))
       .collect()(0).getSeq[Long](0).toSeq
     a shouldBe b
+    // the ONE deliberate divergence: a null vector yields NULL (the
+    // row drops out of candidate generation at the posexplode) rather
+    // than the column formulation's bucket 0 in every table — a null
+    // embedding must not become a candidate for every query
+    val withNull = Seq((0L, Array(1f, 0f)), (1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val nulls = withNull.select($"vec_id",
+        Similarity.bucketsCol($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    nulls(0L) shouldBe false
+    nulls(1L) shouldBe true
   }
 
   test("ivfTopK assigns, probes and re-ranks exactly; high-probe setting recovers the exact top-k") {
