@@ -74,6 +74,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("property: jaccardSimilarityJoin equals brute force on random corpora (3 seeds, 2 thresholds)") {
+    // fuzz the prefix/positional/length filter math: random docs from a
+    // tiny vocabulary force heavy shingle sharing, duplicates, and
+    // boundary-length documents — exactly where an off-by-one in the
+    // overlap bound would silently drop a qualifying pair
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1L to 40L).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        val words = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        // sprinkle exact duplicates: every 10th doc copies the previous
+        (id, if (id % 10 == 0) null else words.mkString(" "))
+      }.foldLeft(Vector.empty[(Long, String)]) { case (acc, (id, w)) =>
+        acc :+ (id -> (if (w == null) acc.last._2 else w))
+      }.toDF("doc_id", "text")
+      val sets = Dedup.shingles(corpus, "doc_id", "text", 3).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      for (t <- Seq(0.3, 0.5)) {
+        val brute = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          inter = (sets(a) & sets(b)).size
+          j = inter.toDouble / (sets(a) ++ sets(b)).size
+          if j >= t
+        } yield (a, b)).toSet
+        val got = Dedup.jaccardSimilarityJoin(corpus, "doc_id", "text", 3, t)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        withClue(s"seed=$seed t=$t: ") { got shouldBe brute }
+      }
+    }
+  }
+
   test("prefixDfCap drops only index entries: generous cap is exact, any cap yields a subset with exact scores") {
     val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet

@@ -177,6 +177,48 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 2 // no duplicates
   }
 
+  test("streaming ingest quarantine: one parse, valid rows to the sink, corrupt payloads to a dead-letter sink") {
+    // the skip-bad-record-and-continue policy under Structured
+    // Streaming: parseJson works unchanged on a streaming DataFrame,
+    // and foreachBatch splits each micro-batch once into the parsed
+    // sink and the raw-payload dead-letter (F1/F3 + §2.10 error
+    // handling, ref option_trades/utils.py:205-208)
+    import org.apache.spark.sql.types._
+    val input = MemoryStream[String](spark)
+    input.addData(
+      """{"event_id": 1, "value": 10.5}""",
+      """{"event_id": 2, "value": 20.5}""",
+      "{definitely not json")
+    val dir = Files.createTempDirectory("quarantine")
+    val okDir = dir.toString + "/ok"
+    val dlqDir = dir.toString + "/dlq"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val parsed = sources.Ingest.parseJson(
+      input.toDF().toDF("raw"), "raw", schema)
+    val q = parsed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // one materialization per micro-batch feeds both splits —
+        // the same parse-once boundary the batch queries cut with
+        // localCheckpoint
+        val b = batch.persist()
+        sources.Ingest.valid(b).drop("raw")
+          .write.mode("append").parquet(okDir)
+        sources.Ingest.corrupt(b).select(col("raw"))
+          .write.mode("append").parquet(dlqDir)
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", dir.toString + "/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ok = spark.read.parquet(okDir)
+    ok.count() shouldBe 2
+    ok.select(dsum(col("value"))).collect()(0).getDouble(0) shouldBe 31.0
+    val dlq = spark.read.parquet(dlqDir).collect().map(_.getString(0))
+    dlq.toSeq shouldBe Seq("{definitely not json")
+  }
+
   test("streaming windowedAgg batch twin: the same helper works on a batch DataFrame") {
     val batchDf = Seq(
       Ev(ts("2024-01-01 10:00:05"), "a", 1.0),
