@@ -94,13 +94,17 @@ object Catalog {
     * closure (truncation is indistinguishable from completion to the
     * caller).
     *
-    * Every round is cut with an EAGER `localCheckpoint`: the round
-    * plan references both the previous frontier and the accumulated
-    * closure, so without truncation the logical plan doubles per round
-    * and Catalyst analysis goes exponential in depth (observed as a
-    * driver-bound hang at depth ≈ 11 on the sf0.1 lineage — the
-    * standard iterative-algorithm failure mode, same reason GraphX
-    * checkpoints). The checkpointed data is only the closure itself.
+    * Every round's FRONTIER is cut with an EAGER `localCheckpoint`:
+    * the round plan references both the previous frontier and the
+    * accumulated closure, so without truncation the logical plan
+    * doubles per round and Catalyst analysis goes exponential in depth
+    * (observed as a driver-bound hang at depth ≈ 11 on the sf0.1
+    * lineage — the standard iterative-algorithm failure mode, same
+    * reason GraphX checkpoints). The closure itself stays a lazy UNION
+    * of the flat checkpointed frontiers — linear plan depth, and each
+    * pair is written to the block manager once (O(E)) instead of
+    * re-checkpointing the whole accumulated closure every round
+    * (O(E·depth)).
     */
   def ancestors(streams: DataFrame, idCol: String, parentsCol: String,
                 maxDepth: Int = 20): DataFrame = {
@@ -109,15 +113,22 @@ object Catalog {
         explode(col(parentsCol)).as("__anc"))
       .select(col("id"), col("__anc").cast("string").as("ancestor_id"))
       .distinct().localCheckpoint(true)
-    var acc = edges.withColumn("depth", lit(1)).localCheckpoint(true)
-    var frontier = acc
+    // Only each round's FRONTIER is checkpointed; the closure is a lazy
+    // UNION of those flat checkpointed leaves. That keeps the logical
+    // plan linear in depth (≤ maxDepth flat nodes — the exponential
+    // blow-up only comes from chaining unTRUNCATED round plans) while
+    // writing each pair to the block manager once, not once per
+    // remaining round (the previous acc-recheckpointing was O(E·depth)
+    // checkpoint volume; this is O(E)).
+    var frontier = edges.withColumn("depth", lit(1)).localCheckpoint(true)
+    var closure = frontier
     var depth = 1
     var done = false
     while (!done) {
       val next = frontier.select(col("id"), col("ancestor_id").as("__mid"))
         .join(edges.select(col("id").as("__mid"), col("ancestor_id")), "__mid")
         .select(col("id"), col("ancestor_id")).distinct()
-        .join(acc.select("id", "ancestor_id"), Seq("id", "ancestor_id"), "left_anti")
+        .join(closure.select("id", "ancestor_id"), Seq("id", "ancestor_id"), "left_anti")
         .withColumn("depth", lit(depth + 1))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
@@ -130,9 +141,9 @@ object Catalog {
         throw new IllegalStateException(
           s"ancestor closure still expanding after maxDepth=$maxDepth rounds; " +
             "raise maxDepth (the loop stops on its own once the frontier empties)")
-      else { acc = acc.union(next).localCheckpoint(true); frontier = next; depth += 1 }
+      else { closure = closure.union(next); frontier = next; depth += 1 }
     }
-    acc
+    closure
   }
 
   /** Downward closure — every (id, descendant_id, depth) — derived from
