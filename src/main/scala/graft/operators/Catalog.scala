@@ -15,6 +15,9 @@ object Catalog {
 
   sealed trait Match
   final case class Equals(column: String, value: String)            extends Match
+  /** case-insensitive Equals (ref getAllDataSnippetsRequest.ts:31-34 —
+    * the snippet catalog's streamId match). */
+  final case class EqualsCI(column: String, value: String)          extends Match
   final case class StartsWith(column: String, pattern: String)      extends Match
   /** smart-case: case-sensitive iff the pattern has a capital
     * (ref getAllStreamsRequest.ts:55-58). */
@@ -33,6 +36,7 @@ object Catalog {
 
   def compile(m: Match): Column = m match {
     case Equals(c, v)       => col(c) === v
+    case EqualsCI(c, v)     => lower(col(c)) === v.toLowerCase
     case StartsWith(c, p)   => startsWithCI(col(c), p)
     case Contains(c, p)     => smartCaseContains(col(c), p)
     case ContainsAny(c, vs) => arrays_overlap(col(c), array(vs.map(lit): _*))
@@ -77,6 +81,31 @@ object Catalog {
     */
   def levelFilter(values: Seq[String], include: Boolean = true): Match =
     enumMatch("level", values, EventLevels, include)
+
+  /** The 4-type parameter vocabulary (ref parameterType.ts:16). */
+  val ParameterTypes: Seq[String] = Seq("Unknown", "Numeric", "String", "Binary")
+
+  /** Enum-checked include/exclude over the parameter `type` column. */
+  def parameterTypeFilter(values: Seq[String], include: Boolean = true): Match =
+    enumMatch("type", values, ParameterTypes, include)
+
+  /** GetAllDataSnippetsRequest analog (ref
+    * getAllDataSnippetsRequest.ts:16-40) over a snippet catalog table
+    * `(name, parameter_ids: array<string>, event_ids: array<string>,
+    * stream_id, …)`: name is a case-INsensitive Contains (the pattern
+    * is lowercased, which makes [[smartCaseContains]] fold case),
+    * parameter/event ids are case-sensitive ContainsAny, streamId a
+    * case-insensitive Equals. Compose with ordering/paging via the
+    * standard DataFrame orderBy/offset/limit, as Telemetry.plan does.
+    */
+  def snippetFilters(name: Option[String] = None,
+                     parameterIds: Seq[String] = Nil,
+                     eventIds: Seq[String] = Nil,
+                     streamId: Option[String] = None): Seq[Match] =
+    name.map(n => Contains("name", n.toLowerCase)).toSeq ++
+      (if (parameterIds.nonEmpty) Seq(ContainsAny("parameter_ids", parameterIds)) else Nil) ++
+      (if (eventIds.nonEmpty) Seq(ContainsAny("event_ids", eventIds)) else Nil) ++
+      streamId.map(sid => EqualsCI("stream_id", sid)).toSeq
 
   // -------------------------------------------------------------- lineage
 

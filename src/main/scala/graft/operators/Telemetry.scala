@@ -285,7 +285,10 @@ object Telemetry {
     * (ref dataSnippet.ts:13-49: the saved-query primitive of the API).
     */
   final case class DataSnippet(name: String, streamIds: Seq[Long],
-                               fromNs: Long, toNs: Long)
+                               fromNs: Long, toNs: Long,
+                               numericParameterIds: Seq[String] = Nil,
+                               stringParameterIds: Seq[String] = Nil,
+                               eventIds: Seq[String] = Nil)
 
   /** Expand a snippet into a Request; extra knobs (aggs, bucketing)
     * compose on top via `copy`.
@@ -314,6 +317,29 @@ object Telemetry {
       fromNs = Some(s.fromNs), toNs = Some(s.toNs),
       streamIds = s.streamIds)
   }
+
+  /** GetDataSnippetParameterDataRequest analog (ref
+    * getDataSnippetParameterDataRequest.ts:13-31): expand a snippet
+    * into a FULL query — the snippet contributes the stream/time scope
+    * and its saved parameter/event id lists, the request contributes
+    * the knobs. Per the contract, ONE numeric aggregation applies to
+    * all of the snippet's numeric parameters and ONE string
+    * aggregation to its string parameters and events (each output
+    * column keeps its parameter id as its name).
+    */
+  def snippetDataRequest(s: DataSnippet,
+                         tagFilters: Seq[TagFilter] = Nil,
+                         bucketNs: Option[Long] = None,
+                         numericAgg: AggType = AggNone,
+                         stringAgg: StrAggType = StrNone,
+                         groupByTags: Seq[String] = Nil): Request =
+    snippetRequest(s).copy(
+      tagFilters = tagFilters,
+      bucketNs = bucketNs,
+      groupByTags = groupByTags,
+      aggs = s.numericParameterIds.map(p => NumericAgg(p, numericAgg, p)),
+      stringAggs = (s.stringParameterIds ++ s.eventIds)
+        .map(p => StringAgg(p, stringAgg, p)))
 
   /** §3.3 — transpose a query result into the reference's COLUMNAR
     * `ParameterData`/`Data` payload: one row per group carrying

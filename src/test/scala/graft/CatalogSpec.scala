@@ -76,6 +76,35 @@ class CatalogSpec extends SparkSpec {
       Seq(levelFilter(Seq("Error", "Critical")))).count() shouldBe 2
   }
 
+  test("snippet catalog search: CI name contains, CS id ContainsAny, CI streamId equals (ref getAllDataSnippetsRequest.ts)") {
+    val snippets = Seq(
+      ("Morning Slice", Seq("p1", "p2"), Seq("e1"), "STREAM-A"),
+      ("evening slice", Seq("p3"), Seq.empty[String], "stream-a"),
+      ("other", Seq("P1"), Seq("e2"), "stream-b")
+    ).toDF("name", "parameter_ids", "event_ids", "stream_id")
+    // name contains is case-INsensitive
+    Catalog.search(snippets,
+      Catalog.snippetFilters(name = Some("SLICE"))).count() shouldBe 2
+    // parameter ids are case-SENSITIVE ("p1" must not match "P1")
+    Catalog.search(snippets,
+      Catalog.snippetFilters(parameterIds = Seq("p1"))).count() shouldBe 1
+    // streamId equals is case-insensitive
+    Catalog.search(snippets,
+      Catalog.snippetFilters(streamId = Some("Stream-A"))).count() shouldBe 2
+    // conjunction
+    Catalog.search(snippets, Catalog.snippetFilters(
+      name = Some("slice"), streamId = Some("STREAM-A"))).count() shouldBe 2
+  }
+
+  test("parameter-type vocabulary is pinned; unknown values rejected at plan time (ref parameterType.ts:16)") {
+    val params = Seq(("a", "Numeric"), ("b", "String"), ("c", "Binary"))
+      .toDF("id", "type")
+    Catalog.search(params,
+      Seq(Catalog.parameterTypeFilter(Seq("Numeric", "Binary")))).count() shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      Catalog.parameterTypeFilter(Seq("Float"))
+  }
+
   test("ancestors: transitive parents-closure with shallowest depth, diamonds and cycles handled (ref stream.ts:49-52)") {
     // s4 -> {s2, s3} -> s1 (diamond); s5 <-> s6 (cycle); s1 root
     val dim = Seq(

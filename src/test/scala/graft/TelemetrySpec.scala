@@ -191,6 +191,28 @@ class TelemetrySpec extends SparkSpec {
     plan(points, req).collect()(0).getLong(0) shouldBe 1L // only 10:01:10 stream 1
   }
 
+  test("snippetDataRequest: the snippet's saved parameter/event lists expand with ONE agg each (ref getDataSnippetParameterDataRequest.ts)") {
+    // a snippet saving one numeric parameter and one event column; the
+    // request supplies bucketing + the single numeric aggregation the
+    // contract applies to every saved numeric parameter
+    val pts = points.withColumn("ev_kind", element_at($"tags", "event_type"))
+    val snip = DataSnippet("daily", Seq(1L),
+      fromNs = 1704103200000000000L,  // 10:00:00
+      toNs = 1704103320000000000L,    // 10:02:00 (excl)
+      numericParameterIds = Seq("value"),
+      stringParameterIds = Nil,
+      eventIds = Seq("ev_kind"))
+    val req = Telemetry.snippetDataRequest(snip,
+      bucketNs = Some(60L * 1000000000L),
+      numericAgg = AggSum, stringAgg = StrCount)
+    val out = plan(pts, req).orderBy($"bucket_ts").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2)))
+    // stream 1 only: 10:00 bucket has 10+20, 10:01 bucket has 40
+    out.toSeq shouldBe Seq(
+      ("2024-01-01 10:00:00.0", 30.0, 2L),
+      ("2024-01-01 10:01:00.0", 40.0, 1L))
+  }
+
   test("binary parameters run the First/Last/Count menu through the planner (ref parameterAggregation.ts:17-23)") {
     // a BinaryType value column: First/Last tie-break on (ts, bytes) —
     // binary is orderable in Spark, so the same strAggColumn path serves
