@@ -19,6 +19,9 @@ object Catalog {
     * the snippet catalog's streamId match). */
   final case class EqualsCI(column: String, value: String)          extends Match
   final case class StartsWith(column: String, pattern: String)      extends Match
+  /** case-SENSITIVE StartsWith (ref getAllLocationsRequest.ts:24-27 —
+    * the location-path prefix match, unlike the CI name StartsWith). */
+  final case class StartsWithCS(column: String, pattern: String)    extends Match
   /** smart-case: case-sensitive iff the pattern has a capital
     * (ref getAllStreamsRequest.ts:55-58). */
   final case class Contains(column: String, pattern: String)        extends Match
@@ -38,6 +41,7 @@ object Catalog {
     case Equals(c, v)       => col(c) === v
     case EqualsCI(c, v)     => lower(col(c)) === v.toLowerCase
     case StartsWith(c, p)   => startsWithCI(col(c), p)
+    case StartsWithCS(c, p) => col(c).startsWith(p)
     case Contains(c, p)     => smartCaseContains(col(c), p)
     case ContainsAny(c, vs) => arrays_overlap(col(c), array(vs.map(lit): _*))
     case Include(c, vs)     => col(c).isin(vs: _*)
@@ -98,6 +102,19 @@ object Catalog {
     * case-insensitive Equals. Compose with ordering/paging via the
     * standard DataFrame orderBy/offset/limit, as Telemetry.plan does.
     */
+  /** GetAllLocationsRequest analog (ref getAllLocationsRequest.ts:
+    * 16-33) over the stream-location table `(stream_id, location,
+    * status, …)`: stream ids are a case-sensitive Equals/IN, location
+    * a case-SENSITIVE StartsWith prefix, statuses the enum-checked
+    * vocabulary filter.
+    */
+  def locationFilters(streamIds: Seq[String] = Nil,
+                      locationPrefix: Option[String] = None,
+                      statuses: Seq[String] = Nil): Seq[Match] =
+    (if (streamIds.nonEmpty) Seq(Include("stream_id", streamIds)) else Nil) ++
+      locationPrefix.map(p => StartsWithCS("location", p)).toSeq ++
+      (if (statuses.nonEmpty) Seq(statusFilter(statuses)) else Nil)
+
   def snippetFilters(name: Option[String] = None,
                      parameterIds: Seq[String] = Nil,
                      eventIds: Seq[String] = Nil,

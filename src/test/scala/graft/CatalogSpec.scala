@@ -96,6 +96,26 @@ class CatalogSpec extends SparkSpec {
       name = Some("slice"), streamId = Some("STREAM-A"))).count() shouldBe 2
   }
 
+  test("locations search: CS stream equals, CS location prefix, enum status (ref getAllLocationsRequest.ts)") {
+    val locs = Seq(
+      ("s1", "/cars/gt3", "Open"),
+      ("S1", "/Cars/gt3", "Open"),     // different case = different ids/paths
+      ("s2", "/cars/gt4", "Closed"),
+      ("s3", "/boats", "Open")
+    ).toDF("stream_id", "location", "status")
+    // stream ids are case-SENSITIVE
+    Catalog.search(locs,
+      Catalog.locationFilters(streamIds = Seq("s1"))).count() shouldBe 1
+    // location prefix is case-SENSITIVE ("/cars" must not match "/Cars")
+    Catalog.search(locs,
+      Catalog.locationFilters(locationPrefix = Some("/cars"))).count() shouldBe 2
+    // enum-checked status
+    Catalog.search(locs, Catalog.locationFilters(
+      locationPrefix = Some("/cars"), statuses = Seq("Open"))).count() shouldBe 1
+    an[IllegalArgumentException] should be thrownBy
+      Catalog.locationFilters(statuses = Seq("NotAStatus"))
+  }
+
   test("parameter-type vocabulary is pinned; unknown values rejected at plan time (ref parameterType.ts:16)") {
     val params = Seq(("a", "Numeric"), ("b", "String"), ("c", "Binary"))
       .toDF("id", "type")
