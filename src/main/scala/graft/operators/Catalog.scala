@@ -39,7 +39,7 @@ object Catalog {
 
   def compile(m: Match): Column = m match {
     case Equals(c, v)       => col(c) === v
-    case EqualsCI(c, v)     => lower(col(c)) === v.toLowerCase
+    case EqualsCI(c, v)     => lower(col(c)) === v.toLowerCase(java.util.Locale.ROOT)
     case StartsWith(c, p)   => startsWithCI(col(c), p)
     case StartsWithCS(c, p) => col(c).startsWith(p)
     case Contains(c, p)     => smartCaseContains(col(c), p)
@@ -93,15 +93,6 @@ object Catalog {
   def parameterTypeFilter(values: Seq[String], include: Boolean = true): Match =
     enumMatch("type", values, ParameterTypes, include)
 
-  /** GetAllDataSnippetsRequest analog (ref
-    * getAllDataSnippetsRequest.ts:16-40) over a snippet catalog table
-    * `(name, parameter_ids: array<string>, event_ids: array<string>,
-    * stream_id, …)`: name is a case-INsensitive Contains (the pattern
-    * is lowercased, which makes [[smartCaseContains]] fold case),
-    * parameter/event ids are case-sensitive ContainsAny, streamId a
-    * case-insensitive Equals. Compose with ordering/paging via the
-    * standard DataFrame orderBy/offset/limit, as Telemetry.plan does.
-    */
   /** GetAllLocationsRequest analog (ref getAllLocationsRequest.ts:
     * 16-33) over the stream-location table `(stream_id, location,
     * status, …)`: stream ids are a case-sensitive Equals/IN, location
@@ -115,11 +106,20 @@ object Catalog {
       locationPrefix.map(p => StartsWithCS("location", p)).toSeq ++
       (if (statuses.nonEmpty) Seq(statusFilter(statuses)) else Nil)
 
+  /** GetAllDataSnippetsRequest analog (ref
+    * getAllDataSnippetsRequest.ts:16-40) over a snippet catalog table
+    * `(name, parameter_ids: array<string>, event_ids: array<string>,
+    * stream_id, …)`: name is a case-INsensitive Contains (the pattern
+    * is lowercased, which makes [[smartCaseContains]] fold case),
+    * parameter/event ids are case-sensitive ContainsAny, streamId a
+    * case-insensitive Equals. Compose with ordering/paging via the
+    * standard DataFrame orderBy/offset/limit, as Telemetry.plan does.
+    */
   def snippetFilters(name: Option[String] = None,
                      parameterIds: Seq[String] = Nil,
                      eventIds: Seq[String] = Nil,
                      streamId: Option[String] = None): Seq[Match] =
-    name.map(n => Contains("name", n.toLowerCase)).toSeq ++
+    name.map(n => Contains("name", n.toLowerCase(java.util.Locale.ROOT))).toSeq ++
       (if (parameterIds.nonEmpty) Seq(ContainsAny("parameter_ids", parameterIds)) else Nil) ++
       (if (eventIds.nonEmpty) Seq(ContainsAny("event_ids", eventIds)) else Nil) ++
       streamId.map(sid => EqualsCI("stream_id", sid)).toSeq

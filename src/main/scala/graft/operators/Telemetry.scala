@@ -332,7 +332,19 @@ object Telemetry {
                          bucketNs: Option[Long] = None,
                          numericAgg: AggType = AggNone,
                          stringAgg: StrAggType = StrNone,
-                         groupByTags: Seq[String] = Nil): Request =
+                         groupByTags: Seq[String] = Nil): Request = {
+    // Mixing a real aggregation on one family with None on the other
+    // would make plan() take the group-by branch and silently DROP the
+    // None family's saved columns — the snippet's lists define the
+    // output, so that must be an error, not a narrower result.
+    val anyAgg = numericAgg != AggNone || stringAgg != StrNone
+    require(!anyAgg || s.numericParameterIds.isEmpty || numericAgg != AggNone,
+      "snippet saves numeric parameters but numericAgg is AggNone while " +
+        "stringAgg aggregates — the numeric columns would be dropped")
+    require(!anyAgg || (s.stringParameterIds.isEmpty && s.eventIds.isEmpty) ||
+        stringAgg != StrNone,
+      "snippet saves string parameters/events but stringAgg is StrNone " +
+        "while numericAgg aggregates — those columns would be dropped")
     snippetRequest(s).copy(
       tagFilters = tagFilters,
       bucketNs = bucketNs,
@@ -340,6 +352,7 @@ object Telemetry {
       aggs = s.numericParameterIds.map(p => NumericAgg(p, numericAgg, p)),
       stringAggs = (s.stringParameterIds ++ s.eventIds)
         .map(p => StringAgg(p, stringAgg, p)))
+  }
 
   /** §3.3 — transpose a query result into the reference's COLUMNAR
     * `ParameterData`/`Data` payload: one row per group carrying

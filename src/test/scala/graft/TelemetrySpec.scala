@@ -211,6 +211,14 @@ class TelemetrySpec extends SparkSpec {
     out.toSeq shouldBe Seq(
       ("2024-01-01 10:00:00.0", 30.0, 2L),
       ("2024-01-01 10:01:00.0", 40.0, 1L))
+    // a one-sided aggregation would silently drop the other family's
+    // saved columns in plan()'s group-by branch — must be rejected
+    an[IllegalArgumentException] should be thrownBy
+      Telemetry.snippetDataRequest(snip, numericAgg = AggSum) // events saved, StrNone
+    an[IllegalArgumentException] should be thrownBy
+      Telemetry.snippetDataRequest(snip, stringAgg = StrCount) // numerics saved, AggNone
+    // raw fetch (both None) stays legal
+    Telemetry.snippetDataRequest(snip).aggs.map(_.agg) shouldBe Seq(AggNone)
   }
 
   test("binary parameters run the First/Last/Count menu through the planner (ref parameterAggregation.ts:17-23)") {
