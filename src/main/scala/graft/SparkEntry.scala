@@ -758,6 +758,27 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Per-message data-quality metric vector + the monitor's summary
+    // rollup (ref darkpool_trades/metrics.py:16-26, 90-183): latency,
+    // missing required fields, zero price, previous-price gap,
+    // inter-arrival staleness, and the _should_alert disjunction —
+    // aggregated per key like get_metrics_summary. Processing time is
+    // synthesized deterministically (ts + (event_id % 5) seconds) so
+    // the latency check is driven without a wall clock.
+    "q41_message_quality" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("proc_ts",
+          timestamp_micros(unix_micros(col("ts")) + (col("event_id") % 5) * 1000000L))
+        .withColumn("props_k", get_json_object(col("props"), "$.k"))
+      val q = Quality.messageQuality(ev, "user_id",
+        orderCols = Seq("ts", "event_id"),
+        tsCol = "ts", procTsCol = "proc_ts", priceCol = "value",
+        requiredCols = Seq("event_type", "props_k"),
+        maxLatencyUs = 3000000L, maxGapPct = 50.0)
+      Quality.metricsSummary(q, "user_id")
+        .orderBy(col("user_id"))
+    }),
+
     // Benchmark-only dial evidence for the prefix df-cap (the q11
     // algorithm with prefixDfCap=100: shingles appearing in >100 docs
     // are dropped from the INDEX only; every emitted pair is still
@@ -1110,6 +1131,36 @@ object SparkEntry {
 
     "q37_cosine_neardup" ->
       "SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST(TRUE AS BOOLEAN) AS no_false_pos",
+
+    "q41_message_quality" ->
+      """WITH q AS (
+        |  SELECT user_id,
+        |    (event_id % 5) * 1000000 AS latency_us,
+        |    (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END +
+        |     CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+        |      AS missing_fields_count,
+        |    value = 0.0 AS zero_price,
+        |    COALESCE(
+        |      lag(value) OVER w != 0.0 AND
+        |      abs((value - lag(value) OVER w) / lag(value) OVER w) * 100 > 50,
+        |      FALSE) AS price_gap,
+        |    COALESCE(
+        |      epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3000000,
+        |      FALSE) AS stale
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id,
+        |  COUNT(*) AS message_count,
+        |  CAST(SUM(latency_us) AS BIGINT) AS total_latency_us,
+        |  CAST(SUM(missing_fields_count) AS BIGINT) AS missing_fields_count,
+        |  COUNT(CASE WHEN zero_price THEN 1 END) AS zero_prices,
+        |  COUNT(CASE WHEN price_gap THEN 1 END) AS price_gaps,
+        |  COUNT(CASE WHEN stale THEN 1 END) AS stale_data_count,
+        |  COUNT(CASE WHEN latency_us > 3000000 OR missing_fields_count > 0
+        |             OR zero_price OR price_gap OR stale THEN 1 END) AS alert_count
+        |FROM q
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q39_text_quality" ->
       """WITH tok AS (SELECT doc_id, text,

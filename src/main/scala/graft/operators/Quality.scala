@@ -75,6 +75,65 @@ object Quality {
       .drop("__breach")
   }
 
+  /** Per-message DataQualityMetrics vector (ref metrics.py:16-26,
+    * 90-134) — one row per message carrying the monitor's checks:
+    *
+    *  - `latency_us`: processing-time minus event-time (the
+    *    reference's message_latency, kept in µs as an exact long);
+    *  - `missing_fields_count`: null required fields (the reference
+    *    diffs key sets; a null column IS the absent-field encoding on
+    *    a fixed schema);
+    *  - `zero_price`: price == 0 (metrics.py:115-116);
+    *  - `price_gap`: |Δ|/prev · 100 > maxGapPct vs the previous
+    *    message of the key (metrics.py:108-114); first message of a
+    *    key (or prev == 0) is NOT a gap, like the reference's
+    *    `if self.last_price`;
+    *  - `stale`: inter-arrival above `maxLatencyUs` (metrics.py:119-123);
+    *  - `alert`: the _should_alert disjunction (metrics.py:136-144).
+    *
+    * All outputs are long/boolean — deterministic and byte-stable for
+    * cross-engine hash checks. `orderCols` must make the per-key order
+    * total (pass a tie-breaker id).
+    */
+  def messageQuality(df: DataFrame, keyCol: String,
+                     orderCols: Seq[String],
+                     tsCol: String, procTsCol: String, priceCol: String,
+                     requiredCols: Seq[String],
+                     maxLatencyUs: Long, maxGapPct: Double): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val tsUs = unix_micros(col(tsCol))
+    val procUs = unix_micros(col(procTsCol))
+    val price = col(priceCol)
+    val prevPrice = lag(price, 1).over(ord)
+    val gapPct = abs((price - prevPrice) / prevPrice) * lit(100.0)
+    val missing = requiredCols.map(c => when(col(c).isNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val stale = coalesce(tsUs - lag(tsUs, 1).over(ord) > maxLatencyUs, lit(false))
+    val out = df
+      .withColumn("latency_us", procUs - tsUs)
+      .withColumn("missing_fields_count", missing)
+      .withColumn("zero_price", price === 0.0)
+      .withColumn("price_gap",
+        coalesce(prevPrice =!= 0.0 && gapPct > maxGapPct, lit(false)))
+      .withColumn("stale", stale)
+    out.withColumn("alert",
+      col("latency_us") > maxLatencyUs || col("missing_fields_count") > 0 ||
+        col("zero_price") || col("price_gap") || col("stale"))
+  }
+
+  /** get_metrics_summary analog (ref metrics.py:169-183): the monitor's
+    * tabular rollup per key over a [[messageQuality]] result.
+    */
+  def metricsSummary(quality: DataFrame, keyCol: String): DataFrame =
+    quality.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("message_count"),
+      sum(col("latency_us")).as("total_latency_us"),
+      sum(col("missing_fields_count")).as("missing_fields_count"),
+      count(when(col("zero_price"), 1)).as("zero_prices"),
+      count(when(col("price_gap"), 1)).as("price_gaps"),
+      count(when(col("stale"), 1)).as("stale_data_count"),
+      count(when(col("alert"), 1)).as("alert_count"))
+
   /** Attach an `observe()` metric set (ref metrics.py:67-161: missing
     * fields, zero/negative values, total) — collected by a
     * QueryExecutionListener / StreamingQueryListener at zero extra scan

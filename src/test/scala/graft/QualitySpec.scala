@@ -37,6 +37,43 @@ class QualitySpec extends SparkSpec {
     out(0).isNullAt(out(0).fieldIndex("pct_gap")) shouldBe true
   }
 
+  test("messageQuality emits the per-message DataQualityMetrics vector; metricsSummary rolls it up (ref metrics.py:90-183)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // key k: 4 messages at 1s/1s/10s spacing; one zero price, one +100%
+    // gap, one missing required field, one late (proc - ts > 3s)
+    val msgs = Seq(
+      ("k", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:01"), 10.0, "a"),
+      ("k", ts("2024-01-01 10:00:01"), ts("2024-01-01 10:00:01"), 20.0, "b"),  // +100% gap
+      ("k", ts("2024-01-01 10:00:02"), ts("2024-01-01 10:00:06"), 0.0, null), // zero + missing + late
+      ("k", ts("2024-01-01 10:00:12"), ts("2024-01-01 10:00:12"), 1.0, "c"),  // stale (10s) + gap-from-0 is NOT a gap
+      ("j", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 5.0, "d")   // clean key
+    ).toDF("key", "ts", "proc_ts", "price", "req")
+    val q = Quality.messageQuality(msgs, "key",
+      orderCols = Seq("ts"), tsCol = "ts", procTsCol = "proc_ts",
+      priceCol = "price", requiredCols = Seq("req"),
+      maxLatencyUs = 3000000L, maxGapPct = 50.0)
+    val k = q.filter($"key" === "k").orderBy($"ts").collect()
+    k.map(_.getAs[Long]("latency_us")).toSeq shouldBe
+      Seq(1000000L, 0L, 4000000L, 0L)
+    k.map(_.getAs[Int]("missing_fields_count")).toSeq shouldBe Seq(0, 0, 1, 0)
+    k.map(_.getAs[Boolean]("zero_price")).toSeq shouldBe
+      Seq(false, false, true, false)
+    // gap: first msg no-prev=false; 10->20 = +100% gap; 20->0 = -100%
+    // gap; 0->1 prev==0 is NOT a gap (reference's `if self.last_price`)
+    k.map(_.getAs[Boolean]("price_gap")).toSeq shouldBe
+      Seq(false, true, true, false)
+    k.map(_.getAs[Boolean]("stale")).toSeq shouldBe
+      Seq(false, false, false, true)
+    k.map(_.getAs[Boolean]("alert")).toSeq shouldBe
+      Seq(false, true, true, true)
+    val sum = Quality.metricsSummary(q, "key").orderBy($"key").collect()
+    sum.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq shouldBe Seq(
+      ("j", 1L, 0L, 0L, 0L, 0L, 0L, 0L),
+      ("k", 4L, 5000000L, 1L, 1L, 2L, 1L, 3L))
+  }
+
   test("consecutiveBreaches alerts only after n consecutive failures (ref metrics.py:46-49)") {
     val checks = Seq(
       ("k", 1L, 5.0), ("k", 2L, 5.0), ("k", 3L, 5.0),   // 3 consecutive low
