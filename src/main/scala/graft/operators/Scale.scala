@@ -64,6 +64,40 @@ object Scale {
     * range, instead of every task writing a sliver of every day
     * (the small-files failure mode of a naive partitionBy at scale).
     */
+  /** Compact a parquet directory's small files: rewrite to
+    * ceil(totalBytes / targetFileBytes) files, preserving rows exactly
+    * (sorted by `sortCols` within the rewritten files when given).
+    * Streaming sinks and frequent small batch appends accumulate
+    * sliver files whose per-file open/footer cost comes to dominate
+    * scan planning and execution at scale — compaction is the standing
+    * maintenance companion of [[writeTimePartitioned]]. The rewrite
+    * goes to `<path>.__compact` first and swaps via rename, so a crash
+    * mid-rewrite leaves the original directory untouched.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              sortCols: Seq[String] = Nil): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path)
+    val repart =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    repart.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + ".__old")
+    if (!fs.rename(hadoopPath, bak))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(bak, hadoopPath) // restore — the compacted copy is orphaned, data intact
+      throw new java.io.IOException(s"compact: cannot swap in compacted $path")
+    }
+    fs.delete(bak, true)
+  }
+
   def writeTimePartitioned(df: DataFrame, tsCol: String, path: String,
                            sortCols: Seq[String] = Nil): Unit = {
     val sorters = sortCols.map(col) :+ col(tsCol)

@@ -109,6 +109,24 @@ class ScaleSpec extends SparkSpec {
     scanLine2 should include("(dt")
   }
 
+  test("compact rewrites many sliver files into few, preserving rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val data = (1 to 1000).map(i => (i.toLong, s"row-$i"))
+    // 50 sliver files (a streaming sink's typical aftermath)
+    data.toDF("id", "s").repartition(50).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    files should be >= 40
+    Scale.compact(spark, dir, targetFileBytes = 1L << 30, sortCols = Seq("id"))
+    files shouldBe 1 // everything fits one target-size file
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 1000
+    back.collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe data.toSet
+    // no leftover working directories
+    new java.io.File(dir + ".__compact").exists() shouldBe false
+    new java.io.File(dir + ".__old").exists() shouldBe false
+  }
+
   test("bucketed tables join without a shuffle (co-located layout)") {
     val left = (1L to 500L).map(i => (i, s"l$i")).toDF("id", "lv")
     val right = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "rv")
