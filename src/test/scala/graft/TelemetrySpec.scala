@@ -332,6 +332,59 @@ class TelemetrySpec extends SparkSpec {
       Seq(baseUs + 1)
   }
 
+  test("property: plan() matches a driver-side reference evaluator on random requests (30 trials)") {
+    // fuzz the planner's filter/bucket/agg composition: random time
+    // ranges, stream subsets, tag filters and bucketed aggregations,
+    // checked cell-for-cell against a plain-Scala evaluation of the
+    // same request semantics
+    val rnd = new scala.util.Random(20260812L)
+    val streams = Seq(1L, 2L, 3L)
+    val tagVals = Seq("a", "b", "c")
+    val baseUs = 1704103200000000L // 2024-01-01 10:00:00 UTC
+    val rows = (0 until 200).map { i =>
+      (baseUs + rnd.nextInt(600) * 1000000L,   // within 10 minutes
+        streams(rnd.nextInt(3)), tagVals(rnd.nextInt(3)),
+        (rnd.nextInt(100) + 1).toDouble)
+    }
+    val df = rows.toDF("ts_us", "stream_id", "k1", "value")
+      .select(timestamp_micros($"ts_us").as("ts"), $"stream_id",
+        map(lit("k1"), $"k1").as("tags"), $"value")
+    def isoOf(us: Long): String =
+      java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    for (_ <- 1 to 30) {
+      val fromUs = baseUs + rnd.nextInt(300) * 1000000L
+      val toUs = fromUs + (rnd.nextInt(300) + 1) * 1000000L
+      val streamSel = streams.filter(_ => rnd.nextBoolean()) match {
+        case Nil => streams; case s => s
+      }
+      val tagSel = if (rnd.nextBoolean()) Some(tagVals(rnd.nextInt(3))) else None
+      val bucketUs = 60000000L
+      val req = Request(
+        from = Some(isoOf(fromUs)), to = Some(isoOf(toUs)),
+        streamIds = streamSel,
+        tagFilters = tagSel.map(v => TagFilter("k1", TagEqual, Seq(v))).toList,
+        bucketNs = Some(bucketUs * 1000L),
+        aggs = Seq(NumericAgg("value", AggSum, "s"),
+          NumericAgg("value", AggCount, "n"),
+          NumericAgg("value", AggMax, "mx")))
+      val got = plan(df, req).collect()
+        .map(r => (r.getTimestamp(0).getTime * 1000L, r.getDouble(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val expected = rows
+        .filter { case (us, sid, k1, _) =>
+          us >= fromUs && us < toUs && streamSel.contains(sid) &&
+            tagSel.forall(_ == k1) }
+        .groupBy { case (us, _, _, _) => us - Math.floorMod(us, bucketUs) }
+        .map { case (b, rs) =>
+          (b, rs.map(_._4).sum, rs.size.toLong, rs.map(_._4).max) }.toSet
+      withClue(s"from=$fromUs to=$toUs streams=$streamSel tag=$tagSel: ") {
+        got shouldBe expected
+      }
+    }
+  }
+
   test("AggNone raw fetch projects requested tag columns") {
     val out = plan(points, Request(
       groupByTags = Seq("device"),
