@@ -151,11 +151,49 @@ object Similarity {
       .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
       .limit(centroids)
 
+  /** Lloyd refinement of the coarse quantizer: `iters` rounds of
+    * (assign to nearest centroid by cosine) → (centroid := per-cell
+    * elementwise mean). The classic IVF training step on top of the
+    * sample bootstrap. Each round costs one n×C broadcast assignment
+    * plus one n×dim shuffle for the means — the standard k-means cost
+    * shape, linear per round. DETERMINISTIC: per-dimension means
+    * accumulate in DECIMAL(30,12), so aggregation order cannot perturb
+    * the centroids (floats summed as doubles would make the index — and
+    * any recall gate on it — flicker run to run). Emptied cells simply
+    * disappear (|result| ≤ C stays true); centroid vectors come back as
+    * double arrays, which every consumer (cosineSim) already accepts.
+    */
+  def ivfCentroidsRefined(emb: DataFrame, idCol: String, vecCol: String,
+                          centroids: Int, iters: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    var cents = ivfCentroids(emb, idCol, vecCol, centroids)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.join(broadcast(cents))
+        .groupBy(col("nbr_id"))
+        .agg(max_by(col("cent_id"), cosineSim(col("nbr_vec"), col("cent_vec"))).as("cent_id"),
+          first(col("nbr_vec")).as("nbr_vec"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("nbr_vec")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 12))) /
+          count(lit(1))).cast("double").as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cent_id"),
+          transform(col("ps"), e => e.getField("m")).as("cent_vec"))
+      cents = cents.localCheckpoint() // cut the per-round plan growth
+    }
+    cents
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
-              centroids: Int = 64, nProbe: Int = 8): DataFrame = {
+              centroids: Int = 64, nProbe: Int = 8,
+              refineIters: Int = 0): DataFrame = {
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
-    val cents = broadcast(ivfCentroids(emb, idCol, vecCol, centroids))
+    val cents = broadcast(
+      if (refineIters > 0) ivfCentroidsRefined(emb, idCol, vecCol, centroids, refineIters)
+      else ivfCentroids(emb, idCol, vecCol, centroids))
     // nearest-centroid assignment: broadcast join, partial max_by, one
     // shuffle of n assignment rows
     val assigned = corpus.join(cents)

@@ -79,6 +79,26 @@ class SimilaritySpec extends SparkSpec {
     nulls(1L) shouldBe true
   }
 
+  test("ivfCentroidsRefined: Lloyd rounds keep |cents| <= C, are deterministic, and preserve exact re-rank") {
+    val refined = Similarity.ivfCentroidsRefined(vecs, "vec_id", "embedding",
+      centroids = 3, iters = 2)
+    refined.count() should be <= 3L
+    // deterministic: a second run produces bit-identical centroids
+    val a = refined.orderBy($"cent_id").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val b = Similarity.ivfCentroidsRefined(vecs, "vec_id", "embedding", 3, 2)
+      .orderBy($"cent_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    a shouldBe b
+    // the refined index still yields exactly-ranked, exactly-scored
+    // results (re-rank is exact regardless of the quantizer)
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", Seq(0L), 3,
+        centroids = 3, nProbe = 3, refineIters = 2)
+      .orderBy($"rank").collect()
+    out.map(_.getLong(1)).toSeq shouldBe (1L to out.length)
+    val byId = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    if (byId.contains(1L)) byId(1L) shouldBe (0.9 / math.sqrt(0.82)) +- 1e-9
+  }
+
   test("ivfTopK assigns, probes and re-ranks exactly; high-probe setting recovers the exact top-k") {
     // with nProbe >= number of cells, IVF degrades to exact brute force
     val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), 3)
