@@ -443,17 +443,19 @@ object SparkEntry {
     // CHECKED against the exact brute-force top-5 (was rows-only in
     // r2): recall over 10 queries must clear a floor. The testdata
     // embeddings are soft-clustered noise (exact top-5 cosines are only
-    // ~0.3-0.5, no pair reaches 0.8), so no sublinear ANN can honestly
-    // promise high top-k recall here; measured recall is 0.54/0.58 at
-    // sf0.01/sf0.1 with 16 tables, floor set at 0.4. On corpora with
-    // real near-dup structure (cos >= 0.9) the same operator's per-pair
-    // miss probability is < 3e-4.
+    // ~0.3-0.5, no pair reaches 0.8) — plain bucketing measured
+    // 0.54/0.58 recall at sf0.01/sf0.1 with 16 tables. Query-side
+    // MULTIPROBE (each query also probes every Hamming-1 bucket — the
+    // corpus index is untouched, the right asymmetry at scale) lifts
+    // that to 0.98/1.00 at no measurable cost; floor stays 0.4 — the
+    // data is still physics-limited and the floor belongs to the
+    // operator class, not the lucky run.
     "q24_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qids = (0L until 10L)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 5)
       val approx = Similarity.lshTopK(emb, "vec_id", "embedding", qids, 5,
-        tables = 16)
+        tables = 16, multiProbe = true)
       exact.select(col("query_id"), col("nbr_id"))
         .join(approx.select(col("query_id"), col("nbr_id"), lit(1).as("hit")),
           Seq("query_id", "nbr_id"), "left")

@@ -83,17 +83,30 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
               tables: Int = 8, planesPerTable: Int = 6, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     val planes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), col(vec),
         posexplode(bucketsCol(col(vec), planes)))
         .toDF(id, vec, "tbl", "bucket")
     val corpus  = withBuckets(emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")), "nbr_id", "nbr_vec")
-    val queries = withBuckets(
+    val queries0 = withBuckets(
       emb.filter(col(idCol).isin(queryIds: _*))
         .select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
       "query_id", "query_vec")
+    // Multiprobe: the QUERY side additionally probes every Hamming-1
+    // bucket (one sign bit flipped) in each table — near-misses where
+    // one hyperplane cuts between near-neighbors are recovered without
+    // growing the corpus index at all. Cost is (planesPerTable + 1)
+    // probe rows per (query, table): negligible on the small query
+    // side, zero on the corpus side — the right asymmetry at 100 TB,
+    // where the index dominates.
+    val queries =
+      if (!multiProbe) queries0
+      else queries0.select(col("query_id"), col("query_vec"), col("tbl"),
+          explode(array(col("bucket") +:
+            (0 until planesPerTable).map(p =>
+              col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
     // distinct on NARROW id pairs — the multi-table join surfaces each
     // pair up to `tables` times, and a distinct carrying both embedding
     // vectors would shuffle dim×8 bytes per duplicate; vectors are

@@ -48,6 +48,28 @@ class SimilaritySpec extends SparkSpec {
     if (byId.contains(1L)) byId(1L) shouldBe (0.9 / math.sqrt(0.82)) +- 1e-9
   }
 
+  test("multiProbe lshTopK probes Hamming-1 buckets: surfaces a superset of single-probe pairs, still exactly ranked") {
+    val single = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        queryIds = Seq(0L, 2L), k = 4, tables = 8, planesPerTable = 2, dim = 4)
+      .select($"query_id", $"nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        queryIds = Seq(0L, 2L), k = 4, tables = 8, planesPerTable = 2, dim = 4,
+        multiProbe = true)
+      .orderBy($"query_id", $"rank").collect()
+    val multiPairs = multi.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // more probes can only ADD candidates; the top-k of a superset at
+    // k >= corpus size contains every single-probe hit
+    single.subsetOf(multiPairs) shouldBe true
+    // ranks stay dense per query and cosines exact
+    multi.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.map(_.getLong(1)).toSeq shouldBe (1L to rs.length)
+    }
+    val byId = multi.filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    if (byId.contains(1L)) byId(1L) shouldBe (0.9 / math.sqrt(0.82)) +- 1e-9
+  }
+
   test("native LshBucketHashes is bit-identical to the per-plane when/dotProduct column formulation") {
     val planes = (0 until 16).map(t =>
       Similarity.hyperplanes(6, 4, 42L + t))
