@@ -242,7 +242,7 @@ object Similarity {
     */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String, t: Double,
                     tables: Int = 8, planesPerTable: Int = 6, dim: Int = 64,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     val planes = (0 until tables).map(tb => hyperplanes(planesPerTable, dim, seed + tb))
     // rename FIRST, bucket in a second select: referencing the `vec`
     // alias from the same projection is a lateral-column-alias the
@@ -255,7 +255,20 @@ object Similarity {
     // (each pair can collide in up to `tables` buckets), then join the
     // two vectors back for the exact verify
     val idx = withB.select("id", "tbl", "bucket")
-    val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
+    // Multiprobe for the SELF-join flavor: one side also probes every
+    // Hamming-1 bucket, so a pair qualifies when its buckets differ by
+    // at most one sign bit in some table. Unlike [[lshTopK]]'s
+    // query-side probing this multiplies a CORPUS-sized side by
+    // (planesPerTable + 1) — still linear, and only the narrow
+    // (id, tbl, bucket) rows fan out, but it is a real dial, not a
+    // free lunch; callers trade it against tables.
+    val probe =
+      if (!multiProbe) idx
+      else idx.select(col("id"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until planesPerTable).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val cand = probe.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     cand

@@ -48,6 +48,20 @@ class SimilaritySpec extends SparkSpec {
     if (byId.contains(1L)) byId(1L) shouldBe (0.9 / math.sqrt(0.82)) +- 1e-9
   }
 
+  test("multiProbe cosineNearDup surfaces a superset of single-probe pairs with exact cosines, no false positives") {
+    val single = Similarity.cosineNearDup(vecs, "vec_id", "embedding", 0.9,
+        tables = 8, planesPerTable = 2, dim = 4)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.cosineNearDup(vecs, "vec_id", "embedding", 0.9,
+        tables = 8, planesPerTable = 2, dim = 4, multiProbe = true)
+      .collect()
+    val multiPairs = multi.map(r => (r.getLong(0), r.getLong(1))).toSet
+    single.subsetOf(multiPairs) shouldBe true
+    // every emitted pair is exact-verified above threshold
+    multi.foreach(r => r.getDouble(2) should be >= 0.9)
+  }
+
   test("multiProbe lshTopK probes Hamming-1 buckets: surfaces a superset of single-probe pairs, still exactly ranked") {
     val single = Similarity.lshTopK(vecs, "vec_id", "embedding",
         queryIds = Seq(0L, 2L), k = 4, tables = 8, planesPerTable = 2, dim = 4)
