@@ -74,6 +74,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("property: connectedComponents equals driver-side union-find on random graphs (3 seeds)") {
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (1 to 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = touched.map(v => v -> {
+        // canonical = min id reachable; path-compress by re-finding
+        var r = v.toInt; while (parent(r) != r) r = parent(r); r.toLong
+      }).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), maxIter = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed=$seed: ") {
+        // same partition into components, with min-id canonical labels:
+        // union-find parent roots ARE min ids here because unions always
+        // point the larger root at the smaller
+        got shouldBe expected
+      }
+    }
+  }
+
   test("property: jaccardSimilarityJoin equals brute force on random corpora (3 seeds, 2 thresholds)") {
     // fuzz the prefix/positional/length filter math: random docs from a
     // tiny vocabulary force heavy shingle sharing, duplicates, and
