@@ -88,18 +88,26 @@ object Quality {
     *    message of the key (metrics.py:108-114); first message of a
     *    key (or prev == 0) is NOT a gap, like the reference's
     *    `if self.last_price`;
-    *  - `stale`: inter-arrival above `maxLatencyUs` (metrics.py:119-123);
+    *  - `stale`: inter-arrival above `maxStalenessUs` (metrics.py:
+    *    119-123 — a separate knob from the latency threshold, as in
+    *    the reference; defaults to `maxLatencyUs` when not given);
     *  - `alert`: the _should_alert disjunction (metrics.py:136-144).
     *
-    * All outputs are long/boolean — deterministic and byte-stable for
-    * cross-engine hash checks. `orderCols` must make the per-key order
-    * total (pass a tie-breaker id).
+    * Flag outputs are NEVER null: a null price yields
+    * zero_price/price_gap = false (the reference skips price checks
+    * when the field is absent — `if 'price' in value`; put the price
+    * column in `requiredCols` to surface its nullness), and a null
+    * processing time yields a null latency_us whose alert contribution
+    * coalesces to false. `orderCols` must make the per-key order total
+    * (pass a tie-breaker id).
     */
   def messageQuality(df: DataFrame, keyCol: String,
                      orderCols: Seq[String],
                      tsCol: String, procTsCol: String, priceCol: String,
                      requiredCols: Seq[String],
-                     maxLatencyUs: Long, maxGapPct: Double): DataFrame = {
+                     maxLatencyUs: Long, maxGapPct: Double,
+                     maxStalenessUs: Option[Long] = None): DataFrame = {
+    val staleUs = maxStalenessUs.getOrElse(maxLatencyUs)
     val ord = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
     val tsUs = unix_micros(col(tsCol))
     val procUs = unix_micros(col(procTsCol))
@@ -107,17 +115,18 @@ object Quality {
     val prevPrice = lag(price, 1).over(ord)
     val gapPct = abs((price - prevPrice) / prevPrice) * lit(100.0)
     val missing = requiredCols.map(c => when(col(c).isNull, 1).otherwise(0))
-      .reduce(_ + _)
-    val stale = coalesce(tsUs - lag(tsUs, 1).over(ord) > maxLatencyUs, lit(false))
+      .foldLeft(lit(0))(_ + _)
+    val stale = coalesce(tsUs - lag(tsUs, 1).over(ord) > staleUs, lit(false))
     val out = df
       .withColumn("latency_us", procUs - tsUs)
       .withColumn("missing_fields_count", missing)
-      .withColumn("zero_price", price === 0.0)
+      .withColumn("zero_price", coalesce(price === 0.0, lit(false)))
       .withColumn("price_gap",
         coalesce(prevPrice =!= 0.0 && gapPct > maxGapPct, lit(false)))
       .withColumn("stale", stale)
     out.withColumn("alert",
-      col("latency_us") > maxLatencyUs || col("missing_fields_count") > 0 ||
+      coalesce(col("latency_us") > maxLatencyUs, lit(false)) ||
+        col("missing_fields_count") > 0 ||
         col("zero_price") || col("price_gap") || col("stale"))
   }
 

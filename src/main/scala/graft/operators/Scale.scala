@@ -79,6 +79,23 @@ object Scale {
               sortCols: Seq[String] = Nil): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(path + ".__old")
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    // Recover from a prior crash BEFORE doing anything else. Three
+    // possible leftovers: (a) crash between the two renames — the live
+    // dir is missing and `.__old` holds the data: rename it back;
+    // (b) crash after the swap but before backup deletion — both
+    // exist: the stale `.__old` must go, or the rename below would
+    // fail (local FS) or nest into it (HDFS semantics) and then be
+    // recursively deleted; (c) a stale `.__compact` from a crashed
+    // write — the overwrite below replaces it.
+    if (fs.exists(bak)) {
+      if (!fs.exists(hadoopPath)) {
+        if (!fs.rename(bak, hadoopPath))
+          throw new java.io.IOException(
+            s"compact: cannot restore $path from interrupted run's $bak")
+      } else fs.delete(bak, true)
+    }
     val totalBytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(path)
@@ -86,9 +103,13 @@ object Scale {
       if (sortCols.isEmpty) df.repartition(nFiles)
       else df.repartitionByRange(nFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
     repart.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + ".__old")
+    // The two renames are not jointly atomic: a crash between them
+    // leaves the live dir briefly absent — recovered automatically by
+    // the preamble above on the next call (readers in that window
+    // fail; directory-swap is the strongest protocol a bare
+    // FileSystem offers — table formats fix this with a metadata
+    // pointer, which is out of scope for a layout utility).
     if (!fs.rename(hadoopPath, bak))
       throw new java.io.IOException(s"compact: cannot move $path aside")
     if (!fs.rename(tmp, hadoopPath)) {

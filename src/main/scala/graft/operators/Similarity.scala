@@ -72,6 +72,16 @@ object Similarity {
       graft.expressions.LshBucketHashes(
         org.apache.spark.sql.GraftColumnBridge.expression(vec), planes.toArray))
 
+  /** The Hamming-1 probe set of a bucket column: the bucket itself plus
+    * every single-sign-bit flip — ONE definition shared by the top-k
+    * (query-side) and near-dup (one corpus side) multiprobe flavors so
+    * the probe geometry cannot silently diverge between them.
+    */
+  private def hamming1Probes(bucket: org.apache.spark.sql.Column,
+                             planesPerTable: Int): org.apache.spark.sql.Column =
+    explode(array(bucket +:
+      (0 until planesPerTable).map(p => bucket.bitwiseXOR(lit(1L << p))): _*))
+
   /** LSH-bucketed ANN: `tables` independent hyperplane sets of
     * `planesPerTable` bits each. A vector lands in one bucket per table;
     * query/corpus candidates meet via an equi-join on (table, bucket),
@@ -104,9 +114,7 @@ object Similarity {
     val queries =
       if (!multiProbe) queries0
       else queries0.select(col("query_id"), col("query_vec"), col("tbl"),
-          explode(array(col("bucket") +:
-            (0 until planesPerTable).map(p =>
-              col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+          hamming1Probes(col("bucket"), planesPerTable).as("bucket"))
     // distinct on NARROW id pairs — the multi-table join surfaces each
     // pair up to `tables` times, and a distinct carrying both embedding
     // vectors would shuffle dim×8 bytes per duplicate; vectors are
@@ -181,9 +189,15 @@ object Similarity {
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
     var cents = ivfCentroids(emb, idCol, vecCol, centroids)
     for (_ <- 1 to iters) {
+      // tie-break on (similarity, cent_id): a bare max_by over the
+      // similarity alone is aggregation-order dependent on exact
+      // cosine ties (duplicate vectors sampled as two centroids), and
+      // a flickering cell membership would defeat the decimal-mean
+      // determinism this function promises
       val assigned = corpus.join(broadcast(cents))
         .groupBy(col("nbr_id"))
-        .agg(max_by(col("cent_id"), cosineSim(col("nbr_vec"), col("cent_vec"))).as("cent_id"),
+        .agg(max_by(col("cent_id"),
+            struct(cosineSim(col("nbr_vec"), col("cent_vec")), col("cent_id"))).as("cent_id"),
           first(col("nbr_vec")).as("nbr_vec"))
       cents = assigned
         .select(col("cent_id"), posexplode(col("nbr_vec")).as(Seq("pos", "x")))
@@ -208,11 +222,13 @@ object Similarity {
       if (refineIters > 0) ivfCentroidsRefined(emb, idCol, vecCol, centroids, refineIters)
       else ivfCentroids(emb, idCol, vecCol, centroids))
     // nearest-centroid assignment: broadcast join, partial max_by, one
-    // shuffle of n assignment rows
+    // shuffle of n assignment rows; (similarity, cent_id) struct keys
+    // the max so exact cosine ties break deterministically
     val assigned = corpus.join(cents)
       .groupBy(col("nbr_id"))
       .agg(
-        max_by(col("cent_id"), cosineSim(col("nbr_vec"), col("cent_vec"))).as("cent_id"),
+        max_by(col("cent_id"),
+          struct(cosineSim(col("nbr_vec"), col("cent_vec")), col("cent_id"))).as("cent_id"),
         // every row in the group carries the same vector → deterministic
         first(col("nbr_vec")).as("nbr_vec"))
     // query-side: top-nProbe cells per query
@@ -265,9 +281,7 @@ object Similarity {
     val probe =
       if (!multiProbe) idx
       else idx.select(col("id"), col("tbl"),
-        explode(array(col("bucket") +:
-          (0 until planesPerTable).map(p =>
-            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+        hamming1Probes(col("bucket"), planesPerTable).as("bucket"))
     val cand = probe.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()

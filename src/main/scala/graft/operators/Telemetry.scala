@@ -338,6 +338,11 @@ object Telemetry {
     // None family's saved columns — the snippet's lists define the
     // output, so that must be an error, not a narrower result.
     val anyAgg = numericAgg != AggNone || stringAgg != StrNone
+    require(!anyAgg || s.numericParameterIds.nonEmpty ||
+        s.stringParameterIds.nonEmpty || s.eventIds.nonEmpty,
+      "an aggregation was requested but the snippet saves no parameter or " +
+        "event columns — the result would silently degrade to a raw " +
+        "full-point fetch with no value columns")
     require(!anyAgg || s.numericParameterIds.isEmpty || numericAgg != AggNone,
       "snippet saves numeric parameters but numericAgg is AggNone while " +
         "stringAgg aggregates — the numeric columns would be dropped")

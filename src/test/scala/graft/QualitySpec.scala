@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
 import graft.operators.Quality
 
 /** Rolling data-quality stats (ref darkpool_trades/metrics.py:59-183)
@@ -67,6 +68,29 @@ class QualitySpec extends SparkSpec {
       Seq(false, false, false, true)
     k.map(_.getAs[Boolean]("alert")).toSeq shouldBe
       Seq(false, true, true, true)
+    // no required fields to watch: the count column is constant 0, no crash
+    Quality.messageQuality(msgs, "key", Seq("ts"), "ts", "proc_ts", "price",
+        requiredCols = Nil, maxLatencyUs = 3000000L, maxGapPct = 50.0)
+      .select(max($"missing_fields_count")).collect()(0).getInt(0) shouldBe 0
+    // a null price is not a zero price and never yields a null alert;
+    // a separate staleness knob decouples the two thresholds
+    val nullPrice = Seq(
+      ("n", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"),
+        null.asInstanceOf[java.lang.Double], "x")
+    ).toDF("key", "ts", "proc_ts", "price", "req")
+    val nq = Quality.messageQuality(nullPrice, "key", Seq("ts"), "ts",
+        "proc_ts", "price", requiredCols = Seq("price"),
+        maxLatencyUs = 3000000L, maxGapPct = 50.0).collect()(0)
+    nq.getAs[Boolean]("zero_price") shouldBe false
+    nq.getAs[Int]("missing_fields_count") shouldBe 1 // surfaced as missing
+    nq.getAs[Boolean]("alert") shouldBe true
+    val loose = Quality.messageQuality(msgs, "key", Seq("ts"), "ts",
+        "proc_ts", "price", requiredCols = Seq("req"),
+        maxLatencyUs = 3000000L, maxGapPct = 50.0,
+        maxStalenessUs = Some(60000000L)) // 60 s: the 10 s gap is fine
+      .filter($"key" === "k").orderBy($"ts").collect()
+    loose.map(_.getAs[Boolean]("stale")).toSeq shouldBe
+      Seq(false, false, false, false)
     val sum = Quality.metricsSummary(q, "key").orderBy($"key").collect()
     sum.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq shouldBe Seq(

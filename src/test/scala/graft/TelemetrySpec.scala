@@ -219,6 +219,11 @@ class TelemetrySpec extends SparkSpec {
       Telemetry.snippetDataRequest(snip, stringAgg = StrCount) // numerics saved, AggNone
     // raw fetch (both None) stays legal
     Telemetry.snippetDataRequest(snip).aggs.map(_.agg) shouldBe Seq(AggNone)
+    // an aggregation over a snippet that saves NO columns would
+    // silently degrade to a raw full-point fetch — must be rejected
+    an[IllegalArgumentException] should be thrownBy
+      Telemetry.snippetDataRequest(
+        DataSnippet("empty", Seq(1L), 0L, 1L), numericAgg = AggSum)
   }
 
   test("binary parameters run the First/Last/Count menu through the planner (ref parameterAggregation.ts:17-23)") {
