@@ -787,6 +787,22 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // LLM curation — benchmark DECONTAMINATION: drop corpus docs whose
+    // 3-gram Jaccard to ANY doc of a (small) benchmark set reaches 0.5
+    // (eval material must not leak into training data; shingle overlap
+    // catches light paraphrase that exact matching misses). The
+    // benchmark set is synthesized as every 97th doc, so each matches
+    // itself at J=1 and the near-dups of those docs surface below it.
+    // The result is the dropped-manifest (who leaked what, at what
+    // similarity) — the kept corpus is its anti-join complement.
+    "q42_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val contam = docs.filter(col("doc_id") % 97 === 0)
+      val (_, dropped) = Curation.decontaminate(docs, "doc_id", "text",
+        contam, "doc_id", "text", n = 3, t = 0.5)
+      dropped.orderBy(col("id"))
+    }),
+
     // Benchmark-only dial evidence for the prefix df-cap (the q11
     // algorithm with prefixDfCap=100: shingles appearing in >100 docs
     // are dropped from the INDEX only; every emitted pair is still
@@ -1139,6 +1155,26 @@ object SparkEntry {
 
     "q37_cosine_neardup" ->
       "SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST(TRUE AS BOOLEAN) AS no_false_pos",
+
+    "q42_decontaminate" ->
+      s"""WITH $SHINGLES_CTE,
+        |contam AS (SELECT doc_id AS cid, s AS cs, sz AS csz
+        |           FROM shz WHERE doc_id % 97 = 0),
+        |ov AS (
+        |  SELECT a.doc_id AS id, c.cid,
+        |    len(list_intersect(a.s, c.cs)) AS inter, a.sz, c.csz
+        |  FROM shz a, contam c),
+        |sc AS (
+        |  SELECT id, cid,
+        |    CAST(inter AS DOUBLE) / CAST(sz + csz - inter AS DOUBLE) AS j
+        |  FROM ov
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sz + csz - inter AS DOUBLE) >= 0.5),
+        |r AS (SELECT id, cid, j,
+        |        row_number() OVER (PARTITION BY id ORDER BY j DESC, cid) AS rk
+        |      FROM sc)
+        |SELECT id, cid AS contaminant_id, j AS contaminant_jaccard
+        |FROM r WHERE rk = 1
+        |ORDER BY id""".stripMargin,
 
     "q41_message_quality" ->
       """WITH q AS (
