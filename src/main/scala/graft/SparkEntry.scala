@@ -803,6 +803,16 @@ object SparkEntry {
       dropped.orderBy(col("id"))
     }),
 
+    // LLM curation — domain balancing: keep the top-10 longest docs
+    // per source (the standard "best N per domain" mixing step),
+    // deterministic under ties via the doc_id tie-breaker.
+    "q43_domain_quota" -> ((s, dir) => {
+      Curation.capPerGroup(Tables.documents(s, dir), Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), quota = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    }),
+
     // Benchmark-only dial evidence for the prefix df-cap (the q11
     // algorithm with prefixDfCap=100: shingles appearing in >100 docs
     // are dropped from the INDEX only; every emitted pair is still
@@ -1155,6 +1165,16 @@ object SparkEntry {
 
     "q37_cosine_neardup" ->
       "SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST(TRUE AS BOOLEAN) AS no_false_pos",
+
+    "q43_domain_quota" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars
+        |FROM r WHERE rk <= 10
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
 
     "q42_decontaminate" ->
       s"""WITH $SHINGLES_CTE,
