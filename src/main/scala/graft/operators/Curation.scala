@@ -30,13 +30,22 @@ object Curation {
                     contam: DataFrame, contamIdCol: String,
                     contamTextCol: String,
                     n: Int, t: Double): (DataFrame, DataFrame) = {
-    def hashedShingles(df: DataFrame, id: String, text: String) =
-      Dedup.shingles(df, id, text, n)
+    // materialize BOTH shingle tables before exploding: without the
+    // cache boundary the optimizer inlines the tokenize+gram+hash
+    // lambda chain into the generator and the downstream join keys
+    // (the same re-inlining measured at 20x in the Dedup pipelines —
+    // 35 s → ~2 s here at sf0.1)
+    def hashedShingles(df: DataFrame, id: String, text: String) = {
+      val sh = Dedup.shingles(df, id, text, n)
         .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"),
           col("sz"))
+        .persist()
+      sh.count()
+      sh
+    }
     val d = hashedShingles(docs, idCol, textCol)
-    val c = hashedShingles(contam, contamIdCol, contamTextCol)
-      .select(col("id").as("cid"), col("sh").as("csh"), col("sz").as("csz"))
+    val c0 = hashedShingles(contam, contamIdCol, contamTextCol)
+    val c = c0.select(col("id").as("cid"), col("sh").as("csh"), col("sz").as("csz"))
     val dEx = d.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val cEx = c.select(col("cid"), col("csz"), explode(col("csh")).as("s"))
     val inter = dEx.join(cEx, "s")
@@ -49,10 +58,17 @@ object Curation {
       .filter(col("jaccard") >= t)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("jaccard").desc, col("cid").asc)
+    // same caching contract as the Dedup joins: the (small) manifest is
+    // materialized into the cache, the corpus-sized shingle
+    // intermediates released before returning
     val dropped = scored
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("id"), col("cid").as("contaminant_id"),
         col("jaccard").as("contaminant_jaccard"))
+      .persist()
+    dropped.count()
+    d.unpersist(blocking = false)
+    c0.unpersist(blocking = false)
     val kept = docs.join(
       dropped.select(col("id").as(idCol)), Seq(idCol), "left_anti")
     (kept, dropped)
