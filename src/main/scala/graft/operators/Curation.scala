@@ -22,29 +22,23 @@ object Curation {
     * to a hashed-shingle posting list and the overlap count is a keyed
     * join on the shingle hash, exactly like [[Dedup.verifyJaccard]]'s
     * posting-list intersection — narrow (id, shingle) rows shuffle,
-    * never full texts. Exact — every reported overlap is a true
-    * Jaccard, so the filter has no false drops; returns (kept corpus,
-    * dropped ids with their best-matching contaminant and score).
+    * never full texts. Overlaps are true Jaccard scores modulo 64-bit
+    * shingle-hash collisions (P ≈ sz²/2⁶⁵ per pair, the same
+    * qualification as the Dedup joins), so the filter has no false
+    * drops in practice; returns (kept corpus, dropped ids with their
+    * best-matching contaminant and score).
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     contam: DataFrame, contamIdCol: String,
                     contamTextCol: String,
                     n: Int, t: Double): (DataFrame, DataFrame) = {
-    // materialize BOTH shingle tables before exploding: without the
-    // cache boundary the optimizer inlines the tokenize+gram+hash
-    // lambda chain into the generator and the downstream join keys
-    // (the same re-inlining measured at 20x in the Dedup pipelines —
-    // 35 s → ~2 s here at sf0.1)
-    def hashedShingles(df: DataFrame, id: String, text: String) = {
-      val sh = Dedup.shingles(df, id, text, n)
-        .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"),
-          col("sz"))
-        .persist()
-      sh.count()
-      sh
-    }
-    val d = hashedShingles(docs, idCol, textCol)
-    val c0 = hashedShingles(contam, contamIdCol, contamTextCol)
+    // both shingle tables materialize before the explode: the shared
+    // Dedup cache boundary stops the optimizer from inlining the
+    // tokenize+gram+hash chain into the generator and join keys
+    // (measured 35.4 s → ~5 s at sf0.1 without/with)
+    val d = Dedup.hashedShingles(docs, idCol, textCol, n, materialize = true)
+    val c0 = Dedup.hashedShingles(contam, contamIdCol, contamTextCol, n,
+      materialize = true)
     val c = c0.select(col("id").as("cid"), col("sh").as("csh"), col("sz").as("csz"))
     val dEx = d.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val cEx = c.select(col("cid"), col("csz"), explode(col("csh")).as("s"))
@@ -61,14 +55,12 @@ object Curation {
     // same caching contract as the Dedup joins: the (small) manifest is
     // materialized into the cache, the corpus-sized shingle
     // intermediates released before returning
-    val dropped = scored
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("id"), col("cid").as("contaminant_id"),
-        col("jaccard").as("contaminant_jaccard"))
-      .persist()
-    dropped.count()
-    d.unpersist(blocking = false)
-    c0.unpersist(blocking = false)
+    val dropped = Dedup.materializeAndRelease(
+      scored
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("id"), col("cid").as("contaminant_id"),
+          col("jaccard").as("contaminant_jaccard")),
+      d, c0)
     val kept = docs.join(
       dropped.select(col("id").as(idCol)), Seq(idCol), "left_anti")
     (kept, dropped)
@@ -77,16 +69,34 @@ object Curation {
   /** Per-group quota capping (domain balancing): keep at most `quota`
     * rows per group, chosen DETERMINISTICALLY by `orderCols` (pass a
     * quality score descending + an id tie-breaker — "keep the best N
-    * per domain", the standard mixing step). One window, one shuffle on
-    * the group key; at scale, heavily-skewed groups are exactly the
-    * rows being cut, so the sort is bounded by the group's own size.
+    * per domain", the standard mixing step).
+    *
+    * Two-phase top-N so a hot group is never sorted on one reducer: a
+    * pre-pass windows over (group, input-partition id) — spreading
+    * each group across as many reducers as it has input partitions —
+    * and keeps each sub-partition's local top-quota; only those
+    * ≤ quota × nPartitions survivors reach the final per-group window.
+    * The pre-pass is PRUNING-ONLY, so correctness does not depend on
+    * the (layout-dependent) partition id: a row outside its
+    * sub-partition's top-quota cannot be in the group's true
+    * top-quota, whatever the sub-partitioning was; the final window
+    * applies the same deterministic total order to the survivors.
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[String],
                   orderCols: Seq[org.apache.spark.sql.Column],
                   quota: Int): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__cap_")),
+      "capPerGroup reserves the __cap_ column-name prefix")
+    val localW = Window
+      .partitionBy(groupCols.map(col) :+ col("__cap_pid"): _*)
+      .orderBy(orderCols: _*)
+    val pruned = df.withColumn("__cap_pid", spark_partition_id())
+      .withColumn("__cap_lrk", row_number().over(localW))
+      .filter(col("__cap_lrk") <= quota)
+      .drop("__cap_pid", "__cap_lrk")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota)
-      .drop("__rk")
+    pruned.withColumn("__cap_rk", row_number().over(w))
+      .filter(col("__cap_rk") <= quota)
+      .drop("__cap_rk")
   }
 }

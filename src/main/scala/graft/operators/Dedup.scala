@@ -51,6 +51,30 @@ object Dedup {
       .select(col("id"), wordShingles(col("toks"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
 
+  /** The PERSISTED hashed-shingle table `(id, sh: array<long>, sz)` —
+    * the one optimizer-sensitive projection shared by the Jaccard join
+    * and Curation.decontaminate, kept in exactly one place so the
+    * no-filter-between-projections / cache-boundary rules cannot
+    * silently diverge between consumers. `materialize = true` forces
+    * the cache before returning — required when the consumer's FIRST
+    * action would otherwise optimize against the raw parquet plan and
+    * re-inline the shingle lambda chain (measured 20× on the dedup
+    * pipelines). The Jaccard join passes `false`: its consuming
+    * projection keeps `sh` multi-referenced (CollapseProject's
+    * multi-reference rule holds the projections apart) and its first
+    * action is the cheap df-count pass.
+    */
+  private[operators] def hashedShingles(docs: DataFrame, idCol: String,
+                                        textCol: String, n: Int,
+                                        materialize: Boolean): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+      .select(col("id"),
+        transform(col("sh"), s => xxhash64(s)).as("sh"), col("sz"))
+      .persist()
+    if (materialize) sh.count()
+    sh
+  }
+
   /** Exact n-gram Jaccard similarity self-join with PPJoin-style prefix
     * filtering: shingles are ranked by global document frequency
     * (rarest first); two docs can reach Jaccard >= t only if their
@@ -95,10 +119,7 @@ object Dedup {
     // work (14.6 s vs 0.7 s measured at sf0.1). CollapseProject's
     // multi-reference rule alone keeps the projections apart here
     // (`sh` is referenced by both the hash transform and `sz`).
-    val sh = shingles(docs, idCol, textCol, n)
-      .select(col("id"),
-        transform(col("sh"), s => xxhash64(s)).as("sh"), col("sz"))
-      .persist()
+    val sh = hashedShingles(docs, idCol, textCol, n, materialize = false)
 
     // global shingle document-frequency → rarest-first total order
     val dfreq = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -152,7 +173,7 @@ object Dedup {
     * magnitude smaller than the corpus); callers that are fully done
     * with it may `.unpersist()` it.
     */
-  private def materializeAndRelease(result: DataFrame,
+  private[operators] def materializeAndRelease(result: DataFrame,
                                     intermediates: DataFrame*): DataFrame = {
     val out = result.persist()
     out.count() // force: populate the result cache while inputs are hot

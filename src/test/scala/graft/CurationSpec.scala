@@ -53,8 +53,20 @@ class CurationSpec extends SparkSpec {
     capped.count() shouldBe 5
     capped.filter($"domain" === "web").select($"doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 4L)
-    // quota column is internal only
-    capped.columns should not contain "__rk"
+    // working columns are internal only, and their namespace is guarded
+    capped.columns.exists(_.startsWith("__cap_")) shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      Curation.capPerGroup(docs.withColumn("__cap_pid", lit(1)),
+        Seq("domain"), Seq(col("quality").desc), quota = 1)
+    // the two-phase pruning is exact regardless of input partitioning:
+    // a hot group spread over many partitions yields the same top-N
+    val hot = (1 to 500).map(i => ("hot", i.toLong, (i % 97).toDouble))
+      .toDF("domain", "doc_id", "quality")
+    val expectTop = (1 to 500).map(i => (i.toLong, (i % 97).toDouble))
+      .sortBy { case (id, q) => (-q, id) }.take(7).map(_._1).toSet
+    Curation.capPerGroup(hot.repartition(13), Seq("domain"),
+        Seq(col("quality").desc, col("doc_id").asc), quota = 7)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet shouldBe expectTop
     // deterministic on quality ties: id ascending wins
     val tied = Seq(("d", 10L, 0.5), ("d", 11L, 0.5), ("d", 12L, 0.5))
       .toDF("domain", "doc_id", "quality")
