@@ -127,6 +127,29 @@ class ScaleSpec extends SparkSpec {
     new java.io.File(dir + ".__old").exists() shouldBe false
   }
 
+  test("compact recovers from both crash leftovers before running") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = JFiles.createTempDirectory("compact_rec").toString
+    val dir = base + "/t"
+    (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(5).write.parquet(dir)
+    // leftover (b): crash AFTER the swap, before backup deletion —
+    // both live dir and .__old exist; compact must drop the stale
+    // backup and proceed
+    JFiles.createDirectory(Paths.get(dir + ".__old"))
+    JFiles.writeString(Paths.get(dir + ".__old/stale.txt"), "stale")
+    Scale.compact(spark, dir, targetFileBytes = 1L << 30)
+    spark.read.parquet(dir).count() shouldBe 100
+    new java.io.File(dir + ".__old").exists() shouldBe false
+    // leftover (a): crash BETWEEN the renames — live dir missing,
+    // .__old holds the data; compact must restore it first
+    new java.io.File(dir).renameTo(new java.io.File(dir + ".__old")) shouldBe true
+    Scale.compact(spark, dir, targetFileBytes = 1L << 30)
+    spark.read.parquet(dir).count() shouldBe 100
+    new java.io.File(dir + ".__old").exists() shouldBe false
+    new java.io.File(dir + ".__compact").exists() shouldBe false
+  }
+
   test("bucketed tables join without a shuffle (co-located layout)") {
     val left = (1L to 500L).map(i => (i, s"l$i")).toDF("id", "lv")
     val right = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "rv")
