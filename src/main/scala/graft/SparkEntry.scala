@@ -813,6 +813,27 @@ object SparkEntry {
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
     }),
 
+    // LLM curation capstone — the full pipeline COMPOSED end-to-end:
+    // exact dedup (keep min-id per normalized text — capPerGroup with
+    // quota 1 over the norm key), benchmark decontamination, a quality
+    // floor (n_chars), then the per-source quota. Each stage is the
+    // already-gated operator; this query gates their composition.
+    "q44_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val canon = Curation.capPerGroup(
+          docs.withColumn("__nt", graft.functions.normText(col("text"))),
+          Seq("__nt"), Seq(col("doc_id").asc), quota = 1)
+        .drop("__nt")
+      val contam = docs.filter(col("doc_id") % 97 === 0)
+      val (clean, _) = Curation.decontaminate(canon, "doc_id", "text",
+        contam, "doc_id", "text", n = 3, t = 0.5)
+      Curation.capPerGroup(clean.filter(col("n_chars") >= 500),
+          Seq("source"), Seq(col("n_chars").desc, col("doc_id").asc),
+          quota = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    }),
+
     // Benchmark-only dial evidence for the prefix df-cap (the q11
     // algorithm with prefixDfCap=100: shingles appearing in >100 docs
     // are dropped from the INDEX only; every emitted pair is still
@@ -1165,6 +1186,47 @@ object SparkEntry {
 
     "q37_cosine_neardup" ->
       "SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST(TRUE AS BOOLEAN) AS no_false_pos",
+
+    "q44_curation_pipeline" ->
+      """WITH norm AS (
+        |  SELECT *, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |canon AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rk
+        |    FROM norm) WHERE rk = 1),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM canon),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        |  FROM tok WHERE len(toks) >= 3),
+        |shz AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+        |ctok AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |csh AS (SELECT doc_id AS cid,
+        |  list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS cs
+        |  FROM ctok WHERE len(toks) >= 3),
+        |cshz AS (SELECT cid, cs, len(cs) AS csz FROM csh),
+        |contaminated AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM shz a, cshz c
+        |  WHERE CAST(len(list_intersect(a.s, c.cs)) AS DOUBLE) /
+        |        CAST(a.sz + c.csz - len(list_intersect(a.s, c.cs)) AS DOUBLE)
+        |        >= 0.5),
+        |clean AS (
+        |  SELECT * FROM canon
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND n_chars >= 500),
+        |q AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM clean)
+        |SELECT source, doc_id, n_chars
+        |FROM q WHERE rk <= 10
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
 
     "q43_domain_quota" ->
       """WITH r AS (
