@@ -820,8 +820,14 @@ object SparkEntry {
     // already-gated operator; this query gates their composition.
     "q44_curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // group by the sha2 of the normalized text, not the text itself:
+      // the dedup window's shuffle then carries a 64-char digest per
+      // row instead of whole documents (same grouping modulo sha2
+      // collisions — the standard content-hash dedup key, as in
+      // Dedup.exact)
       val canon = Curation.capPerGroup(
-          docs.withColumn("__nt", graft.functions.normText(col("text"))),
+          docs.withColumn("__nt",
+            sha2(graft.functions.normText(col("text")), 256)),
           Seq("__nt"), Seq(col("doc_id").asc), quota = 1)
         .drop("__nt")
       val contam = docs.filter(col("doc_id") % 97 === 0)
