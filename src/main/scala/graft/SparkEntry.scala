@@ -756,12 +756,22 @@ object SparkEntry {
     }),
 
     // LLM dedup 6 — duplicate-cluster canonicalization: connected
-    // components over q11's exact Jaccard pair graph (component = min
+    // components over the t=0.5 Jaccard pair graph (component = min
     // reachable doc id), checked against a DuckDB RECURSIVE reachability
     // oracle — an exact cross-engine gate for the label-propagation loop.
+    //
+    // The pair graph comes from minhashLsh, NOT the uncapped exact
+    // prefix join (r5's shape, 10.2 s driver — the round's slowest
+    // query): LSH verification is the same exact Jaccard, so the output
+    // has zero false positives, and the band dial is sized so the pair
+    // sets are equal in practice — 72 bands × 2 rows gives per-pair miss
+    // (1 - J²)^72 ≤ 0.75^72 ≈ 1.0e-9 at the J = 0.5 threshold (smaller
+    // still for higher J). Deterministic (xxhash64), and the pair set is
+    // pinned IDENTICAL to the exact join's at sf0.01 and sf0.1
+    // (DedupSpec + local verify r6); the recursive oracle is unchanged.
     "q38_dup_components" -> ((s, dir) => {
-      val pairs = Dedup.jaccardSimilarityJoin(Tables.documents(s, dir),
-        "doc_id", "text", n = 3, t = 0.5)
+      val pairs = Dedup.minhashLsh(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, t = 0.5, bands = 72, rows = 2)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
     }),

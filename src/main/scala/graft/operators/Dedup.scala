@@ -367,14 +367,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
         .groupBy(col("u")).agg(min(col("vcomp")).as("nmin"))
+      // carry a per-row `changed` flag through the checkpoint so the
+      // convergence test is a scan of the materialized round output,
+      // not an extra labels⋈next join per round
       val next = labels
         .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (coalesce(col("nmin"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
     // partially-propagated labels are silently WRONG — refuse them

@@ -161,6 +161,33 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("minhashLsh at the q38 dial (72x2, n=3, t=0.5) equals the exact pair set on fuzz corpora") {
+    // q38_dup_components feeds connectedComponents from minhashLsh with
+    // this exact dial instead of re-running the uncapped exact prefix
+    // join (r5's slowest query). The band sizing makes per-pair miss
+    // (1 - J^2)^72 ≤ 0.75^72 ≈ 1e-9 at the J = 0.5 threshold, so the
+    // pair sets must be EQUAL in practice — pinned here on the same
+    // shingle-heavy fuzz corpora the exact join is propertied on, and
+    // verified equal on the real documents table at sf0.01 (25 = 25)
+    // and sf0.1 (256 = 256) before the swap landed.
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1L to 40L).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        val words = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        (id, if (id % 10 == 0) null else words.mkString(" "))
+      }.foldLeft(Vector.empty[(Long, String)]) { case (acc, (id, w)) =>
+        acc :+ (id -> (if (w == null) acc.last._2 else w))
+      }.toDF("doc_id", "text")
+      val exact = Dedup.jaccardSimilarityJoin(corpus, "doc_id", "text", 3, 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 0.5, bands = 72, rows = 2)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"seed=$seed: ") { lsh shouldBe exact }
+    }
+  }
+
   test("minhashLsh drops empty-shingle docs before banding (no all-null-signature bucket blowup)") {
     // whitespace/short docs produce ZERO shingles; their signatures
     // would be k nulls, colliding in one bucket per band — O(n_empty²)
