@@ -862,6 +862,23 @@ object SparkEntry {
       Dedup.jaccardSimilarityJoin(Tables.documents(s, dir), "doc_id", "text",
           n = 3, t = 0.5, prefixDfCap = Some(100L))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // A8 through the PLANNER — interpolationType is a groupByTimeSettings
+    // knob (ref groupByTimeSettings.ts:17-23, interpolationType.ts:16),
+    // so one Request carries bucket + Linear interpolation: daily mean
+    // per tag `k`, densified to each k's day range and linearly filled,
+    // all inside Telemetry.plan(). q06/q07/q33 gate the composable
+    // GapFill pieces; this gates the Request wiring.
+    "q45_planner_interpolation" -> ((s, dir) => {
+      import Telemetry._
+      plan(eventsPoints(s, dir), Request(
+        tagFilters = Seq(TagFilter("event_type", TagEqual, Seq("signup"))),
+        bucketNs = Some(86400L * 1000 * 1000 * 1000), // 1 day in ns
+        groupByTags = Seq("k"),
+        aggs = Seq(NumericAgg("value", AggMean, "mean_value")),
+        interpolation = Some(GapFill.FillLinear),
+        orderBy = Seq(Ordering("k"), Ordering("bucket_ts"))))
     })
   )
 
@@ -1431,6 +1448,35 @@ object SparkEntry {
         |  CAST(ord(text[3]) * 16 AS BIGINT) AS height,
         |  md5(text) AS content_md5
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q45_planner_interpolation" ->
+      s"""WITH daily AS (
+        |  SELECT json_extract_string(props, '$$.k') AS k,
+        |    date_trunc('day', ts) AS bucket_ts,
+        |    ${DAVG("value")} AS mv
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |bounds AS (SELECT k, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM daily GROUP BY 1),
+        |spine AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_ts FROM bounds),
+        |j AS (SELECT s.k, s.bucket_ts, d.mv
+        |      FROM spine s LEFT JOIN daily d ON s.k = d.k AND s.bucket_ts = d.bucket_ts),
+        |f AS (SELECT k, bucket_ts, mv, epoch_us(bucket_ts) AS tu,
+        |  last_value(mv IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN mv IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS) OVER wp AS pt,
+        |  first_value(mv IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN mv IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS) OVER wn AS nt
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY k ORDER BY bucket_ts
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY k ORDER BY bucket_ts
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT bucket_ts, k,
+        |  CASE WHEN mv IS NOT NULL THEN mv
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (CAST(tu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS mean_value
+        |FROM f
+        |ORDER BY k, bucket_ts""".stripMargin
   )
 }

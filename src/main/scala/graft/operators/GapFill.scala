@@ -24,32 +24,45 @@ object GapFill {
   case object FillPrevious extends Interpolation
   case object FillLinear   extends Interpolation
 
-  /** Densify `df` (one row per (key, bucket) with `valueCol`, possibly
-    * sparse) to every `step` bucket between each key's min and max
-    * bucket, leaving missing values null.
+  /** Densify `df` (one row per (keys, bucket) with value columns,
+    * possibly sparse) to every `step` bucket between each key's min and
+    * max bucket, leaving missing values null. With no key columns the
+    * spine is the single global [min, max] range (a one-row bounds
+    * aggregate — the request's own time span bounds its size).
     *
     * @param step Spark interval literal, e.g. "INTERVAL 1 DAY" — must
     *             match the bucket granularity of `bucketCol`.
     */
-  def densify(df: DataFrame, keyCol: String, bucketCol: String,
+  def densify(df: DataFrame, keyCols: Seq[String], bucketCol: String,
               step: String): DataFrame = {
-    val bounds = df.groupBy(col(keyCol))
-      .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+    val bounds =
+      if (keyCols.isEmpty)
+        df.agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+      else df.groupBy(keyCols.map(col): _*)
+        .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
     val spine = bounds.select(
-      col(keyCol),
-      explode(sequence(col("__mn"), col("__mx"), expr(step))).as(bucketCol))
-    spine.join(df, Seq(keyCol, bucketCol), "left")
+      keyCols.map(col) :+
+        explode(sequence(col("__mn"), col("__mx"), expr(step))).as(bucketCol): _*)
+    spine.join(df, keyCols :+ bucketCol, "left")
   }
+
+  def densify(df: DataFrame, keyCol: String, bucketCol: String,
+              step: String): DataFrame =
+    densify(df, Seq(keyCol), bucketCol, step)
 
   /** "Previous" fill: carry the last non-null value forward within each
     * key, ordered by bucket (ref interpolationType.ts:16 Previous).
     */
-  def fillPrevious(df: DataFrame, keyCol: String, bucketCol: String,
+  def fillPrevious(df: DataFrame, keyCols: Seq[String], bucketCol: String,
                    valueCol: String, as: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(as, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  def fillPrevious(df: DataFrame, keyCol: String, bucketCol: String,
+                   valueCol: String, as: String): DataFrame =
+    fillPrevious(df, Seq(keyCol), bucketCol, valueCol, as)
 
   /** Linear interpolation between the last non-null value before and the
     * first non-null value after each gap; endpoints beyond the data are
@@ -58,13 +71,13 @@ object GapFill {
     * the exact expression `prev + (next - prev) * (dt / span)` so an
     * oracle can reproduce it bit-for-bit.
     */
-  def fillLinear(df: DataFrame, keyCol: String, bucketCol: String,
+  def fillLinear(df: DataFrame, keyCols: Seq[String], bucketCol: String,
                  valueCol: String, as: String): DataFrame = {
     val v  = col(valueCol)
     val tu = unix_micros(col(bucketCol))
-    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wPrev = Window.partitionBy(keyCols.map(col): _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wNext = Window.partitionBy(keyCols.map(col): _*).orderBy(col(bucketCol))
       .rowsBetween(1, Window.unboundedFollowing)
     val prevV = last(v, ignoreNulls = true).over(wPrev)
     val prevT = last(when(v.isNotNull, tu), ignoreNulls = true).over(wPrev)
@@ -76,5 +89,35 @@ object GapFill {
         .when(prevV.isNull, nextV)
         .when(nextV.isNull, prevV)
         .otherwise(prevV + (nextV - prevV) * frac))
+  }
+
+  def fillLinear(df: DataFrame, keyCol: String, bucketCol: String,
+                 valueCol: String, as: String): DataFrame =
+    fillLinear(df, Seq(keyCol), bucketCol, valueCol, as)
+
+  /** The whole interpolation stage as one call — the shape
+    * `groupByTimeSettings` wires into a query (ref
+    * groupByTimeSettings.ts:17-23, interpolationType.ts:16): densify
+    * to the bucket grid, then fill every listed value column IN PLACE
+    * (output schema unchanged, so interpolation composes transparently
+    * inside a planner). `FillNull` is densify alone (generated rows
+    * carry nulls); non-listed columns stay null on generated rows.
+    */
+  def interpolate(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+                  step: String, valueCols: Seq[String],
+                  mode: Interpolation): DataFrame = {
+    val dense = densify(df, keyCols, bucketCol, step)
+    val filled = mode match {
+      case FillNull => dense
+      case FillPrevious => valueCols.foldLeft(dense)((d, c) =>
+        fillPrevious(d, keyCols, bucketCol, c, s"__f_$c"))
+      case FillLinear => valueCols.foldLeft(dense)((d, c) =>
+        fillLinear(d, keyCols, bucketCol, c, s"__f_$c"))
+    }
+    // restore the caller's column ORDER too (densify moves the join
+    // keys first) — in-place means schema-identical
+    if (mode == FillNull) dense.select(df.columns.map(col): _*)
+    else filled.select(df.columns.map(c =>
+      if (valueCols.contains(c)) col(s"__f_$c").as(c) else col(c)): _*)
   }
 }

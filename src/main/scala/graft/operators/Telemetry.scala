@@ -76,6 +76,15 @@ object Telemetry {
     * contract is ns, ref dataSnippet.ts:13-49): on tables carrying the
     * raw `ts_ns` long they take precedence over the necessarily-rounded
     * ISO µs bounds, so sub-µs precision is never lost to the rounding.
+    *
+    * `interpolation` is the `groupByTimeSettings.interpolationType` knob
+    * (ref groupByTimeSettings.ts:17-23, interpolationType.ts:16): one
+    * request = bucket + interpolation, so it requires `bucketNs` and an
+    * aggregating request — after the group-by the bucket grid is
+    * densified per tag group and every NUMERIC aggregate column is
+    * filled per the mode (string/event aggregates stay null on
+    * generated rows). `None` here = the contract's
+    * `InterpolationType.None`: sparse buckets pass through untouched.
     */
   final case class Request(
       from: Option[String]              = None,
@@ -89,6 +98,7 @@ object Telemetry {
       groupByTags: Seq[String]          = Nil,
       aggs: Seq[NumericAgg]             = Nil,
       stringAggs: Seq[StringAgg]        = Nil,
+      interpolation: Option[GapFill.Interpolation] = None,
       orderBy: Seq[Ordering]            = Nil,
       paging: Option[Paging]            = None)
 
@@ -264,10 +274,28 @@ object Telemetry {
         else filtered.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
       }
 
+    // ---- interpolation stage (A8, ref groupByTimeSettings.ts:17-23):
+    // densify the bucket grid per tag group and fill the numeric
+    // aggregate columns. Nested inside groupByTimeSettings in the
+    // contract, so requesting it without a time bucket (or without an
+    // aggregation for the bucket to act on) is a malformed request —
+    // fail fast rather than silently skipping the knob.
+    val interpolated = req.interpolation match {
+      case None => grouped
+      case Some(mode) =>
+        require(req.bucketNs.isDefined && wantsAgg,
+          "interpolation is a groupByTimeSettings knob: it requires " +
+            "bucketNs and at least one aggregation")
+        val numCols = req.aggs.filter(_.agg != AggNone).map(_.as)
+        GapFill.interpolate(grouped, req.groupByTags, "bucket_ts",
+          s"INTERVAL ${req.bucketNs.get / 1000L} MICROSECOND",
+          numCols, mode)
+    }
+
     // ---- ordering + paging stage (O1/O2)
     val ordered =
-      if (req.orderBy.isEmpty) grouped
-      else grouped.orderBy(req.orderBy.map(o =>
+      if (req.orderBy.isEmpty) interpolated
+      else interpolated.orderBy(req.orderBy.map(o =>
         if (o.descending) col(o.by).desc else col(o.by).asc): _*)
     req.paging match {
       case Some(Paging(i, len)) => ordered.offset(i * len).limit(len)

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.Telemetry
+import graft.operators.{GapFill, Telemetry}
 import graft.operators.Telemetry._
 
 /** Golden tests for the telemetry query planner: the full aggregation
@@ -337,6 +337,61 @@ class TelemetrySpec extends SparkSpec {
       Seq(baseUs + 1)
   }
 
+  // sparse per-device minute series for the Request-level interpolation
+  // knob (A8 through the planner): ios has a 2-bucket hole, web none
+  private lazy val sparse: DataFrame = Seq(
+    (ts("2024-01-01 10:00:05"), 1L, Map("device" -> "ios"), 10.0),
+    (ts("2024-01-01 10:03:10"), 1L, Map("device" -> "ios"), 40.0),
+    (ts("2024-01-01 10:01:30"), 2L, Map("device" -> "web"), 6.0),
+    (ts("2024-01-01 10:02:15"), 2L, Map("device" -> "web"), 8.0)
+  ).toDF("ts", "stream_id", "tags", "value")
+
+  private def interpReq(mode: Option[GapFill.Interpolation]) = Request(
+    bucketNs = Some(60L * 1000000000L),
+    groupByTags = Seq("device"),
+    aggs = Seq(NumericAgg("value", AggMean, "mv")),
+    interpolation = mode,
+    orderBy = Seq(Telemetry.Ordering("device"), Telemetry.Ordering("bucket_ts")))
+
+  private def interpRows(mode: Option[GapFill.Interpolation]) =
+    plan(sparse, interpReq(mode)).collect().map(r =>
+      (r.getString(1), r.getTimestamp(0).toString.stripSuffix(".0").drop(11),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+
+  test("A8 planner interpolation: None passes sparse buckets through") {
+    interpRows(None) shouldBe Seq(
+      ("ios", "10:00:00", Some(10.0)), ("ios", "10:03:00", Some(40.0)),
+      ("web", "10:01:00", Some(6.0)), ("web", "10:02:00", Some(8.0)))
+  }
+
+  test("A8 planner interpolation: Null densifies the grid per tag group") {
+    interpRows(Some(GapFill.FillNull)) shouldBe Seq(
+      ("ios", "10:00:00", Some(10.0)), ("ios", "10:01:00", None),
+      ("ios", "10:02:00", None), ("ios", "10:03:00", Some(40.0)),
+      ("web", "10:01:00", Some(6.0)), ("web", "10:02:00", Some(8.0)))
+  }
+
+  test("A8 planner interpolation: Previous carries the last value forward") {
+    interpRows(Some(GapFill.FillPrevious)) shouldBe Seq(
+      ("ios", "10:00:00", Some(10.0)), ("ios", "10:01:00", Some(10.0)),
+      ("ios", "10:02:00", Some(10.0)), ("ios", "10:03:00", Some(40.0)),
+      ("web", "10:01:00", Some(6.0)), ("web", "10:02:00", Some(8.0)))
+  }
+
+  test("A8 planner interpolation: Linear interpolates across the gap") {
+    interpRows(Some(GapFill.FillLinear)) shouldBe Seq(
+      ("ios", "10:00:00", Some(10.0)), ("ios", "10:01:00", Some(20.0)),
+      ("ios", "10:02:00", Some(30.0)), ("ios", "10:03:00", Some(40.0)),
+      ("web", "10:01:00", Some(6.0)), ("web", "10:02:00", Some(8.0)))
+  }
+
+  test("A8 interpolation without a time bucket is a malformed request (contract: groupByTimeSettings)") {
+    an[IllegalArgumentException] should be thrownBy
+      plan(sparse, Request(
+        aggs = Seq(NumericAgg("value", AggMean, "mv")),
+        interpolation = Some(GapFill.FillNull)))
+  }
+
   test("property: plan() matches a driver-side reference evaluator on random requests (30 trials)") {
     // fuzz the planner's filter/bucket/agg composition: random time
     // ranges, stream subsets, tag filters and bucketed aggregations,
@@ -365,6 +420,11 @@ class TelemetrySpec extends SparkSpec {
         case Nil => streams; case s => s
       }
       val tagSel = if (rnd.nextBoolean()) Some(tagVals(rnd.nextInt(3))) else None
+      // round-6: the interpolation knob joins the fuzzed composition
+      // (Linear is pinned by its own golden test + the q45 oracle —
+      // a double-arithmetic evaluator here would chase ulps)
+      val interp = Seq(None, Some(GapFill.FillNull),
+        Some(GapFill.FillPrevious))(rnd.nextInt(3))
       val bucketUs = 60000000L
       val req = Request(
         from = Some(isoOf(fromUs)), to = Some(isoOf(toUs)),
@@ -373,18 +433,42 @@ class TelemetrySpec extends SparkSpec {
         bucketNs = Some(bucketUs * 1000L),
         aggs = Seq(NumericAgg("value", AggSum, "s"),
           NumericAgg("value", AggCount, "n"),
-          NumericAgg("value", AggMax, "mx")))
+          NumericAgg("value", AggMax, "mx")),
+        interpolation = interp)
+      def opt[A](r: org.apache.spark.sql.Row, i: Int, get: Int => A): Option[A] =
+        if (r.isNullAt(i)) None else Some(get(i))
       val got = plan(df, req).collect()
-        .map(r => (r.getTimestamp(0).getTime * 1000L, r.getDouble(1),
-          r.getLong(2), r.getDouble(3))).toSet
-      val expected = rows
+        .map(r => (r.getTimestamp(0).getTime * 1000L,
+          opt(r, 1, r.getDouble), opt(r, 2, r.getLong), opt(r, 3, r.getDouble)))
+        .toSet
+      val base = rows
         .filter { case (us, sid, k1, _) =>
           us >= fromUs && us < toUs && streamSel.contains(sid) &&
             tagSel.forall(_ == k1) }
         .groupBy { case (us, _, _, _) => us - Math.floorMod(us, bucketUs) }
         .map { case (b, rs) =>
-          (b, rs.map(_._4).sum, rs.size.toLong, rs.map(_._4).max) }.toSet
-      withClue(s"from=$fromUs to=$toUs streams=$streamSel tag=$tagSel: ") {
+          b -> (rs.map(_._4).sum, rs.size.toLong, rs.map(_._4).max) }
+      val expected: Set[(Long, Option[Double], Option[Long], Option[Double])] =
+        interp match {
+          case _ if base.isEmpty => Set.empty
+          case None =>
+            base.map { case (b, (s, n, mx)) =>
+              (b, Some(s), Some(n), Some(mx)) }.toSet
+          case Some(mode) =>
+            var lastSeen: Option[(Double, Long, Double)] = None
+            (base.keys.min to base.keys.max by bucketUs).map { b =>
+              base.get(b) match {
+                case Some(v) =>
+                  lastSeen = Some(v)
+                  (b, Some(v._1), Some(v._2), Some(v._3))
+                case None if mode == GapFill.FillPrevious =>
+                  (b, lastSeen.map(_._1), lastSeen.map(_._2), lastSeen.map(_._3))
+                case None =>
+                  (b, None, None, None)
+              }
+            }.toSet
+        }
+      withClue(s"from=$fromUs to=$toUs streams=$streamSel tag=$tagSel interp=$interp: ") {
         got shouldBe expected
       }
     }
