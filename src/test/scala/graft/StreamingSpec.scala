@@ -14,6 +14,8 @@ case class Keyed(ts: Timestamp, k: String, payload: String)
   * quix.ts:133-136 SendParameterData). */
 case class CFrame(stream_id: Long, timestamps: Seq[Long],
                   numericValues: Map[String, Seq[Double]])
+/** A streamed document for the curation pipeline tests. */
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 /** Streaming-parity tests for the defining computation (SURVEY.md §7
   * hard part 1): Quix `.final()` ≡ Spark append output mode — a window
@@ -217,6 +219,124 @@ class StreamingSpec extends SparkSpec {
     ok.select(dsum(col("value"))).collect()(0).getDouble(0) shouldBe 31.0
     val dlq = spark.read.parquet(dlqDir).collect().map(_.getString(0))
     dlq.toSeq shouldBe Seq("{definitely not json")
+  }
+
+  test("end-to-end pipeline: produce-shape → topic → S6 parse → 24-measure windowedAgg → checkpointed sink, restart = exactly-once (ref option_trade_aggs/main.py:203-230)") {
+    // The reference's whole processor as ONE streaming pipeline:
+    // producer callbacks build key/value/ts records, the consumer
+    // parses the value, reduces into the 24-measure 1-minute window
+    // per option symbol, and the sink is checkpointed. No broker in
+    // the sandbox — a parquet dir stands in for the topic; the
+    // produce/consume shape (key/value/ts columns, JSON body) is the
+    // Kafka wire shape.
+    import org.apache.spark.sql.types._
+    import graft.operators.OptionAgg
+    import graft.sources.Ingest
+
+    val trades = Seq(
+      // (ts, osym, side, otype, qty, premium) — hits whale and retail
+      // cells across both sides and both option types in two windows
+      (ts("2024-01-01 10:00:05"), "AAPL240119C00190000", "buy", "call", 10L, 300000.0),
+      (ts("2024-01-01 10:00:20"), "AAPL240119C00190000", "sell", "call", 5L, 1000.0),
+      (ts("2024-01-01 10:00:40"), "SPY240119P00470000", "no_side", "put", 7L, 260000.0),
+      (ts("2024-01-01 10:01:10"), "AAPL240119C00190000", "buy", "put", 3L, 500.0),
+      (ts("2024-01-01 10:01:30"), "SPY240119P00470000", "sell", "put", 2L, 100.0)
+    ).toDF("ts", "osym", "side", "otype", "qty", "premium")
+    // sentinel trade far past every real window + grace: closes them
+    // all when the watermark advances, and its own window (still open
+    // at drain) must NOT be emitted
+    val sentinel = Seq(
+      (ts("2024-01-01 10:30:00"), "ZZZ000000C00000000", "no_side", "call", 1L, 1.0)
+    ).toDF("ts", "osym", "side", "otype", "qty", "premium")
+
+    val dir = Files.createTempDirectory("e2e_pipeline")
+    val topic = dir.toString + "/topic"
+    val out = dir.toString + "/out"
+    val ckpt = dir.toString + "/ckpt"
+
+    // producer side (P16/P17): key/ts callbacks + JSON body
+    Ingest.toProducerRecords(trades.unionByName(sentinel), "osym", "ts")
+      .write.mode("overwrite").parquet(topic)
+
+    // consumer side: readStream the topic, parse the value (S6/F3),
+    // aggregate, sink with checkpoint
+    val valueSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("osym", StringType),
+      StructField("side", StringType), StructField("otype", StringType),
+      StructField("qty", LongType), StructField("premium", DoubleType)))
+    def runOnce(): Unit = {
+      val raw = spark.readStream
+        .schema("key string, value string, ts timestamp")
+        .parquet(topic)
+        // the transport timestamp (Kafka's `timestamp` column) is
+        // distinct from the event-time `ts` INSIDE the body
+        .withColumnRenamed("ts", "kafka_ts")
+      val parsed = Ingest.valid(Ingest.parseJson(raw, "value", valueSchema))
+        .select("ts", "osym", "side", "otype", "qty", "premium")
+      val agged = StreamingOps.windowedAgg(parsed, "ts", "osym",
+        "1 minute", "1 second",
+        count(lit(1)).as("count") +: OptionAgg.measures())
+      val q = StreamingOps.sink(agged, "parquet", Some(out), ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+
+    // batch twin over the same (non-sentinel) trades — the emitted set
+    // is exactly the closed windows, i.e. every real trade's window
+    val twin = StreamingOps.windowedAgg(trades, "ts", "osym",
+        "1 minute", "1 second",
+        count(lit(1)).as("count") +: OptionAgg.measures())
+      .orderBy($"window_start", $"osym")
+      .collect().map(_.toSeq)
+    val got = spark.read.parquet(out)
+      .orderBy($"window_start", $"osym")
+      .collect().map(_.toSeq)
+    got.length shouldBe 4 // 2 windows × 2 symbols; sentinel window open
+    got.toSeq shouldBe twin.toSeq
+
+    // restart from the same checkpoint: the topic offsets are
+    // committed, so nothing is reprocessed (K1 exactly-once effect)
+    runOnce()
+    spark.read.parquet(out).count() shouldBe 4
+  }
+
+  test("streaming curation: content-key dedup within watermark + quality floor, late duplicates stay dropped (q44 streaming twin)") {
+    val input = MemoryStream[Doc](spark)
+    val curated = StreamingOps.curateStream(input.toDF(), "ts", "10 seconds",
+      "text", qualityFloor =
+        org.apache.spark.sql.functions.length(col("text")) >= 20)
+    val ckpt = Files.createTempDirectory("ckpt_curate").toString
+    val q = curated.writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val longA = "a long enough document about spark"
+      val longB = "another sufficiently long document"
+      input.addData(
+        Doc(ts("2024-01-01 10:00:00"), 1L, longA),
+        // same normalized content, different id and whitespace — the
+        // content KEY collapses it, not the raw text
+        Doc(ts("2024-01-01 10:00:02"), 2L, "  a  long enough document about spark "),
+        Doc(ts("2024-01-01 10:00:03"), 3L, "too short"),
+        Doc(ts("2024-01-01 10:00:04"), 4L, longB))
+      q.processAllAvailable()
+      val ids1 = spark.table("curated_out").select($"doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      ids1 shouldBe Seq(1L, 4L) // dup collapsed to first, short doc gated
+
+      // advance the watermark far past the first batch
+      input.addData(Doc(ts("2024-01-01 10:05:00"), 9L,
+        "a sentinel document that advances the watermark"))
+      q.processAllAvailable()
+      // LATE duplicate of doc 1 (event time long before the watermark):
+      // its original's dedup state may be evicted, but the row itself
+      // is late input — it must NOT re-emit the content
+      input.addData(Doc(ts("2024-01-01 10:00:05"), 10L, longA))
+      q.processAllAvailable()
+      val ids2 = spark.table("curated_out").select($"doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      ids2 shouldBe Seq(1L, 4L, 9L) // unchanged apart from the sentinel
+    } finally q.stop()
   }
 
   test("streaming windowedAgg batch twin: the same helper works on a batch DataFrame") {
