@@ -187,10 +187,28 @@ object Catalog {
         throw new IllegalStateException(
           s"ancestor closure still expanding after maxDepth=$maxDepth rounds; " +
             "raise maxDepth (the loop stops on its own once the frontier empties)")
-      else { closure = closure.union(next); frontier = next; depth += 1 }
+      else {
+        closure = closure.union(next)
+        // periodic compaction: a pure lazy union accumulates one flat
+        // checkpointed leaf per round, and the per-round anti-join then
+        // scans depth-many small RDDs (32 partitions each) — task count
+        // grows quadratically with depth while each task shrinks
+        // (measured r5: q36 2.9 → 4.1 s driver after the O(E·depth) →
+        // O(E) checkpoint-volume rework). Re-checkpointing the closure
+        // every few rounds bounds the union fan-in at K leaves while
+        // keeping checkpoint volume O(E·depth/K) — between the r4 and
+        // r5 extremes on both axes.
+        if (depth % closureCompactEvery == 0)
+          closure = closure.localCheckpoint(true)
+        frontier = next; depth += 1
+      }
     }
     closure
   }
+
+  /** Union fan-in bound for [[ancestors]]' lazy closure (see the
+    * periodic-compaction comment in the loop). */
+  private val closureCompactEvery = 4
 
   /** Downward closure — every (id, descendant_id, depth) — derived from
     * [[ancestors]] by swapping the pair (descendant-of is the inverse
