@@ -447,9 +447,12 @@ object SparkEntry {
     // 0.54/0.58 recall at sf0.01/sf0.1 with 16 tables. Query-side
     // MULTIPROBE (each query also probes every Hamming-1 bucket — the
     // corpus index is untouched, the right asymmetry at scale) lifts
-    // that to 0.98/1.00 at no measurable cost; floor stays 0.4 — the
-    // data is still physics-limited and the floor belongs to the
-    // operator class, not the lucky run.
+    // that to 0.98/1.00 at no measurable cost. Floor 0.8 (r6, was
+    // 0.4): one variance band below the 0.98 measurement over the
+    // 50-trial gate (10 queries × top-5; a binomial dip bottoms out
+    // ~0.9), and comfortably ABOVE the 0.54-0.58 plain-bucketing
+    // recall — so silently losing the multiprobe machinery now fails
+    // the gate instead of passing an operator-class floor.
     "q24_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qids = (0L until 10L)
@@ -461,7 +464,7 @@ object SparkEntry {
           Seq("query_id", "nbr_id"), "left")
         .agg(
           count_distinct(col("query_id")).as("n_queries"),
-          (count(col("hit")).cast("double") / count(lit(1)) >= 0.4).as("recall_ok"))
+          (count(col("hit")).cast("double") / count(lit(1)) >= 0.8).as("recall_ok"))
     }),
 
     // LLM similarity 3 — IVF ANN (fixed-C coarse quantizer + 2 Lloyd
@@ -470,9 +473,13 @@ object SparkEntry {
     // FIXED count (bounded n×C assignment — a corpus-fraction sample
     // made assignment quadratic); the deterministic decimal-mean
     // k-means rounds lift measured recall 0.56/0.60 → 0.84/0.72 at
-    // sf0.01/sf0.1 (C=64, probe=16) for ~1 s of training; floor 0.3
-    // (margin is now wide, but the data is still soft-clustered noise
-    // — do not raise it).
+    // sf0.01/sf0.1 (C=64, probe=16) for ~1 s of training. Floor 0.55
+    // (r6, was 0.3): one variance band below the weaker 0.72
+    // measurement (sf0.1) — the data is soft-clustered noise, so the
+    // band is wider than q24's. The pre-Lloyd 0.56/0.60 sits just
+    // above the line (refinement is belt-and-braces here), but the
+    // r4-era corpus-fraction quantizer's 0.50/0.32 — and anything
+    // that breaks assignment or probing — now fails the gate.
     "q25_ivf_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qids = (0L until 10L)
@@ -484,7 +491,7 @@ object SparkEntry {
           Seq("query_id", "nbr_id"), "left")
         .agg(
           count_distinct(col("query_id")).as("n_queries"),
-          (count(col("hit")).cast("double") / count(lit(1)) >= 0.3).as("recall_ok"))
+          (count(col("hit")).cast("double") / count(lit(1)) >= 0.55).as("recall_ok"))
     }),
 
     // P1/F3/S6 — the ingestion layer end-to-end: events serialized to
@@ -712,8 +719,11 @@ object SparkEntry {
     // when their buckets differ by ≤1 sign bit in some table) lifts
     // that to 1.00/0.998 for ~2× the candidate-stage cost — here the
     // fan-out is corpus-sized, a real dial, unlike q24's free
-    // query-side probing. Floor stays 0.5 (operator-class floor, not
-    // lucky-run floor). no_false_pos must ALWAYS hold: the operator
+    // query-side probing. Floor 0.9 (r6, was 0.5): one band below the
+    // 1.00/0.998 measurement — the pair-recall trial count is in the
+    // hundreds at sf0.1, so the band is tight, and plain bucketing's
+    // 0.71/0.72 now FAILS the gate: silently dropping the multiprobe
+    // candidates can no longer pass. no_false_pos must ALWAYS hold: the operator
     // exact-verifies every candidate. The exact baseline's n² join is
     // gate-only scaffolding, not the operator.
     "q37_cosine_neardup" -> ((s, dir) => {
@@ -730,7 +740,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).persist()
       val recallDf = exact
         .join(approx.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
-        .agg((count(col("hit")).cast("double") / count(lit(1)) >= 0.5).as("recall_ok"))
+        .agg((count(col("hit")).cast("double") / count(lit(1)) >= 0.9).as("recall_ok"))
       val fpDf = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
         .agg((count(lit(1)) === 0).as("no_false_pos"))
       recallDf.crossJoin(fpDf)
