@@ -88,9 +88,15 @@ object Quality {
     *    message of the key (metrics.py:108-114); first message of a
     *    key (or prev == 0) is NOT a gap, like the reference's
     *    `if self.last_price`;
-    *  - `stale`: inter-arrival above `maxStalenessUs` (metrics.py:
-    *    119-123 — a separate knob from the latency threshold, as in
-    *    the reference; defaults to `maxLatencyUs` when not given);
+    *  - `stale`: EVENT-TIME inter-arrival above `maxStalenessUs`.
+    *    Two DELIBERATE divergences from metrics.py:119-123: the
+    *    reference measures processing-time inter-arrival (wall clock
+    *    at the consumer — meaningless on replay/backfill, where every
+    *    gap collapses to the consumer's read rate) and reuses
+    *    max_latency_ms as the staleness threshold; this operator uses
+    *    event time (replay-stable) behind its own `maxStalenessUs`
+    *    knob, which merely DEFAULTS to `maxLatencyUs` to match the
+    *    reference's single-threshold behavior when not set;
     *  - `alert`: the _should_alert disjunction (metrics.py:136-144).
     *
     * Flag outputs are NEVER null: a null price yields

@@ -66,7 +66,10 @@ object Scale {
     */
   /** Compact a parquet directory's small files: rewrite to
     * ceil(totalBytes / targetFileBytes) files, preserving rows exactly
-    * (sorted by `sortCols` within the rewritten files when given).
+    * (sorted by `sortCols` within the rewritten files when given) AND
+    * preserving any hive partition layout — a [[writeTimePartitioned]]
+    * root keeps its `dt=…` directories, so planner-derived partition
+    * pruning survives compaction.
     * Streaming sinks and frequent small batch appends accumulate
     * sliver files whose per-file open/footer cost comes to dominate
     * scan planning and execution at scale — compaction is the standing
@@ -74,6 +77,29 @@ object Scale {
     * goes to `<path>.__compact` first and swaps via rename, so a crash
     * mid-rewrite leaves the original directory untouched.
     */
+  /** Detect a hive partition layout under `root`: successive directory
+    * levels whose children are all `name=value` dirs with a consistent
+    * name per level. Returns the partition column names outermost
+    * first — exactly what a partition-preserving rewrite must pass to
+    * `partitionBy`. */
+  private[graft] def hivePartitionCols(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val kv = "([^=/]+)=.*".r
+    @annotation.tailrec
+    def walk(p: org.apache.hadoop.fs.Path,
+             acc: Vector[String]): Vector[String] = {
+      val dirs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).filterNot(_.getName.startsWith("."))
+      dirs.headOption.map(_.getName) match {
+        case Some(kv(k)) if dirs.forall(_.getName.startsWith(s"$k=")) =>
+          walk(dirs.head, acc :+ k)
+        case _ => acc
+      }
+    }
+    walk(root, Vector.empty)
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               sortCols: Seq[String] = Nil): Unit = {
@@ -98,12 +124,25 @@ object Scale {
     }
     val totalBytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // A writeTimePartitioned root (or any hive layout) must keep its
+    // partition directories: spark.read turns `dt=…` into a DATA
+    // column, so a flat rewrite would collapse the directories and
+    // Telemetry.plan's derived dt predicates would silently lose
+    // directory-level pruning (rows preserved, performance contract
+    // broken). Detect the layout and re-apply partitionBy on the
+    // rewrite; partition columns lead the range-partitioning so one
+    // writer task covers contiguous partition values instead of every
+    // task writing a sliver into every directory.
+    val partCols = hivePartitionCols(fs, hadoopPath)
     val df = spark.read.parquet(path)
+    val clusterCols = (partCols ++ sortCols).map(col)
     val repart =
-      if (sortCols.isEmpty) df.repartition(nFiles)
-      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
-    repart.write.mode("overwrite").parquet(tmp.toString)
+      if (clusterCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, clusterCols: _*)
+        .sortWithinPartitions(clusterCols: _*)
+    val writer = repart.write.mode("overwrite")
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(tmp.toString)
     // The two renames are not jointly atomic: a crash between them
     // leaves the live dir briefly absent — recovered automatically by
     // the preamble above on the next call (readers in that window
@@ -129,7 +168,16 @@ object Scale {
     // floorDiv(µs, 86 400 000 000) definition; the two must agree.
     val u = unix_micros(col(tsCol))
     val dayUs = 86400000000L
-    val epochDay = ((u - pmod(u, lit(dayUs))) / lit(dayUs)).cast("int")
+    // INTEGRAL division (SQL DIV), not Column./ — `/` is double
+    // division, exact only while the µs numerator fits 2^53 (~year
+    // 2255); past that a row could land in the wrong dt partition
+    // while Telemetry.plan's Math.floorDiv stays exact. u - pmod is an
+    // EXACT multiple of dayUs (pmod is the positive remainder, pre-1970
+    // included), so DIV's truncation == floorDiv here.
+    val epochDay = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(u - pmod(u, lit(dayUs))),
+        org.apache.spark.sql.catalyst.expressions.Literal(dayUs))).cast("int")
     df.withColumn("dt", date_from_unix_date(epochDay))
       .repartitionByRange(col("dt") +: sorters: _*)
       .sortWithinPartitions(col("dt") +: sorters: _*)

@@ -231,6 +231,14 @@ object Telemetry {
     // day's files. dt = utcDay(ts) is monotone in ts, so
     // `ts >= F ⟹ dt >= utcDay(F)` and `ts < T ⟹ dt <= utcDay(T)`
     // (inclusive on both ends — the bound days are partially covered).
+    //
+    // CONTRACT — `dt` is a RESERVED column name on planner inputs,
+    // exactly like `ts_ns`: it must be the UTC day of ts per
+    // Scale.writeTimePartitioned's epochDay definition (floorDiv of
+    // epoch µs — NOT a session-timezone to_date). A table carrying an
+    // unrelated column named `dt` would get rows near day boundaries
+    // silently dropped by these derived predicates — rename such a
+    // column before handing the table to plan().
     val hasDt = points.columns.contains("dt")
     // from-bound µs (inclusive) and to-bound µs (EXCLUSIVE, so the last
     // admissible µs is bound−1 — that's what the day is derived from)

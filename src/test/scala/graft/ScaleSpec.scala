@@ -127,6 +127,46 @@ class ScaleSpec extends SparkSpec {
     new java.io.File(dir + ".__old").exists() shouldBe false
   }
 
+  test("compact on a writeTimePartitioned root preserves the hive layout and its pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_hive").toString + "/pts"
+    val rows = (0 until 300).map { i =>
+      (new java.sql.Timestamp(1704103200000L + (i % 3) * 86400000L + (i / 3) * 1000L),
+        (i % 4).toLong, i * 1.0)
+    }
+    Scale.writeTimePartitioned(rows.toDF("ts", "stream_id", "value"), "ts", dir,
+      sortCols = Seq("stream_id"))
+    // fragment one day's partition to give compact something to do
+    def dayFiles(d: String) = new java.io.File(s"$dir/dt=$d").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    Scale.compact(spark, dir, targetFileBytes = 1L << 30,
+      sortCols = Seq("stream_id"))
+    // the dt directories SURVIVE the rewrite (a flat rewrite would
+    // collapse them: spark.read turns dt into a data column)
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
+      withClue(s"dt=$d: ") { dayFiles(d) should be >= 1 }
+    }
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 300
+    // directory-level pruning still works post-compaction
+    val oneDay = back.filter($"dt" === "2024-01-02")
+    oneDay.count() shouldBe 100
+    oneDay.queryExecution.executedPlan.toString should include("PartitionFilters")
+  }
+
+  test("writeTimePartitioned epochDay is exact past 2^53 µs (integral DIV, matches Math.floorDiv)") {
+    // 2^53 µs ≈ year 2255: Column./ is double division and would start
+    // mis-assigning dt partitions there, silently diverging from
+    // Telemetry.plan's Math.floorDiv-derived predicates
+    val farUs = (1L << 53) + 86400000000L * 3 + 12345678L // well past 2^53
+    val dir = java.nio.file.Files.createTempDirectory("epochday").toString + "/pts"
+    val df = Seq(Tuple1(farUs)).toDF("us")
+      .select(timestamp_micros($"us").as("ts"), lit(1L).as("stream_id"))
+    Scale.writeTimePartitioned(df, "ts", dir)
+    val expectedDay = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(farUs, 86400000000L)).toString
+    new java.io.File(s"$dir/dt=$expectedDay").exists() shouldBe true
+  }
+
   test("compact recovers from both crash leftovers before running") {
     import java.nio.file.{Files => JFiles, Paths}
     val base = JFiles.createTempDirectory("compact_rec").toString
