@@ -82,18 +82,28 @@ object Curation {
     * top-quota, whatever the sub-partitioning was; the final window
     * applies the same deterministic total order to the survivors.
     */
+  /** The pruning-only pre-pass of [[capPerGroup]], exposed so tests can
+    * assert it actually prunes (the hot group's rows drop from
+    * |group| to ≤ quota × input-partitions before the global window
+    * ever sees them). */
+  private[graft] def capPrePass(df: DataFrame, groupCols: Seq[String],
+                                orderCols: Seq[org.apache.spark.sql.Column],
+                                quota: Int): DataFrame = {
+    val localW = Window
+      .partitionBy(groupCols.map(col) :+ col("__cap_pid"): _*)
+      .orderBy(orderCols: _*)
+    df.withColumn("__cap_pid", spark_partition_id())
+      .withColumn("__cap_lrk", row_number().over(localW))
+      .filter(col("__cap_lrk") <= quota)
+      .drop("__cap_pid", "__cap_lrk")
+  }
+
   def capPerGroup(df: DataFrame, groupCols: Seq[String],
                   orderCols: Seq[org.apache.spark.sql.Column],
                   quota: Int): DataFrame = {
     require(!df.columns.exists(_.startsWith("__cap_")),
       "capPerGroup reserves the __cap_ column-name prefix")
-    val localW = Window
-      .partitionBy(groupCols.map(col) :+ col("__cap_pid"): _*)
-      .orderBy(orderCols: _*)
-    val pruned = df.withColumn("__cap_pid", spark_partition_id())
-      .withColumn("__cap_lrk", row_number().over(localW))
-      .filter(col("__cap_lrk") <= quota)
-      .drop("__cap_pid", "__cap_lrk")
+    val pruned = capPrePass(df, groupCols, orderCols, quota)
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
     pruned.withColumn("__cap_rk", row_number().over(w))
       .filter(col("__cap_rk") <= quota)

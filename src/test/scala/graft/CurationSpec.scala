@@ -75,4 +75,33 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
       Seq(10L, 11L)
   }
+
+  test("capPerGroup's pre-pass actually prunes a skewed group before the global window") {
+    // one domain holds 90% of a 20 000-row input spread over 16
+    // partitions: the global per-group window must never see the hot
+    // group's 18 000 rows — only each sub-partition's local top-quota
+    val quota = 10
+    val nParts = 16
+    val rows = (1 to 20000).map { i =>
+      val domain = if (i % 10 == 0) s"cold-${i % 7}" else "hot.com"
+      (domain, i.toLong, (i % 9973).toDouble)
+    }
+    val df = rows.toDF("domain", "doc_id", "quality").repartition(nParts)
+    val order = Seq(col("quality").desc, col("doc_id").asc)
+    val prePassRows = Curation.capPrePass(df, Seq("domain"), order, quota).count()
+    // pruning bound: ≤ quota × partitions per group (8 groups total),
+    // i.e. ≤ 1 280 of 20 000 survive — the hot group contributes at
+    // most 160 rows to the global sort instead of 18 000
+    prePassRows should be <= (quota.toLong * nParts * 8)
+    prePassRows should be < 2000L
+    // and the capped output is the exact deterministic top-quota
+    val got = Curation.capPerGroup(df, Seq("domain"), order, quota)
+      .select($"domain", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (d, rs) =>
+      rs.sortBy { case (_, id, q) => (-q, id) }.take(quota)
+        .map(r => (d, r._2))
+    }.toSet
+    got shouldBe expect
+  }
 }
