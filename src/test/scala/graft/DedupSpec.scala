@@ -137,6 +137,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("PostingCount and PrefixIndex strategies emit identical rows (ids, counts, AND scores)") {
+    // the strategy choice is a pure cost decision — the full 5-column
+    // output contract must be bit-identical either way, on the same
+    // shingle-heavy fuzz corpora the brute-force property uses
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1L to 40L).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        val words = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        (id, if (id % 10 == 0) null else words.mkString(" "))
+      }.foldLeft(Vector.empty[(Long, String)]) { case (acc, (id, w)) =>
+        acc :+ (id -> (if (w == null) acc.last._2 else w))
+      }.toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.5)) {
+        def rows(st: Dedup.JaccardStrategy) =
+          Dedup.jaccardSimilarityJoin(corpus, "doc_id", "text", 3, t,
+              strategy = st)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getDouble(4))).toSet
+        withClue(s"seed=$seed t=$t: ") {
+          rows(Dedup.JaccardStrategy.PostingCount) shouldBe
+            rows(Dedup.JaccardStrategy.PrefixIndex)
+        }
+      }
+    }
+  }
+
+  test("Auto strategy routing: flat df distributions go direct, corpus-hot shingles force the prefix index") {
+    // sf0.1-shaped stats (max df 25, ratio ≈ 4.3× postings) → direct
+    Dedup.directWithinBudget(pairRows = 1.1e6, postings = 260e3) shouldBe true
+    // 10×-clone stress (every shingle df ≈ 100, ratio ≈ 48×) → prefix
+    Dedup.directWithinBudget(pairRows = 125e6, postings = 2.6e6) shouldBe false
+    // one shingle in every doc of a 1e9-corpus: pair rows ≈ 5e17 —
+    // far beyond any factor of the posting volume, and the double
+    // arithmetic must not wrap negative the way a long product would
+    Dedup.directWithinBudget(pairRows = 5e17, postings = 5e10) shouldBe false
+  }
+
   test("prefixDfCap drops only index entries: generous cap is exact, any cap yields a subset with exact scores") {
     val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
