@@ -906,6 +906,33 @@ object SparkEntry {
         aggs = Seq(NumericAgg("value", AggMean, "mean_value")),
         interpolation = Some(GapFill.FillLinear),
         orderBy = Seq(Ordering("k"), Ordering("bucket_ts"))))
+    }),
+
+    // LLM curation 3 — deterministic stratified mixture sampling:
+    // downsample hot sources, drop one outright, default-rate the rest.
+    // The md5-prefix coin makes the kept ROW SET (not just the counts)
+    // engine-reproducible, so the DuckDB twin checks it exactly; a pure
+    // per-row predicate — no shuffle, partition-layout independent.
+    "q46_stratified_sample" -> ((s, dir) => {
+      Curation.sampleStratified(Tables.documents(s, dir), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+          defaultRate = 0.125)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM curation 4 — token-budget shard packing: per source, docs in
+    // id order pack into ~2000-token shards by exclusive running sum
+    // (docs never split; a shard overshoots by at most its last doc).
+    // Window twin in DuckDB pins the exact shard assignment.
+    "q47_token_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withTok = docs.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCounts(col("text")).getField("n_whitespace")
+          .cast("long").as("n_tok"))
+      Curation.packShards(withTok, "source", "doc_id", "n_tok",
+          budget = 2000L)
+        .orderBy(col("source"), col("doc_id"))
     })
   )
 
@@ -1504,6 +1531,29 @@ object SparkEntry {
         |       ELSE pv + (nv - pv) * (CAST(tu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
         |  END AS mean_value
         |FROM f
-        |ORDER BY k, bucket_ts""".stripMargin
+        |ORDER BY k, bucket_ts""".stripMargin,
+
+    // thresholds are floor(rate·2³²) in zero-padded lowercase hex:
+    // 0.5 → 80000000, 0.25 → 40000000, 0.0 → 00000000 (drops the
+    // stratum: no md5 prefix sorts below it), default 0.125 → 20000000
+    "q46_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN '80000000'
+        |              WHEN 'src1' THEN '40000000'
+        |              WHEN 'src2' THEN '00000000'
+        |              ELSE '20000000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q47_token_shards" ->
+      """WITH tok AS (SELECT source, doc_id,
+        |  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, doc_id, n_tok,
+        |  CAST(COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 2000
+        |    AS BIGINT) AS shard
+        |FROM tok
+        |ORDER BY source, doc_id""".stripMargin
   )
 }

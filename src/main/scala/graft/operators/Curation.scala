@@ -109,4 +109,77 @@ object Curation {
       .filter(col("__cap_rk") <= quota)
       .drop("__cap_rk")
   }
+
+  /** The 8-hex-digit md5-prefix threshold below which a key is kept at
+    * `rate`: floor(rate · 2³²) rendered as zero-padded lowercase hex.
+    * Lowercase-hex strings of equal length compare lexicographically
+    * exactly as their numeric values, so `substr(md5(key),1,8) <
+    * threshold` keeps the rate-fraction of keys in ANY engine whose
+    * md5 renders lowercase hex — the cross-engine portability trick
+    * (DuckDB twin: the identical substr/CASE expression).
+    */
+  private[graft] def rateThresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    // rate 1.0 would need 2³² = "100000000" (9 digits), which sorts
+    // BELOW 8-digit strings starting with ≥ '2' — use 'g' instead,
+    // which sorts above every hex digit, keeping everything.
+    if (rate == 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Deterministic per-stratum hash sampling (mixture weighting): keep
+    * each row iff the first 8 hex chars of md5(idCol-as-string) fall
+    * below the stratum's rate threshold. The standard training-mix
+    * step — downsample hot domains, keep rare ones — with three
+    * properties a `rand()` sample lacks:
+    *
+    *   - PURE per-row predicate: no shuffle, no state, scales as the
+    *     scan, and partition layout cannot affect which rows survive;
+    *   - REPRODUCIBLE across engines and runs (md5 of the id is the
+    *     whole coin), so the DuckDB oracle checks the exact row set,
+    *     not just counts;
+    *   - STABLE under rate changes: lowering a stratum's rate always
+    *     keeps a SUBSET of the higher-rate sample (thresholds are
+    *     nested), the property that makes ablation corpora comparable.
+    *
+    * Strata not named in `rates` use `defaultRate`.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThresholdHex(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rateThresholdHex(rate)))
+          .otherwise(acc)
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
+  }
+
+  /** Token-budget shard packing: within each group (source/domain),
+    * documents ordered by `idCol` are packed into shards of ~`budget`
+    * tokens — shard k holds the docs whose EXCLUSIVE running token sum
+    * lands in [k·budget, (k+1)·budget). The step that turns a curated
+    * corpus into bounded training shards (sequence-building inputs,
+    * per-file token quotas). Deterministic: the packing is a pure
+    * function of (group, id order, token counts).
+    *
+    * A shard's total can overshoot `budget` by at most its last doc's
+    * tokens (docs are never split); oversized single docs land alone in
+    * their own shard.
+    *
+    * Scale shape: ONE window per group — a hot group's cumulative sum
+    * serializes on one reducer, which is inherent to exact sequential
+    * packing. For corpora with a dominant group, pre-split with
+    * [[sampleStratified]] or salt the group key upstream: packing each
+    * salted sub-group independently still yields valid ≤budget+max-doc
+    * shards (shard ids then being (group, salt, k) triples), it only
+    * relaxes WHICH docs share a shard.
+    */
+  def packShards(df: DataFrame, groupCol: String, idCol: String,
+                 tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard",
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(budget)))
+  }
 }

@@ -104,4 +104,83 @@ class CurationSpec extends SparkSpec {
     }.toSet
     got shouldBe expect
   }
+
+  test("sampleStratified: deterministic, layout-independent, nested across rates, exact-rate strata honored") {
+    val rows = (1L to 2000L).map(id =>
+      (id, if (id % 4 == 0) "hot" else if (id % 4 == 1) "drop" else "rest"))
+    val df = rows.toDF("doc_id", "source")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = ids(Curation.sampleStratified(df, "doc_id", "source",
+      Map("hot" -> 0.25, "drop" -> 0.0), defaultRate = 1.0))
+    // rate 0 drops the stratum entirely; rate 1 keeps it entirely
+    sampled.count(id => id % 4 == 1) shouldBe 0
+    rows.filter(_._2 == "rest").map(_._1).forall(sampled.contains) shouldBe true
+    // the 0.25 stratum lands near its rate (binomial on 500 trials)
+    val hotKept = sampled.count(id => id % 4 == 0)
+    hotKept.toDouble / 500 shouldBe 0.25 +- 0.07
+    // layout independence: a different partitioning keeps the SAME rows
+    val repartitioned = ids(Curation.sampleStratified(df.repartition(17),
+      "doc_id", "source", Map("hot" -> 0.25, "drop" -> 0.0), defaultRate = 1.0))
+    repartitioned shouldBe sampled
+    // nesting: halving a rate keeps a subset of the higher-rate sample
+    val halved = ids(Curation.sampleStratified(df, "doc_id", "source",
+      Map("hot" -> 0.125, "drop" -> 0.0), defaultRate = 1.0))
+    halved.filter(id => id % 4 == 0)
+      .subsetOf(sampled.filter(id => id % 4 == 0)) shouldBe true
+  }
+
+  test("sampleStratified rejects rates outside [0,1]") {
+    val df = Seq((1L, "a")).toDF("doc_id", "source")
+    an[IllegalArgumentException] should be thrownBy
+      Curation.sampleStratified(df, "doc_id", "source", Map("a" -> 1.5), 0.5)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.sampleStratified(df, "doc_id", "source", Map.empty, -0.1)
+  }
+
+  test("packShards: exclusive-cumsum packing matches a driver-side greedy pack; oversized docs land alone") {
+    val rows = Seq(
+      // group g1: 600+600+600 -> shard 0 holds docs 1,2 (1200), doc 3
+      // starts at 1200 < 2000 so ALSO shard 0 (overshoot to 1800)
+      ("g1", 1L, 600L), ("g1", 2L, 600L), ("g1", 3L, 600L),
+      // doc 4 starts at 1800 -> still shard 0; doc 5 at 2300 -> shard 1
+      ("g1", 4L, 500L), ("g1", 5L, 100L),
+      // group g2: an oversized doc occupies its own shard range
+      ("g2", 1L, 5000L), ("g2", 2L, 100L), ("g2", 3L, 100L)
+    ).toDF("source", "doc_id", "n_tok")
+    val got = Curation.packShards(rows, "source", "doc_id", "n_tok", 2000L)
+      .select($"source", $"doc_id", $"shard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set(
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 0L), ("g1", 4L, 0L),
+      ("g1", 5L, 1L),
+      ("g2", 1L, 0L), ("g2", 2L, 2L), ("g2", 3L, 2L))
+    // shard totals can overshoot by at most the last doc (docs unsplit):
+    // g1 shard 0 = 2300 <= 2000 + 600
+  }
+
+  test("packShards property: every doc assigned once; shard sums bounded by budget + max doc; shards contiguous in id order") {
+    val rnd = new scala.util.Random(42)
+    val rows = for (g <- Seq("a", "b"); id <- 1L to 300L)
+      yield (g, id, 1L + rnd.nextInt(400).toLong)
+    val budget = 1000L
+    val got = Curation.packShards(rows.toDF("source", "doc_id", "n_tok"),
+        "source", "doc_id", "n_tok", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.length shouldBe rows.length // every doc exactly once
+    got.groupBy(g => (g._1, g._4)).foreach { case ((src, shard), docs) =>
+      val total = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      withClue(s"$src shard $shard: ") {
+        total should be <= (budget + maxDoc)
+      }
+    }
+    // contiguity: within a group, shard index is non-decreasing in id
+    for (g <- Seq("a", "b")) {
+      val shardsInOrder = got.filter(_._1 == g).sortBy(_._2).map(_._4)
+      shardsInOrder.sliding(2).foreach { w =>
+        if (w.length == 2) w(0) should be <= w(1)
+      }
+    }
+  }
 }
