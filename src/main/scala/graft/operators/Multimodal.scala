@@ -51,20 +51,34 @@ object Multimodal {
     * per-partition function that would hold the codec context (JNI
     * handle, model session) open across the whole batch instead of
     * per row. The decoder is pluggable; [[stubDecoder]] is the
-    * clearly-marked deterministic stand-in (no image/audio libs in
-    * this container — SURVEY.md stub policy), producing the exact
-    * schema and batch shape a real decoder drops into.
+    * clearly-marked deterministic stand-in for codec-bound formats
+    * (JPEG/MP3 need real libraries this container doesn't ship —
+    * SURVEY.md stub policy), while [[netpbmDecoder]] and
+    * [[wavDecoder]] are REAL decoders for the two public formats
+    * simple enough to parse from bytes alone.
     */
   def decodePartitions(df: DataFrame, idCol: String, payloadCol: String,
                        decoder: (Long, Array[Byte]) => DecodedMedia = stubDecoder)
                       : org.apache.spark.sql.Dataset[DecodedMedia] = {
     val spark = df.sparkSession
     import spark.implicits._
+    decodePartitionsAs(df, idCol, payloadCol)(decoder)
+  }
+
+  /** Typed generalization of [[decodePartitions]]: same per-partition
+    * batch shape, any output record (images and audio decode to
+    * different schemas).
+    */
+  def decodePartitionsAs[T](df: DataFrame, idCol: String, payloadCol: String)
+                           (decoder: (Long, Array[Byte]) => T)
+                           (implicit ev: org.apache.spark.sql.Encoder[T])
+                           : org.apache.spark.sql.Dataset[T] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition setup happens HERE (codec init, model load);
-        // the stub needs none
+        // per-partition setup happens HERE (codec init, model load)
         rows.map { case (id, payload) => decoder(id, payload) }
       }
   }
@@ -84,6 +98,118 @@ object Multimodal {
       ((hk >>> 11).toDouble / (1L << 53).toDouble).toFloat
     }
     DecodedMedia(id, payload.length.toLong, at(0), at(1) * 16, at(2) * 16, features)
+  }
+
+  /** REAL image decode for binary netpbm payloads (P5 grayscale /
+    * P6 RGB — the public netpbm raw formats: ASCII header `P5|P6`,
+    * whitespace-separated width/height/maxval with `#` comments, one
+    * whitespace byte, then the raster). Pure byte parsing, zero
+    * dependencies; malformed payloads THROW (a real decoder rejects,
+    * it does not fabricate). `format_id` = 5 or 6; `features` = the
+    * 8-bin normalized intensity histogram of the raster — an honest
+    * feature extraction standing where an embedding model would.
+    */
+  def netpbmDecoder(id: Long, payload: Array[Byte]): DecodedMedia = {
+    require(payload.length >= 2 && payload(0) == 'P'.toByte &&
+      (payload(1) == '5'.toByte || payload(1) == '6'.toByte),
+      s"not a raw netpbm payload (want P5/P6): id=$id")
+    val formatId = payload(1) - '0'.toInt
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    // netpbm: comments (# to end-of-line) may appear wherever
+    // whitespace may; the three header ints arrive in order
+    def nextInt(): Int = {
+      while (pos < payload.length &&
+        (isWs(payload(pos)) || payload(pos) == '#'.toByte)) {
+        if (payload(pos) == '#'.toByte)
+          while (pos < payload.length && payload(pos) != '\n'.toByte) pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < payload.length && !isWs(payload(pos))) pos += 1
+      require(pos > start, s"truncated netpbm header: id=$id")
+      new String(payload, start, pos - start, "US-ASCII").toInt
+    }
+    val width = nextInt(); val height = nextInt(); val maxval = nextInt()
+    require(width > 0 && height > 0 && maxval > 0 && maxval < 256,
+      s"bad netpbm dimensions/maxval ($width x $height, $maxval): id=$id")
+    pos += 1 // the single whitespace byte after maxval
+    val channels = if (formatId == 5) 1 else 3
+    val expected = width.toLong * height * channels
+    require(payload.length - pos >= expected,
+      s"netpbm raster truncated (${payload.length - pos} < $expected): id=$id")
+    val hist = new Array[Long](8)
+    var i = pos
+    val end = pos + expected.toInt
+    while (i < end) { hist(((payload(i) & 0xff) * 8) / (maxval + 1)) += 1; i += 1 }
+    val features = hist.map(h => (h.toDouble / expected).toFloat)
+    DecodedMedia(id, payload.length.toLong, formatId, width, height, features)
+  }
+
+  /** Decoded-audio record: what a PCM decode produces. */
+  case class DecodedAudio(id: Long, n_bytes: Long, channels: Int,
+                          sample_rate: Int, bits: Int, n_samples: Long,
+                          features: Array[Float])
+
+  /** REAL audio decode for RIFF/WAVE PCM payloads (the public WAV
+    * container: `RIFF<size>WAVE`, then `fmt ` and `data` chunks with
+    * little-endian fields). Supports PCM (format 1) at 16 bits;
+    * malformed containers and non-PCM formats THROW. `features` =
+    * [rms, peak, zero-crossing rate, mean] over the interleaved
+    * samples (normalized to [-1, 1]), zero-padded to 8 — the signal
+    * statistics a quality-filtering pipeline gates audio on.
+    */
+  def wavDecoder(id: Long, payload: Array[Byte]): DecodedAudio = {
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    def tag(i: Int): String = new String(payload, i, 4, "US-ASCII")
+    require(payload.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a RIFF/WAVE payload: id=$id")
+    var pos = 12
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= payload.length) {
+      val chunk = tag(pos); val size = u32(pos + 4)
+      if (chunk == "fmt ") {
+        val audioFormat = u16(pos + 8)
+        require(audioFormat == 1, s"not PCM (format $audioFormat): id=$id")
+        channels = u16(pos + 10)
+        sampleRate = u32(pos + 12).toInt
+        bits = u16(pos + 22)
+      } else if (chunk == "data") { dataOff = pos + 8; dataLen = size }
+      // chunks are word-aligned: odd sizes carry a pad byte; a
+      // corrupted size that fails to advance (or overflows int) must
+      // not wedge the scan
+      val next = pos + 8 + size + (size & 1)
+      require(next > pos && next <= Int.MaxValue,
+        s"corrupt chunk size at offset $pos: id=$id")
+      pos = next.toInt
+    }
+    require(channels > 0 && dataOff >= 0, s"missing fmt/data chunk: id=$id")
+    require(bits == 16, s"only 16-bit PCM supported (got $bits): id=$id")
+    require(dataOff + dataLen <= payload.length,
+      s"data chunk truncated: id=$id")
+    val n = (dataLen / 2).toInt
+    var sumSq = 0.0; var sum = 0.0; var peak = 0.0; var zc = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val raw = u16(dataOff + 2 * i)
+      val s = (if (raw >= 0x8000) raw - 0x10000 else raw) / 32768.0
+      sumSq += s * s; sum += s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+    val zcr = if (n <= 1) 0.0 else zc.toDouble / (n - 1)
+    val mean = if (n == 0) 0.0 else sum / n
+    val features = Array(rms.toFloat, peak.toFloat, zcr.toFloat,
+      mean.toFloat, 0f, 0f, 0f, 0f)
+    DecodedAudio(id, payload.length.toLong, channels, sampleRate, bits,
+      n / math.max(1, channels), features)
   }
 
   /** Frame sampling over an array-of-binary column (video → every k-th

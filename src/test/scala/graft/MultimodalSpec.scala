@@ -61,4 +61,107 @@ class MultimodalSpec extends SparkSpec {
     out.rdd.getNumPartitions shouldBe 10
     out.count() shouldBe 100
   }
+
+  // ---- real decoders (netpbm / WAV PCM — public formats, no deps) ----
+
+  /** Build a raw P5 (grayscale) payload: header + raster. */
+  private def p5(width: Int, height: Int, maxval: Int,
+                 raster: Array[Byte], comment: Option[String] = None): Array[Byte] = {
+    val c = comment.map(t => s"# $t\n").getOrElse("")
+    s"P5\n$c$width $height\n$maxval\n".getBytes("US-ASCII") ++ raster
+  }
+
+  /** Build a 16-bit PCM WAV payload from samples (LE throughout). */
+  private def wav(channels: Int, sampleRate: Int,
+                  samples: Array[Short]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    val dataLen = samples.length * 2
+    out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+    w16(1); w16(channels); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * channels * 2); w16(channels * 2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+    samples.foreach(s => w16(s & 0xffff))
+    out.toByteArray
+  }
+
+  test("netpbmDecoder parses P5 headers (incl. comments) and computes the exact intensity histogram") {
+    // 4x2 grayscale, maxval 255: bins of width 32 -> values chosen to
+    // land in bins 0, 0, 7, 7, 3, 3, 3, 0 -> hist = [3,0,0,3,0,0,0,2]/8
+    val raster = Array[Byte](0, 31, -1 /*255*/, -32 /*224*/,
+      96, 97, 127, 10)
+    val d = Multimodal.netpbmDecoder(7L,
+      p5(4, 2, 255, raster, comment = Some("a header comment")))
+    d.format_id shouldBe 5
+    d.width shouldBe 4
+    d.height shouldBe 2
+    d.features.toSeq shouldBe Seq(3f / 8, 0f, 0f, 3f / 8, 0f, 0f, 0f, 2f / 8)
+  }
+
+  test("netpbmDecoder rejects bad magic, truncated raster, and oversize maxval") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.netpbmDecoder(1L, "JFIF....".getBytes("US-ASCII"))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.netpbmDecoder(2L, p5(4, 2, 255, Array[Byte](1, 2, 3))) // 3 < 8
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.netpbmDecoder(3L,
+        "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
+  }
+
+  test("wavDecoder parses RIFF/fmt/data and computes exact signal stats on a known square wave") {
+    // mono 8 kHz square wave +/-16384: rms = 0.5, peak = 0.5, zcr =
+    // sign flips every sample -> 7/7 = 1.0, mean = 0 (4 up, 4 down)
+    val samples = Array.tabulate[Short](8)(i =>
+      if (i % 2 == 0) 16384.toShort else (-16384).toShort)
+    val d = Multimodal.wavDecoder(9L, wav(1, 8000, samples))
+    d.channels shouldBe 1
+    d.sample_rate shouldBe 8000
+    d.bits shouldBe 16
+    d.n_samples shouldBe 8
+    d.features(0) shouldBe 0.5f +- 1e-6f // rms
+    d.features(1) shouldBe 0.5f          // peak
+    d.features(2) shouldBe 1.0f          // zcr
+    d.features(3) shouldBe 0.0f +- 1e-6f // mean
+  }
+
+  test("wavDecoder rejects non-PCM, truncated data, and corrupt chunk sizes") {
+    val good = wav(1, 8000, Array[Short](1, 2, 3, 4))
+    // flip the audioFormat field (offset 20) to 3 = IEEE float
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.wavDecoder(1L, nonPcm)
+    // truncate mid-data
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.wavDecoder(2L, good.dropRight(3))
+    // corrupt the data chunk size to a value that cannot advance
+    val corrupt = good.clone()
+    corrupt(40) = -1; corrupt(41) = -1; corrupt(42) = -1; corrupt(43) = -1
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.wavDecoder(3L, corrupt)
+  }
+
+  test("decodePartitionsAs runs the real decoders through the batched mapPartitions harness") {
+    val img1 = p5(2, 2, 255, Array[Byte](0, 0, -1, -1))
+    val img2 = p5(1, 4, 255, Array[Byte](10, 20, 30, 40))
+    val df = Seq((1L, img1), (2L, img2)).toDF("id", "payload")
+    val decoded = Multimodal.decodePartitionsAs(df, "id", "payload")(
+        Multimodal.netpbmDecoder)
+      .collect().sortBy(_.id)
+    decoded.map(d => (d.id, d.width, d.height)).toSeq shouldBe
+      Seq((1L, 2, 2), (2L, 1, 4))
+    decoded(0).features(0) shouldBe 0.5f // two black pixels of four
+    decoded(0).features(7) shouldBe 0.5f // two white pixels of four
+
+    val audio = Seq((5L, wav(2, 44100, Array[Short](0, 0, 100, -100))))
+      .toDF("id", "payload")
+    val a = Multimodal.decodePartitionsAs(audio, "id", "payload")(
+        Multimodal.wavDecoder)
+      .collect().head
+    a.channels shouldBe 2
+    a.sample_rate shouldBe 44100
+    a.n_samples shouldBe 2 // 4 interleaved samples / 2 channels
+  }
 }
