@@ -130,6 +130,19 @@ class CurationSpec extends SparkSpec {
       .subsetOf(sampled.filter(id => id % 4 == 0)) shouldBe true
   }
 
+  test("plan shapes: sampleStratified adds NO shuffle; packShards adds exactly one (the per-group window)") {
+    val df = (1L to 100L).map(id => (id, "s" + (id % 4), 10L))
+      .toDF("doc_id", "source", "n_tok")
+    def exchanges(p: org.apache.spark.sql.DataFrame): Int =
+      p.queryExecution.executedPlan.toString()
+        .linesIterator.count(_.contains("Exchange"))
+    // a mixture-sampling pass over 100 TB must stay a pure scan+filter
+    exchanges(Curation.sampleStratified(df, "doc_id", "source",
+      Map("s0" -> 0.5), 0.25)) shouldBe 0
+    // packing shuffles ONCE on the group key; no extra sort/exchange
+    exchanges(Curation.packShards(df, "source", "doc_id", "n_tok", 100L)) shouldBe 1
+  }
+
   test("sampleStratified rejects rates outside [0,1]") {
     val df = Seq((1L, "a")).toDF("doc_id", "source")
     an[IllegalArgumentException] should be thrownBy
