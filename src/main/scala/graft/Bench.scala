@@ -36,12 +36,18 @@ object Bench {
     def runPass(): Seq[(String, Double)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
+        var ok = true
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failed += name
+          ok = false
         }
-        val elapsed = (System.nanoTime() - t0) / 1e9
+        // a failed attempt's (short) elapsed must not win the
+        // cross-pass min — a query that fails fast in one pass and
+        // succeeds in another would otherwise report the failure's time
+        val elapsed =
+          if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
         // drop this query's persisted tables so later queries aren't
         // timed under the accumulated heap pressure of the whole suite
         // (observed 4x run-to-run swings on the dedup self-joins without)
@@ -62,9 +68,12 @@ object Bench {
     // re-run the full plan and only keep warmed codegen — min-of-N is
     // the steady-state throughput number the baseline comparison wants,
     // with run-to-run jitter (GC pause, load spike) filtered out.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     val results = (1 to passes).map(_ => runPass())
       .reduce((a, b) => a.zip(b).map { case ((k, v1), (_, v2)) => k -> math.min(v1, v2) })
+      // a query that failed EVERY pass has no real time — report 0 and
+      // rely on the `failed` array (MaxValue would wreck the total)
+      .map { case (k, v) => k -> (if (v == Double.MaxValue) 0.0 else v) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -748,9 +748,15 @@ object SparkEntry {
       val approx = Similarity.cosineNearDup(emb, "vec_id", "embedding", t,
           tables = 16, multiProbe = true)
         .select(col("id_a"), col("id_b")).persist()
+      // vacuous truths both ways: zero sampled exact pairs -> recall is
+      // 0/0, which must read as "nothing to find" (coalesce true), and
+      // an empty approx output has no false positives by definition —
+      // neither gate may conflate "found nothing" with "failed"
       val recallDf = exactSampled
         .join(approx.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
-        .agg((count(col("hit")).cast("double") / count(lit(1)) >= 0.9).as("recall_ok"))
+        .agg(coalesce(
+          count(col("hit")).cast("double") / count(lit(1)) >= 0.9,
+          lit(true)).as("recall_ok"))
       // False positives are checked over the FULL approx output (not
       // the sample): re-derive each reported pair's cosine from the
       // base table and require >= t — linear in |pairs|.
@@ -758,8 +764,8 @@ object SparkEntry {
         .join(e.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
         .join(e.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
         .agg((count(when(
-          graft.functions.cosineSim(col("vec_a"), col("vec_b")) < t, 1)) === 0 &&
-          count(lit(1)) > 0).as("no_false_pos"))
+          graft.functions.cosineSim(col("vec_a"), col("vec_b")) < t, 1)) === 0)
+          .as("no_false_pos"))
       recallDf.crossJoin(fpDf)
     }),
 
@@ -1513,7 +1519,8 @@ object SparkEntry {
         |bounds AS (SELECT k, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM daily GROUP BY 1),
         |spine AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_ts FROM bounds),
         |j AS (SELECT s.k, s.bucket_ts, d.mv
-        |      FROM spine s LEFT JOIN daily d ON s.k = d.k AND s.bucket_ts = d.bucket_ts),
+        |      FROM spine s LEFT JOIN daily d
+        |      ON s.k IS NOT DISTINCT FROM d.k AND s.bucket_ts = d.bucket_ts),
         |f AS (SELECT k, bucket_ts, mv, epoch_us(bucket_ts) AS tu,
         |  last_value(mv IGNORE NULLS) OVER wp AS pv,
         |  last_value(CASE WHEN mv IS NOT NULL THEN epoch_us(bucket_ts) END IGNORE NULLS) OVER wp AS pt,

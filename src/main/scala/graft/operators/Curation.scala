@@ -177,9 +177,20 @@ object Curation {
   def packShards(df: DataFrame, groupCol: String, idCol: String,
                  tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(!df.columns.contains("shard"),
+      "packShards writes a 'shard' column; input already has one")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("shard",
-      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(budget)))
+    val cum = coalesce(sum(col(tokensCol)).over(w), lit(0L))
+    // INTEGRAL division (long DIV), not floor(double /): the cumulative
+    // sum is exact in long arithmetic, and past 2^53 tokens per group a
+    // double quotient could mis-round a boundary doc into the wrong
+    // shard while the DuckDB twin's `//` stays exact — the same
+    // divergence class Scale.epochDay was fixed for
+    val shard = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(cum),
+        org.apache.spark.sql.catalyst.expressions.Literal(budget)))
+    df.withColumn("shard", shard)
   }
 }

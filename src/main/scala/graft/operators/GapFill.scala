@@ -43,7 +43,18 @@ object GapFill {
     val spine = bounds.select(
       keyCols.map(col) :+
         explode(sequence(col("__mn"), col("__mx"), expr(step))).as(bucketCol): _*)
-    spine.join(df, keyCols :+ bucketCol, "left")
+    // NULL-SAFE join on the keys: a group whose key is null (e.g. a
+    // group-by tag absent from some points) is a real group — a plain
+    // equi-join would never match null = null and silently null out
+    // every aggregate of that group after densification
+    val sp = spine.alias("__sp"); val d = df.alias("__d")
+    val joinKeys = keyCols :+ bucketCol
+    val cond = joinKeys.map(c => col(s"__sp.$c") <=> col(s"__d.$c"))
+      .reduce(_ && _)
+    val others = df.columns.filterNot(joinKeys.contains)
+    sp.join(d, cond, "left").select(
+      joinKeys.map(c => col(s"__sp.$c").as(c)) ++
+        others.map(c => col(s"__d.$c").as(c)): _*)
   }
 
   def densify(df: DataFrame, keyCol: String, bucketCol: String,
@@ -99,9 +110,17 @@ object GapFill {
     * `groupByTimeSettings` wires into a query (ref
     * groupByTimeSettings.ts:17-23, interpolationType.ts:16): densify
     * to the bucket grid, then fill every listed value column IN PLACE
-    * (output schema unchanged, so interpolation composes transparently
-    * inside a planner). `FillNull` is densify alone (generated rows
-    * carry nulls); non-listed columns stay null on generated rows.
+    * (column set and order unchanged, so interpolation composes
+    * transparently inside a planner). `FillNull` is densify alone
+    * (generated rows carry nulls); non-listed columns stay null on
+    * generated rows.
+    *
+    * Type caveat, stated rather than hidden: `FillLinear` widens
+    * integer value columns to double — a linear interpolant between
+    * integer observations is fractional (interpolating a count of 2
+    * and 5 yields 3.5), and truncating it back would silently corrupt
+    * the interpolated values. `FillNull`/`FillPrevious` preserve the
+    * original types exactly.
     */
   def interpolate(df: DataFrame, keyCols: Seq[String], bucketCol: String,
                   step: String, valueCols: Seq[String],

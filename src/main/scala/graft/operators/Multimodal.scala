@@ -133,11 +133,16 @@ object Multimodal {
     val width = nextInt(); val height = nextInt(); val maxval = nextInt()
     require(width > 0 && height > 0 && maxval > 0 && maxval < 256,
       s"bad netpbm dimensions/maxval ($width x $height, $maxval): id=$id")
+    require(pos < payload.length && isWs(payload(pos)),
+      s"netpbm header not terminated by whitespace: id=$id")
     pos += 1 // the single whitespace byte after maxval
     val channels = if (formatId == 5) 1 else 3
     val expected = width.toLong * height * channels
-    require(payload.length - pos >= expected,
-      s"netpbm raster truncated (${payload.length - pos} < $expected): id=$id")
+    // EXACT length, not >=: a CRLF-terminated header ("255\r\n") leaves
+    // one surplus byte that would shift every pixel by one — a decoder
+    // must reject what it cannot decode correctly, never fabricate
+    require(payload.length - pos == expected,
+      s"netpbm raster length mismatch (${payload.length - pos} != $expected): id=$id")
     val hist = new Array[Long](8)
     var i = pos
     val end = pos + expected.toInt

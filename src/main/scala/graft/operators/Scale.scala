@@ -89,8 +89,14 @@ object Scale {
     @annotation.tailrec
     def walk(p: org.apache.hadoop.fs.Path,
              acc: Vector[String]): Vector[String] = {
+      // skip hidden/metadata entries the SAME way Spark's file index
+      // does ('_' AND '.' prefixes — _temporary, _SUCCESS, .crc): a
+      // leftover _temporary dir from a crashed writer must not make a
+      // partitioned root look unpartitioned (a flat rewrite here would
+      // collapse the dt=... directories and silently break pruning)
       val dirs = fs.listStatus(p).filter(_.isDirectory)
-        .map(_.getPath).filterNot(_.getName.startsWith("."))
+        .map(_.getPath)
+        .filterNot(d => d.getName.startsWith(".") || d.getName.startsWith("_"))
       dirs.headOption.map(_.getName) match {
         case Some(kv(k)) if dirs.forall(_.getName.startsWith(s"$k=")) =>
           walk(dirs.head, acc :+ k)

@@ -74,8 +74,17 @@ object AvroBinary {
       var shift = 0; var acc = 0L; var b = 0
       do {
         if (pos >= bytes.length) throw new EOFException("truncated varint")
+        // a varlong is AT MOST 10 bytes (70 bits of payload); past that
+        // `<< shift` would wrap mod 64 and silently fold continuation
+        // bytes back into low bits — an overlong/corrupt varint must be
+        // an error, not a wrong value
+        if (shift >= 70)
+          throw new IllegalArgumentException("varint longer than 10 bytes")
         b = bytes(pos) & 0xff; pos += 1
-        acc |= (b & 0x7fL) << shift; shift += 7
+        if (shift < 64) acc |= (b & 0x7fL) << shift
+        else if ((b & 0x7f) != 0)
+          throw new IllegalArgumentException("varint overflows 64 bits")
+        shift += 7
       } while ((b & 0x80) != 0)
       (acc >>> 1) ^ -(acc & 1L) // un-ZigZag
     }
@@ -86,9 +95,12 @@ object AvroBinary {
       v.toInt
     }
     def readString(): String = {
-      val len = readVarLong().toInt
-      if (len < 0 || pos + len > bytes.length)
-        throw new EOFException(s"truncated string of length $len")
+      val lenL = readVarLong()
+      // bound-check in LONG: a corrupt length like 0x1_0000_0005 must
+      // not truncate to a plausible small int and mis-read the field
+      if (lenL < 0 || lenL > bytes.length - pos)
+        throw new EOFException(s"truncated string of length $lenL")
+      val len = lenL.toInt
       val s = new String(bytes, pos, len, StandardCharsets.UTF_8)
       pos += len; s
     }

@@ -37,6 +37,13 @@ trait SchemaRegistry {
     * @throws NoSuchElementException if the id is unknown.
     */
   def schemaById(id: Int): String
+
+  /** Every schema id this registry can resolve — the driver-side
+    * snapshot [[SchemaRegistry.decodeFramedChecked]] ships to
+    * executors so id validation rides the decode pass instead of
+    * costing a second scan.
+    */
+  def knownIds: Set[Int]
 }
 
 /** One registered (subject, version) entry; `schemaId` is the GLOBAL
@@ -75,21 +82,28 @@ object SchemaRegistry {
     AvroBinary.encodeFramed(ds, resolved.schemaId)
   }
 
-  /** Consumer-shaped composition: check every frame's embedded id
-    * against the registry (driver-side lookup of the DISTINCT ids —
-    * one tiny action, not a per-row RPC), then decode. Unknown ids
-    * throw, mirroring a consumer that cannot fetch the writer schema
+  /** Consumer-shaped composition: decode with every frame's embedded
+    * id checked against a driver-side snapshot of the registry's known
+    * ids — the snapshot rides the task closure (a handful of ints), so
+    * validation costs nothing extra: ONE pass over the data, no second
+    * scan, no per-row RPC. Unknown ids throw on first contact,
+    * mirroring a consumer that cannot fetch the writer schema
     * (basic.py:229-239).
     */
   def decodeFramedChecked(spark: SparkSession,
                           framed: Dataset[Array[Byte]],
                           registry: SchemaRegistry): Dataset[AvroBinary.DarkpoolTrade] = {
-    import org.apache.spark.sql.functions._
-    val ids = framed.toDF("framed")
-      .select(ConfluentFraming.unframe(col("framed")).getField("schema_id"))
-      .distinct().collect().map(_.getInt(0))
-    ids.foreach(registry.schemaById) // throws on the first unknown id
-    AvroBinary.decodeFramed(spark, framed)
+    import spark.implicits._
+    val known = registry.knownIds // resolved ONCE, driver-side
+    framed.map { bytes =>
+      require(bytes.length >= 5 && bytes(0) == 0x00,
+        "not a Confluent-framed value")
+      val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+      if (!known.contains(id))
+        throw new NoSuchElementException(s"Unknown schema id: $id")
+      AvroBinary.decode(bytes.drop(5))
+    }
   }
 }
 
@@ -135,4 +149,7 @@ final class InMemorySchemaRegistry extends SchemaRegistry {
         .getOrElse(throw new NoSuchElementException(s"Unknown schema id: $id"))
         .schema
     }
+
+  def knownIds: Set[Int] =
+    synchronized(entries.map(_.schemaId).toSet)
 }

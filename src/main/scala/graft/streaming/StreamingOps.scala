@@ -82,23 +82,28 @@ object StreamingOps {
 
   /** Streaming curation — the streaming twin of the batch curation
     * pipeline's first two stages (q44: exact content dedup + quality
-    * floor): documents are keyed by the sha2 of their normalized text
-    * (the same content key as `Dedup.exact`) and deduplicated within
-    * the watermark, then gated by the quality predicate. Duplicates
-    * arriving within `grace` of each other are guaranteed collapsed;
-    * a duplicate arriving after the watermark passed its original is
-    * dropped as late input — either way one representative survives,
-    * which is the curation invariant. State is bounded: the store
-    * holds one entry per content key seen within the watermark, and
-    * eviction follows the watermark.
+    * floor): documents are gated by the quality predicate, then keyed
+    * by the sha2 of their normalized text (the same content key as
+    * `Dedup.exact`) and deduplicated within the watermark. The floor
+    * runs FIRST: the quality predicate may read columns the content
+    * key ignores (raw whitespace, metadata), so a below-floor arrival
+    * must not consume its content key and shadow a later qualifying
+    * duplicate — floor-first guarantees the surviving representative
+    * is a QUALIFYING one whenever any exists (and shrinks dedup state
+    * as a bonus). Duplicates arriving within `grace` of each other are
+    * guaranteed collapsed; a duplicate arriving after the watermark
+    * passed its original is dropped as late input — either way at most
+    * one representative survives, which is the curation invariant.
+    * State is bounded: the store holds one entry per content key seen
+    * within the watermark, and eviction follows the watermark.
     */
   def curateStream(docs: DataFrame, tsCol: String, grace: String,
                    textCol: String, qualityFloor: Column): DataFrame =
     dedupWithinWatermark(
-      docs.withColumn("content_key",
-        sha2(graft.functions.normText(col(textCol)), 256)),
+      docs.filter(qualityFloor)
+        .withColumn("content_key",
+          sha2(graft.functions.normText(col(textCol)), 256)),
       tsCol, grace, Seq("content_key"))
-      .filter(qualityFloor)
 
   /** W1/W2 as a STREAMING stateful operator: per-key previous-value
     * percent gap and inter-arrival staleness, carried across

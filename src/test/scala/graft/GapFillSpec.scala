@@ -61,4 +61,23 @@ class GapFillSpec extends SparkSpec {
       .collect().map(_.getDouble(3)).toSeq
     out shouldBe Seq(7.0, 7.0, 7.0) // left edge takes next, right edge takes prev
   }
+
+  test("densify keeps groups whose key is NULL (null-safe spine join)") {
+    // a group-by tag absent from some points is a real group; a plain
+    // equi-join would never match null = null and the group's values
+    // would all come back null after densification
+    val df = Seq(
+      (Some("a"), ts("2024-01-01 00:00:00"), Some(1.0)),
+      (Some("a"), ts("2024-01-03 00:00:00"), Some(3.0)),
+      (None: Option[String], ts("2024-01-01 00:00:00"), Some(10.0)),
+      (None: Option[String], ts("2024-01-02 00:00:00"), Some(20.0))
+    ).toDF("k", "day", "v")
+    val dense = GapFill.densify(df, "k", "day", "INTERVAL 1 DAY")
+    // the null-key group survives with its VALUES intact
+    val nullGroup = dense.filter($"k".isNull).orderBy($"day")
+      .collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    nullGroup.toSeq shouldBe Seq(Some(10.0), Some(20.0))
+    // and the named group still densifies its gap
+    dense.filter($"k" === "a").count() shouldBe 3
+  }
 }

@@ -78,10 +78,17 @@ class RegistrySpec extends SparkSpec {
       .collect().sortBy(_.ts)
     decoded shouldBe trades.collect().sortBy(_.ts)
 
-    // a registry that never saw that id refuses the stream
+    // a registry that never saw that id refuses the stream — the check
+    // rides the decode pass (one scan), so it surfaces at action time
     val stranger = new InMemorySchemaRegistry
     stranger.register("darkpool-trades-value", schemaV1) // id 1 only
-    a[NoSuchElementException] should be thrownBy
-      SchemaRegistry.decodeFramedChecked(spark, framed, stranger)
+    val ex = intercept[Exception] {
+      SchemaRegistry.decodeFramedChecked(spark, framed, stranger).collect()
+    }
+    // executor exceptions arrive wrapped (SparkException -> cause chain)
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("; ")
+    msgs should include("Unknown schema id")
   }
 }

@@ -318,11 +318,17 @@ class StreamingSpec extends SparkSpec {
         // content KEY collapses it, not the raw text
         Doc(ts("2024-01-01 10:00:02"), 2L, "  a  long enough document about spark "),
         Doc(ts("2024-01-01 10:00:03"), 3L, "too short"),
+        // below-floor RAW text (18 chars) whose NORMALIZED content
+        // equals doc 5's: the floor runs before dedup, so this must
+        // NOT consume the content key and shadow the qualifying
+        // duplicate behind it
+        Doc(ts("2024-01-01 10:00:03"), 6L, "shadow me not here"),
+        Doc(ts("2024-01-01 10:00:04"), 5L, "  shadow  me not here   "),
         Doc(ts("2024-01-01 10:00:04"), 4L, longB))
       q.processAllAvailable()
       val ids1 = spark.table("curated_out").select($"doc_id")
         .collect().map(_.getLong(0)).sorted.toSeq
-      ids1 shouldBe Seq(1L, 4L) // dup collapsed to first, short doc gated
+      ids1 shouldBe Seq(1L, 4L, 5L) // dup collapsed to first, short docs gated, 5 not shadowed by 6
 
       // advance the watermark far past the first batch
       input.addData(Doc(ts("2024-01-01 10:05:00"), 9L,
@@ -335,7 +341,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val ids2 = spark.table("curated_out").select($"doc_id")
         .collect().map(_.getLong(0)).sorted.toSeq
-      ids2 shouldBe Seq(1L, 4L, 9L) // unchanged apart from the sentinel
+      ids2 shouldBe Seq(1L, 4L, 5L, 9L) // unchanged apart from the sentinel
     } finally q.stop()
   }
 
