@@ -151,6 +151,18 @@ class ScaleSpec extends SparkSpec {
     val oneDay = back.filter($"dt" === "2024-01-02")
     oneDay.count() shouldBe 100
     oneDay.queryExecution.executedPlan.toString should include("PartitionFilters")
+
+    // a crashed external writer's _temporary leftover must NOT make the
+    // root look unpartitioned (hidden '_'/'.' entries are skipped the
+    // way Spark's own file index skips them) — before the fix this
+    // collapsed the dt directories on the next compact
+    new java.io.File(s"$dir/_temporary/0").mkdirs()
+    Scale.compact(spark, dir, targetFileBytes = 1L << 30,
+      sortCols = Seq("stream_id"))
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
+      withClue(s"dt=$d after _temporary leftover: ") { dayFiles(d) should be >= 1 }
+    }
+    spark.read.parquet(dir).count() shouldBe 300
   }
 
   test("writeTimePartitioned epochDay is exact past 2^53 µs (integral DIV, matches Math.floorDiv)") {
