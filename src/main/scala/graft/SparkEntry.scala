@@ -927,6 +927,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM dedup 7 — exact containment: docs whose normalized token
+    // sequence is a word-boundary substring of another doc (quotes,
+    // excerpts, partial re-posts — what exact-hash dedup misses; equal
+    // texts orient by id). Candidates come from ONE rarest-shingle
+    // index entry per doc against the full posting list; verify is an
+    // exact sentinel-padded contains. DuckDB twin recomputes the whole
+    // relation with position().
+    "q48_containment" -> ((s, dir) => {
+      Dedup.containmentJoin(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // LLM curation 4 — token-budget shard packing: per source, docs in
     // id order pack into ~2000-token shards by exclusive running sum
     // (docs never split; a shard overshoots by at most its last doc).
@@ -1551,6 +1563,19 @@ object SparkEntry {
         |              WHEN 'src2' THEN '00000000'
         |              ELSE '20000000' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q48_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |tok AS (SELECT doc_id, nt FROM t
+        |        WHERE len(string_split(nt, ' ')) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM tok a JOIN tok b ON a.doc_id != b.doc_id
+        |WHERE (len(a.nt) < len(b.nt)
+        |       OR (len(a.nt) = len(b.nt) AND a.doc_id < b.doc_id))
+        |  AND position((' ' || a.nt || ' ') IN (' ' || b.nt || ' ')) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q47_token_shards" ->
       """WITH tok AS (SELECT source, doc_id,

@@ -300,6 +300,55 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_sz", "jaccard")
   }
 
+  /** Exact CONTAINMENT join: pairs (id_a, id_b) where document a's
+    * normalized token sequence is a word-boundary substring of
+    * document b's — the curation step that drops quotes, excerpts, and
+    * partial re-posts that exact-hash dedup misses (equal texts are
+    * mutual containments; they orient by id). Only docs with >= n
+    * tokens participate (the shingle-eligibility floor shared with the
+    * Jaccard joins).
+    *
+    * Index shape: each doc is indexed under its single globally-RAREST
+    * shingle (min (df, s) — deterministic). If a is a token-substring
+    * of b, EVERY a-shingle occurs in b — in particular a's rarest — so
+    * joining that one entry per doc against the full posting list is a
+    * complete candidate generator: candidate volume is Σ_a df(rarest(a))
+    * — one narrow row per (candidate container) per doc, nothing
+    * quadratic — and the rarest choice minimizes that fan-out. The
+    * verify is an exact `contains` over space-joined normalized text
+    * padded with sentinels, so "cat" never matches inside
+    * "concatenate".
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val sh = hashedShingles(docs, idCol, textCol, n, materialize = false)
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // one index entry per doc: its rarest shingle under the global df
+    // order (ties by hash — any FIXED total order keeps completeness)
+    val rarest = ex.join(dfreq, "s")
+      .groupBy(col("id"))
+      .agg(min_by(col("s"), struct(col("df"), col("s"))).as("s"))
+    val cand = rarest.as("a").join(ex.as("b"), Seq("s"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // exact verify on normalized text with sentinel padding; shorter
+    // (or equal with smaller id) text must be the contained side
+    val nt = docs.select(col(idCol).as("__cid"),
+      graft.functions.normText(col(textCol)).as("__nt"))
+    val out = cand
+      .join(nt.select(col("__cid").as("id_a"), col("__nt").as("nt_a")), "id_a")
+      .join(nt.select(col("__cid").as("id_b"), col("__nt").as("nt_b")), "id_b")
+      .filter(
+        (length(col("nt_a")) < length(col("nt_b")) ||
+          (length(col("nt_a")) === length(col("nt_b")) &&
+            col("id_a") < col("id_b"))) &&
+        concat(lit(" "), col("nt_b"), lit(" "))
+          .contains(concat(lit(" "), col("nt_a"), lit(" "))))
+      .select("id_a", "id_b")
+    materializeAndRelease(out, sh)
+  }
+
   /** MinHash signature as ONE per-row expression: slot i is the min of
     * xxhash64(i, shingle) over the doc's shingle array — zero shuffle
     * (the original explode + k min-aggregates shape paid a full

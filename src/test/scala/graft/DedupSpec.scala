@@ -165,6 +165,61 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin finds excerpts, respects word boundaries, orients equal texts by id") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "quick brown fox jumps"),            // excerpt of 1
+      (3L, "the  QUICK   brown fox jumps over the lazy dog tonight"), // equal to 1 normalized
+      (4L, "cat sat on a mat"),                 // no container
+      (5L, "concatenate cat sat on a matter"),  // word-boundary trap for 4
+      (6L, "over the lazy dog"),                // excerpt of 1 and 3
+      (7L, "to be")                             // < n tokens: ineligible
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set(
+      (2L, 1L), (2L, 3L),  // excerpt in both copies
+      (6L, 1L), (6L, 3L),
+      (1L, 3L))            // equal texts orient by id (1 < 3)
+    // notably ABSENT: (4,5) — "cat sat on a mat" is not a
+    // word-boundary substring of "concatenate cat sat on a matter"
+  }
+
+  test("containmentJoin equals brute force on random corpora (3 seeds)") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (1L to 30L).map { id =>
+        val len = 3 + rnd.nextInt(8)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant real excerpts: every 5th doc is a random slice of the previous
+      val corpus = base.map { case (id, text) =>
+        if (id % 5 == 0) {
+          val prev = base((id - 2).toInt)._2.split(" ")
+          val from = rnd.nextInt(math.max(1, prev.length - 3))
+          (id, prev.slice(from, from + 3 + rnd.nextInt(3)).mkString(" "))
+        } else (id, text)
+      }
+      val norm = corpus.map { case (id, t) =>
+        id -> t.toLowerCase.replaceAll("\\s+", " ").trim
+      }.toMap
+      // .toSeq matters: a for-yield of pairs over a Map rebuilds a MAP,
+      // collapsing two containments that share id_a
+      val eligible = norm.filter(_._2.split(" ").length >= 3).toSeq
+      val brute = (for {
+        (a, na) <- eligible; (b, nb) <- eligible
+        if a != b &&
+          (na.length < nb.length || (na.length == nb.length && a < b)) &&
+          s" $nb ".contains(s" $na ")
+      } yield (a, b)).toSet
+      val got = Dedup.containmentJoin(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"seed=$seed: ") { got shouldBe brute }
+    }
+  }
+
   test("Auto strategy routing: flat df distributions go direct, corpus-hot shingles force the prefix index") {
     // sf0.1-shaped stats (max df 25, ratio ≈ 4.3× postings) → direct
     Dedup.directWithinBudget(pairRows = 1.1e6, postings = 260e3) shouldBe true
