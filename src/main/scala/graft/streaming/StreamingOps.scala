@@ -6,6 +6,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
 import org.apache.spark.sql.Row
 
 /** Typed rows for the stateful per-key lag metrics (W1/W2 streaming). */
+case class ShardDoc(source: String, docId: Long, nTok: Long)
+case class ShardAssigned(source: String, docId: Long, nTok: Long, shard: Long)
+private[streaming] case class ShardState(cumTokens: Long)
+
 case class LagPoint(key: String, tsUs: Long, value: Double)
 case class LagMetrics(key: String, tsUs: Long, value: Double,
                       pctGap: Option[Double], stalenessUs: Option[Long])
@@ -130,6 +134,34 @@ object StreamingOps {
             m
           }
           st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** STREAMING twin of [[graft.operators.Curation.packShards]]: the
+    * per-source cumulative token count lives in the state store, so
+    * shard assignment continues seamlessly across micro-batches — the
+    * shape for packing an ARRIVING corpus into training shards without
+    * re-reading what's already packed. Exclusive running sum, integral
+    * division, docs never split — identical outputs to the batch
+    * window when arrival order respects id order across batches (the
+    * ingest-cursor guarantee; within a batch the sort restores it).
+    * Works on batch Datasets too (state spans the whole group).
+    */
+  def packShardsStateful(ds: Dataset[ShardDoc], budget: Long): Dataset[ShardAssigned] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.source)
+      .flatMapGroupsWithState[ShardState, ShardAssigned](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[ShardState]) =>
+          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.docId).map { d =>
+            val shard = cum / budget
+            cum += d.nTok
+            ShardAssigned(d.source, d.docId, d.nTok, shard)
+          }
+          state.update(ShardState(cum))
           out.iterator
       }
   }

@@ -160,6 +160,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packShardsStateful matches batch packShards across micro-batches (streaming shard packing)") {
+    import graft.streaming.{ShardDoc, ShardAssigned}
+    val docs = Seq(
+      ShardDoc("s1", 1L, 600L), ShardDoc("s1", 2L, 600L),
+      ShardDoc("s1", 3L, 600L), ShardDoc("s1", 4L, 500L),
+      ShardDoc("s1", 5L, 100L),
+      ShardDoc("s2", 1L, 5000L), ShardDoc("s2", 2L, 100L))
+    val budget = 2000L
+    // batch reference: the window formulation
+    val batch = graft.operators.Curation.packShards(
+        docs.toDF("source", "doc_id", "n_tok"), "source", "doc_id", "n_tok", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+
+    val input = MemoryStream[ShardDoc](spark)
+    val out = StreamingOps.packShardsStateful(input.toDS(), budget)
+    val ckpt = Files.createTempDirectory("ckpt_shards").toString
+    val q = out.writeStream.format("memory").queryName("shards_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // id order respected ACROSS batches; the split lands mid-shard
+      // for s1, so batch 2's first doc must continue shard 0 from the
+      // state store, not restart at shard 0 with a zero counter
+      input.addData(docs(0), docs(1), docs(5))
+      q.processAllAvailable()
+      input.addData(docs(2), docs(3), docs(4), docs(6))
+      q.processAllAvailable()
+      val got = spark.table("shards_out").as[ShardAssigned].collect()
+        .map(a => (a.source, a.docId, a.shard)).toSet
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("file sink with checkpoint: AvailableNow drains once, restart ingests nothing twice (K1 exactly-once effect)") {
     val input = MemoryStream[Ev](spark)
     input.addData(Ev(ts("2024-01-01 10:00:05"), "a", 1.0),
