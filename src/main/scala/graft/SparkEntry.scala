@@ -939,6 +939,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // LLM text-quality 2 — intra-document repetition signals
+    // (Gopher/RefinedWeb-class): duplicate n-gram rate and top-token
+    // share catch boilerplate loops and keyword stuffing that length
+    // heuristics miss. Pure per-row HOF expressions; exact-arithmetic
+    // DuckDB twin.
+    "q49_repetition_stats" -> ((s, dir) => {
+      val stats = TextAnalysis.repetitionStats(col("text"), n = 3)
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          stats.getField("ntok").as("ntok"),
+          stats.getField("dup_ngram_rate").as("dup_ngram_rate"),
+          stats.getField("top_token_ratio").as("top_token_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM curation 4 — token-budget shard packing: per source, docs in
     // id order pack into ~2000-token shards by exclusive running sum
     // (docs never split; a shard overshoots by at most its last doc).
@@ -1576,6 +1591,25 @@ object SparkEntry {
         |       OR (len(a.nt) = len(b.nt) AND a.doc_id < b.doc_id))
         |  AND position((' ' || a.nt || ' ') IN (' ' || b.nt || ' ')) > 0
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q49_repetition_stats" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS ntok,
+        |  CASE WHEN len(toks) - 2 > 0 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(range(len(toks)-2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS DOUBLE)
+        |      / CAST(len(toks) - 2 AS DOUBLE)
+        |  ELSE 0.0 END AS dup_ngram_rate,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE)
+        |  ELSE 0.0 END AS top_token_ratio
+        |FROM tok
+        |ORDER BY doc_id""".stripMargin,
 
     "q47_token_shards" ->
       """WITH tok AS (SELECT source, doc_id,

@@ -106,4 +106,37 @@ object TextAnalysis {
     */
   def rollingHashPortable(text: Column): Column =
     aggregate(tokens(text), lit(""), (acc, t) => md5(concat(acc, t)))
+
+  /** Intra-document repetition statistics — the Gopher/RefinedWeb-class
+    * quality signals that catch boilerplate loops and keyword
+    * stuffing, which per-document LENGTH heuristics miss entirely:
+    *
+    *  - `dup_ngram_rate`: 1 − distinct/total word n-grams (0 when the
+    *    doc has fewer than n tokens) — near 1 for a document that
+    *    repeats one phrase forever;
+    *  - `top_token_ratio`: the most frequent token's share of all
+    *    tokens — high for stuffed or templated text.
+    *
+    * Pure per-row expressions (higher-order functions over the token
+    * array — no shuffle, no UDF); the DuckDB twin mirrors the exact
+    * arithmetic so the q49 gate checks values bit-for-bit.
+    */
+  def repetitionStats(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val ntok = size(toks)
+    val grams = ntok - (n - 1) // total n-grams when ntok >= n
+    val distinctGrams = size(wordShingles(toks, n))
+    val dupRate = when(grams > 0,
+      lit(1.0) - distinctGrams.cast("double") / grams.cast("double"))
+      .otherwise(lit(0.0))
+    val topTok = when(ntok > 0,
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).cast("double")
+        / ntok.cast("double"))
+      .otherwise(lit(0.0))
+    struct(
+      ntok.cast("long").as("ntok"),
+      dupRate.as("dup_ngram_rate"),
+      topTok.as("top_token_ratio"))
+  }
 }

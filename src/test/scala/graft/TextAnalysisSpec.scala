@@ -80,4 +80,25 @@ class TextAnalysisSpec extends SparkSpec {
     got("a") shouldBe expected
     got("a") should not be got("b") // order matters
   }
+
+  test("repetitionStats: hand-computed dup-ngram rate and top-token ratio, short-doc zero cases") {
+    val df = Seq(
+      (1L, "a a a a"),        // 3-grams: 2 total, 1 distinct -> dup 0.5; top 'a' 4/4
+      (2L, "a b c d"),        // all distinct -> dup 0.0; top 1/4
+      (3L, "a b a b a"),      // grams: [aba, bab, aba] -> 3 total 2 distinct -> 1/3; top 'a' 3/5
+      (4L, "a b"),            // < n tokens -> dup 0.0 by definition; top 1/2
+      (5L, "")                // empty normalizes to one "" token -> top 1.0
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.repetitionStats($"text", n = 3).as("r"))
+      .select($"doc_id", $"r.ntok", $"r.dup_ngram_rate", $"r.top_token_ratio")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    got(0) shouldBe ((1L, 4L, 0.5, 1.0))
+    got(1) shouldBe ((2L, 4L, 0.0, 0.25))
+    got(2)._3 shouldBe (1.0 / 3.0) +- 1e-15
+    got(2)._4 shouldBe 0.6
+    got(3) shouldBe ((4L, 2L, 0.0, 0.5))
+    got(4) shouldBe ((5L, 1L, 0.0, 1.0))
+  }
 }
