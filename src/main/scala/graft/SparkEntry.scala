@@ -945,12 +945,14 @@ object SparkEntry {
     // heuristics miss. Pure per-row HOF expressions; exact-arithmetic
     // DuckDB twin.
     "q49_repetition_stats" -> ((s, dir) => {
-      val stats = TextAnalysis.repetitionStats(col("text"), n = 3)
-      Tables.documents(s, dir).select(
-          col("doc_id"),
-          stats.getField("ntok").as("ntok"),
-          stats.getField("dup_ngram_rate").as("dup_ngram_rate"),
-          stats.getField("top_token_ratio").as("top_token_ratio"))
+      // withRepetitionStats materializes the token array as a column
+      // before the per-element lambdas read it — building the stats
+      // directly over `tokens(text)` re-ran the regex tokenizer per
+      // ARRAY ELEMENT inside the lambdas (measured 18.6 s vs 1.4 s at
+      // sf0.1; fourth sighting of the no-CSE-inside-lambdas trap)
+      TextAnalysis.withRepetitionStats(
+          Tables.documents(s, dir).select("doc_id", "text"), "text", n = 3)
+        .select("doc_id", "ntok", "dup_ngram_rate", "top_token_ratio")
         .orderBy(col("doc_id"))
     }),
 

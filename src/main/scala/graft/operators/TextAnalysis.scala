@@ -120,23 +120,64 @@ object TextAnalysis {
     * Pure per-row expressions (higher-order functions over the token
     * array — no shuffle, no UDF); the DuckDB twin mirrors the exact
     * arithmetic so the q49 gate checks values bit-for-bit.
+    *
+    * `toks` MUST be a materialized token-array column (use
+    * [[withRepetitionStats]]), never an inline `tokens(text)`
+    * expression: the gram and fold lambdas reference the array per
+    * ELEMENT, and with the tokenizer inlined Spark re-runs the whole
+    * regex-normalize+split chain for every element — the same
+    * no-CSE-inside-lambdas trap [[graft.operators.Dedup.shingles]]
+    * documents (measured 18.6 s vs 1.4 s for q49 at sf0.1).
     */
-  def repetitionStats(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def repetitionStats(toks: Column, n: Int): Column = {
     val ntok = size(toks)
     val grams = ntok - (n - 1) // total n-grams when ntok >= n
     val distinctGrams = size(wordShingles(toks, n))
     val dupRate = when(grams > 0,
       lit(1.0) - distinctGrams.cast("double") / grams.cast("double"))
       .otherwise(lit(0.0))
+    // max token multiplicity = longest equal-run in the SORTED token
+    // array, ONE O(n) fold after a native sort. The obvious
+    // `transform(distinct, t -> size(filter(toks, x = t)))` is
+    // O(distinct × n) in INTERPRETED lambda steps and allocates a
+    // filtered array per distinct token — measured 20 s vs ~2 s for
+    // the whole query at sf0.1.
+    val topCount = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (a, t) => {
+        val run = when(t === a.getField("prev"), a.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
     val topTok = when(ntok > 0,
-      array_max(transform(array_distinct(toks),
-        t => size(filter(toks, x => x === t)))).cast("double")
-        / ntok.cast("double"))
+      topCount.cast("double") / ntok.cast("double"))
       .otherwise(lit(0.0))
     struct(
       ntok.cast("long").as("ntok"),
       dupRate.as("dup_ngram_rate"),
       topTok.as("top_token_ratio"))
+  }
+
+  /** [[repetitionStats]] with the required two-step projection: the
+    * token array is materialized as a column BEFORE the per-element
+    * lambdas read it (the Dedup.shingles pattern — the min-size filter
+    * between the projections references `__toks`, so PushDownPredicates
+    * cannot sink it and CollapseProject cannot re-inline the tokenizer
+    * into the lambda bodies; `size >= 0` is always true and exists
+    * purely as that barrier). Appends ntok / dup_ngram_rate /
+    * top_token_ratio to `df`.
+    */
+  def withRepetitionStats(df: org.apache.spark.sql.DataFrame,
+                          textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val cols = df.columns.map(col)
+    val r = repetitionStats(col("__toks"), n)
+    df.select(cols :+ tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 0)
+      .select(cols :+ r.getField("ntok").as("ntok") :+
+        r.getField("dup_ngram_rate").as("dup_ngram_rate") :+
+        r.getField("top_token_ratio").as("top_token_ratio"): _*)
   }
 }

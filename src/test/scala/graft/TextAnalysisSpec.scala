@@ -89,9 +89,8 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "a b"),            // < n tokens -> dup 0.0 by definition; top 1/2
       (5L, "")                // empty normalizes to one "" token -> top 1.0
     ).toDF("doc_id", "text")
-    val got = df.select($"doc_id",
-        TextAnalysis.repetitionStats($"text", n = 3).as("r"))
-      .select($"doc_id", $"r.ntok", $"r.dup_ngram_rate", $"r.top_token_ratio")
+    val got = TextAnalysis.withRepetitionStats(df, "text", n = 3)
+      .select($"doc_id", $"ntok", $"dup_ngram_rate", $"top_token_ratio")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .sortBy(_._1)
     got(0) shouldBe ((1L, 4L, 0.5, 1.0))
