@@ -883,6 +883,38 @@ object SparkEntry {
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
     }),
 
+    // The CAPSTONE v2 — the full curation chain with every family this
+    // round added, composed from individually-gated operators and gated
+    // AGAIN as a composition against one DuckDB CTE chain: exact
+    // content dedup (digest-keyed) → containment drop (excerpts of
+    // surviving docs) → benchmark decontamination → repetition gate
+    // (top-token share ≤ 0.12 — the discriminating signal on this
+    // corpus; dup-ngram rate is ~0 on near-random synthetic text) →
+    // deterministic stratified mixture → per-source quota.
+    "q50_curation_v2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val canon = Curation.capPerGroup(
+          docs.withColumn("__nt",
+            sha2(graft.functions.normText(col("text")), 256)),
+          Seq("__nt"), Seq(col("doc_id").asc), quota = 1)
+        .drop("__nt")
+      val contained = Dedup.containmentJoin(canon, "doc_id", "text", n = 3)
+        .select(col("id_a").as("doc_id")).distinct()
+      val noExcerpts = canon.join(contained, Seq("doc_id"), "left_anti")
+      val contam = docs.filter(col("doc_id") % 97 === 0)
+      val (clean, _) = Curation.decontaminate(noExcerpts, "doc_id", "text",
+        contam, "doc_id", "text", n = 3, t = 0.5)
+      val gated = TextAnalysis.withRepetitionStats(clean, "text", n = 3)
+        .filter(col("top_token_ratio") <= 0.12)
+        .drop("ntok", "dup_ngram_rate", "top_token_ratio")
+      val mixed = Curation.sampleStratified(gated, "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0), defaultRate = 0.5)
+      Curation.capPerGroup(mixed, Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), quota = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    }),
+
     // Benchmark-only dial evidence for the prefix df-cap (the q11
     // algorithm with prefixDfCap=100: shingles appearing in >100 docs
     // are dropped from the INDEX only; every emitted pair is still
@@ -1580,6 +1612,69 @@ object SparkEntry {
         |              WHEN 'src2' THEN '00000000'
         |              ELSE '20000000' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q50_curation_v2" ->
+      """WITH norm AS (
+        |  SELECT *, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |canon AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rk
+        |    FROM norm) WHERE rk = 1),
+        |el AS (SELECT doc_id, nt FROM canon
+        |       WHERE len(string_split(nt, ' ')) >= 3),
+        |contained AS (
+        |  SELECT DISTINCT a.doc_id FROM el a JOIN el b ON a.doc_id != b.doc_id
+        |  WHERE (len(a.nt) < len(b.nt)
+        |         OR (len(a.nt) = len(b.nt) AND a.doc_id < b.doc_id))
+        |    AND position((' ' || a.nt || ' ') IN (' ' || b.nt || ' ')) > 0),
+        |nx AS (SELECT * FROM canon
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM contained)),
+        |tok AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nx),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        |  FROM tok WHERE len(toks) >= 3),
+        |shz AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+        |ctok AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |csh AS (SELECT doc_id AS cid,
+        |  list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS cs
+        |  FROM ctok WHERE len(toks) >= 3),
+        |cshz AS (SELECT cid, cs, len(cs) AS csz FROM csh),
+        |contaminated AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM shz a, cshz c
+        |  WHERE CAST(len(list_intersect(a.s, c.cs)) AS DOUBLE) /
+        |        CAST(a.sz + c.csz - len(list_intersect(a.s, c.cs)) AS DOUBLE)
+        |        >= 0.5),
+        |clean AS (
+        |  SELECT * FROM nx
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |reptok AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM clean),
+        |rep AS (
+        |  SELECT doc_id FROM reptok
+        |  WHERE CAST(list_max(list_transform(list_distinct(toks),
+        |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) <= 0.12),
+        |mixed AS (
+        |  SELECT * FROM clean
+        |  WHERE doc_id IN (SELECT doc_id FROM rep)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      CASE source WHEN 'src0' THEN '80000000'
+        |                  WHEN 'src1' THEN '40000000'
+        |                  WHEN 'src2' THEN '00000000'
+        |                  ELSE '80000000' END),
+        |q AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM mixed)
+        |SELECT source, doc_id, n_chars
+        |FROM q WHERE rk <= 10
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
 
     "q48_containment" ->
       """WITH t AS (SELECT doc_id,
