@@ -126,46 +126,133 @@ object Catalog {
 
   // -------------------------------------------------------------- lineage
 
+  /** Physical strategy for [[ancestors]] — both compute the identical
+    * min-depth closure (CatalogSpec pins equality on random DAGs), so
+    * the choice is pure cost, decided per call from the edge count the
+    * checkpointed edge table already knows:
+    *
+    *  - [[LineageStrategy.Doubling]] — min-plus pointer doubling:
+    *    ceil(log2 depth) rounds of reach⋈reach. Fewest driver
+    *    barriers; total shuffle volume O(closure × log depth).
+    *    Measured sf0.1 lineage (~50k edges, depth 16): 2.7 s vs the
+    *    BFS's 4.9 s — barriers dominate at catalog scale.
+    *  - [[LineageStrategy.LevelBfs]] — per-level frontier BFS: depth
+    *    rounds, but each round shuffles only the frontier, total
+    *    volume O(closure). Measured 1M-node binary tree (depth 19,
+    *    ~18M-pair closure): 53.6 s vs the doubling's 133.5 s — volume
+    *    dominates once the closure is large.
+    *  - [[LineageStrategy.Auto]] — Doubling up to
+    *    [[DoublingEdgeBudget]] edges, LevelBfs beyond.
+    */
+  sealed trait LineageStrategy
+  object LineageStrategy {
+    case object Auto extends LineageStrategy
+    case object LevelBfs extends LineageStrategy
+    case object Doubling extends LineageStrategy
+  }
+
+  /** Auto crossover: below this many edges the barrier count is the
+    * cost driver (→ Doubling); above it the O(closure × log depth)
+    * join volume is (→ LevelBfs). Set between the two measured points
+    * (50k edges: doubling 1.8× faster; 1M edges: BFS 2.5× faster),
+    * nearer the small end because doubling's volume penalty grows with
+    * the closure while the BFS's barrier penalty stays flat.
+    */
+  private[graft] val DoublingEdgeBudget = 300000L
+
   /** Transitive ancestor closure over the stream dimension's `parents`
     * array (ref stream.ts:49-52 — "The stream Ids this session is
     * derived from"): returns `(id, ancestor_id, depth)` with depth 1 =
-    * direct parent, each pair at its SHALLOWEST depth. Driver-
-    * coordinated iterative BFS of keyed joins — the stream catalog is a
-    * dimension table (catalog-scale, not the 100 TB fact path), so a
-    * bounded loop of small hash joins is the right plan. The per-round
-    * anti-join against already-seen pairs both deduplicates diamond
-    * lineages and terminates cycles. The loop stops on its own when
-    * the frontier empties; if it is STILL expanding after `maxDepth`
-    * rounds the call throws rather than returning a silently-truncated
-    * closure (truncation is indistinguishable from completion to the
-    * caller).
+    * direct parent, each pair at its SHALLOWEST depth (min-plus
+    * shortest path — diamonds deduplicate to the shallower route,
+    * cycles saturate and terminate). Driver-coordinated loop of keyed
+    * joins — the stream catalog is a dimension table (catalog-scale,
+    * not the 100 TB fact path) — with the loop SHAPE chosen cost-based
+    * (see [[LineageStrategy]]). If the closure would exceed
+    * `maxDepth`, the call throws rather than returning anything
+    * truncated — truncation is indistinguishable from completion to
+    * the caller.
     *
-    * Every round's FRONTIER is cut with an EAGER `localCheckpoint`:
-    * the round plan references both the previous frontier and the
-    * accumulated closure, so without truncation the logical plan
-    * doubles per round and Catalyst analysis goes exponential in depth
-    * (observed as a driver-bound hang at depth ≈ 11 on the sf0.1
-    * lineage — the standard iterative-algorithm failure mode, same
-    * reason GraphX checkpoints). The closure itself stays a lazy UNION
-    * of the flat checkpointed frontiers — linear plan depth, and each
-    * pair is written to the block manager once (O(E)) instead of
-    * re-checkpointing the whole accumulated closure every round
-    * (O(E·depth)).
+    * Each round's result is cut with an EAGER `localCheckpoint`:
+    * without truncation the logical plan doubles per round and
+    * Catalyst analysis goes exponential (observed as a driver-bound
+    * hang at depth ≈ 11 — the standard iterative-algorithm failure
+    * mode, same reason GraphX checkpoints).
     */
   def ancestors(streams: DataFrame, idCol: String, parentsCol: String,
-                maxDepth: Int = 20): DataFrame = {
+                maxDepth: Int = 20,
+                strategy: LineageStrategy = LineageStrategy.Auto): DataFrame = {
     val edges = streams
       .select(col(idCol).cast("string").as("id"),
         explode(col(parentsCol)).as("__anc"))
       .select(col("id"), col("__anc").cast("string").as("ancestor_id"))
       .distinct().localCheckpoint(true)
-    // Only each round's FRONTIER is checkpointed; the closure is a lazy
-    // UNION of those flat checkpointed leaves. That keeps the logical
-    // plan linear in depth (≤ maxDepth flat nodes — the exponential
-    // blow-up only comes from chaining unTRUNCATED round plans) while
-    // writing each pair to the block manager once, not once per
-    // remaining round (the previous acc-recheckpointing was O(E·depth)
-    // checkpoint volume; this is O(E)).
+    val chosen = strategy match {
+      case LineageStrategy.Auto =>
+        // count() on the just-checkpointed edges is a block-manager
+        // statistics read, not a recompute
+        if (edges.count() > DoublingEdgeBudget) LineageStrategy.LevelBfs
+        else LineageStrategy.Doubling
+      case s => s
+    }
+    if (chosen == LineageStrategy.LevelBfs) levelBfsClosure(edges, maxDepth)
+    else doublingClosure(edges, maxDepth)
+  }
+
+  /** Min-plus pointer doubling (see [[LineageStrategy.Doubling]]):
+    * after round r, `reach` holds EVERY pair within distance 2^r at
+    * its exact shallowest depth (the standard min-plus matrix-power
+    * argument: a shortest path of length ≤ 2^r splits into two halves
+    * of length ≤ 2^(r-1), both already exact).
+    */
+  private def doublingClosure(edges: DataFrame, maxDepth: Int): DataFrame = {
+    var reach = edges.withColumn("depth", lit(1)).localCheckpoint(true)
+    var stats = reach.agg(count(lit(1)), coalesce(sum("depth"), lit(0L))).head()
+    var round = 1
+    var done = false
+    while (!done) {
+      val comp = reach.as("a")
+        .join(reach.as("b"), col("a.ancestor_id") === col("b.id"))
+        .select(col("a.id"), col("b.ancestor_id").as("ancestor_id"),
+          (col("a.depth") + col("b.depth")).as("depth"))
+      val next = reach.union(comp)
+        .groupBy("id", "ancestor_id").agg(min("depth").as("depth"))
+        .localCheckpoint(true)
+      // fixed point iff no pair was added AND no min was lowered —
+      // pairs only ever accrete and depths only ever decrease, so
+      // (count, Σdepth) is a complete convergence witness
+      val nextStats = next.agg(count(lit(1)), coalesce(sum("depth"), lit(0L))).head()
+      val changed = nextStats.getLong(0) != stats.getLong(0) ||
+        nextStats.getLong(1) != stats.getLong(1)
+      if (changed && (1L << (round - 1)) >= maxDepth)
+        // Still growing while the PREVIOUS round already covered every
+        // pair within maxDepth ⇒ the new pairs are deeper than
+        // maxDepth. Refuse to return a silently-truncated closure
+        // (same contract as connectedComponents' convergence guard).
+        throw new IllegalStateException(
+          s"ancestor closure still expanding past maxDepth=$maxDepth; " +
+            "raise maxDepth (the loop stops on its own at the fixed point)")
+      reach = next; stats = nextStats; round += 1
+      done = !changed
+    }
+    // pairs deeper than maxDepth can also land BEFORE the round guard
+    // can see them (coverage doubles, maxDepth need not be a power of
+    // two) — the converged closure gets the same refusal
+    if (!reach.filter(col("depth") > maxDepth).isEmpty)
+      throw new IllegalStateException(
+        s"ancestor closure contains pairs deeper than maxDepth=$maxDepth; " +
+          "raise maxDepth")
+    reach
+  }
+
+  /** Per-level frontier BFS (see [[LineageStrategy.LevelBfs]]): only
+    * each round's FRONTIER is checkpointed; the closure is a lazy
+    * UNION of those flat checkpointed leaves, re-compacted every
+    * [[closureCompactEvery]] rounds to bound the anti-join's union
+    * fan-in (K leaves) at O(E·depth/K) checkpoint volume — the r4/r5
+    * balance point on both axes.
+    */
+  private def levelBfsClosure(edges: DataFrame, maxDepth: Int): DataFrame = {
     var frontier = edges.withColumn("depth", lit(1)).localCheckpoint(true)
     var closure = frontier
     var depth = 1
@@ -179,25 +266,12 @@ object Catalog {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else if (depth >= maxDepth)
-        // Refuse to return a silently-truncated closure (same contract
-        // as connectedComponents' convergence guard): a partial result
-        // is indistinguishable from a complete one to the caller, and
-        // a depth-capped lineage would silently diverge from the
-        // unbounded recursive-CTE semantics on deeper hierarchies.
+        // same refusal contract as the doubling path
         throw new IllegalStateException(
           s"ancestor closure still expanding after maxDepth=$maxDepth rounds; " +
             "raise maxDepth (the loop stops on its own once the frontier empties)")
       else {
         closure = closure.union(next)
-        // periodic compaction: a pure lazy union accumulates one flat
-        // checkpointed leaf per round, and the per-round anti-join then
-        // scans depth-many small RDDs (32 partitions each) — task count
-        // grows quadratically with depth while each task shrinks
-        // (measured r5: q36 2.9 → 4.1 s driver after the O(E·depth) →
-        // O(E) checkpoint-volume rework). Re-checkpointing the closure
-        // every few rounds bounds the union fan-in at K leaves while
-        // keeping checkpoint volume O(E·depth/K) — between the r4 and
-        // r5 extremes on both axes.
         if (depth % closureCompactEvery == 0)
           closure = closure.localCheckpoint(true)
         frontier = next; depth += 1
@@ -206,8 +280,7 @@ object Catalog {
     closure
   }
 
-  /** Union fan-in bound for [[ancestors]]' lazy closure (see the
-    * periodic-compaction comment in the loop). */
+  /** Union fan-in bound for [[levelBfsClosure]]'s lazy closure. */
   private val closureCompactEvery = 4
 
   /** Downward closure — every (id, descendant_id, depth) — derived from

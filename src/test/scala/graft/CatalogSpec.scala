@@ -152,9 +152,50 @@ class CatalogSpec extends SparkSpec {
     ).toDF("streamId", "parents")
     an[IllegalStateException] should be thrownBy
       Catalog.ancestors(dim, "streamId", "parents", maxDepth = 2)
-    // ...and converges fine when the cap admits the true depth
+    // ...and converges fine when the cap admits the true depth EXACTLY
+    // (the doubling rounds overshoot to the next power of two — the
+    // guard must fire on the CLOSURE's depth, not the coverage)
     Catalog.ancestors(dim, "streamId", "parents", maxDepth = 3)
       .count() shouldBe 6L
+  }
+
+  test("property: ancestors equals a driver-side min-depth BFS on random DAGs (3 seeds)") {
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      // random DAG-ish dimension: each node gets 0-2 parents among
+      // LOWER ids (acyclic), plus one planted 2-cycle to exercise
+      // saturation
+      val dim = (1 to n).map { i =>
+        val parents =
+          if (i == 1) Seq.empty[String]
+          else Seq.fill(rnd.nextInt(3))("s" + (1 + rnd.nextInt(i - 1))).distinct
+        ("s" + i, parents)
+      } :+ (("s41", Seq("s42"))) :+ (("s42", Seq("s41")))
+      val edges = dim.flatMap { case (id, ps) => ps.map(id -> _) }
+      // reference: per-level BFS with first-seen (= min) depth
+      val expected = scala.collection.mutable.Map.empty[(String, String), Int]
+      var frontier = edges.toSet
+      frontier.foreach(p => expected.getOrElseUpdate(p, 1))
+      var depth = 1
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      while (frontier.nonEmpty && depth < 50) {
+        frontier = frontier.flatMap { case (a, mid) =>
+          adj.getOrElse(mid, Nil).map(a -> _)
+        }.filterNot(expected.contains)
+        frontier.foreach(p => expected.getOrElseUpdate(p, depth + 1))
+        depth += 1
+      }
+      // BOTH physical strategies must produce the identical min-depth
+      // closure — the Auto choice is pure cost
+      for (st <- Seq(Catalog.LineageStrategy.Doubling,
+                     Catalog.LineageStrategy.LevelBfs)) {
+        val got = Catalog.ancestors(dim.toDF("streamId", "parents"),
+            "streamId", "parents", maxDepth = 64, strategy = st)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+        withClue(s"seed=$seed strategy=$st: ") { got shouldBe expected.toMap }
+      }
+    }
   }
 
   test("descendants is the inverse closure of ancestors (ref streamWithChildren.ts children tree)") {
