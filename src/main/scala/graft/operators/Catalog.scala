@@ -139,8 +139,9 @@ object Catalog {
     *  - [[LineageStrategy.LevelBfs]] — per-level frontier BFS: depth
     *    rounds, but each round shuffles only the frontier, total
     *    volume O(closure). Measured 1M-node binary tree (depth 19,
-    *    ~18M-pair closure): 53.6 s vs the doubling's 133.5 s — volume
-    *    dominates once the closure is large.
+    *    ~18M-pair closure): 70.7 s vs the doubling's 133.5 s on the
+    *    SAME host and session — volume dominates once the closure is
+    *    large.
     *  - [[LineageStrategy.Auto]] — Doubling up to
     *    [[DoublingEdgeBudget]] edges, LevelBfs beyond.
     */
@@ -222,6 +223,10 @@ object Catalog {
       // pairs only ever accrete and depths only ever decrease, so
       // (count, Σdepth) is a complete convergence witness
       val nextStats = next.agg(count(lit(1)), coalesce(sum("depth"), lit(0L))).head()
+      // release the superseded closure checkpoint NOW (each round
+      // checkpoints the FULL closure; waiting for the ContextCleaner
+      // would stack several closure-sized copies in the block manager)
+      reach.unpersist(blocking = false)
       val changed = nextStats.getLong(0) != stats.getLong(0) ||
         nextStats.getLong(1) != stats.getLong(1)
       if (changed && (1L << (round - 1)) >= maxDepth)

@@ -172,10 +172,19 @@ object TextAnalysis {
     */
   def withRepetitionStats(df: org.apache.spark.sql.DataFrame,
                           textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val written = Seq("__toks", "ntok", "dup_ngram_rate", "top_token_ratio")
+    val clash = df.columns.toSet.intersect(written.toSet)
+    require(clash.isEmpty,
+      s"withRepetitionStats writes ${written.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")}")
     val cols = df.columns.map(col)
     val r = repetitionStats(col("__toks"), n)
+    // the barrier must pass EVERY row: size(NULL) is NULL (or -1 under
+    // legacy sizeOfNull), so a bare `size >= 0` would silently DROP
+    // null-text rows — coalesce keeps the filter inert while still
+    // referencing __toks (which is what blocks the projection collapse)
     df.select(cols :+ tokens(col(textCol)).as("__toks"): _*)
-      .filter(size(col("__toks")) >= 0)
+      .filter(coalesce(size(col("__toks")) >= -1, lit(true)))
       .select(cols :+ r.getField("ntok").as("ntok") :+
         r.getField("dup_ngram_rate").as("dup_ngram_rate") :+
         r.getField("top_token_ratio").as("top_token_ratio"): _*)

@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
-/** Typed rows for the stateful per-key lag metrics (W1/W2 streaming). */
+/** Typed rows for the stateful streaming shard packer. */
 case class ShardDoc(source: String, docId: Long, nTok: Long)
 case class ShardAssigned(source: String, docId: Long, nTok: Long, shard: Long)
 private[streaming] case class ShardState(cumTokens: Long)
 
+/** Typed rows for the stateful per-key lag metrics (W1/W2 streaming). */
 case class LagPoint(key: String, tsUs: Long, value: Double)
 case class LagMetrics(key: String, tsUs: Long, value: Double,
                       pctGap: Option[Double], stalenessUs: Option[Long])

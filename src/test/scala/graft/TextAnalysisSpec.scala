@@ -100,4 +100,18 @@ class TextAnalysisSpec extends SparkSpec {
     got(3) shouldBe ((4L, 2L, 0.0, 0.5))
     got(4) shouldBe ((5L, 1L, 0.0, 1.0))
   }
+
+  test("withRepetitionStats keeps null-text rows and rejects column collisions") {
+    val df = Seq((1L, Some("a b c d")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetitionStats(df, "text", n = 3)
+    // the optimizer barrier must be inert: the null-text row SURVIVES
+    out.count() shouldBe 2
+    val nullRow = out.filter($"doc_id" === 2L).collect().head
+    nullRow.isNullAt(nullRow.fieldIndex("ntok")) shouldBe true
+    // collision guard, same contract as packShards/capPerGroup
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.withRepetitionStats(
+        out.select($"doc_id", $"text", $"ntok"), "text", n = 3)
+  }
 }
