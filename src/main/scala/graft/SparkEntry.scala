@@ -988,6 +988,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM text-quality 3 — corpus-statistical token rarity (the
+    // exact-arithmetic cousin of unigram-LM scoring): docs scored by
+    // the global document frequency of their tokens. Integer sums +
+    // one final division = bit-reproducible across engines, unlike a
+    // log-prob sum (order-of-summation sensitive).
+    "q51_token_rarity" -> ((s, dir) => {
+      TextAnalysis.tokenRarity(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tok"), col("sum_tok_df"),
+          col("min_tok_df"), col("avg_tok_df"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM curation 4 — token-budget shard packing: per source, docs in
     // id order pack into ~2000-token shards by exclusive running sum
     // (docs never split; a shard overshoots by at most its last doc).
@@ -1707,6 +1719,20 @@ object SparkEntry {
         |  ELSE 0.0 END AS top_token_ratio
         |FROM tok
         |ORDER BY doc_id""".stripMargin,
+
+    "q51_token_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok)
+        |SELECT t.doc_id,
+        |  count(*) AS n_tok,
+        |  CAST(sum(c.c) AS BIGINT) AS sum_tok_df,
+        |  CAST(min(c.c) AS BIGINT) AS min_tok_df,
+        |  CAST(sum(c.c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tok_df
+        |FROM tok t JOIN cnt c ON t.tok = c.tok
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q47_token_shards" ->
       """WITH tok AS (SELECT source, doc_id,

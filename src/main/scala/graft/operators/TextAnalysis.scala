@@ -161,6 +161,36 @@ object TextAnalysis {
       topTok.as("top_token_ratio"))
   }
 
+  /** Corpus-statistical token rarity — the exact-arithmetic cousin of
+    * unigram-LM quality scoring: every document is scored by the
+    * GLOBAL document-frequency of its tokens (sum/avg/min of each
+    * token's corpus-wide occurrence count). Low avg → rare-vocabulary
+    * document (OCR noise, code, non-target language); min = 1 → the
+    * doc holds a corpus-unique token. Integer sums + one final
+    * division keep the numbers bit-reproducible across engines (a
+    * log-prob variant would be order-of-summation sensitive and
+    * un-hashable), which is why this is the gated formulation.
+    *
+    * Two shuffles: the token-count groupBy and the per-doc re-agg. At
+    * cluster scale the count table is VOCABULARY-sized — broadcast it
+    * (Spark does automatically under the threshold) and the doc-side
+    * pass stays shuffle-free.
+    */
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(col("__toks")).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    tok.join(counts, "tok")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("cnt")).as("sum_tok_df"),
+        min(col("cnt")).as("min_tok_df"))
+      .withColumn("avg_tok_df",
+        col("sum_tok_df").cast("double") / col("n_tok").cast("double"))
+  }
+
   /** [[repetitionStats]] with the required two-step projection: the
     * token array is materialized as a column BEFORE the per-element
     * lambdas read it (the Dedup.shingles pattern — the min-size filter

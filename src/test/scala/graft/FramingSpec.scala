@@ -156,4 +156,51 @@ class FramingSpec extends SparkSpec {
     // full inverse recovers the records exactly (decimal strings intact)
     AvroBinary.decodeFramed(spark, framed).collect().toSeq shouldBe trades
   }
+
+  test("property: Avro body round-trips 200 seeded random records, including varint and unicode extremes") {
+    // seeded hand-rolled generation — the scalatest<->scalacheck bridge
+    // artifact is not in the offline cache (FunctionsSpec convention)
+    val rnd = new scala.util.Random(20260813)
+    def randString(): String = {
+      val len = rnd.nextInt(24)
+      val chars = Seq.fill(len)(rnd.nextInt(5) match {
+        case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+        case 1 => rnd.nextInt(10).toString
+        case 2 => "é"            // two UTF-8 bytes
+        case 3 => "中"            // three UTF-8 bytes
+        case 4 => new String(Character.toChars(0x1F600 + rnd.nextInt(16))) // four
+      })
+      chars.mkString
+    }
+    def randLong(): Long = rnd.nextInt(4) match {
+      case 0 => rnd.nextLong()
+      case 1 => Long.MinValue + rnd.nextInt(1000)
+      case 2 => Long.MaxValue - rnd.nextInt(1000)
+      case _ => rnd.nextInt(128).toLong - 64   // 1-byte zone boundaries
+    }
+    def randInt(): Int = rnd.nextInt(4) match {
+      case 0 => rnd.nextInt()
+      case 1 => Int.MinValue + rnd.nextInt(1000)
+      case 2 => Int.MaxValue - rnd.nextInt(1000)
+      case _ => rnd.nextInt(256) - 128
+    }
+    for (i <- 1 to 200) {
+      val t = AvroBinary.DarkpoolTrade(
+        randLong(), randString(), randString(), randInt(),
+        randString(), randInt(), randString(), randInt(), randString(),
+        AvroBinary.SideSymbols(rnd.nextInt(3)),
+        java.lang.Float.intBitsToFloat(rnd.nextInt()) match {
+          // NaN payloads don't compare == ; normalize to a canonical NaN
+          case f if f.isNaN => Float.NaN
+          case f => f
+        },
+        randString())
+      val back = AvroBinary.decode(AvroBinary.encode(t))
+      withClue(s"record #$i: ") {
+        if (t.confidence.isNaN) back.confidence.isNaN shouldBe true
+        else back shouldBe t
+        if (t.confidence.isNaN) back.copy(confidence = 0f) shouldBe t.copy(confidence = 0f)
+      }
+    }
+  }
 }
