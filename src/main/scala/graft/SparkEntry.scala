@@ -894,10 +894,13 @@ object SparkEntry {
     "q50_curation_v2" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // canon feeds THREE consumers (the containment join's shingle +
-      // text sides and the anti-join) and clean feeds the repetition
-      // pass — persist the reused stage outputs or every consumer
-      // re-executes the whole upstream chain (the unpersisted plan
-      // carried 235 Exchange nodes; persisted, 8.4 s → 5.6 s at sf0.1)
+      // text sides and the anti-join) — persisted, or every consumer
+      // re-executes the whole upstream dedup window (the unpersisted
+      // plan carried 235 Exchange nodes; persisted, 8.4 s → 5.6 s at
+      // sf0.1). The rest of the chain is linear — no other stage has a
+      // second consumer, so nothing else caches — and the final
+      // materializeAndRelease frees canon before returning (Verify
+      // runs all queries in one session with no per-query cache clear).
       val canon = Curation.capPerGroup(
           docs.withColumn("__nt",
             sha2(graft.functions.normText(col("text")), 256)),
@@ -907,18 +910,18 @@ object SparkEntry {
         .select(col("id_a").as("doc_id")).distinct()
       val noExcerpts = canon.join(contained, Seq("doc_id"), "left_anti")
       val contam = docs.filter(col("doc_id") % 97 === 0)
-      val (clean0, _) = Curation.decontaminate(noExcerpts, "doc_id", "text",
+      val (clean, _) = Curation.decontaminate(noExcerpts, "doc_id", "text",
         contam, "doc_id", "text", n = 3, t = 0.5)
-      val clean = clean0.persist()
       val gated = TextAnalysis.withRepetitionStats(clean, "text", n = 3)
         .filter(col("top_token_ratio") <= 0.12)
         .drop("ntok", "dup_ngram_rate", "top_token_ratio")
       val mixed = Curation.sampleStratified(gated, "doc_id", "source",
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0), defaultRate = 0.5)
-      Curation.capPerGroup(mixed, Seq("source"),
+      val out = Curation.capPerGroup(mixed, Seq("source"),
           Seq(col("n_chars").desc, col("doc_id").asc), quota = 10)
         .select(col("source"), col("doc_id"), col("n_chars"))
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+      Dedup.materializeAndRelease(out, canon)
     }),
 
     // Benchmark-only dial evidence for the prefix df-cap (the q11
@@ -1730,13 +1733,13 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split(
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
         |  FROM documents),
-        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok)
+        |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok)
         |SELECT t.doc_id,
         |  count(*) AS n_tok,
-        |  CAST(sum(c.c) AS BIGINT) AS sum_tok_df,
-        |  CAST(min(c.c) AS BIGINT) AS min_tok_df,
-        |  CAST(sum(c.c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tok_df
-        |FROM tok t JOIN cnt c ON t.tok = c.tok
+        |  CAST(sum(d.df) AS BIGINT) AS sum_tok_df,
+        |  CAST(min(d.df) AS BIGINT) AS min_tok_df,
+        |  CAST(sum(d.df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tok_df
+        |FROM tok t JOIN dfq d ON t.tok = d.tok
         |GROUP BY t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 

@@ -265,7 +265,7 @@ object Dedup {
     * magnitude smaller than the corpus); callers that are fully done
     * with it may `.unpersist()` it.
     */
-  private[operators] def materializeAndRelease(result: DataFrame,
+  private[graft] def materializeAndRelease(result: DataFrame,
                                     intermediates: DataFrame*): DataFrame = {
     val out = result.persist()
     out.count() // force: populate the result cache while inputs are hot

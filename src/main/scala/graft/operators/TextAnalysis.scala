@@ -162,33 +162,42 @@ object TextAnalysis {
   }
 
   /** Corpus-statistical token rarity — the exact-arithmetic cousin of
-    * unigram-LM quality scoring: every document is scored by the
-    * GLOBAL document-frequency of its tokens (sum/avg/min of each
-    * token's corpus-wide occurrence count). Low avg → rare-vocabulary
-    * document (OCR noise, code, non-target language); min = 1 → the
-    * doc holds a corpus-unique token. Integer sums + one final
-    * division keep the numbers bit-reproducible across engines (a
-    * log-prob variant would be order-of-summation sensitive and
-    * un-hashable), which is why this is the gated formulation.
+    * unigram-LM quality scoring: every token OCCURRENCE is scored by
+    * its token's TRUE document frequency (the number of distinct
+    * documents containing it — the standard IR df, so a token spammed
+    * inside one document cannot inflate its own rarity), and each
+    * document aggregates sum/avg/min over its occurrences. Low avg →
+    * rare-vocabulary document (OCR noise, code, non-target language);
+    * min = 1 → the doc holds a token no other document has. Integer
+    * sums + one final division keep the numbers bit-reproducible
+    * across engines (a log-prob variant would be order-of-summation
+    * sensitive and un-hashable), which is why this is the gated
+    * formulation.
     *
-    * Two shuffles: the token-count groupBy and the per-doc re-agg. At
-    * cluster scale the count table is VOCABULARY-sized — broadcast it
-    * (Spark does automatically under the threshold) and the doc-side
-    * pass stays shuffle-free.
+    * The exploded token table feeds both the df build and the probe
+    * side — persisted for the duration of the call and released after
+    * the (small, one-row-per-doc) result is materialized, the same
+    * caching contract as the Dedup joins. At cluster scale the df
+    * table is VOCABULARY-sized — broadcast it (Spark does
+    * automatically under the threshold) and the doc-side pass stays
+    * shuffle-free.
     */
   def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(col("__toks")).as("tok"))
-    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    tok.join(counts, "tok")
+      .persist()
+    val dfreq = tok.select("id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val out = tok.join(dfreq, "tok")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_tok"),
-        sum(col("cnt")).as("sum_tok_df"),
-        min(col("cnt")).as("min_tok_df"))
+        sum(col("df")).as("sum_tok_df"),
+        min(col("df")).as("min_tok_df"))
       .withColumn("avg_tok_df",
         col("sum_tok_df").cast("double") / col("n_tok").cast("double"))
+    Dedup.materializeAndRelease(out, tok)
   }
 
   /** [[repetitionStats]] with the required two-step projection: the

@@ -115,21 +115,21 @@ class TextAnalysisSpec extends SparkSpec {
         out.select($"doc_id", $"text", $"ntok"), "text", n = 3)
   }
 
-  test("tokenRarity: hand-computed global dfs, corpus-unique token flagged by min") {
+  test("tokenRarity: TRUE document frequency — intra-doc repetition cannot inflate a token's own df") {
     val docs = Seq(
-      (1L, "a a b"),   // a:3 (2 here + 1 in doc2), b:2
-      (2L, "a b c")    // c is corpus-unique
+      (1L, "a a b"),   // 'a' twice HERE but df(a) = 2 docs, df(b) = 2
+      (2L, "a b c")    // c is corpus-unique: df = 1
     ).toDF("doc_id", "text")
     val got = TextAnalysis.tokenRarity(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).sortBy(_._1)
-    // doc 1 tokens: a,a,b -> dfs 3,3,2 -> sum 8, min 2, avg 8/3
-    got(0)._1 shouldBe 1L
-    got(0)._2 shouldBe 3L
-    got(0)._3 shouldBe 8L
-    got(0)._4 shouldBe 2L
-    got(0)._5 shouldBe (8.0 / 3.0) +- 1e-15
-    // doc 2 tokens: a,b,c -> dfs 3,2,1 -> sum 6, min 1 (corpus-unique c)
-    got(1) shouldBe ((2L, 3L, 6L, 1L, 2.0))
+    // doc 1 occurrences: a,a,b -> dfs 2,2,2 -> sum 6, min 2, avg 2.0
+    got(0) shouldBe ((1L, 3L, 6L, 2L, 2.0))
+    // doc 2 occurrences: a,b,c -> dfs 2,2,1 -> sum 5, min 1 (unique c)
+    got(1)._1 shouldBe 2L
+    got(1)._2 shouldBe 3L
+    got(1)._3 shouldBe 5L
+    got(1)._4 shouldBe 1L
+    got(1)._5 shouldBe (5.0 / 3.0) +- 1e-15
   }
 }
