@@ -1009,6 +1009,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Scale primitive — count-min sketch as relational ops: the
+    // counter table is ONE map-side-combinable groupBy producing
+    // depth×width rows (broadcastable), estimates a keyed join. The
+    // md5 bucket hash makes the sketch engine-reproducible, so even
+    // the APPROXIMATE structure gets a hash-exact oracle: the DuckDB
+    // twin rebuilds the identical counters and estimates. Output =
+    // the exact top-10 tokens with exact and sketch counts (est ≥
+    // exact by construction; equal when no bucket collision).
+    "q52_cms_heavy_hitters" -> ((s, dir) => {
+      val depth = 4; val width = 4096
+      val tok = Tables.documents(s, dir)
+        .select(explode(graft.functions.tokens(col("text"))).as("tok"))
+      val tcnt = tok.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
+      val counters = Sketch.cmsCounters(tcnt, "tok", "cnt", depth, width)
+      val top10 = tcnt.orderBy(col("cnt").desc, col("tok")).limit(10)
+      Sketch.cmsEstimate(top10, "tok", counters, depth, width)
+        .select(col("tok"), col("cnt").as("exact_cnt"), col("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
     // LLM curation 4 — token-budget shard packing: per source, docs in
     // id order pack into ~2000-token shards by exclusive running sum
     // (docs never split; a shard overshoots by at most its last doc).
@@ -1728,6 +1748,27 @@ object SparkEntry {
         |  ELSE 0.0 END AS top_token_ratio
         |FROM tok
         |ORDER BY doc_id""".stripMargin,
+
+    "q52_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |tcnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |b AS (SELECT i, tok, cnt,
+        |  CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || tok), 1, 8))
+        |    AS BIGINT) % 4096 AS INT) AS bucket
+        |  FROM tcnt, rows_),
+        |counters AS (SELECT i, bucket, sum(cnt) AS counter
+        |             FROM b GROUP BY i, bucket),
+        |top10 AS (SELECT tok, cnt FROM tcnt ORDER BY cnt DESC, tok LIMIT 10)
+        |SELECT t.tok, CAST(t.cnt AS BIGINT) AS exact_cnt,
+        |  CAST(min(c.counter) AS BIGINT) AS cms_est
+        |FROM top10 t
+        |JOIN b tb ON tb.tok = t.tok
+        |JOIN counters c ON c.i = tb.i AND c.bucket = tb.bucket
+        |GROUP BY t.tok, t.cnt
+        |ORDER BY exact_cnt DESC, t.tok""".stripMargin,
 
     "q51_token_rarity" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketch
+
+/** Count-min sketch invariants: overestimate-only, exact at generous
+  * width, total-mass collapse at width 1, partition-order independence.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyed = Seq(
+    ("alpha", 100L), ("beta", 60L), ("gamma", 30L), ("delta", 10L),
+    ("epsilon", 5L), ("zeta", 1L)
+  ).toDF("tok", "cnt")
+
+  private def estimates(depth: Int, width: Int,
+                        df: org.apache.spark.sql.DataFrame = keyed): Map[String, Long] = {
+    val counters = Sketch.cmsCounters(df, "tok", "cnt", depth, width)
+    Sketch.cmsEstimate(df, "tok", counters, depth, width)
+      .select($"tok", $"cms_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("estimates never undercount, and are exact when width dwarfs the key set") {
+    val exact = keyed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = estimates(depth = 4, width = 4096)
+    exact.foreach { case (k, v) =>
+      withClue(s"$k: ") { est(k) should be >= v }
+    }
+    // 6 keys into 4 rows x 4096 buckets: collision probability is
+    // negligible and the hash is FIXED - assert exact equality
+    est shouldBe exact
+  }
+
+  test("width 1 collapses every counter to the total mass (the degenerate upper bound)") {
+    val total = keyed.agg(sum($"cnt")).head().getLong(0)
+    estimates(depth = 3, width = 1).values.foreach(_ shouldBe total)
+  }
+
+  test("sketch is partition-order independent (counter sums commute)") {
+    estimates(4, 64, keyed.repartition(7)) shouldBe estimates(4, 64, keyed.coalesce(1))
+  }
+
+  test("rejects degenerate dimensions") {
+    an[IllegalArgumentException] should be thrownBy
+      Sketch.cmsCounters(keyed, "tok", "cnt", depth = 0, width = 16)
+  }
+}
