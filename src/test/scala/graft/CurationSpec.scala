@@ -172,6 +172,31 @@ class CurationSpec extends SparkSpec {
     // g1 shard 0 = 2300 <= 2000 + 600
   }
 
+  test("salted packing (the documented hot-group relaxation) keeps the shard invariants") {
+    // the packShards scaladoc claims pre-salting the group key yields
+    // valid shards while relaxing which docs share one — pin it: pack
+    // under (source, doc_id % 4) and check every doc is assigned once
+    // and every (group, salt, shard) stays within budget + its max doc
+    val rnd = new scala.util.Random(7)
+    val rows = for (id <- 1L to 400L)
+      yield ("hot", id, 50L + rnd.nextInt(300).toLong)
+    val budget = 1000L
+    val salted = rows.toDF("source", "doc_id", "n_tok")
+      .withColumn("salted_source",
+        concat_ws("#", $"source", $"doc_id" % 4))
+    val got = Curation.packShards(salted, "salted_source", "doc_id",
+        "n_tok", budget)
+      .collect().map(r => (r.getString(3), r.getLong(1), r.getLong(2), r.getLong(4)))
+    got.length shouldBe rows.length
+    got.groupBy(g => (g._1, g._4)).foreach { case ((grp, shard), docs) =>
+      withClue(s"$grp shard $shard: ") {
+        docs.map(_._3).sum should be <= (budget + docs.map(_._3).max)
+      }
+    }
+    // and the salt spread the hot group across 4 independent packings
+    got.map(_._1).distinct.length shouldBe 4
+  }
+
   test("packShards property: every doc assigned once; shard sums bounded by budget + max doc; shards contiguous in id order") {
     val rnd = new scala.util.Random(42)
     val rows = for (g <- Seq("a", "b"); id <- 1L to 300L)
