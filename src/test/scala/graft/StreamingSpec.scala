@@ -211,6 +211,53 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 2 // no duplicates
   }
 
+  test("streaming decontamination: foreachBatch composes the batch operator against a static benchmark set") {
+    // benchmark decontamination on an ARRIVING corpus: the contam set
+    // is static (benchmark suites change rarely), every doc's shingles
+    // live inside its own row, so each micro-batch decontaminates
+    // independently with the unchanged batch operator — no cross-batch
+    // state, exactly-once via the checkpointed sink. Output over all
+    // batches must equal decontaminating the union as ONE batch.
+    val t0 = ts("2024-01-01 10:00:00")
+    val docs = Seq(
+      Doc(t0, 1L, "the quick brown fox jumps over the lazy dog"),
+      Doc(t0, 2L, "the quick brown fox jumps over the lazy cat"), // near-dup of contam
+      Doc(t0, 3L, "completely different text about data pipelines"),
+      Doc(t0, 4L, "another unrelated document entirely here"),
+      Doc(t0, 5L, "the quick brown fox jumps over the lazy dog")) // exact contam
+    val contam = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bench_id", "bench_text")
+    val (batchKept, _) = graft.operators.Curation.decontaminate(
+      docs.toDF(), "doc_id", "text", contam, "bench_id", "bench_text",
+      n = 2, t = 0.5)
+    val expected = batchKept.select($"doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+    val input = MemoryStream[Doc](spark)
+    val dir = Files.createTempDirectory("decontam_stream")
+    val outDir = dir.toString + "/kept"
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (kept, _) = graft.operators.Curation.decontaminate(
+          batch, "doc_id", "text", contam, "bench_id", "bench_text",
+          n = 2, t = 0.5)
+        kept.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", dir.toString + "/ckpt")
+      .start()
+    try {
+      input.addData(docs(0), docs(1), docs(2))
+      q.processAllAvailable()
+      input.addData(docs(3), docs(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    got shouldBe expected
+    got shouldBe Seq(3L, 4L) // contaminated 1, 2, 5 all dropped
+  }
+
   test("streaming ingest quarantine: one parse, valid rows to the sink, corrupt payloads to a dead-letter sink") {
     // the skip-bad-record-and-continue policy under Structured
     // Streaming: parseJson works unchanged on a streaming DataFrame,
