@@ -1009,6 +1009,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM curation 5 — SEMANTIC decontamination: embedding-cosine
+    // against a small benchmark set catches the paraphrase that n-gram
+    // q42 misses. Broadcast threshold join (one corpus pass × small
+    // contam side); manifest = each dropped row's best contaminant.
+    // Self-matches (a contam vector against itself) are the expected
+    // cosine-1.0 drops; the oracle recomputes the whole relation.
+    "q53_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val contam = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (kept, dropped) = Curation.decontaminateSemantic(
+        emb, "vec_id", "embedding", contam, "cid", "cvec", t = 0.6)
+      // gate BOTH halves in one result: the dropped manifest with
+      // scores, plus the kept count as a one-row summary join key
+      dropped
+        .withColumn("n_kept", lit(null).cast("long"))
+        .unionByName(kept.agg(count(lit(1)).as("n_kept"))
+          .withColumn("id", lit(-1L))
+          .withColumn("contaminant_id", lit(-1L))
+          .withColumn("contaminant_cosine", lit(-1.0))
+          .select("id", "contaminant_id", "contaminant_cosine", "n_kept"))
+        .orderBy(col("id"), col("contaminant_id"))
+    }),
+
     // Scale primitive — count-min sketch as relational ops: the
     // counter table is ONE map-side-combinable groupBy producing
     // depth×width rows (broadcastable), estimates a keyed join. The
@@ -1748,6 +1772,34 @@ object SparkEntry {
         |  ELSE 0.0 END AS top_token_ratio
         |FROM tok
         |ORDER BY doc_id""".stripMargin,
+
+    "q53_semantic_decontam" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+        |           FROM embeddings WHERE vec_id % 97 = 0),
+        |scored AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(c.cvec AS DOUBLE[])) AS cosine
+        |  FROM embeddings e, c),
+        |hits AS (SELECT * FROM scored WHERE cosine >= 0.6),
+        |best AS (
+        |  SELECT id, cid AS contaminant_id, cosine AS contaminant_cosine,
+        |    row_number() OVER (PARTITION BY id
+        |                       ORDER BY cosine DESC, cid ASC) AS rk
+        |  FROM hits),
+        |dropped AS (SELECT id, contaminant_id,
+        |              LEAST(contaminant_cosine, 1.0) AS contaminant_cosine
+        |            FROM best WHERE rk = 1),
+        |summary AS (
+        |  SELECT CAST(-1 AS BIGINT) AS id, CAST(-1 AS BIGINT) AS contaminant_id,
+        |    CAST(-1.0 AS DOUBLE) AS contaminant_cosine,
+        |    (SELECT count(*) FROM embeddings
+        |     WHERE vec_id NOT IN (SELECT id FROM dropped)) AS n_kept)
+        |SELECT id, contaminant_id, contaminant_cosine,
+        |  CAST(NULL AS BIGINT) AS n_kept FROM dropped
+        |UNION ALL
+        |SELECT * FROM summary
+        |ORDER BY id, contaminant_id""".stripMargin,
 
     "q52_cms_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(

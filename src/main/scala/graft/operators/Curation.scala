@@ -110,6 +110,44 @@ object Curation {
       .drop("__cap_rk")
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * [[decontaminate]]: drop every corpus row whose embedding cosine
+    * to ANY contamination-set embedding reaches `t`. n-gram overlap
+    * misses heavy paraphrase; embedding similarity is the standard
+    * second line. The contamination set is SMALL by definition
+    * (benchmark suites), so the scale shape is a BROADCAST threshold
+    * join — one corpus pass against an in-memory contam table, the
+    * same asymmetry as brute-force top-k — never a corpus×corpus join.
+    * Returns (kept, dropped-manifest) with each dropped row's
+    * best-matching contaminant (highest cosine, ties to the smaller
+    * contaminant id), mirroring [[decontaminate]]'s manifest contract.
+    */
+  def decontaminateSemantic(emb: DataFrame, idCol: String, vecCol: String,
+                            contam: DataFrame, contamIdCol: String,
+                            contamVecCol: String,
+                            t: Double): (DataFrame, DataFrame) = {
+    val c = contam.select(col(contamIdCol).as("cid"),
+      col(contamVecCol).as("cvec"))
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("cosine", graft.functions.cosineSim(col("vec"), col("cvec")))
+      .filter(col("cosine") >= t)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    val dropped = scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      // clamp at 1.0: an IDENTICAL vector's self-cosine can land one
+      // ulp ABOVE 1 depending on the engine's operation order (measured
+      // 1.0000000000000002 here vs 1.0 in DuckDB — the only input class
+      // where the two formulations' rounding diverges); a true cosine
+      // never exceeds 1, so the clamp loses nothing
+      .select(col("id"), col("cid").as("contaminant_id"),
+        least(col("cosine"), lit(1.0)).as("contaminant_cosine"))
+    val kept = emb.join(dropped.select(col("id").as(idCol)), Seq(idCol),
+      "left_anti")
+    (kept, dropped)
+  }
+
   /** The 8-hex-digit md5-prefix threshold below which a key is kept at
     * `rate`: floor(rate · 2³²) rendered as zero-padded lowercase hex.
     * Lowercase-hex strings of equal length compare lexicographically

@@ -32,6 +32,27 @@ class CurationSpec extends SparkSpec {
       Seq(3L, 4L)
   }
 
+  test("decontaminateSemantic drops by embedding cosine, reports the best contaminant, keeps the dissimilar") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // identical to contaminant 100
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // near contaminant 100
+      (3L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal: kept
+      (4L, Seq(0.0f, 1.0f, 0.0f))    // orthogonal: kept
+    ).toDF("vec_id", "embedding")
+    val contam = Seq((100L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val (kept, dropped) = Curation.decontaminateSemantic(
+      e, "vec_id", "embedding", contam, "cid", "cvec", t = 0.6)
+    val d = dropped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    d.map(_._1).toSeq shouldBe Seq(1L, 2L)
+    d.foreach(_._2 shouldBe 100L)
+    d(0)._3 shouldBe 1.0 // identical vector clamps to exactly 1.0
+    d(1)._3 should (be > 0.9 and be <= 1.0)
+    kept.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(3L, 4L)
+  }
+
   test("decontaminate ties on jaccard break by contaminant id (duplicate benchmark docs)") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val contam = Seq((9L, "a b c d e"), (7L, "a b c d e"))
