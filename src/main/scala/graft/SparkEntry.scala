@@ -1808,7 +1808,7 @@ object SparkEntry {
         |tcnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
         |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
         |b AS (SELECT i, tok, cnt,
-        |  CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || tok), 1, 8))
+        |  CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || tok), 1, 8))
         |    AS BIGINT) % 4096 AS INT) AS bucket
         |  FROM tcnt, rows_),
         |counters AS (SELECT i, bucket, sum(cnt) AS counter

@@ -134,15 +134,21 @@ object Curation {
       .filter(col("cosine") >= t)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("cid").asc)
-    val dropped = scored
+    // clamp at 1.0: an IDENTICAL vector's self-cosine lands one ulp
+    // ABOVE 1 in this engine and exactly 1.0 in DuckDB (measured
+    // 1.0000000000000002 vs 1.0 — the one input class OBSERVED to
+    // diverge; general pairs have matched bit-for-bit across
+    // q13/q37/q53 at both scale factors, and the clamp additionally
+    // bounds any future above-one artifact on either side). A true
+    // cosine never exceeds 1, so the clamp loses nothing.
+    //
+    // materializeAndRelease mirrors the sibling [[decontaminate]]:
+    // BOTH returned halves consume the manifest, so without caching it
+    // the broadcast cross join + window would execute twice.
+    val dropped = Dedup.materializeAndRelease(scored
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      // clamp at 1.0: an IDENTICAL vector's self-cosine can land one
-      // ulp ABOVE 1 depending on the engine's operation order (measured
-      // 1.0000000000000002 here vs 1.0 in DuckDB — the only input class
-      // where the two formulations' rounding diverges); a true cosine
-      // never exceeds 1, so the clamp loses nothing
       .select(col("id"), col("cid").as("contaminant_id"),
-        least(col("cosine"), lit(1.0)).as("contaminant_cosine"))
+        least(col("cosine"), lit(1.0)).as("contaminant_cosine")))
     val kept = emb.join(dropped.select(col("id").as(idCol)), Seq(idCol),
       "left_anti")
     (kept, dropped)

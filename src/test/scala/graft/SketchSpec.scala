@@ -46,4 +46,24 @@ class SketchSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sketch.cmsCounters(keyed, "tok", "cnt", depth = 0, width = 16)
   }
+
+  test("querying a key the sketch never counted estimates 0 (left join), not a dropped row") {
+    val counters = Sketch.cmsCounters(keyed, "tok", "cnt", depth = 4, width = 4096)
+    val queries = Seq(("alpha", 0L), ("never-counted-key", 0L)).toDF("tok", "cnt")
+    val est = Sketch.cmsEstimate(queries, "tok", counters, 4, 4096)
+      .select($"tok", $"cms_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.size shouldBe 2 // the absent key SURVIVES the join
+    est("alpha") shouldBe 100L
+    // 6 keys in 4x4096 buckets: the absent key's buckets are empty
+    // with near-certainty under the fixed hash — estimate 0
+    est("never-counted-key") shouldBe 0L
+  }
+
+  test("rejects scratch/output column collisions") {
+    val counters = Sketch.cmsCounters(keyed, "tok", "cnt", depth = 2, width = 16)
+    an[IllegalArgumentException] should be thrownBy
+      Sketch.cmsEstimate(keyed.withColumn("cms_est", lit(1L)), "tok",
+        counters, 2, 16)
+  }
 }

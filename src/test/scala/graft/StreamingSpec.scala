@@ -216,7 +216,10 @@ class StreamingSpec extends SparkSpec {
     // is static (benchmark suites change rarely), every doc's shingles
     // live inside its own row, so each micro-batch decontaminates
     // independently with the unchanged batch operator — no cross-batch
-    // state, exactly-once via the checkpointed sink. Output over all
+    // state. The checkpoint prevents reprocessing on clean restart; a
+    // blind parquet append is AT-LEAST-ONCE under mid-write failure
+    // (the exactly-once upgrade is an idempotent batchId-keyed
+    // overwrite, as the K1 file-sink test exercises). Output over all
     // batches must equal decontaminating the union as ONE batch.
     val t0 = ts("2024-01-01 10:00:00")
     val docs = Seq(
