@@ -27,7 +27,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    var failed = Set.empty[String]
+    // per-query failure COUNT, not a flat set: a query that fails one
+    // pass but succeeds another is "flaky" (valid min time, listed
+    // separately), only all-pass failures are "failed" — r6's flat set
+    // reported both a failure and a valid time for the same query
+    var failCounts = Map.empty[String, Int].withDefaultValue(0)
     // optional args = query-name subset for local iteration; the driver
     // passes none and gets the full suite
     val selected =
@@ -40,7 +44,7 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed += name
+          failCounts += name -> (failCounts(name) + 1)
           ok = false
         }
         // a failed attempt's (short) elapsed must not win the
@@ -76,10 +80,14 @@ object Bench {
       .map { case (k, v) => k -> (if (v == Double.MaxValue) 0.0 else v) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def names(p: Int => Boolean) = failCounts.toSeq.collect {
+      case (k, c) if p(c) => k
+    }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = names(_ == passes) // no pass succeeded: time is 0.0
+    val flakyJson = names(c => c > 0 && c < passes) // timed, but not clean
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

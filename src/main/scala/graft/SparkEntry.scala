@@ -1051,9 +1051,15 @@ object SparkEntry {
       val tcnt = tok.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
       val counters = Sketch.cmsCounters(tcnt, "tok", "cnt", depth, width)
       val top10 = tcnt.orderBy(col("cnt").desc, col("tok")).limit(10)
-      Sketch.cmsEstimate(top10, "tok", counters, depth, width)
-        .select(col("tok"), col("cnt").as("exact_cnt"), col("cms_est"))
-        .orderBy(col("exact_cnt").desc, col("tok"))
+      // materialize the 10-row result, then release the vocabulary-
+      // sized count table: Verify runs the whole suite in one session
+      // with no per-query cache clear, so a bare .persist() here would
+      // otherwise pin tcnt for the rest of the session (ADVICE r6)
+      Dedup.materializeAndRelease(
+        Sketch.cmsEstimate(top10, "tok", counters, depth, width)
+          .select(col("tok"), col("cnt").as("exact_cnt"), col("cms_est"))
+          .orderBy(col("exact_cnt").desc, col("tok")),
+        tcnt)
     }),
 
     // LLM curation 4 — token-budget shard packing: per source, docs in

@@ -225,8 +225,10 @@ object Catalog {
       val nextStats = next.agg(count(lit(1)), coalesce(sum("depth"), lit(0L))).head()
       // release the superseded closure checkpoint NOW (each round
       // checkpoints the FULL closure; waiting for the ContextCleaner
-      // would stack several closure-sized copies in the block manager)
-      reach.unpersist(blocking = false)
+      // would stack several closure-sized copies in the block manager).
+      // Dataset.unpersist would NOT do it — checkpoint blocks live on
+      // the internal RDD, not in the CacheManager (ADVICE r6).
+      Checkpoints.free(reach)
       val changed = nextStats.getLong(0) != stats.getLong(0) ||
         nextStats.getLong(1) != stats.getLong(1)
       if (changed && (1L << (round - 1)) >= maxDepth)

@@ -518,6 +518,11 @@ object Dedup {
           (coalesce(col("nmin"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint(true)
       converged = next.filter(col("changed")).isEmpty
+      // the superseded round's checkpoint blocks are dead once `next`
+      // is materialized (eager checkpoint above) — free them NOW
+      // rather than waiting for the ContextCleaner (ADVICE r6; same
+      // mechanism as doublingClosure)
+      Checkpoints.free(labels)
       labels = next.drop("changed")
       iter += 1
     }
@@ -525,6 +530,8 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter); raise maxIter")
+    // the edge list is dead too — only the label table leaves this call
+    Checkpoints.free(edges)
     labels
   }
 

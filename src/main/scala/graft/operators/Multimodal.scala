@@ -176,6 +176,13 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val chunk = tag(pos); val size = u32(pos + 4)
       if (chunk == "fmt ") {
+        // the fmt fields below read pos+8..pos+23: a declared size
+        // < 16 would silently read the NEXT chunk's bytes as
+        // sampleRate/bits, and a truncated payload would throw
+        // ArrayIndexOutOfBounds instead of honoring the
+        // malformed-containers-THROW contract
+        require(size >= 16 && pos + 24 <= payload.length,
+          s"truncated/malformed fmt chunk at offset $pos: id=$id")
         val audioFormat = u16(pos + 8)
         require(audioFormat == 1, s"not PCM (format $audioFormat): id=$id")
         channels = u16(pos + 10)

@@ -122,8 +122,13 @@ final class InMemorySchemaRegistry extends SchemaRegistry {
       entries.find(e => e.subject == subject && e.schema == schema)
         .getOrElse {
           val version = versions(subject).lastOption.getOrElse(0) + 1
-          val e = RegisteredSchema(subject, version, nextId, schema)
-          nextId += 1
+          // Confluent schema ids are CONTENT-global: the same schema
+          // text registered under a second subject reuses the existing
+          // id — only the per-subject version is new (ADVICE r6; a
+          // fresh id per (subject, schema) was a fidelity gap)
+          val id = entries.find(_.schema == schema).map(_.schemaId)
+            .getOrElse { val i = nextId; nextId += 1; i }
+          val e = RegisteredSchema(subject, version, id, schema)
           entries :+= e
           e
         }

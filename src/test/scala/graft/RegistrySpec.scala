@@ -19,8 +19,10 @@ class RegistrySpec extends SparkSpec {
     val a1 = reg.register("darkpool-trades-value", schemaV1)
     val b1 = reg.register("news-value", schemaV1)
     val a2 = reg.register("darkpool-trades-value", schemaV2)
-    // ids are registry-wide and monotonically increasing
-    Seq(a1.schemaId, b1.schemaId, a2.schemaId) shouldBe Seq(1, 2, 3)
+    // ids are CONTENT-global (Confluent semantics): the same schema
+    // text under a second subject reuses the id; new text gets the
+    // next id
+    Seq(a1.schemaId, b1.schemaId, a2.schemaId) shouldBe Seq(1, 1, 2)
     // versions are per subject
     a1.version shouldBe 1
     b1.version shouldBe 1
