@@ -1036,6 +1036,39 @@ object SparkEntry {
         .orderBy(col("id"), col("contaminant_id"))
     }),
 
+    // F7+ — the LAST catalog request type: parameter/event GROUP search
+    // (ref getAllParameterGroupsRequest.ts:16-52) + the response
+    // model's childrenCount (parameterGroup.ts:37-44). The group
+    // catalog derives deterministically from `part`: p_type / p_brand
+    // span a 2-level location tree, the part name is the leaf group;
+    // interior brand nodes are groups too, so deep search returns
+    // MIXED levels and childrenCount is non-zero on the interior rows
+    // — the tree helper is load-bearing in the oracle, not decoration.
+    // Filters: deep location subtree under /ECONOMY + smart-case name
+    // Contains "an" (lowercase → CI: matches every interior
+    // "Brand#N" and leaves like "orange gear").
+    "q54_group_search" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val leaves = p.select(
+        concat(lit("/"), col("p_type"), lit("/"), col("p_brand"),
+          lit("/"), col("p_name")).as("path"),
+        concat(lit("/"), col("p_type"), lit("/"), col("p_brand"))
+          .as("location"),
+        col("p_name").as("name"))
+      val mids = p.select(
+        concat(lit("/"), col("p_type"), lit("/"), col("p_brand")).as("path"),
+        concat(lit("/"), col("p_type")).as("location"),
+        col("p_brand").as("name")).distinct()
+      val groups = leaves.unionByName(mids)
+      Catalog.search(Catalog.withChildrenCount(groups, "path"),
+          Catalog.groupFilters(
+            location = Some("/ECONOMY"),
+            name = Some("an")))
+        .select(col("path"), col("name"), col("location"),
+          col("childrenCount").as("children_count"))
+        .orderBy(col("path"), col("name"))
+    }),
+
     // Scale primitive — count-min sketch as relational ops: the
     // counter table is ONE map-side-combinable groupBy producing
     // depth×width rows (broadcastable), estimates a keyed join. The
@@ -1809,6 +1842,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM summary
         |ORDER BY id, contaminant_id""".stripMargin,
+
+    "q54_group_search" ->
+      """WITH leaves AS (
+        |  SELECT '/' || p_type || '/' || p_brand || '/' || p_name AS path,
+        |         '/' || p_type || '/' || p_brand AS location,
+        |         p_name AS name
+        |  FROM part),
+        |mids AS (
+        |  SELECT DISTINCT '/' || p_type || '/' || p_brand AS path,
+        |         '/' || p_type AS location,
+        |         p_brand AS name
+        |  FROM part),
+        |g AS (SELECT * FROM leaves UNION ALL SELECT * FROM mids),
+        |cc AS (
+        |  SELECT nullif(regexp_replace(path, '/[^/]*$', ''), '') AS ppath,
+        |         COUNT(*) AS cnt
+        |  FROM g WHERE nullif(regexp_replace(path, '/[^/]*$', ''), '') IS NOT NULL
+        |  GROUP BY 1),
+        |gc AS (
+        |  SELECT g.path, g.name, g.location,
+        |         COALESCE(cc.cnt, 0) AS children_count
+        |  FROM g LEFT JOIN cc ON g.path = cc.ppath)
+        |SELECT path, name, location, children_count
+        |FROM gc
+        |WHERE (location = '/ECONOMY' OR starts_with(location, '/ECONOMY/'))
+        |  AND contains(lower(name), 'an')
+        |ORDER BY path, name""".stripMargin,
 
     "q52_cms_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(

@@ -124,6 +124,51 @@ object Catalog {
       (if (eventIds.nonEmpty) Seq(ContainsAny("event_ids", eventIds)) else Nil) ++
       streamId.map(sid => EqualsCI("stream_id", sid)).toSeq
 
+  /** GetAllParameterGroupsRequest / GetAllEventGroupsRequest analog
+    * (ref getAllParameterGroupsRequest.ts:16-52,
+    * getAllEventGroupsRequest.ts:16-52 — the two request shapes are
+    * field-identical) over a group catalog table `(path, name,
+    * description, custom_properties, stream_ids: array<string>,
+    * location, …)` (ref parameterGroup.ts:16-44):
+    *
+    *  - `streamIds` — groups whose streamIds list overlaps the given
+    *    ids (the entity carries ALL owning streams' ids);
+    *  - `location` + `locationDeepSearch` (default true, as the
+    *    contract documents) — deep = the whole subtree
+    *    ([[UnderLocation]] on the group's location), shallow = DIRECT
+    *    children only (location Equals the given path exactly);
+    *  - `name` / `description` — smart-case CONTAINS;
+    *  - `customProperties` — smart-case EQUALS (case-sensitive iff the
+    *    pattern has a capital — an Equals, unlike name/description;
+    *    the contract wording differs deliberately);
+    *  - `groupPaths` — case-SENSITIVE Equals/IN on the unique path.
+    *
+    * Ordering/paging compose via the standard orderBy/offset/limit,
+    * as the other catalog requests do; [[withChildrenCount]] supplies
+    * the response model's childrenCount.
+    */
+  def groupFilters(streamIds: Seq[String] = Nil,
+                   location: Option[String] = None,
+                   locationDeepSearch: Boolean = true,
+                   name: Option[String] = None,
+                   description: Option[String] = None,
+                   customProperties: Option[String] = None,
+                   groupPaths: Seq[String] = Nil): Seq[Match] =
+    (if (streamIds.nonEmpty) Seq(ContainsAny("stream_ids", streamIds)) else Nil) ++
+      location.map { loc =>
+        val norm =
+          if (loc.length > 1 && loc.endsWith("/")) loc.dropRight(1) else loc
+        if (locationDeepSearch) UnderLocation("location", norm)
+        else Equals("location", norm)
+      }.toSeq ++
+      name.map(Contains("name", _)).toSeq ++
+      description.map(Contains("description", _)).toSeq ++
+      customProperties.map { v =>
+        if (v.exists(_.isUpper)) Equals("custom_properties", v)
+        else EqualsCI("custom_properties", v)
+      }.toSeq ++
+      (if (groupPaths.nonEmpty) Seq(Include("path", groupPaths)) else Nil)
+
   // -------------------------------------------------------------- lineage
 
   /** Physical strategy for [[ancestors]] — both compute the identical

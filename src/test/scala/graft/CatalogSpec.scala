@@ -254,4 +254,84 @@ class CatalogSpec extends SparkSpec {
     Catalog.search(groups, Seq(UnderLocation("path", "Chassis/Suspension")))
       .count() shouldBe 3
   }
+
+  private lazy val groupCatalog = Seq(
+    // (path, name, description, custom_properties, stream_ids, location)
+    ("/Chassis", "Chassis", "chassis root", "rig=A",
+      Seq("s1", "s2"), "/"),
+    ("/Chassis/Suspension", "Suspension", "springs and dampers", "rig=A",
+      Seq("s1"), "/Chassis"),
+    ("/Chassis/Suspension/Front", "Front", "front axle", "RIG=A",
+      Seq("s2"), "/Chassis/Suspension"),
+    ("/Chassis/Brakes", "Brakes", "Brake Temps", "rig=b",
+      Seq("s3"), "/Chassis"),
+    ("/Engine", "Engine", "engine root", "rig=B",
+      Seq("s1", "s3"), "/")
+  ).toDF("path", "name", "description", "custom_properties",
+    "stream_ids", "location")
+
+  test("groupFilters: deep location search returns the whole subtree, shallow only direct children (ref getAllParameterGroupsRequest.ts:26-30)") {
+    // deep (the contract's default): everything LOCATED at or under
+    // /Chassis — Suspension, Front, Brakes (not the /-located root rows)
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(location = Some("/Chassis")))
+      .collect().map(_.getString(0)).sorted shouldBe
+      Seq("/Chassis/Brakes", "/Chassis/Suspension", "/Chassis/Suspension/Front")
+    // shallow: direct children only — location EQUALS the given path
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(location = Some("/Chassis"),
+          locationDeepSearch = false))
+      .collect().map(_.getString(0)).sorted shouldBe
+      Seq("/Chassis/Brakes", "/Chassis/Suspension")
+    // a trailing slash on the request path is normalized away
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(location = Some("/Chassis/"),
+          locationDeepSearch = false))
+      .count() shouldBe 2
+  }
+
+  test("groupFilters: customProperties is a smart-case EQUALS, name/description smart-case CONTAINS (ref getAllParameterGroupsRequest.ts:31-43)") {
+    // lowercase pattern → case-insensitive Equals: matches rig=A, RIG=A
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(customProperties = Some("rig=a")))
+      .count() shouldBe 3
+    // a capital anywhere → case-SENSITIVE Equals: only the exact rig=A
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(customProperties = Some("rig=A")))
+      .count() shouldBe 2
+    // and it is an EQUALS, not a contains: a substring matches nothing
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(customProperties = Some("rig")))
+      .count() shouldBe 0
+    // name/description stay smart-case CONTAINS
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(description = Some("brake")))
+      .count() shouldBe 1 // CI: matches "Brake Temps"
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(description = Some("Brake")))
+      .count() shouldBe 1 // CS: still the one capitalized row
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(name = Some("EN")))
+      .count() shouldBe 0 // CS contains: "Engine" has no "EN"
+  }
+
+  test("groupFilters: streamIds overlap the group's owning streams; groupPaths is a CS Equals/IN; filters compose (ref getAllParameterGroupsRequest.ts:20-25,44-47)") {
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(streamIds = Seq("s1")))
+      .count() shouldBe 3 // Chassis, Suspension, Engine
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(streamIds = Seq("s2", "s3")))
+      .count() shouldBe 4
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(groupPaths = Seq("/Chassis", "/Engine")))
+      .count() shouldBe 2
+    Catalog.search(groupCatalog, // CS: case mismatch finds nothing
+        Catalog.groupFilters(groupPaths = Seq("/chassis")))
+      .count() shouldBe 0
+    // conjunctive composition: s1-owned AND under /Chassis (deep)
+    Catalog.search(groupCatalog,
+        Catalog.groupFilters(streamIds = Seq("s1"),
+          location = Some("/Chassis")))
+      .collect().map(_.getString(0)) shouldBe Seq("/Chassis/Suspension")
+  }
 }
