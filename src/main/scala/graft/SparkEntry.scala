@@ -1069,6 +1069,38 @@ object SparkEntry {
         .orderBy(col("path"), col("name"))
     }),
 
+    // Scale family oracle gate — layout round-trip: write the events
+    // fact through writeTimePartitioned (dt hive layout, range
+    // partitioning, in-file sort), compact the directory (the
+    // crash-safe rename rewrite must preserve the dt dirs), then
+    // answer a planner Request FROM THE LAYOUT and hash-match the
+    // DuckDB twin computed over the FLAT table — proving storage
+    // layout never changes answers while the planner's derived
+    // dt-pruning predicates ride the partition directories. ScaleSpec
+    // pins the PLAN shapes (PartitionFilters, PushedFilters, both
+    // compaction crash paths); this gates the VALUES.
+    "q55_layout_roundtrip" -> ((s, dir) => {
+      import Telemetry._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q55_layout_" +
+        Integer.toHexString(dir.hashCode)
+      Scale.writeTimePartitioned(eventsPoints(s, dir), "ts", root,
+        sortCols = Seq("stream_id"))
+      Scale.compact(s, root, targetFileBytes = 8L * 1024 * 1024,
+        sortCols = Seq("stream_id"))
+      plan(s.read.parquet(root), Request(
+        from = Some("2024-01-03 00:00:00"),
+        to = Some("2024-01-17 00:00:00"),
+        streamIds = (0L to 15L),
+        tagFilters = Seq(TagFilter("event_type", TagEqual, Seq("click", "view"))),
+        bucketNs = Some(86400L * 1000 * 1000 * 1000), // 1 day in ns
+        groupByTags = Seq("event_type"),
+        aggs = Seq(
+          NumericAgg("value", AggSum, "sum_value"),
+          NumericAgg("value", AggMean, "mean_value"),
+          NumericAgg("value", AggCount, "count_value")),
+        orderBy = Seq(Ordering("event_type"), Ordering("bucket_ts"))))
+    }),
+
     // Scale primitive — count-min sketch as relational ops: the
     // counter table is ONE map-side-combinable groupBy producing
     // depth×width rows (broadcastable), estimates a keyed join. The
@@ -1869,6 +1901,21 @@ object SparkEntry {
         |WHERE (location = '/ECONOMY' OR starts_with(location, '/ECONOMY/'))
         |  AND contains(lower(name), 'an')
         |ORDER BY path, name""".stripMargin,
+
+    // the twin reads the FLAT table: the layout (dt partitioning,
+    // compaction, in-file sort) must be answer-invariant
+    "q55_layout_roundtrip" ->
+      s"""SELECT date_trunc('day', ts) AS bucket_ts, event_type,
+        |  ${DSUM("value")} AS sum_value,
+        |  ${DAVG("value")} AS mean_value,
+        |  COUNT(value) AS count_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+        |  AND user_id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)
+        |  AND event_type IN ('click','view')
+        |GROUP BY 1, 2
+        |ORDER BY 2, 1""".stripMargin,
 
     "q52_cms_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(
