@@ -100,6 +100,98 @@ object Multimodal {
     DecodedMedia(id, payload.length.toLong, at(0), at(1) * 16, at(2) * 16, features)
   }
 
+  /** Parsed container-header record for codec-bound image formats:
+    * everything a pure header parse can know without a pixel decode.
+    */
+  case class MediaHeader(id: Long, n_bytes: Long, format: String,
+                         width: Int, height: Int, bit_depth: Int)
+
+  /** REAL metadata decode for PNG and JPEG payloads — a pure-JVM parse
+    * of the public container headers, no pixel decode: PNG's leading
+    * IHDR chunk (width/height/bit-depth — PNG spec, 8-byte signature
+    * then the mandatory first chunk) and JPEG's first SOFn frame
+    * marker (precision/height/width — ITU T.81 B.2.2, reached by
+    * walking the marker segments). The codec-bound PIXEL decode stays
+    * behind [[stubDecoder]] per the SURVEY stub policy; the container
+    * metadata is real. Malformed containers THROW (same contract as
+    * [[netpbmDecoder]]/[[wavDecoder]]).
+    */
+  def imageHeaderDecoder(id: Long, payload: Array[Byte]): MediaHeader = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1) // JPEG/PNG are big-endian
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    require(payload.length >= 2, s"payload too short for any magic: id=$id")
+    val isPng = payload.length >= 8 && u8(0) == 0x89 && u8(1) == 'P'.toInt &&
+      u8(2) == 'N'.toInt && u8(3) == 'G'.toInt && u8(4) == 0x0d &&
+      u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a
+    if (isPng) {
+      // the FIRST chunk is required to be a 13-byte IHDR; its fields
+      // sit at fixed offsets: length@8, "IHDR"@12, w@16, h@20, depth@24
+      require(payload.length >= 25 && u32(8) == 13L &&
+        new String(payload, 12, 4, "US-ASCII") == "IHDR",
+        s"PNG without a leading IHDR chunk: id=$id")
+      val w = u32(16); val h = u32(20)
+      require(w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue,
+        s"PNG IHDR dimensions out of range (${w}x$h): id=$id")
+      MediaHeader(id, payload.length.toLong, "png", w.toInt, h.toInt, u8(24))
+    } else if (u8(0) == 0xff && u8(1) == 0xd8) { // SOI
+      // walk marker segments to the first SOFn (C0-CF minus the
+      // non-frame C4/C8/CC); stop-with-refusal on SOS/EOI — entropy
+      // data before any frame header is not a decodable JPEG
+      var pos = 2
+      while (pos + 2 <= payload.length) {
+        require(u8(pos) == 0xff, s"JPEG marker desync at offset $pos: id=$id")
+        var mPos = pos + 1
+        while (mPos < payload.length && u8(mPos) == 0xff) mPos += 1 // fill bytes
+        require(mPos < payload.length, s"JPEG truncated in fill bytes: id=$id")
+        val m = u8(mPos)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn segment: len(2) precision(1) height(2) width(2) ...
+          require(mPos + 8 <= payload.length, s"truncated SOF segment: id=$id")
+          val depth = u8(mPos + 3); val h = u16(mPos + 4); val w = u16(mPos + 6)
+          require(w > 0 && h > 0,
+            s"JPEG SOF dimensions out of range (${w}x$h): id=$id")
+          return MediaHeader(id, payload.length.toLong, "jpeg", w, h, depth)
+        }
+        require(m != 0xd9 && m != 0xda,
+          s"JPEG reaches ${if (m == 0xda) "SOS" else "EOI"} before any SOF: id=$id")
+        if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) pos = mPos + 1 // standalone
+        else {
+          require(mPos + 3 <= payload.length, s"truncated JPEG segment: id=$id")
+          val len = u16(mPos + 1)
+          require(len >= 2, s"corrupt JPEG segment length at $mPos: id=$id")
+          pos = mPos + 1 + len
+        }
+      }
+      throw new IllegalArgumentException(s"no SOF marker found: id=$id")
+    } else throw new IllegalArgumentException(
+      s"unsupported image container (magic ${u8(0)}.${u8(1)}): id=$id")
+  }
+
+  /** Magic-sniffing default decoder: netpbm rasters get the full REAL
+    * decode, PNG/JPEG get the REAL header parse (dimensions/bit-depth
+    * from [[imageHeaderDecoder]]; stub features stand in for the
+    * codec-bound pixel work, format_id keeps the leading-byte
+    * convention), anything else falls through to [[stubDecoder]].
+    */
+  def sniffingDecoder(id: Long, payload: Array[Byte]): DecodedMedia =
+    if (payload.length >= 2 && payload(0) == 'P'.toByte &&
+        (payload(1) == '5'.toByte || payload(1) == '6'.toByte))
+      netpbmDecoder(id, payload)
+    else {
+      val isPngSig = payload.length >= 8 &&
+        (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+        payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
+      val isJpegSig = payload.length >= 2 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+      if (isPngSig || isJpegSig) {
+        val hdr = imageHeaderDecoder(id, payload)
+        stubDecoder(id, payload)
+          .copy(width = hdr.width, height = hdr.height)
+      } else stubDecoder(id, payload)
+    }
+
   /** REAL image decode for binary netpbm payloads (P5 grayscale /
     * P6 RGB — the public netpbm raw formats: ASCII header `P5|P6`,
     * whitespace-separated width/height/maxval with `#` comments, one

@@ -164,4 +164,87 @@ class MultimodalSpec extends SparkSpec {
     a.sample_rate shouldBe 44100
     a.n_samples shouldBe 2 // 4 interleaved samples / 2 channels
   }
+
+  // ------------------------- PNG/JPEG container-header parse fixtures
+
+  /** Minimal PNG: 8-byte signature + a 13-byte IHDR chunk. Fields are
+    * hand-laid big-endian; CRC bytes are zeros (the header parse does
+    * not checksum — a pixel decoder would). */
+  private def png(w: Int, h: Int, depth: Int): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](depth.toByte, 6, 0, 0, 0) ++ // color/compress/filter/interlace
+      be32(0) // CRC placeholder
+  }
+
+  /** Minimal JPEG: SOI, an APP0 segment to exercise the segment walk,
+    * a fill byte before the SOF0 marker, then SOF0 with the given
+    * dimensions. Hand-laid per ITU T.81 B.2.2. */
+  private def jpeg(w: Int, h: Int, precision: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ // SOI
+      Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++ // APP0, len 16
+      "JFIF".getBytes("US-ASCII") ++ Array.fill[Byte](10)(0) ++ // 14 body bytes
+      Array[Byte](0xff.toByte) ++ // fill byte before the next marker
+      Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, precision.toByte,
+        ((h >>> 8) & 0xff).toByte, (h & 0xff).toByte,
+        ((w >>> 8) & 0xff).toByte, (w & 0xff).toByte, 3)
+
+  test("imageHeaderDecoder parses PNG IHDR and JPEG SOF dimensions from hand-laid headers") {
+    val p = Multimodal.imageHeaderDecoder(1L, png(640, 480, 8))
+    (p.format, p.width, p.height, p.bit_depth) shouldBe ("png", 640, 480, 8)
+    // dimensions above 255 exercise the multi-byte big-endian reads
+    val p2 = Multimodal.imageHeaderDecoder(2L, png(70000, 3, 16))
+    (p2.width, p2.height, p2.bit_depth) shouldBe (70000, 3, 16)
+    val j = Multimodal.imageHeaderDecoder(3L, jpeg(1920, 1080, 8))
+    (j.format, j.width, j.height, j.bit_depth) shouldBe ("jpeg", 1920, 1080, 8)
+    val j2 = Multimodal.imageHeaderDecoder(4L, jpeg(300, 70, 12))
+    (j2.width, j2.height, j2.bit_depth) shouldBe (300, 70, 12)
+  }
+
+  test("imageHeaderDecoder refuses malformed containers instead of fabricating") {
+    // PNG signature but no IHDR first chunk
+    val noIhdr = png(10, 10, 8).patch(12, "IDAT".getBytes("US-ASCII"), 4)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageHeaderDecoder(1L, noIhdr)
+    // PNG truncated inside IHDR
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageHeaderDecoder(2L, png(10, 10, 8).take(20))
+    // JPEG that hits EOI before any SOF
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageHeaderDecoder(3L,
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte))
+    // JPEG with a corrupt (impossible) segment length
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageHeaderDecoder(4L,
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 0, 1))
+    // zero-dimension SOF is refused
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageHeaderDecoder(5L, jpeg(0, 10, 8))
+    // neither magic
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageHeaderDecoder(6L, "plain text".getBytes("US-ASCII"))
+  }
+
+  test("sniffingDecoder routes by magic: netpbm full decode, PNG/JPEG real header dims, stub otherwise") {
+    val pngMedia = Multimodal.sniffingDecoder(1L, png(320, 200, 8))
+    (pngMedia.width, pngMedia.height) shouldBe (320, 200)
+    val jpegMedia = Multimodal.sniffingDecoder(2L, jpeg(64, 32, 8))
+    (jpegMedia.width, jpegMedia.height) shouldBe (64, 32)
+    // a PNG-magic payload with a broken header THROWS — the sniffing
+    // default must not silently fall back to fabricated dimensions
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.sniffingDecoder(3L, png(10, 10, 8).take(20))
+    // non-media payloads keep the deterministic stub convention
+    // (field-wise: the features Array breaks case-class equality)
+    val text = "hello world".getBytes("US-ASCII")
+    val got = Multimodal.sniffingDecoder(4L, text)
+    val want = Multimodal.stubDecoder(4L, text)
+    (got.n_bytes, got.format_id, got.width, got.height) shouldBe
+      (want.n_bytes, want.format_id, want.width, want.height)
+    got.features.toSeq shouldBe want.features.toSeq
+  }
 }
