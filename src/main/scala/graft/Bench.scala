@@ -11,13 +11,10 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // the shared harness session (GraftConf) so the bench runs the
+    // same optimizer configuration as Verify and the specs
+    val spark = GraftConf.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run the flagship once untimed so JVM/codegen/session setup
     // is not attributed to the first timed query (r2's q01 showed 17 s of

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The 100 TB config discipline as CODE — the session defaults this
+  * library is designed against, in one auditable place instead of
+  * scattered comments. Two tiers:
+  *
+  *  - [[clusterDefaults]] — what a 1000-executor production session
+  *    should set. Documented per key; values are the ones the
+  *    operators here assume (AQE on with skew-join, RocksDB streaming
+  *    state, size-bounded scan partitions).
+  *  - [[localSession]] — the test/bench harness shape (local[n],
+  *    shuffle partitions = n, UTC, UI off) with every cluster default
+  *    that is meaningful in one JVM applied on top, so local plans
+  *    exercise the same optimizer behavior the cluster would.
+  */
+object GraftConf {
+
+  /** Cluster-scale session defaults. Key → (value, why). */
+  val clusterDefaults: Map[String, String] = Map(
+    // ---- adaptive execution: the runtime re-planner the operators rely
+    // on for skew they cannot see at plan time (Jaccard hot shingles,
+    // curation hot domains are SALTED by hand; residual skew in plain
+    // keyed joins is AQE's job)
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // post-shuffle coalescing keeps reducer count proportional to DATA
+    // volume, so one shuffle.partitions setting serves both the 100 GB
+    // and the 100 TB stage of the same pipeline
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // the size AQE coalesces toward; 128 MB ≈ one HDFS/parquet block of
+    // work per reducer — small enough to spread, big enough to amortize
+    // task setup
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "134217728",
+    // ---- scan sizing: one task per ≤256 MB of parquet keeps scan
+    // parallelism bounded by data volume, and file-open cost amortized
+    // over row groups (the compact() companion bounds the other end —
+    // too MANY small files)
+    "spark.sql.files.maxPartitionBytes" -> "268435456",
+    // ---- shuffle width: 2-3× total executor cores is the standing
+    // guidance so every core gets work even with stragglers; AQE
+    // coalescing then trims empty reducers. 2000 assumes ~1000 cores;
+    // scale with the cluster (this is the ONE knob that must track
+    // cluster size).
+    "spark.sql.shuffle.partitions" -> "2000",
+    // ---- broadcast: 64 MB fits comfortably in multi-GB executors and
+    // keeps dimension-table joins (nation/region/catalog dims, contam
+    // sets, centroids) shuffle-free; genuinely big tables still
+    // sort-merge. The operators that REQUIRE a broadcast call
+    // broadcast() explicitly and do not depend on this threshold.
+    "spark.sql.autoBroadcastJoinThreshold" -> "67108864",
+    // ---- streaming state: RocksDB keeps multi-GB per-executor state
+    // (windowed aggs, dedup sets, shard-packing counters) off-heap and
+    // incrementally checkpointed — the HDFS-backed in-memory default
+    // OOMs at the reference's own 10 GB state budget (quix.yaml:54-56)
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // changelog checkpointing ships per-batch DELTAS instead of
+    // re-uploading full SST files — the incremental-checkpoint shape
+    // the reference gets from Kafka changelog topics
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    // ---- session determinism: every timestamp operator in this repo
+    // is defined in UTC; a session in any other zone would silently
+    // shift day buckets (Telemetry dt handshake, timeBucket)
+    "spark.sql.session.timeZone" -> "UTC")
+
+  /** The subset of [[clusterDefaults]] that is meaningful (and
+    * identical in effect) inside one local JVM — applied to local
+    * sessions so test plans match cluster plans. Shuffle width and
+    * scan sizing are EXCLUDED: locally they track the core count and
+    * testdata size instead.
+    */
+  private val localMeaningful: Seq[String] = Seq(
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.session.timeZone")
+
+  /** The exact config map a local harness session applies: shuffle
+    * partitions = cpus (not the 200 default, not the cluster 2000),
+    * UI off, plus the local-meaningful cluster defaults. Pure — the
+    * spec pins this without touching the shared test session.
+    */
+  def localConfigs(cpus: Int): Map[String, String] =
+    Map(
+      "spark.sql.shuffle.partitions" -> cpus.toString,
+      "spark.ui.enabled" -> "false") ++
+      localMeaningful.map(k => k -> clusterDefaults(k))
+
+  /** The harness session: local[cpus] + [[localConfigs]]. Verify and
+    * Bench both build here, so the correctness gate and the bench run
+    * the same optimizer configuration.
+    */
+  def localSession(cpus: Int): SparkSession = {
+    val b = SparkSession.builder().master(s"local[$cpus]")
+    localConfigs(cpus).foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+}

@@ -9,13 +9,10 @@ object Verify {
     // subset (local iteration); the driver passes exactly two args.
     val sfDir = args(0); val outDir = args(1)
     val subset = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // the shared harness session (GraftConf) so the correctness gate
+    // runs the same optimizer configuration as Bench and the specs
+    val spark = GraftConf.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

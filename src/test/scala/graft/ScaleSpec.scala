@@ -218,4 +218,42 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("GraftConf pins the cluster-scale session discipline as code") {
+    val c = graft.GraftConf.clusterDefaults
+    // the plan-changing runtime re-planner stack must be ON: residual
+    // skew in plain keyed joins is AQE's job (hand-salting covers only
+    // the operators that see their skew at plan time)
+    c("spark.sql.adaptive.enabled") shouldBe "true"
+    c("spark.sql.adaptive.skewJoin.enabled") shouldBe "true"
+    c("spark.sql.adaptive.coalescePartitions.enabled") shouldBe "true"
+    // streaming state must be the spill-capable provider, and the
+    // class name must actually RESOLVE on this Spark build — a typo
+    // here would only surface at cluster deploy time otherwise
+    noException should be thrownBy
+      Class.forName(c("spark.sql.streaming.stateStore.providerClass"))
+    // every timestamp operator in the repo assumes UTC sessions
+    c("spark.sql.session.timeZone") shouldBe "UTC"
+    // size knobs must parse and keep their documented magnitudes
+    c("spark.sql.files.maxPartitionBytes").toLong shouldBe 256L * 1024 * 1024
+    c("spark.sql.adaptive.advisoryPartitionSizeInBytes").toLong shouldBe
+      128L * 1024 * 1024
+    c("spark.sql.autoBroadcastJoinThreshold").toLong shouldBe 64L * 1024 * 1024
+    c("spark.sql.shuffle.partitions").toInt should be >= 2000
+
+    // the local harness (Verify AND Bench build through this) applies
+    // the local-meaningful subset identically, with shuffle width
+    // tracking the core count instead of the cluster number
+    val l = graft.GraftConf.localConfigs(8)
+    l("spark.sql.shuffle.partitions") shouldBe "8"
+    l("spark.sql.adaptive.enabled") shouldBe "true"
+    l("spark.sql.adaptive.skewJoin.enabled") shouldBe "true"
+    l("spark.sql.autoBroadcastJoinThreshold") shouldBe
+      c("spark.sql.autoBroadcastJoinThreshold")
+    l("spark.sql.session.timeZone") shouldBe "UTC"
+    // cluster-width and scan-size knobs must NOT leak into local runs
+    l.get("spark.sql.files.maxPartitionBytes") shouldBe None
+    l("spark.sql.shuffle.partitions") should not be
+      c("spark.sql.shuffle.partitions")
+  }
 }
