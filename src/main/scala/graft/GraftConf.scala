@@ -92,10 +92,22 @@ object GraftConf {
   /** The harness session: local[cpus] + [[localConfigs]]. Verify and
     * Bench both build here, so the correctness gate and the bench run
     * the same optimizer configuration.
+    *
+    * If a SparkSession already exists in the JVM, getOrCreate returns
+    * it and silently ignores builder options — so the runtime-settable
+    * configs are re-applied through `conf.set` afterwards, making the
+    * documented contract hold either way. Only `master` and the
+    * static `spark.ui.enabled` cannot be changed on a live session
+    * (first creator wins — acceptable for the harness mains, which
+    * are each the first and only session in their JVM).
     */
   def localSession(cpus: Int): SparkSession = {
     val b = SparkSession.builder().master(s"local[$cpus]")
     localConfigs(cpus).foreach { case (k, v) => b.config(k, v) }
-    b.getOrCreate()
+    val s = b.getOrCreate()
+    localConfigs(cpus).foreach { case (k, v) =>
+      if (k != "spark.ui.enabled") s.conf.set(k, v)
+    }
+    s
   }
 }

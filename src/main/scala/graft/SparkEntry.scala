@@ -1081,8 +1081,12 @@ object SparkEntry {
     // compaction crash paths); this gates the VALUES.
     "q55_layout_roundtrip" -> ((s, dir) => {
       import Telemetry._
+      // namespaced by sf-dir AND pid: two harness processes on one
+      // host (Bench alongside Verify) must not race on the same root
+      // mid-compact; within one process the overwrite per call is the
+      // point (each run rebuilds the layout it then reads)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_q55_layout_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
       Scale.writeTimePartitioned(eventsPoints(s, dir), "ts", root,
         sortCols = Seq("stream_id"))
       Scale.compact(s, root, targetFileBytes = 8L * 1024 * 1024,

@@ -78,7 +78,10 @@ object StreamBench {
     val progress = q.recentProgress
     val inputRows = progress.map(_.numInputRows).sum
     val batches = progress.count(_.numInputRows > 0)
-    val outWindows = spark.read.parquet(out).count()
+    // explicit schema: a tiny run (rows' event time all inside the
+    // watermark grace) finalizes ZERO windows, and a schema-inferring
+    // read of the empty sink dir would throw AFTER the bench succeeded
+    val outWindows = spark.read.schema(agged.schema).parquet(out).count()
     val line =
       s"""{"metric":"stream_e2e_pipeline","unit":"rows_per_sec","value":${inputRows / secs},""" +
         s""""rows":$n,"input_rows":$inputRows,"batches":$batches,""" +

@@ -50,15 +50,17 @@ object Multimodal {
     * of a Pandas `mapInPandas` decode: rows stream through a
     * per-partition function that would hold the codec context (JNI
     * handle, model session) open across the whole batch instead of
-    * per row. The decoder is pluggable; [[stubDecoder]] is the
-    * clearly-marked deterministic stand-in for codec-bound formats
-    * (JPEG/MP3 need real libraries this container doesn't ship —
-    * SURVEY.md stub policy), while [[netpbmDecoder]] and
-    * [[wavDecoder]] are REAL decoders for the two public formats
-    * simple enough to parse from bytes alone.
+    * per row. The decoder is pluggable; the default is
+    * [[sniffingDecoder]] — REAL netpbm decode and REAL PNG/JPEG
+    * container-header dimensions by magic, with [[stubDecoder]] (the
+    * clearly-marked deterministic stand-in) only for payloads that are
+    * none of those and for the codec-bound PIXEL work (JPEG/MP3 need
+    * real libraries this container doesn't ship — SURVEY.md stub
+    * policy). [[wavDecoder]] is the audio sibling via
+    * [[decodePartitionsAs]].
     */
   def decodePartitions(df: DataFrame, idCol: String, payloadCol: String,
-                       decoder: (Long, Array[Byte]) => DecodedMedia = stubDecoder)
+                       decoder: (Long, Array[Byte]) => DecodedMedia = sniffingDecoder)
                       : org.apache.spark.sql.Dataset[DecodedMedia] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -107,11 +107,12 @@ object SchemaRegistry {
   }
 }
 
-/** In-memory registry: `register` assigns registry-wide monotonically
-  * increasing schema ids and per-subject version numbers — the
-  * Confluent id/version split. Same-schema re-registration under a
-  * subject returns the existing entry (Confluent idempotency) instead
-  * of burning a new version.
+/** In-memory registry: `register` assigns CONTENT-global schema ids
+  * (the same schema text under any number of subjects shares one id —
+  * new ids are handed out monotonically only for new schema text) and
+  * per-subject version numbers — the Confluent id/version split.
+  * Same-(subject, schema) re-registration returns the existing entry
+  * (Confluent idempotency) instead of burning a new version.
   */
 final class InMemorySchemaRegistry extends SchemaRegistry {
   private var entries = Vector.empty[RegisteredSchema]
