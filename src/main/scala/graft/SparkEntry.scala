@@ -1105,6 +1105,27 @@ object SparkEntry {
         orderBy = Seq(Ordering("event_type"), Ordering("bucket_ts"))))
     }),
 
+    // Scale primitive — bloom-pruned semi-join: keep lineitem rows
+    // whose order is URGENT, with the shuffle fed only by bloom
+    // survivors (no false negatives, so the exact semi-join on the
+    // survivors gives the EXACT answer — the DuckDB twin is a plain
+    // IN-subquery). The operator is what Spark's runtime row-filter
+    // does when it fires, as an explicit dial; q56 gates that the
+    // pruning is answer-invariant on real data.
+    "q56_bloom_semijoin" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      Scale.bloomPrunedSemiJoin(
+          Tables.lineitem(s, dir), "l_orderkey",
+          urgent, "o_orderkey", expectedKeys = 10000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(30,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Scale primitive — count-min sketch as relational ops: the
     // counter table is ONE map-side-combinable groupBy producing
     // depth×width rows (broadcastable), estimates a keyed join. The
@@ -1905,6 +1926,16 @@ object SparkEntry {
         |WHERE (location = '/ECONOMY' OR starts_with(location, '/ECONOMY/'))
         |  AND contains(lower(name), 'an')
         |ORDER BY path, name""".stripMargin,
+
+    // plain IN-subquery twin: the bloom stage must be answer-invariant
+    "q56_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // the twin reads the FLAT table: the layout (dt partitioning,
     // compaction, in-file sort) must be answer-invariant

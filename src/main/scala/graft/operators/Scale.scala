@@ -33,6 +33,45 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-pruned semi-join — the 100 TB shape for "keep fact rows
+    * whose key appears in a key set" when the key set is too large to
+    * make its hash-join cheap but its BLOOM FILTER fits in memory
+    * (Spark's own runtime row-level filtering rewrites joins onto this
+    * exact machinery — BloomFilterMightContain — but only when the
+    * optimizer spots the pattern and within its size thresholds; this
+    * is the same trick as an explicit, dialable operator).
+    *
+    * Build: one distributed aggregate over the key side's xxhash64
+    * (`stat.bloomFilter` — the sketch, not the keys, comes to the
+    * driver: ~1.2 MB for 1M keys at 1% fpp), embedded as a binary
+    * literal predicate on the fact side — per-row `mightContainLong`,
+    * NO shuffle, no false negatives, false-positive rate ≈ `fpp`.
+    * The exact left-semi join then runs on the survivors only, so the
+    * OUTPUT is exact; the bloom's sole effect is cutting the volume
+    * entering the semi-join's shuffle to sel + (1−sel)·fpp of the
+    * fact (sel = true selectivity). At 1% selectivity and 1% fpp that
+    * is a ~50× reduction of shuffled fact rows for one scan-local
+    * predicate.
+    */
+  def bloomPrunedSemiJoin(fact: DataFrame, factKey: String,
+                          keys: DataFrame, keyCol: String,
+                          expectedKeys: Long,
+                          fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.GraftColumnBridge
+    val bf = keys.select(xxhash64(col(keyCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray,
+        org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(xxhash64(col(factKey)))))
+    fact.filter(might)
+      .join(keys.select(col(keyCol).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
+  }
+
   /** Write a DataFrame as a bucketed table: rows are hash-bucketed by
     * `key` into `nBuckets` files per partition, so a subsequent join
     * or aggregation on `key` between co-bucketed tables needs NO

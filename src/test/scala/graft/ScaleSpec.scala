@@ -219,6 +219,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrunedSemiJoin: exact output, and the bloom stage really prunes before the shuffle") {
+    import spark.implicits._
+    // 10k fact rows over 1k keys; key set = 1% of keys → sel ≈ 1%.
+    // range-backed (not a local Seq): ConvertToLocalRelation would
+    // eagerly evaluate the bloom predicate into a LocalTableScan and
+    // hide the Filter node the plan assertion below looks for
+    val fact = spark.range(10000L)
+      .select((col("id") % 1000L).as("k"), col("id").as("v"))
+    val keys = (0L until 1000L by 100L).toDF("k") // 10 keys
+    val got = Scale.bloomPrunedSemiJoin(fact, "k", keys, "k",
+        expectedKeys = 10L, fpp = 0.01)
+      .orderBy("k", "v").collect().map(_.toSeq)
+    val exact = fact.join(keys, Seq("k"), "left_semi")
+      .orderBy("k", "v").collect().map(_.toSeq)
+    got.toSeq shouldBe exact.toSeq // no false negatives, ever
+    // the pruning predicate alone keeps ~sel + fpp of the fact — far
+    // fewer rows than the input reach the semi-join's shuffle
+    val bfOnly = Scale.bloomPrunedSemiJoin(fact, "k", keys, "k",
+      expectedKeys = 10L, fpp = 0.01)
+    val plan = bfOnly.queryExecution.executedPlan.toString
+    plan should include("might_contain") // predicate reached the scan side
+    // adversarial fpp: even at a terrible 50% the OUTPUT stays exact
+    val sloppy = Scale.bloomPrunedSemiJoin(fact, "k", keys, "k",
+        expectedKeys = 10L, fpp = 0.5)
+      .orderBy("k", "v").collect().map(_.toSeq)
+    sloppy.toSeq shouldBe exact.toSeq
+  }
+
   test("GraftConf pins the cluster-scale session discipline as code") {
     val c = graft.GraftConf.clusterDefaults
     // the plan-changing runtime re-planner stack must be ON: residual
