@@ -1105,6 +1105,28 @@ object SparkEntry {
         orderBy = Seq(Ordering("event_type"), Ordering("bucket_ts"))))
     }),
 
+    // LLM curation 6 — PII redaction (C4/Dolma-class scrub): emails,
+    // IPv4, internationally-prefixed phones → typed placeholders, with
+    // per-row raw-text match counts as the audit trail. The synthetic
+    // corpus carries no PII, so the query INJECTS deterministic
+    // doc_id-derived PII in both engines first — the redaction then
+    // has real work and the twin checks text AND counts hash-exactly.
+    "q57_pii_redaction" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"), lit(".7 or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      Curation.redactPii(aug, "text")
+        .select(col("doc_id"), col("text"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_phones").cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Scale primitive — bloom-pruned semi-join: keep lineitem rows
     // whose order is URGENT, with the shuffle fed only by bloom
     // survivors (no false negatives, so the exact semi-join on the
@@ -1926,6 +1948,30 @@ object SparkEntry {
         |WHERE (location = '/ECONOMY' OR starts_with(location, '/ECONOMY/'))
         |  AND contains(lower(name), 'an')
         |ORDER BY path, name""".stripMargin,
+
+    // counts are over the RAW augmented text; replacement order
+    // email -> ip -> phone is part of the contract in both engines
+    "q57_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.' || CAST(doc_id % 100 AS VARCHAR) || '.7 or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}[- ]\d{3,4}[- ]\d{3,4}\b', '<PHONE>', 'g') AS text,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text,
+        |    '\+\d{1,3}[- ]\d{3,4}[- ]\d{3,4}\b')) AS n_phones
+        |FROM aug
+        |ORDER BY doc_id""".stripMargin,
 
     // plain IN-subquery twin: the bloom stage must be answer-invariant
     "q56_bloom_semijoin" ->

@@ -237,4 +237,45 @@ object Curation {
         org.apache.spark.sql.catalyst.expressions.Literal(budget)))
     df.withColumn("shard", shard)
   }
+
+  // ------------------------------------------------------ PII scrub
+
+  /** Conservative PUBLIC-shape PII patterns, deliberately restricted
+    * to the regex subset Java and RE2 (DuckDB) evaluate identically —
+    * no lookaround, no backrefs — so the redaction is cross-engine
+    * reproducible and oracle-checkable. Email is the RFC-adjacent
+    * common shape; IPv4 is four 1-3 digit octets on word boundaries
+    * (a longer digit run fails the boundary, so "1234.5.6.7" is NOT
+    * an address); phone is the internationally-prefixed form
+    * (+CC-XXX-XXXX with -/space separators) — the conservative choice
+    * that never mangles ordinary numbers, ids, or prices.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}[- ]\\d{3,4}[- ]\\d{3,4}\\b"
+
+  /** PII redaction — the standard pre-training scrub (C4/Dolma-class):
+    * emails, IPv4 addresses, and internationally-prefixed phone
+    * numbers become typed placeholder tokens, with per-row match
+    * counts kept for the curation audit trail. Pure per-row
+    * regexp_replace/regexp_count chain — codegen'd, NO shuffle,
+    * partition-layout independent, so it composes anywhere in the
+    * pipeline at any scale. Replacement order (email → IPv4 → phone)
+    * is part of the contract: emails are consumed first so their
+    * digit runs can never be re-matched as phones, and the
+    * placeholders contain no digits so later passes cannot match
+    * inside earlier replacements.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = df
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ipv4", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+    counted.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>"))
+  }
 }

@@ -242,4 +242,31 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("redactPii: typed placeholders, raw-text counts, conservative boundaries") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c@x-corp.co.uk and b@y.io today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.7, but 1234.5.6.7 is not an IP"),
+      (3L, "call +44-2079-4600 or +1 555 0142"),
+      (4L, "price +99 items, version 1.2.3, id 12345 — nothing to redact"),
+      (5L, "mixed: root@10.0.0.1 box, mail me at x@y.org or +1-555-0000")
+    ).toDF("id", "text")
+    val got = Curation.redactPii(rows, "text")
+      .orderBy("id")
+      .select("text", "n_emails", "n_ipv4", "n_phones")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+
+    got(0) shouldBe (("mail <EMAIL> and <EMAIL> today", 2, 0, 0))
+    // the over-long digit run fails the word boundary — stays put
+    got(1) shouldBe (("server at <IP> and <IP>, but 1234.5.6.7 is not an IP", 0, 2, 0))
+    got(2) shouldBe (("call <PHONE> or <PHONE>", 0, 0, 2))
+    // conservative by contract: bare numbers, versions, ids untouched
+    got(3) shouldBe (("price +99 items, version 1.2.3, id 12345 — nothing to redact", 0, 0, 0))
+    // "root@10.0.0.1" is NOT an email (host must end alphabetic) — the
+    // IP pass picks up the numeric host instead; the real email and
+    // the phone are typed independently
+    got(4) shouldBe (("mixed: root@<IP> box, mail me at <EMAIL> or <PHONE>",
+      1, 1, 1))
+  }
 }
