@@ -1105,6 +1105,23 @@ object SparkEntry {
         orderBy = Seq(Ordering("event_type"), Ordering("bucket_ts"))))
     }),
 
+    // LLM dedup 8 — LINE-level dedup (RefinedWeb/Dolma-class): the
+    // boilerplate that document-level dedup cannot touch. The
+    // synthetic docs are single-line, so the query builds multi-line
+    // docs deterministically in both engines: a cookie banner on every
+    // doc, a subscribe prompt on every 5th, a unique footer. At
+    // maxDocFreq=10 the banner and the prompt are dropped corpus-wide,
+    // the body and footer survive, order is preserved.
+    "q58_line_dedup" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("COOKIE BANNER\n"), col("text"),
+          when(col("doc_id") % 5 === 0, lit("\nSUBSCRIBE NOW"))
+            .otherwise(lit("")),
+          lit("\nfooter "), col("doc_id").cast("string")).as("text"))
+      Dedup.dedupLines(aug, "doc_id", "text", maxDocFreq = 10L)
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM curation 6 — PII redaction (C4/Dolma-class scrub): emails,
     // IPv4, internationally-prefixed phones → typed placeholders, with
     // per-row raw-text match counts as the audit trail. The synthetic
@@ -1948,6 +1965,38 @@ object SparkEntry {
         |WHERE (location = '/ECONOMY' OR starts_with(location, '/ECONOMY/'))
         |  AND contains(lower(name), 'an')
         |ORDER BY path, name""".stripMargin,
+
+    // df = distinct docs containing the LINE; parallel unnests zip in
+    // DuckDB, string_agg(... ORDER BY pos) preserves original order
+    "q58_line_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, 'COOKIE BANNER' || chr(10) || text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'SUBSCRIBE NOW'
+        |         ELSE '' END ||
+        |    chr(10) || 'footer ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
+        |lines AS (
+        |  SELECT doc_id, unnest(arr) AS line,
+        |    unnest(range(1, len(arr) + 1)) AS pos
+        |  FROM ls),
+        |dfreq AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+        |kept AS (
+        |  SELECT l.* FROM lines l JOIN dfreq d ON l.line = d.line
+        |  WHERE d.df <= 10),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text,
+        |    COUNT(*) AS n_kept_lines
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY 1)
+        |SELECT t.doc_id,
+        |  COALESCE(r.text, '') AS text,
+        |  COALESCE(r.n_kept_lines, 0) AS n_kept_lines,
+        |  t.n_total - COALESCE(r.n_kept_lines, 0) AS n_dropped_lines
+        |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // counts are over the RAW augmented text; replacement order
     // email -> ip -> phone is part of the contract in both engines

@@ -535,6 +535,48 @@ object Dedup {
     labels
   }
 
+  /** LINE-level dedup (RefinedWeb/Dolma-class): drop every line that
+    * occurs in more than `maxDocFreq` distinct documents — the
+    * boilerplate that document-level dedup cannot touch (cookie
+    * banners, nav menus, subscribe prompts repeat across MILLIONS of
+    * otherwise-unique pages) — and reassemble each document's
+    * surviving lines in original order. Returns
+    * (id, textCol, n_kept_lines, n_dropped_lines); a document whose
+    * every line is boilerplate survives as an empty string with its
+    * counts, so the caller can quality-floor it away explicitly
+    * rather than losing the row silently.
+    *
+    * Scale shape: explode to (doc, pos, line) — narrow rows — then ONE
+    * line-keyed aggregate for the distinct-doc frequency (map-side
+    * combinable), an equi-join of lines against the (small) hot-line
+    * table, and one per-doc aggregate to reassemble. No self-join, no
+    * crossJoin; the frequency table is corpus-vocabulary-sized and the
+    * only state that grows with the corpus is the line set itself.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 maxDocFreq: Long, sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+    val dfreq = lines.groupBy("__line")
+      .agg(count_distinct(col("__id")).as("__df"))
+    val kept = lines.join(dfreq, "__line").filter(col("__df") <= maxDocFreq)
+    val totals = lines.groupBy("__id")
+      .agg(count(lit(1)).as("__n_total"))
+    val rebuilt = kept.groupBy("__id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line")), sep).as(textCol),
+      count(lit(1)).as("n_kept_lines"))
+    totals
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        (col("__n_total") - coalesce(col("n_kept_lines"), lit(0L)))
+          .as("n_dropped_lines"))
+  }
+
   /** The end-product of the dedup pipeline: every corpus row tagged
     * with its duplicate-cluster canonical id and a `keep` flag
     * (true = this row IS the canonical representative; docs outside

@@ -455,4 +455,30 @@ class DedupSpec extends SparkSpec {
       m(1L) should not be m(3L)
     }
   }
+
+  test("dedupLines drops corpus-hot lines, preserves order, and keeps emptied docs with counts") {
+    import spark.implicits._
+    // banner in all 4 docs (df=4 > 2); "shared" in 3 (df=3 > 2);
+    // bodies unique; doc 4 is ALL boilerplate
+    val docs = Seq(
+      (1L, "BANNER\nalpha body\nshared\nfooter one"),
+      (2L, "BANNER\nbeta body\nshared\nfooter two"),
+      (3L, "BANNER\ngamma body\nshared"),
+      (4L, "BANNER")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", maxDocFreq = 2L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    got(0) shouldBe ((1L, "alpha body\nfooter one", 2L, 2L))
+    got(1) shouldBe ((2L, "beta body\nfooter two", 2L, 2L))
+    got(2) shouldBe ((3L, "gamma body", 1L, 2L))
+    // fully-boilerplate doc: survives as an explicit empty row, so the
+    // caller decides its fate instead of losing it silently
+    got(3) shouldBe ((4L, "", 0L, 1L))
+    // df counts DISTINCT docs: a line repeated within one doc is not
+    // thereby "hot" — both copies survive, in order
+    val rep = Seq((1L, "x\ndup\ndup\ny")).toDF("doc_id", "text")
+    Dedup.dedupLines(rep, "doc_id", "text", maxDocFreq = 1L)
+      .collect().head.getString(1) shouldBe "x\ndup\ndup\ny"
+  }
 }
