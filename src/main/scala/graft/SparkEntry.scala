@@ -1165,6 +1165,70 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // J1c — point-in-interval join: which post-signup attribution
+    // window was each event inside? Spark plans the raw range predicate
+    // as a nested loop; IntervalJoin makes it a bucketed EQUI-join
+    // (15-min buckets vs 1-h windows → fan-out ≤ 5, each point owns one
+    // bucket so pair multiplicity is exact with no dedup). The DuckDB
+    // twin is the naive range join — the bucketing must be
+    // answer-invariant.
+    "q59_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      val points = ev.filter(col("event_type") =!= "signup")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      IntervalJoin.pointInInterval(points, "ts",
+          windows, "w_start", "w_end", Seq("user_id"),
+          widthMicros = 15L * 60 * 1000000)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_attributed"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A13 — gap-based sessionization (batch twin of the streaming
+    // session window): 30-min inactivity splits a user's events into
+    // sessions; output is the per-session summary. One shuffle on
+    // user_id + two in-partition window passes; the DuckDB twin is the
+    // same lag/running-sum construction.
+    "q60_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Sessionize.assign(ev, Seq("user_id"), "ts", Seq("event_id"),
+          gapMicros = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // A14 — multi-level aggregate in ONE pass (ROLLUP grouping sets):
+    // detail + per-flag subtotal + grand total without re-scanning —
+    // at 100 TB re-aggregating for each level would triple the scan,
+    // rollup shares it. Subtotal rows surface as NULL group values;
+    // the level indicator is derived from null-ness identically in
+    // both engines (the data has no null flags).
+    "q61_rollup_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          (when(col("l_returnflag").isNull, 2).otherwise(0) +
+           when(col("l_linestatus").isNull, 1).otherwise(0)).as("lvl"),
+          col("n_rows"), col("sum_qty"), col("sum_price"))
+        .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
+    }),
+
     // Scale primitive — count-min sketch as relational ops: the
     // counter table is ONE map-side-combinable groupBy producing
     // depth×width rows (broadcastable), estimates a keyed join. The
@@ -2031,6 +2095,58 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // naive range-join twin: the bucketed equi-join rewrite must be
+    // answer-invariant (pairs, distinct points, exact sums)
+    "q59_interval_join" ->
+      """WITH w AS (
+        |  SELECT user_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id, user_id, ts, event_type, value
+        |  FROM events WHERE event_type <> 'signup')
+        |SELECT p.event_type, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT p.event_id) AS n_attributed,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM p JOIN w ON p.user_id = w.user_id
+        |  AND p.ts >= w.w_start AND p.ts < w.w_end
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // same lag/running-sum construction; exact-30min gap stays in the
+    // session (strictly-greater splits) in both engines
+    "q60_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(opens) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM o)
+        |SELECT user_id, session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // ROLLUP twin; lvl derived from null-ness on both sides (no null
+    // flags exist in the data, so null <=> subtotal row)
+    "q61_rollup_agg" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END +
+        |   CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS lvl,
+        |  COUNT(*) AS n_rows,
+        |  ${DSUM("l_quantity")} AS sum_qty,
+        |  ${DSUM("l_extendedprice")} AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 3, 1, 2""".stripMargin,
 
     // the twin reads the FLAT table: the layout (dt partitioning,
     // compaction, in-file sort) must be answer-invariant
