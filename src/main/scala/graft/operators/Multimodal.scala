@@ -318,6 +318,84 @@ object Multimodal {
       n / math.max(1, channels), features)
   }
 
+  /** Parsed MPEG-audio header record: everything the public frame
+    * header + container length determine without decoding audio.
+    */
+  case class Mp3Header(id: Long, n_bytes: Long, version: String,
+                       layer: Int, bitrate_kbps: Int, sample_rate: Int,
+                       channels: Int, frame_samples: Int,
+                       est_duration_ms: Long)
+
+  /** REAL metadata decode for MP3/MPEG-audio payloads — a pure-JVM
+    * parse of the public frame header (ISO 11172-3 / 13818-3: 11-bit
+    * sync, version, layer, bitrate index, sample-rate index, channel
+    * mode), skipping a leading ID3v2 tag (syncsafe 28-bit size) to
+    * reach the first frame. No audio decode — the codec-bound
+    * synthesis stays behind [[stubDecoder]] per the SURVEY stub
+    * policy; the container metadata (bitrate, sample rate, channels,
+    * CBR duration estimate) is real. Malformed containers THROW (same
+    * contract as [[netpbmDecoder]]/[[wavDecoder]]). The audio sibling
+    * of [[imageHeaderDecoder]], used via [[decodePartitionsAs]].
+    */
+  def mp3HeaderDecoder(id: Long, payload: Array[Byte]): Mp3Header = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    var off = 0
+    if (payload.length >= 10 && payload(0) == 'I'.toByte &&
+        payload(1) == 'D'.toByte && payload(2) == '3'.toByte) {
+      // ID3v2 size is four SYNCSAFE bytes (high bit clear, 7 bits each)
+      require((u8(6) | u8(7) | u8(8) | u8(9)) < 0x80,
+        s"non-syncsafe ID3v2 size: id=$id")
+      off = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+    }
+    require(off + 4 <= payload.length,
+      s"no room for an MPEG frame header after offset $off: id=$id")
+    require(u8(off) == 0xff && (u8(off + 1) & 0xe0) == 0xe0,
+      s"no MPEG frame sync at offset $off: id=$id")
+    val b1 = u8(off + 1); val b2 = u8(off + 2); val b3 = u8(off + 3)
+    val verBits = (b1 >> 3) & 3 // 0=MPEG2.5  1=reserved  2=MPEG2  3=MPEG1
+    require(verBits != 1, s"reserved MPEG version: id=$id")
+    val layerBits = (b1 >> 1) & 3 // 0=reserved  1=III  2=II  3=I
+    require(layerBits != 0, s"reserved MPEG layer: id=$id")
+    val layer = 4 - layerBits
+    val brIdx = (b2 >> 4) & 0xf
+    require(brIdx != 0 && brIdx != 15,
+      s"free-format/bad bitrate index $brIdx: id=$id")
+    val srIdx = (b2 >> 2) & 3
+    require(srIdx != 3, s"reserved sample-rate index: id=$id")
+
+    val mpeg1 = verBits == 3
+    // public bitrate tables, kbps, index 1..14 (ISO 11172-3 table B.1)
+    val kbps = (mpeg1, layer) match {
+      case (true, 1) => Array(32, 64, 96, 128, 160, 192, 224, 256,
+        288, 320, 352, 384, 416, 448)
+      case (true, 2) => Array(32, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320, 384)
+      case (true, 3) => Array(32, 40, 48, 56, 64, 80, 96, 112,
+        128, 160, 192, 224, 256, 320)
+      case (false, 1) => Array(32, 48, 56, 64, 80, 96, 112, 128,
+        144, 160, 176, 192, 224, 256)
+      case _ => Array(8, 16, 24, 32, 40, 48, 56, 64,
+        80, 96, 112, 128, 144, 160) // MPEG2/2.5 layers II and III
+    }
+    val bitrate = kbps(brIdx - 1)
+    val sampleRate = (verBits match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000) // MPEG2.5
+    })(srIdx)
+    val version = verBits match {
+      case 3 => "1"; case 2 => "2"; case _ => "2.5"
+    }
+    val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+    val frameSamples =
+      if (layer == 1) 384
+      else if (layer == 2 || mpeg1) 1152
+      else 576 // MPEG2/2.5 Layer III
+    val audioBytes = payload.length.toLong - off
+    Mp3Header(id, payload.length.toLong, version, layer, bitrate,
+      sampleRate, channels, frameSamples, audioBytes * 8 / bitrate)
+  }
+
   /** Frame sampling over an array-of-binary column (video → every k-th
     * frame), keeping frame indices: `posexplode` + modulo filter — the
     * generator shape, executed distributed, no driver involvement.

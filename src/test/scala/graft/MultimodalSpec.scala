@@ -229,6 +229,76 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.imageHeaderDecoder(6L, "plain text".getBytes("US-ASCII"))
   }
 
+  test("mp3HeaderDecoder parses hand-laid MPEG frame headers, incl. an ID3v2-prefixed one") {
+    // 0xFF 0xFB 0x90 0x00: MPEG1 Layer III, bitrate idx 9 = 128 kbps,
+    // sr idx 0 = 44100, channel mode 0 = stereo — worked out by hand
+    // from the public header layout
+    val body = Array.fill[Byte](417)(0x55) // ~one 128kbps frame of filler
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0) ++ body
+    val h = Multimodal.mp3HeaderDecoder(1L, frame)
+    (h.version, h.layer, h.bitrate_kbps, h.sample_rate, h.channels,
+      h.frame_samples) shouldBe ("1", 3, 128, 44100, 2, 1152)
+    h.est_duration_ms shouldBe (frame.length.toLong * 8 / 128)
+
+    // same frame behind an ID3v2 tag: 10-byte header, syncsafe size 0x85
+    // = (1<<7) + 5 = 133 tag bytes
+    val id3 = Array[Byte]('I'.toByte, 'D'.toByte, '3'.toByte, 4, 0, 0, 0, 0, 1, 5) ++
+      Array.fill[Byte](133)(0) ++ frame
+    val h2 = Multimodal.mp3HeaderDecoder(2L, id3)
+    (h2.version, h2.bitrate_kbps, h2.sample_rate) shouldBe ("1", 128, 44100)
+    h2.est_duration_ms shouldBe h.est_duration_ms // tag bytes excluded
+
+    // 0xFF 0xE2 0x40 0xC0: MPEG2.5 (verBits 0), Layer III (layerBits 1),
+    // bitrate idx 4 = 32 kbps (MPEG2 L3 table), sr idx 0 = 11025, mono
+    val lo = Multimodal.mp3HeaderDecoder(3L,
+      Array[Byte](0xff.toByte, 0xe2.toByte, 0x40.toByte, 0xc0.toByte))
+    (lo.version, lo.layer, lo.bitrate_kbps, lo.sample_rate, lo.channels,
+      lo.frame_samples) shouldBe ("2.5", 3, 32, 11025, 1, 576)
+
+    // MPEG1 Layer II keeps 1152 samples; Layer I is 384
+    val l2 = Multimodal.mp3HeaderDecoder(4L,
+      Array[Byte](0xff.toByte, 0xfd.toByte, 0x90.toByte, 0))
+    (l2.layer, l2.bitrate_kbps, l2.frame_samples) shouldBe (2, 160, 1152)
+    val l1 = Multimodal.mp3HeaderDecoder(5L,
+      Array[Byte](0xff.toByte, 0xff.toByte, 0x90.toByte, 0))
+    (l1.layer, l1.bitrate_kbps, l1.frame_samples) shouldBe (1, 288, 384)
+  }
+
+  test("mp3HeaderDecoder refuses malformed payloads instead of fabricating") {
+    // no sync
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.mp3HeaderDecoder(1L, Array[Byte](0x00, 0x00, 0x00, 0x00))
+    // sync present but reserved version (verBits == 1: 0xFF 0xE8)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.mp3HeaderDecoder(2L,
+        Array[Byte](0xff.toByte, 0xe8.toByte, 0x90.toByte, 0))
+    // reserved layer (layerBits == 0: 0xFF 0xF9)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.mp3HeaderDecoder(3L,
+        Array[Byte](0xff.toByte, 0xf9.toByte, 0x90.toByte, 0))
+    // bad bitrate index 15 / free-format 0
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.mp3HeaderDecoder(4L,
+        Array[Byte](0xff.toByte, 0xfb.toByte, 0xf0.toByte, 0))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.mp3HeaderDecoder(5L,
+        Array[Byte](0xff.toByte, 0xfb.toByte, 0x00, 0))
+    // reserved sample-rate index (srIdx == 3)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.mp3HeaderDecoder(6L,
+        Array[Byte](0xff.toByte, 0xfb.toByte, 0x9c.toByte, 0))
+    // ID3 tag whose declared size runs past the payload
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.mp3HeaderDecoder(7L,
+        Array[Byte]('I'.toByte, 'D'.toByte, '3'.toByte, 4, 0, 0, 0, 0, 7, 0x7f) ++
+          Array.fill[Byte](20)(0))
+    // non-syncsafe ID3 size byte (high bit set)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.mp3HeaderDecoder(8L,
+        Array[Byte]('I'.toByte, 'D'.toByte, '3'.toByte, 4, 0, 0, 0x80.toByte, 0, 0, 0) ++
+          Array.fill[Byte](20)(0))
+  }
+
   test("sniffingDecoder routes by magic: netpbm full decode, PNG/JPEG real header dims, stub otherwise") {
     val pngMedia = Multimodal.sniffingDecoder(1L, png(320, 200, 8))
     (pngMedia.width, pngMedia.height) shouldBe (320, 200)
