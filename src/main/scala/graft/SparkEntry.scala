@@ -1229,6 +1229,18 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // LLM text 5 — TF-IDF top-k keywords per document: tf = one hash
+    // aggregate, df = the broadcast vocabulary table, N = broadcast
+    // 1-row cross join, top-k = per-document window. Score rounded to
+    // 9 dp (the q27 transcendental idiom) with the token as tie-break.
+    "q62_tfidf_topk" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text",
+          k = 3)
+        .select(col("id").as("doc_id"), col("rank"), col("tok"),
+          col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Scale primitive — count-min sketch as relational ops: the
     // counter table is ONE map-side-combinable groupBy producing
     // depth×width rows (broadcastable), estimates a keyed join. The
@@ -2095,6 +2107,27 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // same tokenizer as q52; score = round(tf * ln(N/df), 9) + 0.0 —
+    // the q27 idiom — with tok as the deterministic tie-break
+    "q62_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) + 0.0 AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, tok, tf, df, score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // naive range-join twin: the bucketed equi-join rewrite must be
     // answer-invariant (pairs, distinct points, exact sums)

@@ -200,6 +200,46 @@ object TextAnalysis {
     Dedup.materializeAndRelease(out, tok)
   }
 
+  /** TF-IDF top-k terms per document — the classic keyword/topic
+    * signal a curation pipeline tags documents with. score =
+    * tf · ln(N/df), rounded to 9 dp (the q27 cross-engine idiom: both
+    * engines' libm agree at that precision) with the token string as
+    * the deterministic tie-break.
+    *
+    * Scale design: tf is ONE hash aggregate over the exploded tokens;
+    * df is the same vocabulary-sized table [[tokenRarity]] builds —
+    * broadcast, so scoring stays a map-side join; N rides along as a
+    * broadcast 1-row cross join (no driver round-trip). The top-k cut
+    * is a per-document window — the shuffle key is the document id,
+    * never the corpus.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tok = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(col("__toks")).as("tok"))
+      .persist()
+    val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("__n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("__n_docs").cast("double") / col("df")), 9)
+          + lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("tok"))
+    val out = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score"))
+    Dedup.materializeAndRelease(out, tok)
+  }
+
   /** [[repetitionStats]] with the required two-step projection: the
     * token array is materialized as a column BEFORE the per-element
     * lambdas read it (the Dedup.shingles pattern — the min-size filter

@@ -132,4 +132,36 @@ class TextAnalysisSpec extends SparkSpec {
     got(1)._4 shouldBe 1L
     got(1)._5 shouldBe (5.0 / 3.0) +- 1e-15
   }
+
+  test("tfIdfTopK: hand-computed scores, corpus-wide tokens score zero, tok breaks ties") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry banana cherry cherry")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy($"id", $"rank")
+      .select($"id", $"rank", $"tok", $"score")
+      .as[(Long, Int, String, Double)].collect().toSeq
+
+    // N=3; df: apple 1, banana 3, cherry 2
+    // d1: apple 2*ln(3) = 2.197224577, banana ln(1) = 0
+    // d2: cherry ln(1.5) = 0.405465108, banana 0
+    // d3: cherry 3*ln(1.5) = 1.216395324, banana 0
+    got shouldBe Seq(
+      (1L, 1, "apple", 2.197224577),
+      (1L, 2, "banana", 0.0),
+      (2L, 1, "cherry", 0.405465108),
+      (2L, 2, "banana", 0.0),
+      (3L, 1, "cherry", 1.216395324),
+      (3L, 2, "banana", 0.0))
+
+    // ties (equal score) order by token: doc of two unique tokens
+    val tied = TextAnalysis.tfIdfTopK(
+        Seq((1L, "zeta alpha"), (2L, "filler")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 2)
+      .filter($"id" === 1L).orderBy($"rank")
+      .select($"tok").as[String].collect().toSeq
+    tied shouldBe Seq("alpha", "zeta")
+  }
 }
