@@ -1229,6 +1229,17 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // LLM curation 7 — context-window chunking: 64-token windows at
+    // stride 48 (16-token overlap), last window clips. Pure per-row
+    // explode, tokenizer materialized once per document (plan-pinned
+    // in CurationSpec); the DuckDB twin is the same range/slice
+    // construction over its own list type.
+    "q63_doc_chunks" -> ((s, dir) => {
+      Curation.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 64, strideTokens = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // LLM text 5 — TF-IDF top-k keywords per document: tf = one hash
     // aggregate, df = the broadcast vocabulary table, N = broadcast
     // 1-row cross join, top-k = per-document window. Score rounded to
@@ -2107,6 +2118,24 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // same tokenizer; DuckDB range() excludes the end like Spark's
+    // sequence(0, n-1); list slice clips like Spark's slice
+    "q63_doc_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(64, len(toks) - start) AS BIGINT) AS n_chunk_tok,
+        |  array_to_string(toks[start + 1 : least(start + 64, len(toks))], ' ')
+        |    AS chunk_text
+        |FROM starts
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // same tokenizer as q52; score = round(tf * ln(N/df), 9) + 0.0 —
     // the q27 idiom — with tok as the deterministic tie-break

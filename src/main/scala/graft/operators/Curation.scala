@@ -238,6 +238,46 @@ object Curation {
     df.withColumn("shard", shard)
   }
 
+  // ------------------------------------------------- context windows
+
+  /** Split each document into fixed-size token windows with a stride —
+    * the training-example construction step (context-window chunking
+    * with overlap when stride < chunkTokens). Chunks start at
+    * 0, stride, 2·stride, … while the start is inside the document;
+    * the last chunk simply clips at the end (no padding — padding is
+    * the collator's job). Null-text documents produce NO chunks; an
+    * empty string follows the tokenizer ([""] — one empty token), the
+    * same convention as every other tokens() consumer.
+    *
+    * Scale design: pure per-row explode — no shuffle, no state; output
+    * volume is input·(chunk/stride) overlap factor, stated not hidden.
+    * The token array is materialized as a column BEFORE the generate
+    * and the per-chunk slice, and — the Dedup.shingles lesson, NOT the
+    * filter-barrier variant — no Filter sits between the projections:
+    * a size() guard here gets PUSHED below the project with the whole
+    * tokenizer inlined per condition (measured 3 copies/row). The
+    * multi-reference rule alone keeps __toks materialized, and null
+    * text needs no guard at all: sequence(null) explodes to zero rows.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(strideTokens > 0, s"strideTokens must be positive: $strideTokens")
+    df.select(col(idCol),
+        graft.functions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1,
+          lit(strideTokens))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / strideTokens).cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("start_tok"),
+        least(lit(chunkTokens),
+          size(col("__toks")) - col("__start")).cast("long")
+          .as("n_chunk_tok"),
+        array_join(slice(col("__toks"), col("__start") + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   // ------------------------------------------------------ PII scrub
 
   /** Conservative PUBLIC-shape PII patterns, deliberately restricted

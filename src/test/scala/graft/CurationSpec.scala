@@ -269,4 +269,43 @@ class CurationSpec extends SparkSpec {
     got(4) shouldBe (("mixed: root@<IP> box, mail me at <EMAIL> or <PHONE>",
       1, 1, 1))
   }
+
+  test("chunkDocs: stride windows clip at the end, overlap when stride < chunk, null text drops") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),     // 7 toks, chunk 4 stride 3 -> 3 chunks
+      (2L, "x y"),               // shorter than a chunk -> 1 chunk
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 3)
+      .orderBy($"doc_id", $"chunk_idx")
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_chunk_tok",
+        $"chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 1L, "g"),
+      (2L, 0L, 0L, 2L, "x y"))
+  }
+
+  test("chunkDocs tokenizes ONCE per document: the explode fan-out must not re-inline the tokenizer") {
+    // non-foldable text (a Seq-backed local relation would be folded
+    // into a LocalTableScan and hide the tokenizer entirely)
+    val docs = spark.range(1, 4).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma "), col("id").cast("string")).as("text"))
+    val plan = Curation.chunkDocs(docs, "doc_id", "text", 2, 1)
+      .queryExecution.executedPlan.toString
+    // the tokenizer lowers the text exactly once; a collapsed plan
+    // would inline lower(...) into the slice and the size computations
+    plan.sliding("lower(".length).count(_ == "lower(") shouldBe 1
+  }
+
+  test("chunkDocs rejects non-positive chunk or stride") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Curation.chunkDocs(docs, "doc_id", "text", 0, 1)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.chunkDocs(docs, "doc_id", "text", 4, 0)
+  }
 }
