@@ -1229,6 +1229,33 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // Scale primitive — Z-ORDER layout: events clustered by the
+    // Morton value of (user_id, day index), so parquet min/max stats
+    // stay narrow on BOTH columns and a predicate on either skips
+    // files (the two-dimensional lever hive partitioning lacks;
+    // clustering quality is pinned in ScaleSpec). The gate: answering
+    // a 2-dim predicate THROUGH the layout must equal the flat table.
+    "q64_zorder_roundtrip" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q64_zorder_" +
+        Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      // order-preserving dimension indices: user_id is already small;
+      // the time axis is the UTC day offset from 2024-01-01 (= epoch
+      // day 19723), exact integral division like the dt layout
+      val dayIdx = expr("(unix_micros(ts) div 86400000000) - 19723")
+      Scale.writeZOrdered(ev, root, col("user_id"), dayIdx,
+        bits = 8, numFiles = 16)
+      s.read.parquet(root)
+        .filter(col("user_id").between(20, 40) &&
+          col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // LLM curation 7 — context-window chunking: 64-token windows at
     // stride 48 (16-token overlap), last window clips. Pure per-row
     // explode, tokenizer materialized once per document (plan-pinned
@@ -2116,6 +2143,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // the twin reads the FLAT table: the z-order layout must be
+    // answer-invariant under the two-dimensional predicate
+    "q64_zorder_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+        |  ${DSUM("value")} AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 20 AND 40
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 

@@ -87,6 +87,48 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Morton (Z-order) value of two dimension indices: the low `bits`
+    * bits of `a` and `b` interleaved (a → even positions, b → odd), so
+    * sorting by the z-value clusters rows that are close in BOTH
+    * dimensions. The layout lever for two-dimensional predicates that
+    * hive partitioning can serve for only one: files/row-groups along
+    * a z-sorted order have narrow min/max ranges in BOTH columns, so
+    * parquet statistics prune scans filtered on either one (what Delta
+    * OPTIMIZE ZORDER and friends do, as a plain column expression).
+    * Inputs must already be non-negative dimension indices; out-of-
+    * range bits are masked (caller maps domains order-preservingly —
+    * e.g. ids directly, timestamps via epoch-day offset).
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val am = a.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    val bm = b.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(am.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(bm.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** Write `df` clustered by the z-order of two dimension columns:
+    * range-partitioned into `numFiles` z-ranges and z-sorted within
+    * each file, so parquet min/max statistics on BOTH dimensions stay
+    * narrow (≈ sqrt(numFiles) tiles per axis) and a predicate on
+    * either column skips most files — where a single-column sort
+    * serves one dimension and leaves the other's per-file range at
+    * the full domain. The z column is layout-only and dropped from
+    * the files; reads are plain `spark.read.parquet`.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+                    bits: Int, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be positive: $numFiles")
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write the time-range-query storage layout: hive-partitioned by
     * the UTC date of `tsCol` (directory-level pruning: Telemetry.plan
     * derives the implied `dt` day-range predicate from a request's

@@ -284,4 +284,46 @@ class ScaleSpec extends SparkSpec {
     l("spark.sql.shuffle.partitions") should not be
       c("spark.sql.shuffle.partitions")
   }
+
+  test("zValue interleaves bits (a even, b odd) and masks out-of-range bits") {
+    val df = Seq((5L, 3L), (0L, 0L), (7L, 7L), (8L, 0L), (0L, 8L))
+      .toDF("a", "b")
+    val got = df.select(Scale.zValue($"a", $"b", bits = 3).as("z"))
+      .as[Long].collect().toSeq
+    // a=101 b=011 -> z bit layout (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27
+    // 7,7 -> all six low bits set = 63; 8 has only bit 3 -> masked to 0
+    got shouldBe Seq(27L, 0L, 63L, 0L, 0L)
+  }
+
+  test("z-ordered layout keeps BOTH dimensions' per-file ranges narrow; single-column sort does not") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_spec_" +
+      ProcessHandle.current().pid()
+    // the full 256x256 grid: every (x, y) cell exactly once
+    val grid = spark.range(0, 65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+
+    Scale.writeZOrdered(grid, s"$root/z", $"x", $"y", bits = 8, numFiles = 16)
+    val spans = spark.read.parquet(s"$root/z")
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(avg($"sx").as("ax"), avg($"sy").as("ay"))
+      .as[(Double, Double)].collect().head
+    // 16 equal-count z-ranges over a 256x256 grid ≈ 4x4 tiles of span
+    // ~64 per axis; the range partitioner's sampled bounds straddle
+    // tile edges (a straddling file spans two tiles, up to ~128), so
+    // the gate is "well under half the domain on BOTH axes" — vs the
+    // full 255 a one-dimensional sort leaves on its other axis
+    spans._1 should be < 140.0
+    spans._2 should be < 140.0
+
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(s"$root/xsort")
+    val xsortSpans = spark.read.parquet(s"$root/xsort")
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(avg($"sx").as("ax"), avg($"sy").as("ay"))
+      .as[(Double, Double)].collect().head
+    xsortSpans._1 should be < 32.0   // x is tightly clustered...
+    xsortSpans._2 shouldBe 255.0     // ...and y pays the full domain
+  }
 }
