@@ -1229,6 +1229,24 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // Scale primitive — HyperLogLog as relational ops (the CMS
+    // sibling, closing the sketch family): vocabulary distinct-count
+    // from a 2^8-row register table built by ONE map-side-combinable
+    // groupBy. The md5/bin() construction is engine-reproducible, so
+    // the APPROXIMATE registers AND estimate get a hash-exact oracle;
+    // exact_distinct rides along to exhibit the error band.
+    "q65_hll_distinct" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(graft.functions.tokens(col("text"))).as("tok"))
+      val regs = Sketch.hllRegisters(tok, "tok", p = 8).persist()
+      val est = Sketch.hllEstimate(regs, p = 8)
+      val exact = tok.agg(countDistinct(col("tok")).as("exact_distinct"))
+      Dedup.materializeAndRelease(
+        regs.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+          .orderBy(col("bucket")),
+        regs)
+    }),
+
     // Scale primitive — Z-ORDER layout: events clustered by the
     // Morton value of (user_id, day index), so parquet min/max stats
     // stay narrow on BOTH columns and a predicate on either skips
@@ -2145,6 +2163,47 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // identical md5/15-hex/60-bit register construction; the harmonic
+    // sum is LONG arithmetic (shift by 53-rho), the alpha expression
+    // is written in the same IEEE evaluation order, ln through the
+    // round-9 idiom — so even the estimate hash-matches
+    "q65_hll_distinct" ->
+      """WITH tok AS (SELECT unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h,
+        |  tok FROM tok),
+        |r AS (SELECT CAST(h % 256 AS INTEGER) AS bucket,
+        |  CASE WHEN h // 256 = 0 THEN 53
+        |       ELSE 52 - (length(bin(h // 256)) - 1) END AS rho
+        |  FROM h),
+        |reg AS (SELECT bucket, CAST(MAX(rho) AS INTEGER) AS max_rho
+        |  FROM r GROUP BY 1),
+        |est AS (SELECT
+        |  COUNT(*) AS n_buckets_set,
+        |  CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) +
+        |    (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53)
+        |    AS harmonic_sum_scaled
+        |  FROM reg),
+        |est2 AS (SELECT n_buckets_set, harmonic_sum_scaled,
+        |  CAST(0.7213 AS DOUBLE) /
+        |    (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |    * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+        |    * CAST(9007199254740992.0 AS DOUBLE)
+        |    / CAST(harmonic_sum_scaled AS DOUBLE) AS raw
+        |  FROM est),
+        |est3 AS (SELECT n_buckets_set, harmonic_sum_scaled,
+        |  CASE WHEN (256 - n_buckets_set) > 0 AND raw < 640.0
+        |       THEN round(CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) /
+        |         CAST(256 - n_buckets_set AS DOUBLE)), 9)
+        |       ELSE round(raw, 9) END + 0.0 AS estimate
+        |  FROM est2),
+        |ex AS (SELECT COUNT(DISTINCT tok) AS exact_distinct FROM h)
+        |SELECT reg.bucket, reg.max_rho, est3.n_buckets_set,
+        |  est3.harmonic_sum_scaled, est3.estimate, ex.exact_distinct
+        |FROM reg CROSS JOIN est3 CROSS JOIN ex
+        |ORDER BY reg.bucket""".stripMargin,
 
     // the twin reads the FLAT table: the z-order layout must be
     // answer-invariant under the two-dimensional predicate

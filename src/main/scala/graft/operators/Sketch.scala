@@ -85,4 +85,79 @@ object Sketch {
     joined.withColumn("cms_est", est)
       .drop((0 until depth).flatMap(i => Seq(s"__b$i", s"__c$i")): _*)
   }
+
+  // -------------------------------------------------- HyperLogLog
+
+  /** HyperLogLog register table over a key column, as RELATIONAL
+    * operators — the CMS sibling for DISTINCT counting: one map-side-
+    * combinable `groupBy bucket → max(rho)` producing 2^p rows (bytes —
+    * mergeable across shards by the same max), never a driver-side
+    * structure. The classic use: approximate vocabulary / distinct-id
+    * counts over a corpus where exact distinct shuffles every key.
+    *
+    * Engine-reproducible by the same md5 construction as [[bucket]]:
+    * a 60-bit hash from the first 15 md5 hex chars (15, not 16 — the
+    * 16-char value can exceed Long.MaxValue and overflow the
+    * hex-to-int cast differently per engine). bucket = h mod 2^p; the
+    * remaining w = h div 2^p has 60−p usable bits and rho (the
+    * 1-based position of the leftmost set bit) = (60−p) − floor(log₂ w)
+    * … computed EXACTLY as string length: floor(log₂ w) =
+    * length(bin(w)) − 1 in both Spark and DuckDB (no leading zeros,
+    * "0" for 0), no floating log anywhere. w = 0 (all 60−p bits zero)
+    * gets the conventional max rho, 60−p+1.
+    */
+  def hllRegisters(keys: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16]: $p")
+    val m = 1L << p
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(h),
+        org.apache.spark.sql.catalyst.expressions.Literal(m)))
+    val rho = when(w === 0L, lit(60 - p + 1))
+      .otherwise(lit(60 - p) - (length(bin(w)) - 1))
+    keys.select(pmod(h, lit(m)).cast("int").as("bucket"), rho.as("__rho"))
+      .groupBy("bucket").agg(max(col("__rho")).cast("int").as("max_rho"))
+  }
+
+  /** Distinct-count estimate from an HLL register table: the standard
+    * alpha_m · m² / Σ 2^(−rho_j) harmonic mean (absent buckets count
+    * rho = 0), with the small-range linear-counting correction
+    * (m · ln(m/V) when zero-valued registers exist and the raw
+    * estimate is below 2.5m).
+    *
+    * Determinism across engines: the harmonic sum is computed in LONG
+    * arithmetic — Σ 2^(cap − rho) with cap = 61−p, every term an exact
+    * power of two and the sum ≤ m·2^cap < 2^63 — so no float-sum
+    * ordering exists to diverge; the final alpha division is one IEEE
+    * expression and ln goes through the round-to-9 idiom (q27).
+    * Returns one row: (n_buckets_set, harmonic_sum_scaled, estimate).
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16]: $p")
+    val m = 1L << p
+    val cap = 61 - p // max_rho ≤ 61-p ⇒ shift ∈ [0, cap-1] for set buckets
+    // shiftleft's Scala binding takes only a literal bit count — the
+    // SQL form shifts by a column
+    val agg = registers.agg(
+      count(lit(1)).as("n_buckets_set"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $cap - max_rho)"))
+        .as("__set_sum"))
+    // absent buckets are rho=0 registers: each contributes 2^cap
+    val sumScaled = col("__set_sum") +
+      (lit(m) - col("n_buckets_set")) * lit(1L << cap)
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble)
+    val raw = alphaM2 * lit(math.pow(2.0, cap).toDouble) /
+      col("__harm").cast("double")
+    val zeros = lit(m) - col("n_buckets_set")
+    val corrected = when(zeros > 0L && raw < lit(2.5 * m),
+        round(lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")), 9))
+      .otherwise(round(raw, 9)) + lit(0.0)
+    agg.withColumn("__harm", sumScaled)
+      .withColumn("estimate", corrected)
+      .select(col("n_buckets_set"), col("__harm").as("harmonic_sum_scaled"),
+        col("estimate"))
+  }
 }

@@ -66,4 +66,79 @@ class SketchSpec extends SparkSpec {
       Sketch.cmsEstimate(keyed.withColumn("cms_est", lit(1L)), "tok",
         counters, 2, 16)
   }
+
+  // -------------------------------------------------- HyperLogLog
+
+  /** Reference register computation: same md5/15-hex/60-bit spec,
+    * written independently against java.security.MessageDigest. */
+  private def refRegisters(keys: Seq[String], p: Int): Map[Int, Int] = {
+    val m = 1L << p
+    keys.map { k =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val w = h / m
+      val rho = if (w == 0L) 60 - p + 1
+      else (60 - p) - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      ((h % m).toInt, rho)
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+  }
+
+  test("hllRegisters match an independent MessageDigest reference; duplicates change nothing") {
+    val rnd = new scala.util.Random(65)
+    val keys = Seq.fill(500)("k" + rnd.nextInt(200)) // dups guaranteed
+    val got = Sketch.hllRegisters(keys.toDF("k"), "k", p = 6)
+      .as[(Int, Int)].collect().toMap
+    got shouldBe refRegisters(keys, 6)
+    // multiplicity is invisible to a max-register sketch
+    val once = Sketch.hllRegisters(keys.distinct.toDF("k"), "k", p = 6)
+      .as[(Int, Int)].collect().toMap
+    once shouldBe got
+  }
+
+  test("hll registers MERGE by elementwise max (the shard-combining property)") {
+    val a = (1 to 400).map("a" + _); val b = (1 to 400).map("b" + _)
+    val whole = Sketch.hllRegisters((a ++ b).toDF("k"), "k", p = 7)
+      .as[(Int, Int)].collect().toMap
+    val ra = Sketch.hllRegisters(a.toDF("k"), "k", p = 7)
+      .as[(Int, Int)].collect().toMap
+    val rb = Sketch.hllRegisters(b.toDF("k"), "k", p = 7)
+      .as[(Int, Int)].collect().toMap
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))).toMap
+    whole shouldBe merged
+  }
+
+  test("hllEstimate lands within the expected error band and is deterministic") {
+    val n = 10000
+    val keys = (1 to n).map("key" + _).toDF("k")
+    val regs = Sketch.hllRegisters(keys, "k", p = 8)
+    val est = Sketch.hllEstimate(regs, p = 8)
+      .select($"estimate").as[Double].collect().head
+    // standard error ~1.04/sqrt(256) = 6.5%; gate at 3 sigma
+    est shouldBe n.toDouble +- n * 0.20
+    val again = Sketch.hllEstimate(Sketch.hllRegisters(keys, "k", p = 8), 8)
+      .select($"estimate").as[Double].collect().head
+    again shouldBe est // bit-identical, not approximately
+  }
+
+  test("hllEstimate small-range correction: tiny cardinalities use linear counting") {
+    val keys = (1 to 5).map("x" + _).toDF("k")
+    val row = Sketch.hllEstimate(Sketch.hllRegisters(keys, "k", p = 8), 8)
+      .select($"n_buckets_set", $"estimate").as[(Long, Double)]
+      .collect().head
+    // 5 distinct keys, no bucket collisions expected at m=256
+    row._1 shouldBe 5L
+    // linear counting m*ln(m/V) is near-exact at this density
+    row._2 shouldBe 5.0 +- 0.1
+  }
+
+  test("hll rejects out-of-range precision") {
+    val keys = Seq("a").toDF("k")
+    an[IllegalArgumentException] should be thrownBy
+      Sketch.hllRegisters(keys, "k", 3)
+    an[IllegalArgumentException] should be thrownBy
+      Sketch.hllEstimate(keys.toDF("bucket"), 17)
+  }
 }
