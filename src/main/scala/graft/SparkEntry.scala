@@ -1229,6 +1229,18 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // LLM text 6 — unigram LM quality score (the corpus-as-model
+    // stand-in for a KenLM perplexity gate): per-token round-9
+    // log-probs summed in DECIMAL (exact, order-independent); the
+    // per-token mean ships as an all-integer nano-scaled NLL because
+    // round(sum/n, 9) half-rounds differently per engine (observed).
+    "q66_lm_score" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("ntok"),
+          col("logprob_sum"), col("nll_mean_nano"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Scale primitive — HyperLogLog as relational ops (the CMS
     // sibling, closing the sketch family): vocabulary distinct-count
     // from a 2^8-row register table built by ONE map-side-combinable
@@ -2163,6 +2175,25 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // per-token log-prob rounded to 9 dp FIRST, summed as
+    // DECIMAL(30,9) (order-independent); the mean is the all-integer
+    // floor((-sum*1e9)/ntok) — positive, so // and Spark's div agree
+    "q66_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM tok),
+        |scored AS (
+        |  SELECT doc_id, CAST(round(ln(CAST(cnt AS DOUBLE) /
+        |    CAST(total AS DOUBLE)), 9) AS DECIMAL(30,9)) AS lp
+        |  FROM tok JOIN cnt USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS ntok,
+        |  CAST(SUM(lp) AS DOUBLE) AS logprob_sum,
+        |  CAST(SUM(lp) * -1000000000 AS BIGINT) // COUNT(*) AS nll_mean_nano
+        |FROM scored GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
 
     // identical md5/15-hex/60-bit register construction; the harmonic
     // sum is LONG arithmetic (shift by 53-rho), the alpha expression

@@ -240,6 +240,55 @@ object TextAnalysis {
     Dedup.materializeAndRelease(out, tok)
   }
 
+  /** Unigram language-model score per document — the corpus-LM quality
+    * filter (the role a KenLM perplexity gate plays in C4/Gopher-class
+    * pipelines, with the corpus itself as the model): each token
+    * scores ln(count(tok)/total_tokens), a document reports the sum
+    * and the per-token mean. Documents of common well-distributed
+    * tokens score high; gibberish and boilerplate-of-rare-junk score
+    * low.
+    *
+    * Scale design: the unigram table is the vocabulary-sized count
+    * aggregate (broadcast), scoring is a map-side join + ONE per-doc
+    * aggregate. Cross-engine determinism: each token's log-prob is
+    * rounded to 9 dp FIRST (the q27 idiom) and the per-doc sum runs in
+    * DECIMAL(30,9) — exact and order-independent, immune to float
+    * summation order. The per-token MEAN is deliberately NOT a rounded
+    * double: round(sum/ntok, 9) diverges between engines when the
+    * quotient lands on a half-way boundary (observed twice at sf0.1 —
+    * identical doubles, different half-rounding). Instead the mean
+    * ships as `nll_mean_nano`, the nano-scaled negative log-likelihood
+    * floor((−sum·10⁹)/ntok) — all-integer, and positive, so SQL
+    * truncating division and floor agree in every engine. Lower = more
+    * corpus-typical.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(col("__toks")).as("tok"))
+      .persist()
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = tok.select(count(lit(1)).as("__total"))
+    val nllScaled = (col("__lp_sum") * lit(-1000000000L)).cast("long")
+    val meanNano = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(nllScaled),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("ntok"))))
+    val out = tok
+      .join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp",
+        round(log(col("cnt").cast("double") / col("__total").cast("double")), 9)
+          .cast("decimal(30,9)"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("ntok"), sum(col("__lp")).as("__lp_sum"))
+      .select(col("id"), col("ntok"),
+        col("__lp_sum").cast("double").as("logprob_sum"),
+        meanNano.as("nll_mean_nano"))
+    Dedup.materializeAndRelease(out, tok)
+  }
+
   /** [[repetitionStats]] with the required two-step projection: the
     * token array is materialized as a column BEFORE the per-element
     * lambdas read it (the Dedup.shingles pattern — the min-size filter

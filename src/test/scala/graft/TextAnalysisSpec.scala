@@ -164,4 +164,25 @@ class TextAnalysisSpec extends SparkSpec {
       .select($"tok").as[String].collect().toSeq
     tied shouldBe Seq("alpha", "zeta")
   }
+
+  test("unigramLogProb: hand-computed corpus-LM scores, decimal sum immune to order") {
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy($"id")
+      .select($"id", $"ntok", $"logprob_sum", $"nll_mean_nano")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // total 4 tokens, count(a)=count(b)=2 -> every token ln(0.5),
+    // rounded to 9 dp = -0.693147181; sums are exact decimal multiples
+    // and the nano-mean is the all-integer floor((-sum*1e9)/ntok)
+    got shouldBe Seq(
+      (1L, 3L, -2.079441543, 693147181L),
+      (2L, 1L, -0.693147181, 693147181L))
+
+    // rarer tokens score lower: a doc of corpus-common tokens beats a
+    // doc containing a hapax
+    val mixed = Seq((1L, "x x x x"), (2L, "x rare")).toDF("doc_id", "text")
+    val nll = TextAnalysis.unigramLogProb(mixed, "doc_id", "text")
+      .orderBy($"id").select($"nll_mean_nano").as[Long].collect()
+    nll(0) should be < nll(1) // lower nll = more corpus-typical
+  }
 }
