@@ -1229,6 +1229,17 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // LLM curation 8 — deterministic negative-pair sampling
+    // (contrastive training data): md5-uniform skip-self draw over the
+    // dense id range, partner payload fetched by ONE equi-join. The
+    // approximately-random pair SET is exactly reproducible, so it
+    // hash-gates like any exact query.
+    "q67_negative_pairs" -> ((s, dir) => {
+      Curation.negativePairs(Tables.documents(s, dir), "doc_id", k = 2,
+          payloadCols = Seq("source", "lang"))
+        .orderBy(col("doc_id"), col("j"))
+    }),
+
     // LLM text 6 — unigram LM quality score (the corpus-as-model
     // stand-in for a KenLM perplexity gate): per-token round-9
     // log-probs summed in DECIMAL (exact, order-independent); the
@@ -2175,6 +2186,26 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // same md5/15-hex convention; raw mod (n-1) then the skip-self
+    // shift — all-integer, so the sampled pair set hash-matches
+    "q67_negative_pairs" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |draws AS (
+        |  SELECT d.doc_id, CAST(j.j AS INTEGER) AS j,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+        |      CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % (n.n - 1) AS raw
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS j) j
+        |  CROSS JOIN n),
+        |neg AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN raw >= doc_id THEN raw + 1 ELSE raw END AS neg_id
+        |  FROM draws)
+        |SELECT neg.doc_id, neg.j, neg.neg_id,
+        |  d2.source AS neg_source, d2.lang AS neg_lang
+        |FROM neg JOIN documents d2 ON neg.neg_id = d2.doc_id
+        |ORDER BY 1, 2""".stripMargin,
 
     // per-token log-prob rounded to 9 dp FIRST, summed as
     // DECIMAL(30,9) (order-independent); the mean is the all-integer

@@ -278,6 +278,54 @@ object Curation {
           lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  // ---------------------------------------------- contrastive pairs
+
+  /** Deterministic negative-pair sampling — the contrastive-training
+    * data construction (k random non-self partners per anchor, e.g.
+    * for embedding-model training or hard-negative mining baselines).
+    * Partner j of anchor i is drawn md5-uniformly from the OTHER n−1
+    * ids: raw = md5(i '#' j) mod (n−1), shifted past i when raw ≥ i —
+    * the classic skip-self bijection, so partners stay uniform and
+    * self-pairs are impossible by construction, not by rejection (a
+    * rejection loop would make output SIZE data-dependent).
+    *
+    * Engine-reproducible (the [[Sketch]] md5 convention) so the
+    * sampled pair SET is hash-gatable. No randomness source, no
+    * rand(): re-runs, retries, and other engines produce the same
+    * pairs.
+    *
+    * Scale design: n rides along as a broadcast 1-row cross join, the
+    * fan-out is a per-row explode, and the partner-payload fetch is
+    * ONE equi-join on the partner id — never a cross join of the
+    * corpus against itself.
+    *
+    * CONTRACT: `idCol` must be a dense 0..n−1 long range (what a
+    * packing/sharding step emits); sparse ids would silently bias the
+    * draw toward gaps. The requirement is cheap to establish and
+    * cheaper than the global row_number a rank-based rewrite would
+    * serialize on.
+    */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+                    payloadCols: Seq[String]): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val n = df.select(count(lit(1)).as("__n"))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit("#"),
+      col("j").cast("string"))), 1, 15), 16, 10).cast("long")
+    val partners = df.select(col(idCol)).crossJoin(broadcast(n))
+      .select(col(idCol), col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("__raw", pmod(h, col("__n") - 1))
+      .withColumn("neg_id",
+        when(col("__raw") >= col(idCol), col("__raw") + 1)
+          .otherwise(col("__raw")))
+      .select(col(idCol), col("j"), col("neg_id"))
+    val payload = df.select((col(idCol).as("neg_id") +:
+      payloadCols.map(c => col(c).as(s"neg_$c"))): _*)
+    partners.join(payload, "neg_id")
+      .select((col(idCol) +: col("j") +: col("neg_id") +:
+        payloadCols.map(c => col(s"neg_$c"))): _*)
+  }
+
   // ------------------------------------------------------ PII scrub
 
   /** Conservative PUBLIC-shape PII patterns, deliberately restricted

@@ -301,6 +301,31 @@ class CurationSpec extends SparkSpec {
     plan.sliding("lower(".length).count(_ == "lower(") shouldBe 1
   }
 
+  test("negativePairs: k non-self partners per anchor, uniform skip-self draw, payload joined") {
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val out = Curation.negativePairs(docs, "doc_id", k = 3,
+        payloadCols = Seq("source"))
+      .select($"doc_id", $"j", $"neg_id", $"neg_source")
+      .as[(Long, Int, Long, String)].collect()
+
+    out.length shouldBe 40 * 3                     // exactly k per anchor
+    all(out.map(r => r._3 != r._1)) shouldBe true  // never self
+    all(out.map(r => r._3 >= 0L && r._3 < 40L)) shouldBe true
+    out.map(r => (r._1, r._2)).distinct.length shouldBe 120 // one draw per (i, j)
+    // payload is the partner's, not the anchor's
+    all(out.map(r => r._4 == s"src${r._3 % 4}")) shouldBe true
+
+    // reference computation: same md5 spec, independently written
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expected = (for (i <- 0L until 40L; j <- 0 until 3) yield {
+      val raw = java.lang.Long.parseLong(md5Hex(s"$i#$j").take(15), 16) % 39L
+      (i, j, if (raw >= i) raw + 1 else raw)
+    }).toSet
+    out.map(r => (r._1, r._2, r._3)).toSet shouldBe expected
+  }
+
   test("chunkDocs rejects non-positive chunk or stride") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
