@@ -1229,6 +1229,24 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // LLM dedup 9 — INCREMENTAL dedup (new batch vs historical content
+    // index) through the bloom-pruned ANTI-join: rows the bloom
+    // rejects are provably unseen and never enter a shuffle; only the
+    // might-contain minority pays the exact anti-join. The production
+    // shape for continuous ingestion at 100 TB — the history never
+    // streams, only its bloom does.
+    "q68_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h = sha2(graft.functions.normText(col("text")), 256)
+      val hist = docs.filter(col("doc_id") % 2 === 0).select(h.as("h"))
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+      Scale.bloomPrunedAntiJoin(batch, "h", hist, "h",
+          expectedKeys = 10000L)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM curation 8 — deterministic negative-pair sampling
     // (contrastive training data): md5-uniform skip-self draw over the
     // dense id range, partner payload fetched by ONE equi-join. The
@@ -2186,6 +2204,18 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // plain NOT-IN twin: the bloom split must be answer-invariant
+    "q68_incremental_dedup" ->
+      """WITH hist AS (SELECT DISTINCT
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    NOT IN (SELECT h FROM hist)
+        |ORDER BY doc_id""".stripMargin,
 
     // same md5/15-hex convention; raw mod (n-1) then the skip-self
     // shift — all-integer, so the sampled pair set hash-matches

@@ -87,6 +87,39 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bloom-pruned ANTI-join — [[bloomPrunedSemiJoin]]'s mirror and the
+    * incremental-dedup shape: "keep fact rows whose key does NOT
+    * appear in the key set" (new documents vs the historical content
+    * index, unseen users vs the known-id table). The bloom's
+    * no-false-negatives guarantee cuts the other way here: a row the
+    * filter REJECTS is definitely absent from the key set and is kept
+    * outright without ever entering a join; only the might-contain
+    * minority (true members + fpp of the rest) proceeds to the exact
+    * anti-join that removes the false positives. Output is exact; at
+    * 1% membership and 1% fpp the anti-join's shuffle sees ~2% of the
+    * fact instead of all of it.
+    */
+  def bloomPrunedAntiJoin(fact: DataFrame, factKey: String,
+                          keys: DataFrame, keyCol: String,
+                          expectedKeys: Long,
+                          fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.GraftColumnBridge
+    val bf = keys.select(xxhash64(col(keyCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray,
+        org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(xxhash64(col(factKey)))))
+    val definitelyNew = fact.filter(!might)
+    val maybe = fact.filter(might)
+      .join(keys.select(col(keyCol).as(factKey)).distinct(),
+        Seq(factKey), "left_anti")
+    definitelyNew.unionByName(maybe)
+  }
+
   /** Morton (Z-order) value of two dimension indices: the low `bits`
     * bits of `a` and `b` interleaved (a → even positions, b → odd), so
     * sorting by the z-value clusters rows that are close in BOTH

@@ -247,6 +247,30 @@ class ScaleSpec extends SparkSpec {
     sloppy.toSeq shouldBe exact.toSeq
   }
 
+  test("bloomPrunedAntiJoin: exact complement output; bloom-rejected rows bypass the join entirely") {
+    import spark.implicits._
+    val fact = spark.range(10000L)
+      .select((col("id") % 1000L).as("k"), col("id").as("v"))
+    val keys = (0L until 1000L by 100L).toDF("k") // 10 known keys
+    val got = Scale.bloomPrunedAntiJoin(fact, "k", keys, "k",
+        expectedKeys = 10L, fpp = 0.01)
+      .orderBy("k", "v").collect().map(_.toSeq)
+    val exact = fact.join(keys, Seq("k"), "left_anti")
+      .orderBy("k", "v").collect().map(_.toSeq)
+    got.toSeq shouldBe exact.toSeq
+    // semi + anti partition the fact exactly: nothing lost, nothing dup
+    val semi = Scale.bloomPrunedSemiJoin(fact, "k", keys, "k", 10L)
+    val anti = Scale.bloomPrunedAntiJoin(fact, "k", keys, "k", 10L)
+    (semi.count() + anti.count()) shouldBe fact.count()
+    // adversarial fpp: a terrible filter costs time, never correctness
+    val sloppy = Scale.bloomPrunedAntiJoin(fact, "k", keys, "k",
+        expectedKeys = 10L, fpp = 0.5)
+      .orderBy("k", "v").collect().map(_.toSeq)
+    sloppy.toSeq shouldBe exact.toSeq
+    val plan = anti.queryExecution.executedPlan.toString
+    plan should include("might_contain")
+  }
+
   test("GraftConf pins the cluster-scale session discipline as code") {
     val c = graft.GraftConf.clusterDefaults
     // the plan-changing runtime re-planner stack must be ON: residual
