@@ -1277,15 +1277,18 @@ object SparkEntry {
     // the APPROXIMATE registers AND estimate get a hash-exact oracle;
     // exact_distinct rides along to exhibit the error band.
     "q65_hll_distinct" -> ((s, dir) => {
+      // tok is persisted: registers AND the exact count both consume
+      // it — unpersisted, the corpus would tokenize twice
       val tok = Tables.documents(s, dir)
         .select(explode(graft.functions.tokens(col("text"))).as("tok"))
+        .persist()
       val regs = Sketch.hllRegisters(tok, "tok", p = 8).persist()
       val est = Sketch.hllEstimate(regs, p = 8)
       val exact = tok.agg(countDistinct(col("tok")).as("exact_distinct"))
       Dedup.materializeAndRelease(
         regs.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
           .orderBy(col("bucket")),
-        regs)
+        tok, regs)
     }),
 
     // Scale primitive — Z-ORDER layout: events clustered by the

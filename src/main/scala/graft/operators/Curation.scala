@@ -315,9 +315,16 @@ object Curation {
       .select(col(idCol), col("__n"),
         explode(sequence(lit(0), lit(k - 1))).as("j"))
       .withColumn("__raw", pmod(h, col("__n") - 1))
+      // the assert is INSIDE the consumed expression (a standalone
+      // guard column would be pruned away unevaluated): with n <= 1
+      // there is no non-self partner — pmod(h, 0) would otherwise null
+      // out and the final inner join silently emit ZERO rows (or throw
+      // mid-job under ANSI), violating the k-per-anchor contract
       .withColumn("neg_id",
-        when(col("__raw") >= col(idCol), col("__raw") + 1)
-          .otherwise(col("__raw")))
+        when(assert_true(col("__n") > 1,
+            lit("negativePairs requires at least 2 rows")).isNull,
+          when(col("__raw") >= col(idCol), col("__raw") + 1)
+            .otherwise(col("__raw"))))
       .select(col(idCol), col("j"), col("neg_id"))
     val payload = df.select((col(idCol).as("neg_id") +:
       payloadCols.map(c => col(c).as(s"neg_$c"))): _*)

@@ -98,6 +98,13 @@ object Scale {
     * anti-join that removes the false positives. Output is exact; at
     * 1% membership and 1% fpp the anti-join's shuffle sees ~2% of the
     * fact instead of all of it.
+    *
+    * Cost honesty: the two branches are separate subtrees, so the fact
+    * is SCANNED twice (both passes scan-local, bloom-probed at the
+    * source) — the trade is two cheap reads against shuffling ~all of
+    * the fact, which wins when the shuffle dominates. Cache the fact
+    * first when it fits (incremental batches usually do), or prefer
+    * the plain left_anti join when scan cost dominates instead.
     */
   def bloomPrunedAntiJoin(fact: DataFrame, factKey: String,
                           keys: DataFrame, keyCol: String,

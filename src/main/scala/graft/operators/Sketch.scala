@@ -109,6 +109,10 @@ object Sketch {
   def hllRegisters(keys: DataFrame, keyCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16]: $p")
     val m = 1L << p
+    // nulls are excluded, matching COUNT(DISTINCT) — md5(null) would
+    // otherwise emit a null-bucket register that hllEstimate counts in
+    // n_buckets_set while contributing nothing to the harmonic sum
+    val nonNull = keys.filter(col(keyCol).isNotNull)
     val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val w = org.apache.spark.sql.GraftColumnBridge.column(
@@ -117,7 +121,7 @@ object Sketch {
         org.apache.spark.sql.catalyst.expressions.Literal(m)))
     val rho = when(w === 0L, lit(60 - p + 1))
       .otherwise(lit(60 - p) - (length(bin(w)) - 1))
-    keys.select(pmod(h, lit(m)).cast("int").as("bucket"), rho.as("__rho"))
+    nonNull.select(pmod(h, lit(m)).cast("int").as("bucket"), rho.as("__rho"))
       .groupBy("bucket").agg(max(col("__rho")).cast("int").as("max_rho"))
   }
 
@@ -142,13 +146,23 @@ object Sketch {
     // SQL form shifts by a column
     val agg = registers.agg(
       count(lit(1)).as("n_buckets_set"),
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $cap - max_rho)"))
-        .as("__set_sum"))
+      // coalesce: an EMPTY register table (zero distinct keys) must
+      // flow through as sum 0, not null — the correction branch then
+      // yields the correct m*ln(m/m) = 0 estimate
+      coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $cap - max_rho)")),
+        lit(0L)).as("__set_sum"))
     // absent buckets are rho=0 registers: each contributes 2^cap
     val sumScaled = col("__set_sum") +
       (lit(m) - col("n_buckets_set")) * lit(1L << cap)
-    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
-      lit(m.toDouble) * lit(m.toDouble)
+    // the standard small-m alpha constants; the 0.7213/(1+1.079/m)
+    // closed form is the m >= 128 asymptote only
+    val alpha = m match {
+      case 16L => lit(0.673)
+      case 32L => lit(0.697)
+      case 64L => lit(0.709)
+      case _ => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    }
+    val alphaM2 = alpha * lit(m.toDouble) * lit(m.toDouble)
     val raw = alphaM2 * lit(math.pow(2.0, cap).toDouble) /
       col("__harm").cast("double")
     val zeros = lit(m) - col("n_buckets_set")

@@ -208,7 +208,9 @@ object TextAnalysis {
     *
     * Scale design: tf is ONE hash aggregate over the exploded tokens;
     * df is the same vocabulary-sized table [[tokenRarity]] builds —
-    * broadcast, so scoring stays a map-side join; N rides along as a
+    * no broadcast HINT (a web-scale vocabulary must be allowed to
+    * shuffle-join; the planner broadcasts it automatically under the
+    * threshold, the same contract as tokenRarity); N rides along as a
     * broadcast 1-row cross join (no driver round-trip). The top-k cut
     * is a per-document window — the shuffle key is the document id,
     * never the corpus.
@@ -225,7 +227,7 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("__n_docs"))
     val scored = tf
-      .join(broadcast(dfreq), "tok")
+      .join(dfreq, "tok")
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("__n_docs").cast("double") / col("df")), 9)
@@ -249,8 +251,9 @@ object TextAnalysis {
     * low.
     *
     * Scale design: the unigram table is the vocabulary-sized count
-    * aggregate (broadcast), scoring is a map-side join + ONE per-doc
-    * aggregate. Cross-engine determinism: each token's log-prob is
+    * aggregate (no broadcast hint — the planner broadcasts it under
+    * the threshold, a web-scale vocabulary is allowed to shuffle-join),
+    * scoring is one join + ONE per-doc aggregate. Cross-engine determinism: each token's log-prob is
     * rounded to 9 dp FIRST (the q27 idiom) and the per-doc sum runs in
     * DECIMAL(30,9) — exact and order-independent, immune to float
     * summation order. The per-token MEAN is deliberately NOT a rounded
@@ -276,7 +279,7 @@ object TextAnalysis {
         org.apache.spark.sql.GraftColumnBridge.expression(nllScaled),
         org.apache.spark.sql.GraftColumnBridge.expression(col("ntok"))))
     val out = tok
-      .join(broadcast(counts), "tok")
+      .join(counts, "tok")
       .crossJoin(broadcast(total))
       .withColumn("__lp",
         round(log(col("cnt").cast("double") / col("__total").cast("double")), 9)

@@ -326,6 +326,17 @@ class CurationSpec extends SparkSpec {
     out.map(r => (r._1, r._2, r._3)).toSet shouldBe expected
   }
 
+  test("negativePairs fails fast on a degenerate corpus instead of silently emitting nothing") {
+    val one = Seq((0L, "only")).toDF("doc_id", "source")
+    val ex = intercept[Exception] {
+      Curation.negativePairs(one, "doc_id", k = 1, payloadCols = Seq("source"))
+        .collect()
+    }
+    ex.getMessage should include("at least 2 rows")
+    an[IllegalArgumentException] should be thrownBy
+      Curation.negativePairs(one, "doc_id", k = 0, payloadCols = Seq("source"))
+  }
+
   test("chunkDocs rejects non-positive chunk or stride") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy

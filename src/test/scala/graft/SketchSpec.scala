@@ -134,6 +134,21 @@ class SketchSpec extends SparkSpec {
     row._2 shouldBe 5.0 +- 0.1
   }
 
+  test("hll ignores null keys (COUNT DISTINCT semantics) and an empty input estimates 0") {
+    val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("k")
+    val regs = Sketch.hllRegisters(withNulls, "k", p = 8)
+      .as[(Int, Int)].collect().toMap
+    regs shouldBe Sketch.hllRegisters(Seq("a", "b").toDF("k"), "k", p = 8)
+      .as[(Int, Int)].collect().toMap
+    regs.keySet should not contain null
+
+    val empty = Sketch.hllEstimate(
+        Sketch.hllRegisters(Seq.empty[String].toDF("k"), "k", p = 8), 8)
+      .select($"n_buckets_set", $"estimate").as[(Long, Double)]
+      .collect().head
+    empty shouldBe ((0L, 0.0)) // linear counting: 256*ln(256/256)
+  }
+
   test("hll rejects out-of-range precision") {
     val keys = Seq("a").toDF("k")
     an[IllegalArgumentException] should be thrownBy
