@@ -1229,6 +1229,54 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // Scale primitive — sketch SET-ALGEBRA: cross-source vocabulary
+    // overlap by inclusion-exclusion over per-source HLL registers
+    // (union registers = elementwise max — ONE corpus pass builds all
+    // per-source sketches, pair unions merge register tables, never
+    // re-scan). est_overlap rides next to the exact join for the
+    // error-band exhibit; everything hash-gated.
+    "q69_vocab_overlap" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.tokens(col("text"))).as("tok"))
+        .persist()
+      val srcRegs = Sketch.hllRegistersBy(tok, "tok", Seq("source"), p = 8)
+        .persist()
+      val srcEst = Sketch.hllEstimateBy(srcRegs, Seq("source"), p = 8)
+        .select(col("source"), col("estimate"))
+      val srcs = srcRegs.select("source").distinct()
+      val pairs = broadcast(srcs.toDF("source_a"))
+        .crossJoin(broadcast(srcs.toDF("source_b")))
+        .filter(col("source_a") < col("source_b"))
+      val members = pairs.select(col("source_a"), col("source_b"),
+        explode(array(col("source_a"), col("source_b"))).as("source"))
+      val merged = members.join(srcRegs, "source")
+        .groupBy(col("source_a"), col("source_b"), col("bucket"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      val unionEst = Sketch.hllEstimateBy(merged,
+          Seq("source_a", "source_b"), p = 8)
+        .select(col("source_a"), col("source_b"),
+          col("estimate").as("est_union"))
+      val dtok = tok.distinct()
+      val exact = dtok.toDF("source_a", "tok")
+        .join(dtok.toDF("source_b", "tok"), "tok")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      val out = pairs
+        .join(srcEst.toDF("source_a", "est_a"), "source_a")
+        .join(srcEst.toDF("source_b", "est_b"), "source_b")
+        .join(unionEst, Seq("source_a", "source_b"))
+        .join(exact, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("est_a"),
+          col("est_b"), col("est_union"),
+          (round(col("est_a") + col("est_b") - col("est_union"), 9)
+            + lit(0.0)).as("est_overlap"),
+          coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+        .orderBy(col("source_a"), col("source_b"))
+      Dedup.materializeAndRelease(out, tok, srcRegs)
+    }),
+
     // LLM dedup 9 — INCREMENTAL dedup (new batch vs historical content
     // index) through the bloom-pruned ANTI-join: rows the bloom
     // rejects are provably unseen and never enter a shuffle; only the
@@ -2207,6 +2255,81 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // per-source registers + pairwise elementwise-max union, the same
+    // estimate formula as q65 applied per group at both levels
+    "q69_vocab_overlap" ->
+      """WITH tok AS (SELECT source, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT source, tok,
+        |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+        |r AS (SELECT source, CAST(h % 256 AS INTEGER) AS bucket,
+        |  CASE WHEN h // 256 = 0 THEN 53
+        |       ELSE 52 - (length(bin(h // 256)) - 1) END AS rho
+        |  FROM h),
+        |sreg AS (SELECT source, bucket, CAST(MAX(rho) AS INTEGER) AS max_rho
+        |  FROM r GROUP BY 1, 2),
+        |sagg AS (SELECT source, COUNT(*) AS n_set,
+        |  CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) +
+        |    (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS harm
+        |  FROM sreg GROUP BY 1),
+        |sraw AS (SELECT source, n_set,
+        |  CAST(0.7213 AS DOUBLE) /
+        |    (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |    * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+        |    * CAST(9007199254740992.0 AS DOUBLE) / CAST(harm AS DOUBLE) AS raw
+        |  FROM sagg),
+        |sest AS (SELECT source,
+        |  CASE WHEN (256 - n_set) > 0 AND raw < 640.0
+        |       THEN round(CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) /
+        |         CAST(256 - n_set AS DOUBLE)), 9)
+        |       ELSE round(raw, 9) END + 0.0 AS estimate
+        |  FROM sraw),
+        |srcs AS (SELECT DISTINCT source FROM sreg),
+        |pairs AS (SELECT a.source AS source_a, b.source AS source_b
+        |  FROM srcs a, srcs b WHERE a.source < b.source),
+        |members AS (
+        |  SELECT source_a, source_b, source_a AS source FROM pairs
+        |  UNION ALL
+        |  SELECT source_a, source_b, source_b AS source FROM pairs),
+        |mreg AS (SELECT m.source_a, m.source_b, g.bucket,
+        |    MAX(g.max_rho) AS max_rho
+        |  FROM members m JOIN sreg g ON g.source = m.source
+        |  GROUP BY 1, 2, 3),
+        |magg AS (SELECT source_a, source_b, COUNT(*) AS n_set,
+        |  CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) +
+        |    (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS harm
+        |  FROM mreg GROUP BY 1, 2),
+        |mraw AS (SELECT source_a, source_b, n_set,
+        |  CAST(0.7213 AS DOUBLE) /
+        |    (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |    * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+        |    * CAST(9007199254740992.0 AS DOUBLE) / CAST(harm AS DOUBLE) AS raw
+        |  FROM magg),
+        |uest AS (SELECT source_a, source_b,
+        |  CASE WHEN (256 - n_set) > 0 AND raw < 640.0
+        |       THEN round(CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) /
+        |         CAST(256 - n_set AS DOUBLE)), 9)
+        |       ELSE round(raw, 9) END + 0.0 AS est_union
+        |  FROM mraw),
+        |dtok AS (SELECT DISTINCT source, tok FROM h),
+        |exact AS (SELECT x.source AS source_a, y.source AS source_b,
+        |    COUNT(*) AS exact_overlap
+        |  FROM dtok x JOIN dtok y ON x.tok = y.tok AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b,
+        |  ea.estimate AS est_a, eb.estimate AS est_b, u.est_union,
+        |  round(ea.estimate + eb.estimate - u.est_union, 9) + 0.0
+        |    AS est_overlap,
+        |  COALESCE(e.exact_overlap, 0) AS exact_overlap
+        |FROM pairs p
+        |JOIN sest ea ON ea.source = p.source_a
+        |JOIN sest eb ON eb.source = p.source_b
+        |JOIN uest u ON u.source_a = p.source_a AND u.source_b = p.source_b
+        |LEFT JOIN exact e ON e.source_a = p.source_a
+        |  AND e.source_b = p.source_b
+        |ORDER BY 1, 2""".stripMargin,
 
     // plain NOT-IN twin: the bloom split must be answer-invariant
     "q68_incremental_dedup" ->

@@ -106,7 +106,19 @@ object Sketch {
     * "0" for 0), no floating log anywhere. w = 0 (all 60−p bits zero)
     * gets the conventional max rho, 60−p+1.
     */
-  def hllRegisters(keys: DataFrame, keyCol: String, p: Int): DataFrame = {
+  def hllRegisters(keys: DataFrame, keyCol: String, p: Int): DataFrame =
+    hllRegistersBy(keys, keyCol, Nil, p)
+
+  /** [[hllRegisters]] per group: one register table per distinct
+    * `groupCols` value in the SAME single aggregate pass — per-source
+    * / per-shard / per-day distinct sketches for the cost of one
+    * groupBy, each independently mergeable by elementwise max (sketch
+    * set-algebra: the union's registers are the pairwise max, so
+    * overlap estimates fall out by inclusion–exclusion with no second
+    * corpus pass).
+    */
+  def hllRegistersBy(keys: DataFrame, keyCol: String,
+                     groupCols: Seq[String], p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16]: $p")
     val m = 1L << p
     // nulls are excluded, matching COUNT(DISTINCT) — md5(null) would
@@ -121,8 +133,10 @@ object Sketch {
         org.apache.spark.sql.catalyst.expressions.Literal(m)))
     val rho = when(w === 0L, lit(60 - p + 1))
       .otherwise(lit(60 - p) - (length(bin(w)) - 1))
-    nonNull.select(pmod(h, lit(m)).cast("int").as("bucket"), rho.as("__rho"))
-      .groupBy("bucket").agg(max(col("__rho")).cast("int").as("max_rho"))
+    nonNull.select(groupCols.map(col) :+
+        pmod(h, lit(m)).cast("int").as("bucket") :+ rho.as("__rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("__rho")).cast("int").as("max_rho"))
   }
 
   /** Distinct-count estimate from an HLL register table: the standard
@@ -138,19 +152,31 @@ object Sketch {
     * expression and ln goes through the round-to-9 idiom (q27).
     * Returns one row: (n_buckets_set, harmonic_sum_scaled, estimate).
     */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    hllEstimateBy(registers, Nil, p)
+
+  /** [[hllEstimate]] per group: one estimate row per distinct
+    * `groupCols` value of a [[hllRegistersBy]] table (or any merged
+    * register table carrying those columns).
+    */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String],
+                    p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16]: $p")
     val m = 1L << p
     val cap = 61 - p // max_rho ≤ 61-p ⇒ shift ∈ [0, cap-1] for set buckets
     // shiftleft's Scala binding takes only a literal bit count — the
     // SQL form shifts by a column
-    val agg = registers.agg(
-      count(lit(1)).as("n_buckets_set"),
+    val aggExprs = Seq(
       // coalesce: an EMPTY register table (zero distinct keys) must
       // flow through as sum 0, not null — the correction branch then
       // yields the correct m*ln(m/m) = 0 estimate
       coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $cap - max_rho)")),
         lit(0L)).as("__set_sum"))
+    val agg =
+      if (groupCols.isEmpty)
+        registers.agg(count(lit(1)).as("n_buckets_set"), aggExprs.head)
+      else registers.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_buckets_set"), aggExprs.head)
     // absent buckets are rho=0 registers: each contributes 2^cap
     val sumScaled = col("__set_sum") +
       (lit(m) - col("n_buckets_set")) * lit(1L << cap)
@@ -171,7 +197,7 @@ object Sketch {
       .otherwise(round(raw, 9)) + lit(0.0)
     agg.withColumn("__harm", sumScaled)
       .withColumn("estimate", corrected)
-      .select(col("n_buckets_set"), col("__harm").as("harmonic_sum_scaled"),
-        col("estimate"))
+      .select(groupCols.map(col) :+ col("n_buckets_set") :+
+        col("__harm").as("harmonic_sum_scaled") :+ col("estimate"): _*)
   }
 }

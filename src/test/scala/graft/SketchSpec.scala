@@ -149,6 +149,21 @@ class SketchSpec extends SparkSpec {
     empty shouldBe ((0L, 0.0)) // linear counting: 256*ln(256/256)
   }
 
+  test("hllRegistersBy/hllEstimateBy: per-group sketches equal per-subset global sketches") {
+    val df = (1 to 300).map(i => (s"g${i % 3}", s"k${i % 97}")).toDF("g", "k")
+    val grouped = Sketch.hllEstimateBy(
+        Sketch.hllRegistersBy(df, "k", Seq("g"), p = 7), Seq("g"), p = 7)
+      .select($"g", $"n_buckets_set", $"harmonic_sum_scaled", $"estimate")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val expected = Seq("g0", "g1", "g2").map { g =>
+      val one = Sketch.hllEstimate(
+          Sketch.hllRegisters(df.filter($"g" === g).select($"k"), "k", 7), 7)
+        .as[(Long, Long, Double)].collect().head
+      (g, one._1, one._2, one._3)
+    }
+    grouped shouldBe expected
+  }
+
   test("hll rejects out-of-range precision") {
     val keys = Seq("a").toDF("k")
     an[IllegalArgumentException] should be thrownBy
