@@ -1229,6 +1229,17 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // LLM curation 9 — temperature-flattened source mixing (mT5/LLaMA
+    // α-exponent convention): per-source keep-rates DERIVED FROM THE
+    // DATA (α=0.5 flattens, budget = half the corpus), realized by the
+    // same pure md5 coin as q46 — the kept ROW SET hash-matches.
+    "q70_temperature_mix" -> ((s, dir) => {
+      Curation.sampleTemperature(Tables.documents(s, dir), "doc_id",
+          "source", alpha = 0.5, budgetFraction = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Scale primitive — sketch SET-ALGEBRA: cross-source vocabulary
     // overlap by inclusion-exclusion over per-source HLL registers
     // (union registers = elementwise max — ONE corpus pass builds all
@@ -2255,6 +2266,29 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // identical rate arithmetic: round-9 pow, DECIMAL weight sum,
+    // one IEEE chain, integer coin vs floor(rate*2^32)
+    "q70_temperature_mix" ->
+      """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM documents),
+        |w AS (SELECT source, n, total,
+        |  round(pow(CAST(n AS DOUBLE) / CAST(total AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE)), 9) AS w
+        |  FROM cnt CROSS JOIN tot),
+        |ws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(20,9))) AS DOUBLE) AS wsum
+        |  FROM w),
+        |rates AS (SELECT source,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE) * (w / wsum) /
+        |      CAST(n AS DOUBLE)) AS keep_rate
+        |  FROM w CROSS JOIN ws)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT)
+        |  < CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // per-source registers + pairwise elementwise-max union, the same
     // estimate formula as q65 applied per group at both levels

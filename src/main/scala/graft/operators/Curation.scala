@@ -278,6 +278,56 @@ object Curation {
           lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  // ------------------------------------------- temperature mixing
+
+  /** Temperature-flattened source mixing — the mT5/LLaMA-style rate
+    * computation on top of the [[sampleStratified]] coin: per-stratum
+    * keep-rates are DERIVED FROM THE DATA as p_s ∝ (n_s/N)^α (the mT5
+    * exponent convention: α < 1 flattens toward uniform, α = 1 is
+    * proportional sampling), scaled to a total budget of
+    * `budgetFraction`·N rows and capped at 1. The
+    * classic fix for web-dominated corpora: hot sources downsample
+    * hard, rare sources keep (nearly) everything.
+    *
+    * Scale design: rates come from ONE stratum-count aggregate
+    * (broadcast — strata are few), the sample itself stays the pure
+    * per-row md5 predicate (no shuffle, layout-independent,
+    * reproducible). Determinism: the transcendental pow rounds to 9 dp
+    * (q27 idiom), the weight SUM runs in DECIMAL (order-independent),
+    * the remaining arithmetic is one IEEE chain written identically in
+    * the twin, and the coin comparison is integer vs
+    * floor(rate·2³²) — so the kept ROW SET is engine-exact.
+    */
+  def sampleTemperature(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double,
+                        budgetFraction: Double): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive: $alpha")
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      s"budgetFraction must be in (0,1]: $budgetFraction")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val tot = df.agg(count(lit(1)).as("__tot"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .withColumn("__w", round(pow(
+        col("__n").cast("double") / col("__tot").cast("double"),
+        lit(alpha)), 9))
+    // global window, not a self-joined aggregate: the strata table is
+    // tiny (it IS the stratum list) and the single-partition window
+    // avoids the ambiguous self-join lineage
+    val rates = weights
+      .withColumn("__wsum", sum(col("__w").cast("decimal(20,9)"))
+        .over(Window.partitionBy()))
+      .withColumn("__p", col("__w") / col("__wsum").cast("double"))
+      .withColumn("keep_rate", least(lit(1.0),
+        lit(budgetFraction) * col("__tot").cast("double") * col("__p") /
+          col("__n").cast("double")))
+      .select(col(stratumCol), col("keep_rate"))
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), stratumCol)
+      .filter(coin < floor(col("keep_rate") * lit(4294967296.0)).cast("long"))
+      .drop("keep_rate")
+  }
+
   // ---------------------------------------------- contrastive pairs
 
   /** Deterministic negative-pair sampling — the contrastive-training

@@ -326,6 +326,32 @@ class CurationSpec extends SparkSpec {
     out.map(r => (r._1, r._2, r._3)).toSet shouldBe expected
   }
 
+  test("sampleTemperature flattens: the hot stratum downsamples hard, the rare one keeps ~all") {
+    // 900 hot rows vs 100 rare: alpha=0.5 square-roots the shares
+    // (0.9487 vs 0.3162 -> p = 0.75/0.25), budget 50% of 1000 rows
+    val df = ((0 until 900).map(i => (i.toLong, "hot")) ++
+      (900 until 1000).map(i => (i.toLong, "rare"))).toDF("id", "src")
+    val kept = Curation.sampleTemperature(df, "id", "src",
+        alpha = 0.5, budgetFraction = 0.5)
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    // rare keep_rate = 500*0.25/100 = 1.25, caps at 1.0 -> all survive
+    kept("rare") shouldBe 100L
+    // hot keep_rate = 500*0.75/900 ~ 0.4167: the md5 coin realizes it
+    // within sampling noise
+    kept("hot").toDouble shouldBe (900 * 0.4167) +- 60.0
+    // deterministic: the same call yields the same row set
+    val again = Curation.sampleTemperature(df, "id", "src", 0.5, 0.5)
+      .select($"id").as[Long].collect().toSet
+    Curation.sampleTemperature(df, "id", "src", 0.5, 0.5)
+      .select($"id").as[Long].collect().toSet shouldBe again
+    // alpha = 1 is proportional sampling: every stratum keeps ~budget
+    val prop = Curation.sampleTemperature(df, "id", "src", 1.0, 0.5)
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    prop("hot").toDouble shouldBe (900 * 0.5) +- 60.0
+    prop("rare").toDouble shouldBe (100 * 0.5) +- 25.0
+    Curation.sampleTemperature(df, "id", "src", 1.0, 1.0).count() shouldBe 1000L
+  }
+
   test("negativePairs fails fast on a degenerate corpus instead of silently emitting nothing") {
     val one = Seq((0L, "only")).toDF("doc_id", "source")
     val ex = intercept[Exception] {
