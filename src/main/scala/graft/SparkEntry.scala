@@ -1229,6 +1229,53 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // Capstone v3 — the SESSION family end-to-end: incremental dedup
+    // (bloom anti-join vs the even-id history) → context-window
+    // chunking (64/48) → unigram-LM gate (keep chunks better than the
+    // integer-mean NLL — all-integer threshold, adapts to sf) →
+    // temperature mix (alpha=0.5, half budget, md5 coin on the chunk
+    // key) → token-budget shard packing per source. One DuckDB
+    // CTE-chain twin stitched from the q68/q63/q66/q70/q47 fragments;
+    // every stage is individually gated, this pins the COMPOSITION.
+    "q71_training_capstone" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h = sha2(graft.functions.normText(col("text")), 256)
+      val hist = docs.filter(col("doc_id") % 2 === 0).select(h.as("h"))
+      // persisted: chunking AND the source join both read the batch
+      val batch = Scale.bloomPrunedAntiJoin(
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("source"), col("text"), h.as("h")),
+          "h", hist, "h", expectedKeys = 10000L)
+        .drop("h").persist()
+      // persisted: the LM build and the gate join both read the chunks
+      val chunks = Curation.chunkDocs(batch, "doc_id", "text",
+          chunkTokens = 64, strideTokens = 48)
+        .join(batch.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("ckey", col("doc_id") * 1000 + col("chunk_idx"))
+        .persist()
+      val lm = TextAnalysis.unigramLogProb(chunks, "ckey", "chunk_text")
+      val thr = lm.agg(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              sum(col("nll_mean_nano"))),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              count(lit(1))))).as("__t"))
+      val keptKeys = lm.crossJoin(broadcast(thr))
+        .filter(col("nll_mean_nano") < col("__t"))
+        .select(col("id").as("ckey"))
+      val gated = chunks.join(keptKeys, "ckey")
+      val mixed = Curation.sampleTemperature(gated, "ckey", "source",
+        alpha = 0.5, budgetFraction = 0.5)
+      Dedup.materializeAndRelease(
+        Curation.packShards(mixed, "source", "ckey", "n_chunk_tok",
+            budget = 2000L)
+          .select(col("source"), col("ckey"), col("n_chunk_tok"),
+            col("shard"))
+          .orderBy(col("source"), col("ckey")),
+        batch, chunks)
+    }),
+
     // LLM curation 9 — temperature-flattened source mixing (mT5/LLaMA
     // α-exponent convention): per-source keep-rates DERIVED FROM THE
     // DATA (α=0.5 flattens, budget = half the corpus), realized by the
@@ -2266,6 +2313,67 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // the q68/q63/q66/q70/q47 fragments composed as one CTE chain;
+    // chunk_text is already-normalized space-joined tokens, so the
+    // chunk-level tokenizer is a plain split
+    "q71_training_capstone" ->
+      """WITH hist AS (SELECT DISTINCT
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 2 = 1
+        |    AND sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      NOT IN (SELECT h FROM hist)),
+        |ta AS (SELECT doc_id, source, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM batch),
+        |st AS (SELECT doc_id, source, toks,
+        |    unnest(range(0, len(toks), 48)) AS start FROM ta),
+        |chunks AS (SELECT
+        |    doc_id * 1000 + CAST(start // 48 AS BIGINT) AS ckey,
+        |    doc_id, source,
+        |    CAST(least(64, len(toks) - start) AS BIGINT) AS n_chunk_tok,
+        |    array_to_string(toks[start + 1 : least(start + 64, len(toks))],
+        |      ' ') AS chunk_text
+        |  FROM st),
+        |ctok AS (SELECT ckey, unnest(string_split(chunk_text, ' ')) AS tok
+        |  FROM chunks),
+        |ccnt AS (SELECT tok, COUNT(*) AS cnt FROM ctok GROUP BY 1),
+        |ctot AS (SELECT COUNT(*) AS total FROM ctok),
+        |csc AS (SELECT ckey, CAST(round(ln(CAST(cnt AS DOUBLE) /
+        |    CAST(total AS DOUBLE)), 9) AS DECIMAL(30,9)) AS lp
+        |  FROM ctok JOIN ccnt USING (tok) CROSS JOIN ctot),
+        |lm AS (SELECT ckey,
+        |    CAST(SUM(lp) * -1000000000 AS BIGINT) // COUNT(*) AS nll
+        |  FROM csc GROUP BY 1),
+        |thr AS (SELECT CAST(SUM(nll) AS BIGINT) // COUNT(*) AS t FROM lm),
+        |gated AS (SELECT c.* FROM chunks c
+        |  JOIN lm ON lm.ckey = c.ckey CROSS JOIN thr
+        |  WHERE lm.nll < thr.t),
+        |mcnt AS (SELECT source, COUNT(*) AS n FROM gated GROUP BY 1),
+        |mtot AS (SELECT COUNT(*) AS total FROM gated),
+        |mw AS (SELECT source, n, total,
+        |    round(pow(CAST(n AS DOUBLE) / CAST(total AS DOUBLE),
+        |      CAST(0.5 AS DOUBLE)), 9) AS w
+        |  FROM mcnt CROSS JOIN mtot),
+        |mws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(20,9))) AS DOUBLE) AS wsum
+        |  FROM mw),
+        |rates AS (SELECT source,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE) * (w / wsum) /
+        |        CAST(n AS DOUBLE)) AS keep_rate
+        |  FROM mw CROSS JOIN mws),
+        |mixed AS (SELECT g.* FROM gated g JOIN rates r USING (source)
+        |  WHERE CAST(('0x' || substr(md5(CAST(g.ckey AS VARCHAR)), 1, 8))
+        |      AS BIGINT)
+        |    < CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT))
+        |SELECT source, ckey, n_chunk_tok,
+        |  CAST(COALESCE(CAST(SUM(n_chunk_tok) OVER (PARTITION BY source
+        |    ORDER BY ckey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) // 2000 AS BIGINT) AS shard
+        |FROM mixed
+        |ORDER BY source, ckey""".stripMargin,
 
     // identical rate arithmetic: round-9 pow, DECIMAL weight sum,
     // one IEEE chain, integer coin vs floor(rate*2^32)
