@@ -45,6 +45,35 @@ class SessionizeSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L)
   }
 
+  test("batch sessions ≡ Spark session_window sessions, INCLUDING the exact-gap boundary") {
+    // both conventions split only when the gap is STRICTLY greater:
+    // an event at exactly prev+gap merges in session_window (probed:
+    // [10:00:00, 10:00:30, +60s] -> sessions of 2 and 1) and stays in
+    // Sessionize.assign — so batch and streaming agree everywhere,
+    // boundary included
+    val rnd = new scala.util.Random(61)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val gapSec = 30L
+    // second-aligned with duplicates and exact-gap deltas guaranteed
+    val rows = Seq.tabulate(300)(i => (i.toLong, s"u${rnd.nextInt(4)}",
+      new Timestamp(base + rnd.nextInt(240) * gapSec * 500L)))
+    val df = rows.toDF("event_id", "key", "ts")
+
+    val batch = Sessionize.assign(df, Seq("key"), "ts", Seq("event_id"),
+        gapSec * 1000000L)
+      .groupBy($"key", $"session_seq")
+      .agg(min($"ts").as("start"), count(lit(1)).as("n"))
+      .select($"key", $"start", $"n")
+      .as[(String, Timestamp, Long)].collect().toSet
+
+    val streaming = graft.streaming.StreamingOps.sessionAgg(df, "ts", "key",
+        s"$gapSec seconds", "1 second", Seq(count(lit(1)).as("n")))
+      .select($"key", $"session_start", $"n")
+      .as[(String, Timestamp, Long)].collect().toSet
+
+    streaming shouldBe batch
+  }
+
   test("property: session count per key equals 1 + number of over-gap adjacent deltas") {
     val rnd = new scala.util.Random(60)
     val base = ts("2024-01-01 00:00:00").getTime
