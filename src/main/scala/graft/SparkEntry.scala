@@ -1229,6 +1229,34 @@ object SparkEntry {
         .orderBy(col("lvl"), col("returnflag"), col("linestatus"))
     }),
 
+    // Source format — WARC (ISO 28500, the Common Crawl container):
+    // documents serialized into 16 WARC file streams (one per bucket,
+    // the segment-sharding shape) and parsed back by the distributed
+    // flatMap. The gate is ROUND-TRIP IDENTITY: parse(write(docs))
+    // must reproduce the table, so the DuckDB twin is the flat table.
+    "q72_warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val files = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey { case (id, _) => id % 16 }
+        .mapGroups { (bucket, rows) =>
+          val recs = rows.toSeq.sortBy(_._1).map { case (id, text) =>
+            ("conversion", s"urn:doc:$id", s"<urn:uuid:$id>",
+              Option(text).getOrElse("").getBytes("UTF-8"))
+          }
+          (bucket, sources.Warc.writeRecords(recs))
+        }
+        .toDF("file_id", "payload")
+      sources.Warc.records(files, "file_id", "payload")
+        .map { case (_, r) =>
+          (r.target_uri.stripPrefix("urn:doc:").toLong,
+            new String(r.body, "UTF-8"), r.content_length)
+        }
+        .toDF("doc_id", "text", "content_length")
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2313,6 +2341,14 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // round-trip identity: the twin is the flat table (content_length
+    // = UTF-8 byte length, which strlen measures)
+    "q72_warc_roundtrip" ->
+      """SELECT doc_id, text,
+        |  CAST(strlen(text) AS BIGINT) AS content_length
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // the q68/q63/q66/q70/q47 fragments composed as one CTE chain;
     // chunk_text is already-normalized space-joined tokens, so the
