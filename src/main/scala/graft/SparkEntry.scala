@@ -1257,6 +1257,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style importance selection: hashed unigram+bigram bucket
+    // models (target = src0's docs, raw = the whole corpus), add-one
+    // smoothing, per-feature round-9 DECIMAL log-ratio sum — then the
+    // selection policy: top-100 NON-target docs by weight. The rank
+    // window runs over the already-limited 100-row set (orderBy+limit
+    // plans as TakeOrderedAndProject — the scale path; the global
+    // window is only ever applied to k rows).
+    "q73_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = operators.Curation.importanceWeights(
+        docs, "doc_id", "text", col("source") === "src0", buckets = 1024)
+      val raw = w.join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .filter(col("source") =!= "src0")
+      val top = raw
+        .orderBy(col("log_weight").desc, col("id").asc)
+        .limit(100)
+      top
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("log_weight").desc, col("id").asc)))
+        .select(col("id").as("doc_id"), col("nfeat"),
+          col("log_weight"), col("rk"))
+        .orderBy(col("rk"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2349,6 +2374,43 @@ object SparkEntry {
         |  CAST(strlen(text) AS BIGINT) AS content_length
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // identical feature spec (unigrams + bigrams WITH multiplicity,
+    // md5/8-hex bucket mod 1024), add-one smoothing, per-feature
+    // round-9 DECIMAL log-ratio — so the weights AND the top-100
+    // selection hash-match
+    "q73_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |feat AS (SELECT doc_id, source = 'src0' AS tgt,
+        |    unnest(list_concat(toks,
+        |      list_transform(range(len(toks)-1),
+        |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+        |  FROM tok),
+        |fb AS (SELECT doc_id, tgt,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM feat),
+        |cr AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY 1),
+        |ct AS (SELECT b, COUNT(*) AS ct FROM fb WHERE tgt GROUP BY 1),
+        |tr AS (SELECT SUM(cr) AS tr FROM cr),
+        |tt AS (SELECT COALESCE(SUM(ct), 0) AS tt FROM ct),
+        |lp AS (SELECT fb.doc_id, fb.tgt,
+        |    CAST(round(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) /
+        |      CAST(tt.tt + 1024 AS DOUBLE)), 9) AS DECIMAL(30,9)) -
+        |    CAST(round(ln(CAST(cr.cr + 1 AS DOUBLE) /
+        |      CAST(tr.tr + 1024 AS DOUBLE)), 9) AS DECIMAL(30,9)) AS lp
+        |  FROM fb JOIN cr USING (b) LEFT JOIN ct USING (b)
+        |  CROSS JOIN tr CROSS JOIN tt),
+        |w AS (SELECT doc_id, COUNT(*) AS nfeat,
+        |    CAST(SUM(lp) AS DOUBLE) AS log_weight
+        |  FROM lp WHERE NOT tgt GROUP BY 1)
+        |SELECT doc_id, nfeat, log_weight,
+        |  CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id)
+        |    AS INTEGER) AS rk
+        |FROM w
+        |ORDER BY log_weight DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // the q68/q63/q66/q70/q47 fragments composed as one CTE chain;
     // chunk_text is already-normalized space-joined tokens, so the

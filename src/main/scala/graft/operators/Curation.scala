@@ -328,6 +328,88 @@ object Curation {
       .drop("keep_rate")
   }
 
+  // ------------------------------------------ importance weighting
+
+  /** DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw-corpus document by how much more likely its
+    * hashed n-gram bag is under a small TARGET corpus's bag-of-buckets
+    * model than under the raw corpus's own — the standing method for
+    * "make the web crawl look like Wikipedia" selection. Features are
+    * word unigrams + bigrams WITH multiplicity (a bag, not a set —
+    * unlike [[Dedup.shingles]]' distinct sets), hashed into `buckets`
+    * md5 buckets; both models use add-one smoothing, and the document
+    * score is log w(x) = Σ_features [ln p_target(b) − ln p_raw(b)].
+    * Ranking by it (or thresholding, or Gumbel-perturbing) is the
+    * caller's selection policy; this operator computes the weights.
+    *
+    * `isTarget` is a predicate over `docs` marking the target rows
+    * (the common case: a source/quality tag on the same frame); a
+    * separate target corpus unions in with the flag set. Target rows
+    * contribute to BOTH models — raw = the whole frame, per the paper.
+    *
+    * Determinism (the q65/q66 idiom): each per-feature log term is
+    * round-9'd into DECIMAL(30,9) BEFORE the per-document sum, so the
+    * weight is an exact decimal — order-independent, engine-exact, and
+    * hash-gatable; `log_weight` is that decimal cast to double.
+    *
+    * Scale design: feature rows are narrow (id, bucket) pairs —
+    * Θ(2 × corpus tokens); the two count tables are ≤ `buckets` rows
+    * and broadcast; totals ride as broadcast 1-row scalars; one hash
+    * aggregate per document. No all-pairs term anywhere — the whole
+    * point of DSIR's hashed features is that the model fits in a
+    * broadcast no matter the corpus size.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: org.apache.spark.sql.Column,
+                        buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    // token array materialized as a column BEFORE the bigram lambda
+    // reads it, with the inert filter barrier holding the projections
+    // apart (the Dedup.shingles re-inlining trap)
+    val tok = docs
+      .select(col(idCol).as("id"), isTarget.as("__tgt"),
+        graft.functions.tokens(col(textCol)).as("__toks"))
+      .filter(coalesce(size(col("__toks")) >= -1, lit(true)))
+    // sequence(1, size-1) would RISE for size=1 (Spark defaults to
+    // step -1 when start > stop), hence the explicit size guard
+    val bigrams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feat = tok
+      .select(col("id"), col("__tgt"),
+        explode(concat(col("__toks"), bigrams)).as("f"))
+      .select(col("id"), col("__tgt"),
+        pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+      .persist()
+    val cntR = feat.groupBy("b").agg(count(lit(1)).as("cr"))
+    val cntT = feat.filter(col("__tgt")).groupBy("b")
+      .agg(count(lit(1)).as("ct"))
+    val totR = cntR.agg(sum(col("cr")).as("__tr"))
+    val totT = cntT.agg(coalesce(sum(col("ct")), lit(0L)).as("__tt"))
+    def lp(cnt: org.apache.spark.sql.Column,
+           tot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log((cnt + lit(1L)).cast("double") /
+        (tot + lit(buckets.toLong)).cast("double")), 9)
+        .cast("decimal(30,9)")
+    val out = feat
+      .join(broadcast(cntR), "b")
+      .join(broadcast(cntT), Seq("b"), "left")
+      .crossJoin(broadcast(totR))
+      .crossJoin(broadcast(totT))
+      .withColumn("__lp",
+        lp(coalesce(col("ct"), lit(0L)), col("__tt")) -
+          lp(col("cr"), col("__tr")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("nfeat"), sum(col("__lp")).as("__w"))
+      .select(col("id"), col("nfeat"),
+        col("__w").cast("double").as("log_weight"))
+    Dedup.materializeAndRelease(out, feat)
+  }
+
   // ---------------------------------------------- contrastive pairs
 
   /** Deterministic negative-pair sampling — the contrastive-training

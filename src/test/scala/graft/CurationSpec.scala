@@ -370,4 +370,56 @@ class CurationSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Curation.chunkDocs(docs, "doc_id", "text", 4, 0)
   }
+
+  test("importanceWeights matches an independent DSIR reference; target-like docs outrank dissimilar ones") {
+    val B = 64
+    val rows = Seq(
+      (0L, "alpha beta alpha beta", true),  // target
+      (1L, "alpha beta gamma", true),       // target
+      (2L, "alpha beta alpha", false),      // raw, target-like
+      (3L, "zeta eta theta iota", false),   // raw, dissimilar
+      (4L, "alpha", false)                  // raw, single token: no bigram
+    )
+    val docs = rows.toDF("doc_id", "text", "tgt")
+    val got = Curation.importanceWeights(docs, "doc_id", "text", $"tgt", B)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent reference: same md5 bucket spec + smoothing formula,
+    // written from scratch (the negativePairs reference idiom)
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def bucket(f: String) = java.lang.Long.parseLong(md5Hex(f).take(8), 16) % B
+    def feats(t: String): Seq[String] = {
+      val toks = t.split(" ").toSeq
+      toks ++ (if (toks.size >= 2)
+        toks.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+    }
+    val featRows = rows.flatMap { case (id, txt, tgt) =>
+      feats(txt).map(f => (id, tgt, bucket(f))) }
+    val cr = featRows.groupBy(_._3).map { case (b, v) => b -> v.size }
+    val ct = featRows.filter(_._2).groupBy(_._3)
+      .map { case (b, v) => b -> v.size }
+    val tr = featRows.size
+    val tt = featRows.count(_._2)
+    def lp(c: Int, tot: Int): BigDecimal =
+      BigDecimal(math.log((c + 1.0) / (tot + B.toDouble)))
+        .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    val expected = rows.map { case (id, txt, _) =>
+      id -> feats(txt).map { f =>
+        val b = bucket(f)
+        lp(ct.getOrElse(b, 0), tt) - lp(cr(b), tr)
+      }.sum.toDouble
+    }.toMap
+
+    got.keySet shouldBe expected.keySet
+    rows.foreach { case (id, txt, _) =>
+      got(id)._1 shouldBe feats(txt).size.toLong // nfeat = 2*ntok - 1
+      got(id)._2 shouldBe expected(id) +- 1e-9
+    }
+    // the target-like raw doc scores strictly above the dissimilar one
+    got(2L)._2 should be > got(3L)._2
+    an[IllegalArgumentException] should be thrownBy
+      Curation.importanceWeights(docs, "doc_id", "text", $"tgt", 1)
+  }
 }
