@@ -1282,6 +1282,19 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    // SemDeDup: semantic dedup by clustered cosine pruning. The
+    // quantizer here is the SQL-reproducible id-slice (vec_id < 32) so
+    // the WHOLE pipeline — assignment, within-cluster pairs, drop
+    // manifest — hash-matches the twin; production callers pass
+    // ivfCentroids/ivfCentroidsRefined instead (same operator).
+    "q74_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 32)
+      val (_, dropped) = operators.Similarity.semDedup(
+        emb, "vec_id", "embedding", cents, "vec_id", "embedding", t = 0.4)
+      dropped.orderBy(col("vec_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2411,6 +2424,34 @@ object SparkEntry {
         |FROM w
         |ORDER BY log_weight DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    // same quantizer slice, same (sim DESC, cent_id) assignment
+    // tie-break, same chained lower-id drop rule — manifest is
+    // hash-exact including the cosines (the q13 list_cosine_similarity
+    // parity)
+    "q74_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 32),
+        |s AS (SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+        |      AS rk
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT s.vec_id, s.cent_id, e.v
+        |  FROM s JOIN e USING (vec_id) WHERE rk = 1),
+        |p AS (SELECT x.vec_id, x.cent_id, y.vec_id AS dup_of,
+        |    list_cosine_similarity(x.v, y.v) AS cos_sim
+        |  FROM a x JOIN a y
+        |    ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+        |d AS (SELECT vec_id, cent_id, dup_of, cos_sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, dup_of) AS rk
+        |  FROM p)
+        |SELECT vec_id, cent_id, dup_of, cos_sim
+        |FROM d WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
 
     // the q68/q63/q66/q70/q47 fragments composed as one CTE chain;
     // chunk_text is already-normalized space-joined tokens, so the

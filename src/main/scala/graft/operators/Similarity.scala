@@ -292,4 +292,61 @@ object Similarity {
       .filter(col("cos_sim") >= t)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space, then prune near-identical vectors WITHIN each
+    * cluster — the published recipe for semantic (not string-level)
+    * dedup of web corpora. Drop rule, deterministic: a vector is
+    * dropped iff SOME lower-id vector in its cluster has cosine ≥ `t`
+    * to it; the reported `dup_of` is the best such partner
+    * (max cos, then min id). Returns (kept, dropped-manifest) — the
+    * [[Curation.decontaminate]] contract shape.
+    *
+    * `cents` is the caller's quantizer (any (id, vec) frame —
+    * [[ivfCentroids]], [[ivfCentroidsRefined]], or a plain id-range
+    * slice when the choice must be SQL-reproducible, as q74's oracle
+    * twin requires). Assignment ties break (max cos, min cent_id),
+    * matching a `row_number() OVER (ORDER BY sim DESC, cent_id)` twin.
+    *
+    * Scale design — the paper's own cost model: assignment is an n×C
+    * broadcast; the pairwise stage is Θ(Σ_c m_c²), made tractable by C
+    * keeping cluster sizes bounded (C grows with the corpus so n/C
+    * stays fixed; SemDeDup runs with tens of thousands of clusters at
+    * web scale). The quadratic term lives INSIDE a keyed equi-join on
+    * cent_id — never a corpus cross join — so a hot cluster is a skew
+    * problem (AQE-splittable), not a plan problem.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               cents: DataFrame, centIdCol: String, centVecCol: String,
+               t: Double): (DataFrame, DataFrame) = {
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val c = broadcast(cents.select(col(centIdCol).as("cent_id"),
+      col(centVecCol).as("cv")))
+    // nearest-centroid assignment; (sim, -cent_id) struct ⇒ exact ties
+    // pick the SMALLEST cent_id, the twin's ORDER BY sim DESC, cent_id
+    val assigned = e.join(c)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+          struct(cosineSim(col("v"), col("cv")),
+            negate(col("cent_id")))).as("cent_id"),
+        first(col("v")).as("v"))
+      .persist() // both sides of the within-cluster join
+    val b = assigned.select(col("vec_id").as("dup_of"), col("cent_id"),
+      col("v").as("bv"))
+    val pairs = assigned.join(b, Seq("cent_id"))
+      .filter(col("dup_of") < col("vec_id"))
+      .withColumn("cos_sim", cosineSim(col("v"), col("bv")))
+      .filter(col("cos_sim") >= t)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("dup_of").asc)
+    val dropped = Dedup.materializeAndRelease(
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cent_id"), col("dup_of"),
+          col("cos_sim")),
+      assigned)
+    val kept = emb.join(dropped.select(col("vec_id").as(idCol)), Seq(idCol),
+      "left_anti")
+    (kept, dropped)
+  }
 }

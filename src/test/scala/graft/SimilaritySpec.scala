@@ -171,4 +171,30 @@ class SimilaritySpec extends SparkSpec {
     // no false positives possible (exact verify); orthogonal/opposite never appear
     out.foreach { case (a, b) => Set(2L, 3L) should not contain a }
   }
+
+  test("semDedup drops within-cluster near-dups toward the lowest id, keeps the rest") {
+    // two obvious clusters along e1 and e2; ids 0/1 double as centroids
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),    // A centroid
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),    // B centroid
+      (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),   // A: cos to 0 ≈ 0.99494 -> dropped, dup_of 0
+      (3L, Seq(0.5f, 0.8f, 0.0f, 0.0f)),    // B: cos to 1 ≈ 0.848 -> kept
+      (4L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),   // exact dup of 2 -> dropped, dup_of 2 (cos 1 beats 0's 0.995)
+      (5L, Seq(0.0f, 0.999f, 0.01f, 0.0f))  // B: cos to 1 ≈ 0.99995 -> dropped, dup_of 1
+    ).toDF("id", "vec")
+    val cents = emb.filter($"id" < 2)
+    val (kept, dropped) = Similarity.semDedup(emb, "id", "vec",
+      cents, "id", "vec", t = 0.95)
+    val d = dropped.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // chained rule: 4 drops against 2 even though 2 is itself dropped
+    d shouldBe Map(2L -> (0L, 0L), 4L -> (0L, 2L), 5L -> (1L, 1L))
+    kept.select($"id").as[Long].collect().toSet shouldBe Set(0L, 1L, 3L)
+    // kept keeps the ORIGINAL schema (anti-join, no projection)
+    kept.columns.toSeq shouldBe Seq("id", "vec")
+    // deterministic: same call, same manifest (incl. cos values)
+    val again = Similarity.semDedup(emb, "id", "vec",
+      cents, "id", "vec", t = 0.95)._2.collect().toSeq
+    again.map(_.toSeq) shouldBe dropped.collect().toSeq.map(_.toSeq)
+  }
 }
