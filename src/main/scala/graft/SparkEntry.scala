@@ -1295,6 +1295,54 @@ object SparkEntry {
       dropped.orderBy(col("vec_id"))
     }),
 
+    // Capstone v4 — the WEB pipeline end-to-end, from container bytes
+    // to curated corpus: WARC serialize+parse (the q72 identity, now
+    // with real URLs) → host extraction from the URI → row-local
+    // quality gates (n_tokens ≥ 20, type-token ratio ≥ 0.4) → exact
+    // dedup (canonical min-id per normalized content hash) → benchmark
+    // decontamination (3-shingle Jaccard ≥ 0.5 vs the id%97 contam
+    // set) → per-host quota (top-10 longest). Stage order: cheap
+    // per-row gates first, dedup before the expensive shingle join,
+    // quota last — the order a 100 TB run wants.
+    "q75_web_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val files = docs.as[(Long, String)]
+        .groupByKey { case (id, _) => id % 16 }
+        .mapGroups { (bucket, rows) =>
+          val recs = rows.toSeq.sortBy(_._1).map { case (id, text) =>
+            ("conversion", s"https://d${id % 37}.example.com/doc/$id",
+              s"<urn:uuid:$id>",
+              Option(text).getOrElse("").getBytes("UTF-8"))
+          }
+          (bucket, sources.Warc.writeRecords(recs))
+        }
+        .toDF("file_id", "payload")
+      val parsed = sources.Warc.records(files, "file_id", "payload")
+        .map { case (_, r) => (r.target_uri, new String(r.body, "UTF-8")) }
+        .toDF("uri", "text")
+        .select(
+          element_at(split(col("uri"), "/"), 5).cast("long").as("doc_id"),
+          element_at(split(col("uri"), "/"), 3).as("host"),
+          col("text"))
+      val st = operators.TextAnalysis.tokenStats(col("text"))
+      val gated = parsed
+        .withColumn("n_tokens", st.getField("n_tokens").cast("long"))
+        .withColumn("__ttr", st.getField("type_token_ratio"))
+        .filter(col("n_tokens") >= 20 && col("__ttr") >= 0.4)
+        .drop("__ttr")
+      val canon = operators.Dedup.exact(gated, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val unique = gated.join(canon, Seq("doc_id")) // semi on canonicals
+      val contam = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val (clean, _) = operators.Curation.decontaminate(unique,
+        "doc_id", "text", contam, "doc_id", "text", n = 3, t = 0.5)
+      operators.Curation.capPerGroup(clean, Seq("host"),
+          Seq(length(col("text")).desc, col("doc_id").asc), quota = 10)
+        .select(col("doc_id"), col("host"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2452,6 +2500,57 @@ object SparkEntry {
         |SELECT vec_id, cent_id, dup_of, cos_sim
         |FROM d WHERE rk = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // same chain: uri synth + split-parse (round trip is identity per
+    // q72), tokenize-once gates, min-id-per-normalized-text dedup,
+    // 3-shingle Jaccard decontam (q42 fragment), per-host quota window
+    "q75_web_pipeline" ->
+      """WITH base AS (SELECT doc_id,
+        |    'https://d' || CAST(doc_id % 37 AS VARCHAR) ||
+        |      '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    text
+        |  FROM documents),
+        |parsed AS (SELECT
+        |    CAST(string_split(uri, '/')[5] AS BIGINT) AS doc_id,
+        |    string_split(uri, '/')[3] AS host, text
+        |  FROM base),
+        |tok AS (SELECT doc_id, host, text,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM parsed),
+        |gated AS (SELECT doc_id, host, text, toks,
+        |    len(toks) AS n_tokens
+        |  FROM tok
+        |  WHERE len(toks) >= 20
+        |    AND CAST(len(list_distinct(toks)) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) >= 0.4),
+        |dd AS (SELECT *, row_number() OVER (
+        |    PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS drk
+        |  FROM gated),
+        |u AS (SELECT doc_id, host, text, toks, n_tokens
+        |  FROM dd WHERE drk = 1),
+        |sh_u AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(len(toks)-2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        |  FROM u WHERE len(toks) >= 3),
+        |sh_c AS (SELECT t.doc_id,
+        |    list_distinct(list_transform(range(len(t.toks)-2),
+        |      i -> t.toks[i+1] || ' ' || t.toks[i+2] || ' ' || t.toks[i+3])) AS s
+        |  FROM tok t WHERE t.doc_id % 97 = 0 AND len(t.toks) >= 3),
+        |drop_ids AS (SELECT DISTINCT a.doc_id
+        |  FROM sh_u a JOIN sh_c c ON
+        |    CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(c.s) - len(list_intersect(a.s, c.s))
+        |      AS DOUBLE) >= 0.5),
+        |clean AS (SELECT u.* FROM u
+        |  WHERE u.doc_id NOT IN (SELECT doc_id FROM drop_ids)),
+        |q AS (SELECT doc_id, host, n_tokens,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY length(text) DESC, doc_id) AS qrk
+        |  FROM clean)
+        |SELECT doc_id, host, n_tokens
+        |FROM q WHERE qrk <= 10
+        |ORDER BY doc_id""".stripMargin,
 
     // the q68/q63/q66/q70/q47 fragments composed as one CTE chain;
     // chunk_text is already-normalized space-joined tokens, so the
