@@ -1343,6 +1343,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // First-occurrence novelty: what fraction of each doc's 3-shingles
+    // has no earlier (lower-id) owner — the corpus-redundancy
+    // diagnostic; narrow hash-keyed joins only
+    "q76_novelty" -> ((s, dir) => {
+      operators.TextAnalysis.noveltyScores(
+          Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2550,6 +2560,22 @@ object SparkEntry {
         |  FROM clean)
         |SELECT doc_id, host, n_tokens
         |FROM q WHERE qrk <= 10
+        |ORDER BY doc_id""".stripMargin,
+
+    // same distinct-3-shingle sets; min-id first owner; integer novel
+    // count + one final division
+    "q76_novelty" ->
+      s"""WITH $SHINGLES_CTE,
+        |ex AS (SELECT doc_id, sz, unnest(s) AS g FROM shz),
+        |f AS (SELECT g, MIN(doc_id) AS first_id FROM ex GROUP BY 1),
+        |agg AS (SELECT e.doc_id, e.sz,
+        |    CAST(SUM(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM ex e JOIN f USING (g)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, sz AS n_shingles, n_novel,
+        |  CAST(n_novel AS DOUBLE) / CAST(sz AS DOUBLE) AS novelty
+        |FROM agg
         |ORDER BY doc_id""".stripMargin,
 
     // the q68/q63/q66/q70/q47 fragments composed as one CTE chain;

@@ -320,4 +320,39 @@ object TextAnalysis {
         r.getField("dup_ngram_rate").as("dup_ngram_rate") :+
         r.getField("top_token_ratio").as("top_token_ratio"): _*)
   }
+
+  /** First-occurrence novelty — per document, the fraction of its
+    * distinct word n-shingles that NO earlier document (by id order —
+    * the corpus's arrival/crawl order) contains: the standing
+    * redundancy diagnostic for curation ("is batch k still adding
+    * content, or re-crawling what batch k−1 already got?") and the
+    * score behind novelty-ordered curricula. A shingle's first owner
+    * is its min id; a doc's novelty is |shingles first seen here| /
+    * |shingles|. Exact duplicates of earlier docs score 0.
+    *
+    * Shares [[Dedup.hashedShingles]] (distinct 64-bit-hashed shingles,
+    * cache-bounded projection), so the join shuffles narrow (id, hash)
+    * longs — never strings; the first-owner table is vocabulary-sized
+    * and stays a keyed shuffle join on the hash (NOT broadcast — at
+    * corpus scale the shingle vocabulary dwarfs memory). Same
+    * collision qualification as the dedup family (P ≈ sz²/2⁶⁵): a
+    * colliding shingle could read as seen-before. Docs with < n tokens
+    * are unshingleable and absent, the [[Dedup.shingles]] contract.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val sh = Dedup.hashedShingles(docs, idCol, textCol, n,
+      materialize = true)
+    val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val firstSeen = ex.groupBy("s").agg(min(col("id")).as("first_id"))
+    val out = ex.join(firstSeen, "s")
+      .groupBy(col("id"), col("sz"))
+      .agg(sum(when(col("first_id") === col("id"), lit(1L))
+        .otherwise(lit(0L))).as("n_novel"))
+      .select(col("id"), col("sz").cast("long").as("n_shingles"),
+        col("n_novel"),
+        (col("n_novel").cast("double") / col("sz").cast("double"))
+          .as("novelty"))
+    Dedup.materializeAndRelease(out, sh)
+  }
 }

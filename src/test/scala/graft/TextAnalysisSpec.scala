@@ -185,4 +185,17 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy($"id").select($"nll_mean_nano").as[Long].collect()
     nll(0) should be < nll(1) // lower nll = more corpus-typical
   }
+
+  test("noveltyScores: first owner scores 1, partial overlap fractional, exact dup 0, unshingleable absent") {
+    val docs = Seq(
+      (1L, "a b c d"), // {abc, bcd}: both first seen here -> 1.0
+      (2L, "a b c e"), // {abc, bce}: abc owned by 1 -> 0.5
+      (3L, "a b c d"), // exact dup of 1 -> 0.0
+      (4L, "x y")      // < 3 tokens: unshingleable
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScores(docs, "doc_id", "text", n = 3)
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect()
+    got shouldBe Array(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0))
+  }
 }
