@@ -1353,6 +1353,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML → text extraction (the WET step): boilerplate blocks
+    // dropped whole, tags stripped, entities decoded — pure per-row
+    // codegen'd regexp, RE2-portable patterns. The wrap synthesizes
+    // the markup (title with the doc id, style+script in head, nav,
+    // entity in body, footer) so every extraction rule is exercised
+    // and the body must round-trip to `text || ' & more'`.
+    "q77_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" | d"), (col("doc_id") % 37).cast("string"),
+        lit("</title><style>p{margin:0}</style>" +
+          "<script>var x = 1 < 2;</script></head>" +
+          "<body><nav>home | about</nav><p>"),
+        col("text"),
+        lit(" &amp; more</p><footer>(c) 2026 example</footer>" +
+          "</body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          operators.TextAnalysis.htmlTitle(html).as("title"),
+          operators.TextAnalysis.htmlBodyText(html).as("body"))
+        .withColumn("n_chars", length(col("body")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2576,6 +2600,41 @@ object SparkEntry {
         |SELECT doc_id, sz AS n_shingles, n_novel,
         |  CAST(n_novel AS DOUBLE) / CAST(sz AS DOUBLE) AS novelty
         |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical RE2-compatible patterns (no backreferences), same
+    // block order (head first), same entity order (&amp; last)
+    "q77_html_extract" ->
+      """WITH aug AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  ' | d' || CAST(doc_id % 37 AS VARCHAR) ||
+        |  '</title><style>p{margin:0}</style>' ||
+        |  '<script>var x = 1 < 2;</script></head>' ||
+        |  '<body><nav>home | about</nav><p>' || text ||
+        |  ' &amp; more</p><footer>(c) 2026 example</footer>' ||
+        |  '</body></html>' AS h
+        |  FROM documents),
+        |ext AS (SELECT doc_id,
+        |  regexp_extract(h, '(?s)<title(?:\s[^>]*)?>(.*?)</title>', 1)
+        |    AS title,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(
+        |          regexp_replace(regexp_replace(h,
+        |            '(?s)<head(\s[^>]*)?>.*?</head>', ' ', 'g'),
+        |            '(?s)<script(\s[^>]*)?>.*?</script>', ' ', 'g'),
+        |            '(?s)<style(\s[^>]*)?>.*?</style>', ' ', 'g'),
+        |            '(?s)<nav(\s[^>]*)?>.*?</nav>', ' ', 'g'),
+        |            '(?s)<footer(\s[^>]*)?>.*?</footer>', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS body
+        |  FROM aug)
+        |SELECT doc_id, title, body,
+        |  CAST(length(body) AS BIGINT) AS n_chars
+        |FROM ext
         |ORDER BY doc_id""".stripMargin,
 
     // the q68/q63/q66/q70/q47 fragments composed as one CTE chain;

@@ -339,6 +339,39 @@ object TextAnalysis {
     * colliding shingle could read as seen-before. Docs with < n tokens
     * are unshingleable and absent, the [[Dedup.shingles]] contract.
     */
+  /** HTML → text extraction, the WET-generation step of a web
+    * pipeline (trafilatura-lite): drop whole boilerplate blocks
+    * (script/style/nav/footer), strip remaining tags, decode the
+    * standard entities, collapse whitespace. Pure per-row regexp —
+    * codegen'd, no UDF — and PORTABLE: every pattern avoids
+    * backreferences (RE2, hence the DuckDB twin, has none) and uses
+    * only (?s) + lazy quantifiers, which Java regex and RE2 share.
+    * Documented limits (the honest ones of any regex extractor): a
+    * literal `</script>` inside a JS string ends the block early;
+    * comments/CDATA are not special-cased.
+    */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title(?:\\s[^>]*)?>(.*?)</title>", 1)
+
+  /** See [[htmlTitle]]. Entity decode order matters: `&amp;` is LAST,
+    * so `&amp;lt;` decodes to the literal `&lt;` and not to `<`.
+    */
+  def htmlBodyText(html: Column): Column = {
+    // head first (title/meta are not body text), then the body-level
+    // boilerplate blocks — script/style again for inline occurrences.
+    // `(\s[^>]*)?` (not `[^>]*`) so <head> cannot swallow a <header>
+    // open tag, without the backreference RE2 lacks
+    val noBlocks = Seq("head", "script", "style", "nav", "footer")
+      .foldLeft(html)((c, tag) =>
+        regexp_replace(c, s"(?s)<$tag(\\s[^>]*)?>.*?</$tag>", " "))
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags)((c, kv) => replace(c, lit(kv._1), lit(kv._2)))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
     val sh = Dedup.hashedShingles(docs, idCol, textCol, n,

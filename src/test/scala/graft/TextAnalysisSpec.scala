@@ -186,6 +186,33 @@ class TextAnalysisSpec extends SparkSpec {
     nll(0) should be < nll(1) // lower nll = more corpus-typical
   }
 
+  test("htmlTitle/htmlBodyText: blocks dropped whole, tags stripped, entities decoded in the safe order") {
+    val html =
+      "<html><head><title>The Page</title><style>p{margin:0}</style>" +
+        "<script>if (1<2) { var x = \"</div>\"; }</script></head>" +
+        "<body><nav>home | about</nav><p>Hello &amp; goodbye " +
+        "&lt;tag&gt; &amp;lt; &#39;q&#39;&nbsp;end</p>" +
+        "<div>kept <b>bold</b> text</div><footer>(c) 2026</footer>" +
+        "</body></html>"
+    val out = Seq((1L, html)).toDF("id", "h")
+      .select(TextAnalysis.htmlTitle($"h").as("t"),
+        TextAnalysis.htmlBodyText($"h").as("b"))
+      .as[(String, String)].head()
+    out._1 shouldBe "The Page"
+    // script went away wholesale (incl. its '<'), nav/footer dropped,
+    // &amp;lt; decodes to the LITERAL &lt; (amp last), nbsp collapses
+    out._2 shouldBe "Hello & goodbye <tag> &lt; 'q' end kept bold text"
+    // malformed/absent title -> empty string, plain text passes through
+    Seq((1L, "no markup at all")).toDF("id", "h")
+      .select(TextAnalysis.htmlTitle($"h"), TextAnalysis.htmlBodyText($"h"))
+      .as[(String, String)].head() shouldBe ("", "no markup at all")
+    // <header> is NOT swallowed by the <head> block pattern
+    Seq((1L, "<body><header>site head</header><p>real</p></body>"))
+      .toDF("id", "h")
+      .select(TextAnalysis.htmlBodyText($"h")).as[String]
+      .head() shouldBe "site head real"
+  }
+
   test("noveltyScores: first owner scores 1, partial overlap fractional, exact dup 0, unshingleable absent") {
     val docs = Seq(
       (1L, "a b c d"), // {abc, bcd}: both first seen here -> 1.0
