@@ -1,6 +1,9 @@
 package graft
 
 import graft.sources.Warc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class WarcFile(file_id: Long, payload: Array[Byte])
 
 /** WARC container parsing: write→parse round trip, hand-laid fixture,
   * refusal cases, and the distributed flatMap path.
@@ -67,6 +70,29 @@ class WarcSpec extends SparkSpec {
     val got = Warc.records(df, "file_id", "payload")
       .map { case (fid, r) => (fid, r.target_uri, new String(r.body, "UTF-8")) }
       .collect().toSet
+    got shouldBe Set((0L, "urn:doc:1", "one"), (0L, "urn:doc:2", "two"),
+      (1L, "urn:doc:3", "three"))
+  }
+
+  test("records() runs unchanged on a STREAM of segment files (stateless flatMap; stream ≡ batch)") {
+    val f0 = Warc.writeRecords(Seq(
+      ("response", "urn:doc:1", "<1>", "one".getBytes("UTF-8")),
+      ("response", "urn:doc:2", "<2>", "two".getBytes("UTF-8"))))
+    val f1 = Warc.writeRecords(Seq(
+      ("response", "urn:doc:3", "<3>", "three".getBytes("UTF-8"))))
+    val input = MemoryStream[WarcFile](spark)
+    input.addData(WarcFile(0L, f0))
+    val q = Warc.records(input.toDF(), "file_id", "payload")
+      .map { case (fid, r) => (fid, r.target_uri, new String(r.body, "UTF-8")) }
+      .toDF("fid", "uri", "body")
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(WarcFile(1L, f1)) // second micro-batch: a new segment
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("warc_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     got shouldBe Set((0L, "urn:doc:1", "one"), (0L, "urn:doc:2", "two"),
       (1L, "urn:doc:3", "three"))
   }
