@@ -1377,6 +1377,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // int8 quantization: codes are engine-exact (identical IEEE
+    // chain), fingerprinted through md5 of the comma-joined ints; the
+    // error column is the order-independent max bound
+    "q78_quantize_int8" -> ((s, dir) => {
+      operators.Similarity.quantizeInt8(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          md5(array_join(col("codes").cast("array<string>"), ","))
+            .as("code_md5"),
+          col("max_abs_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2636,6 +2649,27 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS n_chars
         |FROM ext
         |ORDER BY doc_id""".stripMargin,
+
+    // same float→double cast, same maxabs/127 scale, same
+    // floor(x/scale + 0.5) code, same comma-joined md5 fingerprint
+    "q78_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |  FROM e),
+        |q AS (SELECT vec_id, v, maxabs / 127.0 AS scale,
+        |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v,
+        |           x -> CAST(floor(x / (maxabs / 127.0) + 0.5)
+        |             AS INTEGER)) END AS codes
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  md5(array_to_string(codes, ',')) AS code_md5,
+        |  list_max(list_transform(range(len(v)),
+        |    i -> abs(v[i+1] - codes[i+1] * scale))) AS max_abs_err
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
 
     // the q68/q63/q66/q70/q47 fragments composed as one CTE chain;
     // chunk_text is already-normalized space-joined tokens, so the

@@ -317,6 +317,46 @@ object Similarity {
     * cent_id — never a corpus cross join — so a hot cluster is a skew
     * problem (AQE-splittable), not a plan problem.
     */
+  /** Symmetric per-vector int8 quantization of an embedding column —
+    * the memory lever that makes billion-vector ANN fit executor RAM
+    * (4× smaller than float32, 8× than the double intermediates).
+    * scale = max|x|/127; code = floor(x/scale + 0.5) ∈ [−127, 127]
+    * (x = ±max|x| lands exactly on ±127, so no clipping branch); the
+    * all-zero vector quantizes to zeros at scale 0. Every step is a
+    * plain IEEE double chain written identically in the q78 twin, so
+    * codes — not just their stats — are engine-exact.
+    *
+    * Returns (vec_id, scale, codes, max_abs_err) with max_abs_err =
+    * max elementwise |x − code·scale| — an ORDER-INDEPENDENT
+    * reconstruction bound (a mean would sum doubles in engine-defined
+    * order), ≤ scale/2 by construction.
+    *
+    * HOF discipline: maxabs is materialized as a column (with the
+    * inert barrier) BEFORE the code lambda divides by it, and codes
+    * before the error lambda reads them — the Dedup.shingles
+    * re-inlining trap, which would otherwise re-evaluate the
+    * maxabs reduction once per element (64× on these vectors).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val p1 = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .filter(coalesce(col("maxabs") >= -1, lit(true)))
+    val p2 = p1.select(col("vec_id"), col("v"),
+        (col("maxabs") / lit(127.0)).as("scale"),
+        when(col("maxabs") === 0,
+          transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => floor(x / (col("maxabs") / lit(127.0)) + lit(0.5))
+              .cast("int")))
+          .as("codes"))
+      .filter(coalesce(size(col("codes")) >= -1, lit(true)))
+    p2.select(col("vec_id"), col("scale"), col("codes"),
+      array_max(zip_with(col("v"), col("codes"),
+        (x, c) => abs(x - c * col("scale")))).as("max_abs_err"))
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                cents: DataFrame, centIdCol: String, centVecCol: String,
                t: Double): (DataFrame, DataFrame) = {

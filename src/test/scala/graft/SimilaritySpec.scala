@@ -172,6 +172,22 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (a, b) => Set(2L, 3L) should not contain a }
   }
 
+  test("quantizeInt8: hand-computed codes, half-step error bound, zero-vector case") {
+    val emb = Seq(
+      (0L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy($"vec_id").collect()
+    out(0).getDouble(1) shouldBe (1.0 / 127) +- 1e-15
+    // floor(x*127 + 0.5): 127.5->127, -63.0->-63, 32.25->32, 0.5->0
+    out(0).getSeq[Int](2) shouldBe Seq(127, -63, 32, 0)
+    out(0).getDouble(3) should be <= (1.0 / 127) / 2 + 1e-12
+    out(1).getDouble(1) shouldBe 0.0
+    out(1).getSeq[Int](2) shouldBe Seq(0, 0, 0, 0)
+    out(1).getDouble(3) shouldBe 0.0
+  }
+
   test("semDedup drops within-cluster near-dups toward the lowest id, keeps the rest") {
     // two obvious clusters along e1 and e2; ids 0/1 double as centroids
     val emb = Seq(
