@@ -48,6 +48,35 @@ object SparkEntry {
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
       |  FROM tok WHERE len(toks) >= 3),
       |shz AS (SELECT doc_id, s, len(s) AS sz FROM sh)""".stripMargin
+  /** DSIR weight table (q73/q79 shared prefix): hashed unigram+bigram
+    * bucket models, add-one smoothing, round-9 DECIMAL log-ratio sum;
+    * ends in w(doc_id, nfeat, log_weight) over NON-target docs. */
+  private val DSIR_W_CTE =
+    """dtok AS (SELECT doc_id, source,
+      |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents),
+      |feat AS (SELECT doc_id, source = 'src0' AS tgt,
+      |    unnest(list_concat(toks,
+      |      list_transform(range(len(toks)-1),
+      |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+      |  FROM dtok),
+      |fb AS (SELECT doc_id, tgt,
+      |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+      |  FROM feat),
+      |cr AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY 1),
+      |ct AS (SELECT b, COUNT(*) AS ct FROM fb WHERE tgt GROUP BY 1),
+      |tr AS (SELECT SUM(cr) AS tr FROM cr),
+      |tt AS (SELECT COALESCE(SUM(ct), 0) AS tt FROM ct),
+      |lp AS (SELECT fb.doc_id, fb.tgt,
+      |    CAST(round(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) /
+      |      CAST(tt.tt + 1024 AS DOUBLE)), 9) AS DECIMAL(30,9)) -
+      |    CAST(round(ln(CAST(cr.cr + 1 AS DOUBLE) /
+      |      CAST(tr.tr + 1024 AS DOUBLE)), 9) AS DECIMAL(30,9)) AS lp
+      |  FROM fb JOIN cr USING (b) LEFT JOIN ct USING (b)
+      |  CROSS JOIN tr CROSS JOIN tt),
+      |w AS (SELECT doc_id, COUNT(*) AS nfeat,
+      |    CAST(SUM(lp) AS DOUBLE) AS log_weight
+      |  FROM lp WHERE NOT tgt GROUP BY 1)""".stripMargin
   private val JACCARD_PAIRS_SQL =
     s"""WITH $SHINGLES_CTE,
        |pairs AS (
@@ -1390,6 +1419,26 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // DSIR complete: the q73 weights fed through the Gumbel-top-k
+    // resampler (a softmax-weighted 100-sample without replacement,
+    // drawn by the md5 coin — engine-exact). The rank window again
+    // runs over the already-limited 100 rows.
+    "q79_dsir_gumbel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = operators.Curation.importanceWeights(
+        docs, "doc_id", "text", col("source") === "src0", buckets = 1024)
+      val raw = w.join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .filter(col("source") =!= "src0")
+      operators.Curation.gumbelTopK(raw, "id", "log_weight",
+          k = 100, salt = "dsir-r7")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("gumbel_score").desc, col("id").asc)))
+        .select(col("id").as("doc_id"), col("log_weight"),
+          col("gumbel"), col("gumbel_score"), col("rk"))
+        .orderBy(col("rk"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2488,31 +2537,7 @@ object SparkEntry {
     // round-9 DECIMAL log-ratio — so the weights AND the top-100
     // selection hash-match
     "q73_dsir_select" ->
-      """WITH tok AS (SELECT doc_id, source,
-        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-        |  FROM documents),
-        |feat AS (SELECT doc_id, source = 'src0' AS tgt,
-        |    unnest(list_concat(toks,
-        |      list_transform(range(len(toks)-1),
-        |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
-        |  FROM tok),
-        |fb AS (SELECT doc_id, tgt,
-        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
-        |  FROM feat),
-        |cr AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY 1),
-        |ct AS (SELECT b, COUNT(*) AS ct FROM fb WHERE tgt GROUP BY 1),
-        |tr AS (SELECT SUM(cr) AS tr FROM cr),
-        |tt AS (SELECT COALESCE(SUM(ct), 0) AS tt FROM ct),
-        |lp AS (SELECT fb.doc_id, fb.tgt,
-        |    CAST(round(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) /
-        |      CAST(tt.tt + 1024 AS DOUBLE)), 9) AS DECIMAL(30,9)) -
-        |    CAST(round(ln(CAST(cr.cr + 1 AS DOUBLE) /
-        |      CAST(tr.tr + 1024 AS DOUBLE)), 9) AS DECIMAL(30,9)) AS lp
-        |  FROM fb JOIN cr USING (b) LEFT JOIN ct USING (b)
-        |  CROSS JOIN tr CROSS JOIN tt),
-        |w AS (SELECT doc_id, COUNT(*) AS nfeat,
-        |    CAST(SUM(lp) AS DOUBLE) AS log_weight
-        |  FROM lp WHERE NOT tgt GROUP BY 1)
+      s"""WITH $DSIR_W_CTE
         |SELECT doc_id, nfeat, log_weight,
         |  CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id)
         |    AS INTEGER) AS rk
@@ -2649,6 +2674,25 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS n_chars
         |FROM ext
         |ORDER BY doc_id""".stripMargin,
+
+    // the same weight CTE chain, then the md5-Gumbel draw:
+    // u = (h32 + 0.5)/2^32, g = round9(-ln(-ln u)), top-100 by
+    // (log_weight + g) — the drawn sample set is engine-exact
+    "q79_dsir_gumbel" ->
+      s"""WITH $DSIR_W_CTE,
+        |g AS (SELECT doc_id, log_weight,
+        |    round(-ln(-ln(
+        |      (CAST(('0x' || substr(md5('dsir-r7#' ||
+        |         CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |      / 4294967296.0)), 9) AS gumbel
+        |  FROM w)
+        |SELECT doc_id, log_weight, gumbel,
+        |  log_weight + gumbel AS gumbel_score,
+        |  CAST(row_number() OVER (ORDER BY log_weight + gumbel DESC,
+        |    doc_id) AS INTEGER) AS rk
+        |FROM g
+        |ORDER BY gumbel_score DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // same float→double cast, same maxabs/127 scale, same
     // floor(x/scale + 0.5) code, same comma-joined md5 fingerprint

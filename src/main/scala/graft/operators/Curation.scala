@@ -410,6 +410,29 @@ object Curation {
     Dedup.materializeAndRelease(out, feat)
   }
 
+  /** The sampler half of DSIR — Gumbel-top-k importance RESAMPLING:
+    * selecting the k largest (log w(x) + Gumbel(0,1) noise) draws a
+    * k-sample WITHOUT replacement from the softmax of the weights (the
+    * Gumbel-max trick), which is what the paper actually does with the
+    * [[importanceWeights]] scores — plain top-k is its deterministic
+    * ablation. The "noise" here is the md5 coin (u = (h32 + 0.5)/2³²
+    * ∈ (0,1), g = −ln(−ln u), round-9), so the drawn SET is
+    * engine-exact and reproducible: same salt ⇒ same sample, new salt
+    * ⇒ fresh draw. One scan + per-partition top-k
+    * (TakeOrderedAndProject) — no shuffle of the corpus, no rand().
+    */
+  def gumbelTopK(df: DataFrame, idCol: String, weightCol: String,
+                 k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (conv(substring(md5(concat(lit(s"$salt#"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    df.withColumn("gumbel", round(-log(-log(u)), 9))
+      .withColumn("gumbel_score", col(weightCol) + col("gumbel"))
+      .orderBy(col("gumbel_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---------------------------------------------- contrastive pairs
 
   /** Deterministic negative-pair sampling — the contrastive-training

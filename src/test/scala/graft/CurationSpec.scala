@@ -371,6 +371,33 @@ class CurationSpec extends SparkSpec {
       Curation.chunkDocs(docs, "doc_id", "text", 4, 0)
   }
 
+  test("gumbelTopK: reference noise values, Gumbel mean, salt-keyed reproducibility") {
+    val df = (0L until 2000L).map(i => (i, 0.0)).toDF("id", "w")
+    val all = Curation.gumbelTopK(df, "id", "w", k = 2000, salt = "s1")
+      .select($"id", $"gumbel").as[(Long, Double)].collect().toMap
+    // independent reference for one id: same md5/u/g spec
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val h = java.lang.Long.parseLong(md5Hex("s1#7").take(8), 16)
+    val gRef = BigDecimal(-math.log(-math.log((h + 0.5) / 4294967296.0)))
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    all(7L) shouldBe gRef +- 1e-12
+    // Gumbel(0,1) mean is the Euler–Mascheroni constant ≈ 0.5772
+    val mean = all.values.sum / all.size
+    mean shouldBe 0.5772 +- 0.1
+    // same salt ⇒ same draw; different salt ⇒ a different top-k set
+    val a = Curation.gumbelTopK(df, "id", "w", 50, "s1")
+      .select($"id").as[Long].collect().toSet
+    val b = Curation.gumbelTopK(df, "id", "w", 50, "s1")
+      .select($"id").as[Long].collect().toSet
+    val c = Curation.gumbelTopK(df, "id", "w", 50, "s2")
+      .select($"id").as[Long].collect().toSet
+    a shouldBe b
+    a should not be c
+    an[IllegalArgumentException] should be thrownBy
+      Curation.gumbelTopK(df, "id", "w", 0, "s")
+  }
+
   test("importanceWeights matches an independent DSIR reference; target-like docs outrank dissimilar ones") {
     val B = 64
     val rows = Seq(
