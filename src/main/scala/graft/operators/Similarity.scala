@@ -293,30 +293,6 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
-  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
-    * at web-scale through semantic deduplication"): cluster the
-    * embedding space, then prune near-identical vectors WITHIN each
-    * cluster — the published recipe for semantic (not string-level)
-    * dedup of web corpora. Drop rule, deterministic: a vector is
-    * dropped iff SOME lower-id vector in its cluster has cosine ≥ `t`
-    * to it; the reported `dup_of` is the best such partner
-    * (max cos, then min id). Returns (kept, dropped-manifest) — the
-    * [[Curation.decontaminate]] contract shape.
-    *
-    * `cents` is the caller's quantizer (any (id, vec) frame —
-    * [[ivfCentroids]], [[ivfCentroidsRefined]], or a plain id-range
-    * slice when the choice must be SQL-reproducible, as q74's oracle
-    * twin requires). Assignment ties break (max cos, min cent_id),
-    * matching a `row_number() OVER (ORDER BY sim DESC, cent_id)` twin.
-    *
-    * Scale design — the paper's own cost model: assignment is an n×C
-    * broadcast; the pairwise stage is Θ(Σ_c m_c²), made tractable by C
-    * keeping cluster sizes bounded (C grows with the corpus so n/C
-    * stays fixed; SemDeDup runs with tens of thousands of clusters at
-    * web scale). The quadratic term lives INSIDE a keyed equi-join on
-    * cent_id — never a corpus cross join — so a hot cluster is a skew
-    * problem (AQE-splittable), not a plan problem.
-    */
   /** Symmetric per-vector int8 quantization of an embedding column —
     * the memory lever that makes billion-vector ANN fit executor RAM
     * (4× smaller than float32, 8× than the double intermediates).
@@ -357,6 +333,30 @@ object Similarity {
         (x, c) => abs(x - c * col("scale")))).as("max_abs_err"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space, then prune near-identical vectors WITHIN each
+    * cluster — the published recipe for semantic (not string-level)
+    * dedup of web corpora. Drop rule, deterministic: a vector is
+    * dropped iff SOME lower-id vector in its cluster has cosine ≥ `t`
+    * to it; the reported `dup_of` is the best such partner
+    * (max cos, then min id). Returns (kept, dropped-manifest) — the
+    * [[Curation.decontaminate]] contract shape.
+    *
+    * `cents` is the caller's quantizer (any (id, vec) frame —
+    * [[ivfCentroids]], [[ivfCentroidsRefined]], or a plain id-range
+    * slice when the choice must be SQL-reproducible, as q74's oracle
+    * twin requires). Assignment ties break (max cos, min cent_id),
+    * matching a `row_number() OVER (ORDER BY sim DESC, cent_id)` twin.
+    *
+    * Scale design — the paper's own cost model: assignment is an n×C
+    * broadcast; the pairwise stage is Θ(Σ_c m_c²), made tractable by C
+    * keeping cluster sizes bounded (C grows with the corpus so n/C
+    * stays fixed; SemDeDup runs with tens of thousands of clusters at
+    * web scale). The quadratic term lives INSIDE a keyed equi-join on
+    * cent_id — never a corpus cross join — so a hot cluster is a skew
+    * problem (AQE-splittable), not a plan problem.
+    */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                cents: DataFrame, centIdCol: String, centVecCol: String,
                t: Double): (DataFrame, DataFrame) = {

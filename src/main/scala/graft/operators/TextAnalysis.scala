@@ -321,24 +321,6 @@ object TextAnalysis {
         r.getField("top_token_ratio").as("top_token_ratio"): _*)
   }
 
-  /** First-occurrence novelty — per document, the fraction of its
-    * distinct word n-shingles that NO earlier document (by id order —
-    * the corpus's arrival/crawl order) contains: the standing
-    * redundancy diagnostic for curation ("is batch k still adding
-    * content, or re-crawling what batch k−1 already got?") and the
-    * score behind novelty-ordered curricula. A shingle's first owner
-    * is its min id; a doc's novelty is |shingles first seen here| /
-    * |shingles|. Exact duplicates of earlier docs score 0.
-    *
-    * Shares [[Dedup.hashedShingles]] (distinct 64-bit-hashed shingles,
-    * cache-bounded projection), so the join shuffles narrow (id, hash)
-    * longs — never strings; the first-owner table is vocabulary-sized
-    * and stays a keyed shuffle join on the hash (NOT broadcast — at
-    * corpus scale the shingle vocabulary dwarfs memory). Same
-    * collision qualification as the dedup family (P ≈ sz²/2⁶⁵): a
-    * colliding shingle could read as seen-before. Docs with < n tokens
-    * are unshingleable and absent, the [[Dedup.shingles]] contract.
-    */
   /** HTML → text extraction, the WET-generation step of a web
     * pipeline (trafilatura-lite): drop whole boilerplate blocks
     * (script/style/nav/footer), strip remaining tags, decode the
@@ -372,6 +354,24 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** First-occurrence novelty — per document, the fraction of its
+    * distinct word n-shingles that NO earlier document (by id order —
+    * the corpus's arrival/crawl order) contains: the standing
+    * redundancy diagnostic for curation ("is batch k still adding
+    * content, or re-crawling what batch k−1 already got?") and the
+    * score behind novelty-ordered curricula. A shingle's first owner
+    * is its min id; a doc's novelty is |shingles first seen here| /
+    * |shingles|. Exact duplicates of earlier docs score 0.
+    *
+    * Shares [[Dedup.hashedShingles]] (distinct 64-bit-hashed shingles,
+    * cache-bounded projection), so the join shuffles narrow (id, hash)
+    * longs — never strings; the first-owner table is vocabulary-sized
+    * and stays a keyed shuffle join on the hash (NOT broadcast — at
+    * corpus scale the shingle vocabulary dwarfs memory). Same
+    * collision qualification as the dedup family (P ≈ sz²/2⁶⁵): a
+    * colliding shingle could read as seen-before. Docs with < n tokens
+    * are unshingleable and absent, the [[Dedup.shingles]] contract.
+    */
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
     val sh = Dedup.hashedShingles(docs, idCol, textCol, n,

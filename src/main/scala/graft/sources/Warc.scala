@@ -92,7 +92,11 @@ object Warc {
       val len = headers.getOrElse("content-length",
         throw new IllegalArgumentException(
           s"WARC record at $pos has no Content-Length")).toLong
-      require(p + len + 4 <= payload.length,
+      require(len >= 0,
+        s"WARC record at $pos has negative Content-Length: $len")
+      // overflow-safe form of `p + len + 4 <= payload.length`: a huge
+      // Content-Length must not wrap the Long sum past the bound
+      require(len <= payload.length.toLong - p - 4,
         s"WARC block truncated at offset $p (need $len + separator)")
       val body = java.util.Arrays.copyOfRange(payload, p, (p + len).toInt)
       require(payload((p + len).toInt) == '\r' &&
