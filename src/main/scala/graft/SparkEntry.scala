@@ -1439,6 +1439,38 @@ object SparkEntry {
         .orderBy(col("rk"))
     }),
 
+    // Quantized retrieval quality, measured relationally: top-10 by
+    // cosine over DEQUANTIZED int8 vectors vs over the exact floats,
+    // per-query overlap/recall. Unlike the LSH/IVF recall gates this
+    // has no randomness — both rankings are deterministic, so the
+    // recall TABLE itself is the hash-gated result (a fully-exact
+    // oracle for an ANN-quality question).
+    "q80_quantized_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qz = operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        // codes/scale materialized behind the barrier before the
+        // dequant lambda multiplies through them (re-inlining trap)
+        .filter(coalesce(size(col("codes")) >= -1, lit(true)))
+      val deq = qz.select(col("vec_id"),
+        transform(col("codes"), c => c * col("scale")).as("embedding"))
+      val qids = (0L until 10L).toSeq
+      val exact = operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", qids, k = 10)
+        .select(col("query_id"), col("nbr_id"))
+      val approx = operators.Similarity.bruteForceTopK(
+          deq, "vec_id", "embedding", qids, k = 10)
+        .select(col("query_id"), col("nbr_id"))
+      val overlap = exact.join(approx, Seq("query_id", "nbr_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      exact.select("query_id").distinct()
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") / 10.0)
+            .as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2674,6 +2706,50 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS n_chars
         |FROM ext
         |ORDER BY doc_id""".stripMargin,
+
+    // same q78 quantizer chain, dequant = codes·scale, two exact
+    // top-10 rankings (cos DESC, nbr_id tie-break — the q13 parity),
+    // per-query overlap via the guarded left join
+    "q80_quantized_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |  FROM e),
+        |qz AS (SELECT vec_id, v, maxabs / 127.0 AS scale,
+        |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v,
+        |           x -> CAST(floor(x / (maxabs / 127.0) + 0.5)
+        |             AS INTEGER)) END AS codes
+        |  FROM m),
+        |deq AS (SELECT vec_id,
+        |    list_transform(codes, c -> c * scale) AS dv
+        |  FROM qz),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+        |qd AS (SELECT vec_id AS query_id, dv AS qdv FROM deq
+        |  WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+        |ex AS (SELECT query_id, nbr_id FROM (
+        |  SELECT q.query_id, e.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+        |      AS rk
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |  WHERE rk <= 10),
+        |ap AS (SELECT query_id, nbr_id FROM (
+        |  SELECT qd.query_id, d.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY qd.query_id
+        |      ORDER BY list_cosine_similarity(qd.qdv, d.dv) DESC,
+        |        d.vec_id) AS rk
+        |  FROM deq d CROSS JOIN qd WHERE d.vec_id <> qd.query_id)
+        |  WHERE rk <= 10),
+        |ov AS (SELECT ex.query_id, COUNT(*) AS n_overlap
+        |  FROM ex JOIN ap USING (query_id, nbr_id) GROUP BY 1)
+        |SELECT q.query_id,
+        |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 10.0 AS recall
+        |FROM q LEFT JOIN ov USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
 
     // the same weight CTE chain, then the md5-Gumbel draw:
     // u = (h32 + 0.5)/2^32, g = round9(-ln(-ln u)), top-100 by
