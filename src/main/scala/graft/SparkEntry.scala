@@ -1471,6 +1471,20 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Semantic duplicate CLUSTERS: the q74 pair graph fed through the
+    // q38 connected-components operator — "these k docs are all the
+    // same content" rather than pairwise drops. Pairs released once
+    // CC's eager edge checkpoint has consumed them.
+    "q81_semantic_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 32)
+      val pairs = operators.Similarity.semDedupPairs(
+        emb, "vec_id", "embedding", cents, "vec_id", "embedding", t = 0.4)
+      val cc = operators.Dedup.connectedComponents(pairs)
+      pairs.unpersist(blocking = false)
+      cc.orderBy(col("id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2706,6 +2720,32 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS n_chars
         |FROM ext
         |ORDER BY doc_id""".stripMargin,
+
+    // q74's assignment + full pair CTEs, then the q38 recursive
+    // min-label closure over the semantic edges
+    "q81_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 32),
+        |s AS (SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+        |      AS rk
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT s.vec_id, s.cent_id, e.v
+        |  FROM s JOIN e USING (vec_id) WHERE rk = 1),
+        |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y
+        |    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (SELECT u AS id, v AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u)
+        |SELECT id, least(id, min(r)) AS comp
+        |FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     // same q78 quantizer chain, dequant = codes·scale, two exact
     // top-10 rankings (cos DESC, nbr_id tie-break — the q13 parity),

@@ -357,9 +357,17 @@ object Similarity {
     * cent_id — never a corpus cross join — so a hot cluster is a skew
     * problem (AQE-splittable), not a plan problem.
     */
-  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               cents: DataFrame, centIdCol: String, centVecCol: String,
-               t: Double): (DataFrame, DataFrame) = {
+  /** The within-cluster pair graph behind [[semDedup]] — also the edge
+    * input for SEMANTIC duplicate clustering
+    * ([[Dedup.connectedComponents]], q81): all (id_a < id_b) pairs
+    * sharing a cluster with cosine ≥ t, plus the cluster id. Returned
+    * PERSISTED (the hashedShingles contract): the caller releases it
+    * via `materializeAndRelease(result, pairs)`; the internal
+    * assignment cache is already released here.
+    */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, centIdCol: String,
+                    centVecCol: String, t: Double): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     val c = broadcast(cents.select(col(centIdCol).as("cent_id"),
       col(centVecCol).as("cv")))
@@ -372,19 +380,33 @@ object Similarity {
             negate(col("cent_id")))).as("cent_id"),
         first(col("v")).as("v"))
       .persist() // both sides of the within-cluster join
-    val b = assigned.select(col("vec_id").as("dup_of"), col("cent_id"),
+    val b = assigned.select(col("vec_id").as("id_b"), col("cent_id"),
       col("v").as("bv"))
-    val pairs = assigned.join(b, Seq("cent_id"))
-      .filter(col("dup_of") < col("vec_id"))
+    val pairs = assigned
+      .select(col("vec_id").as("id_a"), col("cent_id"), col("v"))
+      .join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosineSim(col("v"), col("bv")))
       .filter(col("cos_sim") >= t)
+      .select(col("id_a"), col("id_b"), col("cent_id"), col("cos_sim"))
+    Dedup.materializeAndRelease(pairs, assigned)
+  }
+
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               cents: DataFrame, centIdCol: String, centVecCol: String,
+               t: Double): (DataFrame, DataFrame) = {
+    val pairs = semDedupPairs(emb, idCol, vecCol, cents, centIdCol,
+      centVecCol, t)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("dup_of").asc)
     val dropped = Dedup.materializeAndRelease(
-      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      pairs
+        .select(col("id_b").as("vec_id"), col("cent_id"),
+          col("id_a").as("dup_of"), col("cos_sim"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("vec_id"), col("cent_id"), col("dup_of"),
           col("cos_sim")),
-      assigned)
+      pairs)
     val kept = emb.join(dropped.select(col("vec_id").as(idCol)), Seq(idCol),
       "left_anti")
     (kept, dropped)

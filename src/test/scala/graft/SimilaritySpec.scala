@@ -212,5 +212,10 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.semDedup(emb, "id", "vec",
       cents, "id", "vec", t = 0.95)._2.collect().toSeq
     again.map(_.toSeq) shouldBe dropped.collect().toSeq.map(_.toSeq)
+    // the exposed pair graph is the full within-cluster edge set
+    val pairs = Similarity.semDedupPairs(emb, "id", "vec",
+        cents, "id", "vec", t = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 5L))
   }
 }
