@@ -1485,6 +1485,20 @@ object SparkEntry {
       cc.orderBy(col("id"))
     }),
 
+    // Stupid-Backoff bigram LM (Brants et al. 2007) on the
+    // incremental split: even-id docs are the model, odd-id docs the
+    // scored batch — so seen bigrams, backoffs, and OOV tokens all
+    // occur for real
+    "q82_stupid_backoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.TextAnalysis.stupidBackoffScore(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2719,6 +2733,54 @@ object SparkEntry {
         |SELECT doc_id, title, body,
         |  CAST(length(body) AS BIGINT) AS n_chars
         |FROM ext
+        |ORDER BY doc_id""".stripMargin,
+
+    // same counts (even-id model), same add-one unigram with the
+    // 0.4·(u) association, same round-9 DECIMAL factor sums, same
+    // integer nano mean — parallel unnest slices give the aligned
+    // (prev, cur) pairs
+    "q82_stupid_backoff" ->
+      """WITH mt AS (SELECT
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |uni AS (SELECT w, COUNT(*) AS c1 FROM (
+        |  SELECT unnest(toks) AS w FROM mt) GROUP BY 1),
+        |bi AS (SELECT prev, cur, COUNT(*) AS c2 FROM (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS prev,
+        |         unnest(toks[2:len(toks)]) AS cur FROM mt) GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+        |v AS (SELECT COUNT(*) AS v FROM uni),
+        |bt AS (SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |fs AS (SELECT bt.doc_id,
+        |    CAST(round(ln(CAST(COALESCE(u.c1, 0) + 1 AS DOUBLE) /
+        |      CAST(n.n + v.v AS DOUBLE)), 9) AS DECIMAL(30,9)) AS lp
+        |  FROM bt LEFT JOIN uni u ON bt.toks[1] = u.w
+        |  CROSS JOIN n CROSS JOIN v
+        |  WHERE len(bt.toks) >= 1),
+        |brows AS (SELECT doc_id,
+        |    unnest(toks[1:len(toks)-1]) AS prev,
+        |    unnest(toks[2:len(toks)]) AS cur
+        |  FROM bt),
+        |bs AS (SELECT brows.doc_id,
+        |    CASE WHEN b2.c2 IS NOT NULL THEN
+        |      CAST(round(ln(CAST(b2.c2 AS DOUBLE) /
+        |        CAST(up.c1 AS DOUBLE)), 9) AS DECIMAL(30,9))
+        |    ELSE
+        |      CAST(round(ln(0.4 * (CAST(COALESCE(uc.c1, 0) + 1 AS DOUBLE) /
+        |        CAST(n.n + v.v AS DOUBLE))), 9) AS DECIMAL(30,9))
+        |    END AS lp
+        |  FROM brows
+        |  LEFT JOIN bi b2 USING (prev, cur)
+        |  LEFT JOIN uni up ON brows.prev = up.w
+        |  LEFT JOIN uni uc ON brows.cur = uc.w
+        |  CROSS JOIN n CROSS JOIN v),
+        |allf AS (SELECT * FROM fs UNION ALL SELECT * FROM bs)
+        |SELECT doc_id, COUNT(*) AS nfactor,
+        |  CAST(SUM(lp) AS DOUBLE) AS logprob_sum,
+        |  CAST(SUM(lp) * -1000000000 AS BIGINT) // COUNT(*) AS nll_mean_nano
+        |FROM allf GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
 
     // q74's assignment + full pair CTEs, then the q38 recursive

@@ -321,6 +321,87 @@ object TextAnalysis {
         r.getField("top_token_ratio").as("top_token_ratio"): _*)
   }
 
+  /** Stupid-Backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale LM that
+    * deliberately skips normalization): score a BATCH of documents
+    * under a bigram model counted from a separate MODEL corpus (the
+    * incremental split: yesterday's corpus is the model, today's batch
+    * gets scored). Per token position:
+    *
+    *  - first token: add-one unigram (c1(w)+1)/(N+V) — add-one keeps
+    *    OOV tokens finite, V = model vocabulary size;
+    *  - later tokens: c2(prev,w)/c1(prev) when the bigram was seen in
+    *    the model, else 0.4 · ((c1(w)+1)/(N+V)) — the fixed 0.4
+    *    backoff weight from the paper, no discounting.
+    *
+    * Determinism is the q66 idiom: each factor's ln is round-9'd into
+    * DECIMAL(30,9) BEFORE the per-document sum; the mean NLL is the
+    * all-integer nano-scaled IntegralDivide. Output per batch doc:
+    * (id, nfactor, logprob_sum, nll_mean_nano).
+    *
+    * Scale: the bigram count table is corpus-sized, so it stays a
+    * KEYED shuffle join on (prev, cur) — never broadcast; the unigram
+    * joins are keyed on the token; N and V ride as broadcast 1-row
+    * scalars. All rows are narrow (id, token) pairs.
+    */
+  def stupidBackoffScore(docs: DataFrame, modelDocs: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    def bigramsOf(toks: Column): Column =
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("prev"),
+            element_at(toks, i + 1).as("cur"))))
+        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val mtok = modelDocs.select(tokens(col(textCol)).as("__toks"))
+      .filter(coalesce(size(col("__toks")) >= -1, lit(true)))
+    val uni = mtok.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+    val bi = mtok.select(explode(bigramsOf(col("__toks"))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("c2")).persist()
+    val nTot = uni.agg(sum(col("c1")).as("__n"))
+    val vSize = uni.agg(count(lit(1)).as("__v"))
+    val dtok = docs.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("__toks"))
+      .filter(coalesce(size(col("__toks")) >= -1, lit(true)))
+    // the add-one unigram factor, written with ONE association
+    // (0.4·(u)) mirrored exactly in the twin
+    def uniProb(c1cur: Column): Column =
+      (coalesce(c1cur, lit(0L)) + lit(1L)).cast("double") /
+        (col("__n") + col("__v")).cast("double")
+    def lp9(x: Column): Column = round(log(x), 9).cast("decimal(30,9)")
+    val uniCur = uni.select(col("w").as("cur"), col("c1").as("c1cur"))
+    val uniPrev = uni.select(col("w").as("prev"), col("c1").as("c1prev"))
+    val f = dtok
+      .select(col("id"), element_at(col("__toks"), 1).as("cur"))
+      .filter(col("cur").isNotNull)
+      .join(uniCur, Seq("cur"), "left")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(vSize))
+      .select(col("id"), lp9(uniProb(col("c1cur"))).as("__lp"))
+    val b = dtok
+      .select(col("id"), explode(bigramsOf(col("__toks"))).as("bg"))
+      .select(col("id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(uniPrev, Seq("prev"), "left")
+      .join(uniCur, Seq("cur"), "left")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(vSize))
+      .select(col("id"),
+        when(col("c2").isNotNull,
+          lp9(col("c2").cast("double") / col("c1prev").cast("double")))
+          .otherwise(lp9(lit(0.4) * uniProb(col("c1cur")))).as("__lp"))
+    val nllScaled = (col("__s") * lit(-1000000000L)).cast("long")
+    val meanNano = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(nllScaled),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("nfactor"))))
+    val out = f.union(b).groupBy("id")
+      .agg(count(lit(1)).as("nfactor"), sum(col("__lp")).as("__s"))
+      .select(col("id"), col("nfactor"),
+        col("__s").cast("double").as("logprob_sum"),
+        meanNano.as("nll_mean_nano"))
+    Dedup.materializeAndRelease(out, uni, bi)
+  }
+
   /** HTML → text extraction, the WET-generation step of a web
     * pipeline (trafilatura-lite): drop whole boilerplate blocks
     * (script/style/nav/footer), strip remaining tags, decode the

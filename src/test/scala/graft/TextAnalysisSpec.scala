@@ -186,6 +186,26 @@ class TextAnalysisSpec extends SparkSpec {
     nll(0) should be < nll(1) // lower nll = more corpus-typical
   }
 
+  test("stupidBackoffScore: seen bigram, backoff, OOV — hand-computed against the paper's formula") {
+    val model = Seq((100L, "a b"), (101L, "a b c")).toDF("doc_id", "text")
+    val batch = Seq((1L, "a b z")).toDF("doc_id", "text")
+    // model: N=5 tokens, V=3 vocab; c1: a=2 b=2 c=1; c2: (a,b)=2 (b,c)=1
+    // doc "a b z": first 'a' -> uni (2+1)/(5+3); (a,b) seen -> 2/2 = 1;
+    // (b,z) unseen, z OOV -> 0.4 * ((0+1)/8)
+    def lp(x: Double) = BigDecimal(math.log(x))
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    val expected = (lp(3.0 / 8) + lp(1.0) + lp(0.4 * (1.0 / 8))).toDouble
+    val got = TextAnalysis.stupidBackoffScore(batch, model, "doc_id", "text")
+      .as[(Long, Long, Double, Long)].collect()
+    got.length shouldBe 1
+    val (id, nf, s, nll) = got.head
+    id shouldBe 1L
+    nf shouldBe 3L
+    s shouldBe expected +- 1e-9
+    nll shouldBe (BigDecimal(-expected) * BigDecimal(1000000000))
+      .toLong / 3 +- 2
+  }
+
   test("htmlTitle/htmlBodyText: blocks dropped whole, tags stripped, entities decoded in the safe order") {
     val html =
       "<html><head><title>The Page</title><style>p{margin:0}</style>" +
