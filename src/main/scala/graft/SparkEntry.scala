@@ -1499,6 +1499,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Repeated-SPAN removal (exact-substring dedup at window
+    // granularity): a 16-token boilerplate banner is injected into
+    // every third doc (the q58 aug idiom), so window 0 of those docs
+    // is corpus-hot and gets cut while each doc's own windows stay
+    // aligned and survive
+    "q83_span_dedup" -> ((s, dir) => {
+      val banner = "terms of service apply to this mirror copy of " +
+        "the page please do not redistribute ever"
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(banner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      operators.Dedup.dedupSpans(docs, "doc_id", "text",
+          windowTokens = 16, maxDocFreq = 1L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2734,6 +2751,41 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS n_chars
         |FROM ext
         |ORDER BY doc_id""".stripMargin,
+
+    // same banner aug, q63's slice idiom for the 16/16 windows, df by
+    // COUNT DISTINCT doc, ordered string_agg reassembly (q58 shape)
+    "q83_span_dedup" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'terms of service apply to this mirror copy of the page please do not redistribute ever '
+        |        || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM aug),
+        |w AS (SELECT doc_id,
+        |    CAST(start // 16 AS BIGINT) AS idx,
+        |    array_to_string(
+        |      toks[start + 1 : least(start + 16, len(toks))], ' ') AS wt
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, len(toks), 16)) AS start
+        |        FROM tok)),
+        |dfreq AS (SELECT wt, COUNT(DISTINCT doc_id) AS df
+        |  FROM w GROUP BY 1),
+        |kept AS (SELECT w.* FROM w JOIN dfreq USING (wt) WHERE df <= 1),
+        |totals AS (SELECT doc_id, COUNT(*) AS n_total FROM w GROUP BY 1),
+        |rebuilt AS (SELECT doc_id,
+        |    string_agg(wt, ' ' ORDER BY idx) AS text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY 1)
+        |SELECT t.doc_id,
+        |  COALESCE(r.text, '') AS text,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept_windows,
+        |  CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT)
+        |    AS n_dropped_windows
+        |FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // same counts (even-id model), same add-one unigram with the
     // 0.4·(u) association, same round-9 DECIMAL factor sums, same

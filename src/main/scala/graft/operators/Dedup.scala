@@ -577,6 +577,48 @@ object Dedup {
           .as("n_dropped_lines"))
   }
 
+  /** Cross-document repeated-SPAN removal — the window-granular form
+    * of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): cut every document
+    * into non-overlapping `windowTokens`-token windows
+    * ([[Curation.chunkDocs]] with stride = window), drop each window
+    * whose text occurs in more than `maxDocFreq` DISTINCT documents
+    * (within-doc repetition alone never triggers — that is
+    * [[graft.operators.TextAnalysis.repetitionStats]]' job), and
+    * reassemble the survivors in order — [[dedupLines]]' contract one
+    * level up, catching boilerplate that spans line breaks or has no
+    * line structure at all. A fully-emptied doc comes back as ''
+    * explicitly. Windows shuffle as narrow (id, idx, text) rows keyed
+    * by window text; the df table is vocabulary-sized and stays a
+    * keyed join.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 windowTokens: Int, maxDocFreq: Long): DataFrame = {
+    val chunks = Curation.chunkDocs(docs, idCol, textCol,
+        windowTokens, windowTokens)
+      .select(col(idCol).as("__id"), col("chunk_idx").as("__idx"),
+        col("chunk_text").as("__w"))
+      .persist()
+    val dfreq = chunks.groupBy("__w")
+      .agg(count_distinct(col("__id")).as("__df"))
+    val kept = chunks.join(dfreq, "__w").filter(col("__df") <= maxDocFreq)
+    val totals = chunks.groupBy("__id")
+      .agg(count(lit(1)).as("__n_total"))
+    val rebuilt = kept.groupBy("__id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__idx"), col("__w")))),
+        x => x.getField("__w")), " ").as(textCol),
+      count(lit(1)).as("n_kept_windows"))
+    val out = totals
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_kept_windows"), lit(0L)).as("n_kept_windows"),
+        (col("__n_total") - coalesce(col("n_kept_windows"), lit(0L)))
+          .as("n_dropped_windows"))
+    materializeAndRelease(out, chunks)
+  }
+
   /** The end-product of the dedup pipeline: every corpus row tagged
     * with its duplicate-cluster canonical id and a `keep` flag
     * (true = this row IS the canonical representative; docs outside

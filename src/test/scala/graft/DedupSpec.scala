@@ -481,4 +481,27 @@ class DedupSpec extends SparkSpec {
     Dedup.dedupLines(rep, "doc_id", "text", maxDocFreq = 1L)
       .collect().head.getString(1) shouldBe "x\ndup\ndup\ny"
   }
+
+  test("dedupSpans drops cross-doc repeated windows, keeps partial tails and within-doc repeats, empties all-boilerplate docs") {
+    import spark.implicits._
+    // 4-token windows; "a b c d" occurs in docs 1/2/4 (df=3 > 1)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),     // -> "e f g h"
+      (2L, "a b c d x y z w"),     // -> "x y z w"
+      (3L, "p q r s"),             // unique -> unchanged
+      (4L, "a b c d"),             // all boilerplate -> ""
+      (5L, "m n o p q"),           // partial tail window "q" kept
+      (6L, "t u v w t u v w")      // within-doc repeat: df=1, kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text",
+        windowTokens = 4, maxDocFreq = 1L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    got(0) shouldBe ((1L, "e f g h", 1L, 1L))
+    got(1) shouldBe ((2L, "x y z w", 1L, 1L))
+    got(2) shouldBe ((3L, "p q r s", 1L, 0L))
+    got(3) shouldBe ((4L, "", 0L, 1L))
+    got(4) shouldBe ((5L, "m n o p q", 2L, 0L))
+    got(5) shouldBe ((6L, "t u v w t u v w", 2L, 0L))
+  }
 }
