@@ -1516,6 +1516,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The semantic-dedup END PRODUCT: every corpus row tagged with its
+    // duplicate-cluster canonical id and keep flag (q81's components
+    // through Dedup.canonicalize — one left join of the corpus against
+    // the small component table)
+    "q84_semantic_canonicalize" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 32)
+      val pairs = operators.Similarity.semDedupPairs(
+        emb, "vec_id", "embedding", cents, "vec_id", "embedding", t = 0.4)
+      val cc = operators.Dedup.connectedComponents(pairs)
+      pairs.unpersist(blocking = false)
+      operators.Dedup.canonicalize(
+          emb.select(col("vec_id"), col("label")), "vec_id", cc)
+        .orderBy(col("vec_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2751,6 +2767,36 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS n_chars
         |FROM ext
         |ORDER BY doc_id""".stripMargin,
+
+    // q81's closure + the one-left-join tagging; docs outside any
+    // cluster are their own canonical
+    "q84_semantic_canonicalize" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 32),
+        |s AS (SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+        |      AS rk
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT s.vec_id, s.cent_id, e.v
+        |  FROM s JOIN e USING (vec_id) WHERE rk = 1),
+        |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y
+        |    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (SELECT u AS id, v AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e2.v FROM reach JOIN edges e2 ON reach.r = e2.u),
+        |comp AS (SELECT id, least(id, min(r)) AS comp
+        |  FROM reach GROUP BY id)
+        |SELECT em.vec_id, em.label,
+        |  COALESCE(cc.comp, em.vec_id) AS canonical_id,
+        |  COALESCE(cc.comp, em.vec_id) = em.vec_id AS keep
+        |FROM embeddings em LEFT JOIN comp cc ON em.vec_id = cc.id
+        |ORDER BY em.vec_id""".stripMargin,
 
     // same banner aug, q63's slice idiom for the 16/16 windows, df by
     // COUNT DISTINCT doc, ordered string_agg reassembly (q58 shape)
