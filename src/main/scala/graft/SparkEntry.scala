@@ -1532,6 +1532,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Zipf curve: top-1000 vocabulary with exact (rank, freq) and
+    // round-9 log coordinates — the curve itself is the hash-gated
+    // artifact; slope fitting is trivially downstream
+    "q85_zipf_curve" -> ((s, dir) => {
+      operators.TextAnalysis.zipfCurve(Tables.documents(s, dir),
+          "text", k = 1000)
+        .orderBy(col("rank"))
+    }),
+
+    // Heaps vocabulary growth over 10 id-prefix slices — one corpus
+    // pass via min-first-bucket, no per-prefix rescans
+    "q86_heaps_growth" -> ((s, dir) => {
+      operators.TextAnalysis.heapsGrowth(Tables.documents(s, dir),
+        "doc_id", "text", buckets = 10)
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2767,6 +2783,44 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS n_chars
         |FROM ext
         |ORDER BY doc_id""".stripMargin,
+
+    // same tokenizer, same (freq DESC, tok) order, round-9 ln pair
+    "q85_zipf_curve" ->
+      """WITH tok AS (SELECT unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY 1),
+        |top AS (SELECT tok, freq FROM f
+        |  ORDER BY freq DESC, tok LIMIT 1000),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok)
+        |    AS BIGINT) AS rank, tok, freq FROM top)
+        |SELECT rank, tok, freq,
+        |  round(ln(CAST(rank AS DOUBLE)), 9) AS ln_rank,
+        |  round(ln(CAST(freq AS DOUBLE)), 9) AS ln_freq
+        |FROM r
+        |ORDER BY rank""".stripMargin,
+
+    // same bucket = least(9, floor(id·10/N)) (double division then
+    // floor in both engines), min-first-bucket vocabulary, 10-row
+    // cumulative window
+    "q86_heaps_growth" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |occ AS (SELECT
+        |    least(9, CAST(floor(doc_id * 10 / n.n) AS INTEGER)) AS b,
+        |    unnest(string_split(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+        |      AS tok
+        |  FROM documents CROSS JOIN n),
+        |tp AS (SELECT b, COUNT(*) AS n_tok FROM occ GROUP BY 1),
+        |vp AS (SELECT b, COUNT(*) AS n_new FROM (
+        |  SELECT tok, MIN(b) AS b FROM occ GROUP BY 1) GROUP BY 1)
+        |SELECT CAST(tp.b AS INTEGER) AS bucket,
+        |  CAST(SUM(tp.n_tok) OVER (ORDER BY tp.b) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(SUM(COALESCE(vp.n_new, 0)) OVER (ORDER BY tp.b)
+        |    AS BIGINT) AS cum_vocab
+        |FROM tp LEFT JOIN vp USING (b)
+        |ORDER BY bucket""".stripMargin,
 
     // q81's closure + the one-left-join tagging; docs outside any
     // cluster are their own canonical

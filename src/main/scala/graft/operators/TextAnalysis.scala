@@ -321,6 +321,63 @@ object TextAnalysis {
         r.getField("top_token_ratio").as("top_token_ratio"): _*)
   }
 
+  /** Zipf curve of the corpus vocabulary: the top-`k` tokens by
+    * frequency with their rank and round-9 (ln rank, ln freq)
+    * coordinates — the standard corpus-health diagnostic (natural text
+    * shows slope ≈ −1; templated/generated corpora bend the curve).
+    * The slope fit is left to the consumer: the CURVE is the exact,
+    * engine-reproducible artifact; a regression on 1 000 points is
+    * trivially downstream. Top-k via orderBy+limit
+    * (TakeOrderedAndProject); the rank window runs over k rows only.
+    */
+  def zipfCurve(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val freq = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok").asc)
+    freq.orderBy(col("freq").desc, col("tok").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("tok"), col("freq"),
+        round(log(col("rank").cast("double")), 9).as("ln_rank"),
+        round(log(col("freq").cast("double")), 9).as("ln_freq"))
+  }
+
+  /** Heaps'-law vocabulary growth: cumulative (tokens seen, distinct
+    * vocabulary) after each of `buckets` equal id-prefix slices of the
+    * corpus — "is the vocabulary still growing, or are we re-crawling
+    * the same language?" Uses the novelty trick: a token's FIRST
+    * bucket is min over its occurrences, so the whole curve comes from
+    * two vocabulary-sized aggregates + a 10-row window cumsum — one
+    * corpus pass, no per-prefix rescans. `idCol` must be the dense
+    * 0..N−1 doc id (the [[Curation.negativePairs]] contract).
+    */
+  def heapsGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val n = docs.select(count(lit(1)).as("__n"))
+    val occ = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"),
+        least(lit(buckets - 1),
+          floor(col("id") * buckets / col("__n"))).cast("int").as("b"))
+      .persist()
+    val tokPerB = occ.groupBy("b").agg(count(lit(1)).as("n_tok"))
+    val vocabPerB = occ.groupBy("tok").agg(min(col("b")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_new_vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = tokPerB.join(vocabPerB, Seq("b"), "left")
+      .select(col("b").as("bucket"),
+        sum(col("n_tok")).over(w).as("cum_tokens"),
+        sum(coalesce(col("n_new_vocab"), lit(0L))).over(w)
+          .as("cum_vocab"))
+      .orderBy(col("bucket"))
+    Dedup.materializeAndRelease(out, occ)
+  }
+
   /** Stupid-Backoff bigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the web-scale LM that
     * deliberately skips normalization): score a BATCH of documents

@@ -186,6 +186,25 @@ class TextAnalysisSpec extends SparkSpec {
     nll(0) should be < nll(1) // lower nll = more corpus-typical
   }
 
+  test("zipfCurve and heapsGrowth: hand-computed ranks and cumulative growth") {
+    val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val z = TextAnalysis.zipfCurve(docs, "text", k = 2)
+      .select($"rank", $"tok", $"freq").as[(Long, String, Long)]
+      .collect().toSeq
+    z shouldBe Seq((1L, "a", 3L), (2L, "b", 2L))
+    // 4 docs, 2 buckets: b0 = docs 0-1 (tokens x y x z -> vocab 3),
+    // b1 = docs 2-3 (x w y q -> new vocab w q)
+    val corpus = Seq((0L, "x y"), (1L, "x z"), (2L, "x w"), (3L, "y q"))
+      .toDF("doc_id", "text")
+    val h = TextAnalysis.heapsGrowth(corpus, "doc_id", "text", buckets = 2)
+      .as[(Int, Long, Long)].collect().toSeq
+    h shouldBe Seq((0, 4L, 3L), (1, 8L, 5L))
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.zipfCurve(docs, "text", 0)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.heapsGrowth(corpus, "doc_id", "text", 0)
+  }
+
   test("stupidBackoffScore: seen bigram, backoff, OOV — hand-computed against the paper's formula") {
     val model = Seq((100L, "a b"), (101L, "a b c")).toDF("doc_id", "text")
     val batch = Seq((1L, "a b z")).toDF("doc_id", "text")
