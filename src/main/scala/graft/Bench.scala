@@ -75,7 +75,12 @@ object Bench {
       // a query that failed EVERY pass has no real time — report 0 and
       // rely on the `failed` array (MaxValue would wreck the total)
       .map { case (k, v) => k -> (if (v == Double.MaxValue) 0.0 else v) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding: at 86+ queries, full-precision doubles push
+    // the one-line JSON past the driver's captured log tail
+    // (BENCH_r07.json came back parsed:null) — ms precision is already
+    // below host noise, so nothing is lost
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     def names(p: Int => Boolean) = failCounts.toSeq.collect {
       case (k, c) if p(c) => k
@@ -84,9 +89,11 @@ object Bench {
     val flakyJson = names(c => c > 0 && c < passes) // timed, but not clean
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes}"""
-    println(line)
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // stop BEFORE printing so the JSON line is the LAST stdout line —
+    // the driver captures a bounded log tail and must find it there
     spark.stop()
+    println(line)
   }
 }

@@ -60,6 +60,18 @@ object GraftConf {
     // re-uploading full SST files — the incremental-checkpoint shape
     // the reference gets from Kafka changelog topics
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    // ---- codegen class cache: default 100 entries. A session running
+    // a many-query workload (the 86-query Verify/Bench suite; any
+    // multi-tenant analytics service) generates far more than 100
+    // distinct codegen units, so the Guava cache thrashes and every
+    // re-execution pays full Janino recompilation of every stage.
+    // Measured r8: q50 isolated = 5.0 s warm / 15-19 s on the pass
+    // that compiles its classes; the r7 driver bench (86-query suite
+    // between q50's two passes evicting everything) reported ~14.6 s
+    // on BOTH passes — the same queries ran 7.5 s when the suite was
+    // 53 queries (r6). 4096 entries ≈ tens of MB of class metadata —
+    // noise against executor memory, and strictly driver/executor-local.
+    "spark.sql.codegen.cache.maxEntries" -> "4096",
     // ---- session determinism: every timestamp operator in this repo
     // is defined in UTC; a session in any other zone would silently
     // shift day buckets (Telemetry dt handshake, timeBucket)
@@ -76,7 +88,16 @@ object GraftConf {
     "spark.sql.adaptive.skewJoin.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
     "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.codegen.cache.maxEntries",
     "spark.sql.session.timeZone")
+
+  /** Keys that are STATIC (builder-time only) — re-`conf.set` on a
+    * live session throws for these; they take effect only when this
+    * process created the session (true for the harness mains, each
+    * the first session in its JVM).
+    */
+  private val staticKeys: Set[String] =
+    Set("spark.ui.enabled", "spark.sql.codegen.cache.maxEntries")
 
   /** The exact config map a local harness session applies: shuffle
     * partitions = cpus (not the 200 default, not the cluster 2000),
@@ -106,7 +127,7 @@ object GraftConf {
     localConfigs(cpus).foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     localConfigs(cpus).foreach { case (k, v) =>
-      if (k != "spark.ui.enabled") s.conf.set(k, v)
+      if (!staticKeys(k)) s.conf.set(k, v)
     }
     s
   }

@@ -36,6 +36,31 @@ object SparkEntry {
       col("value"))
 
   // DECIMAL(30,6)-exact sum / mean fragments for the DuckDB twins
+  /** tmp roots for the layout round-trip queries (q55/q64), deleted on
+    * JVM exit: the returned DataFrame reads the directory lazily, so
+    * in-query deletion would break materialization — but without any
+    * cleanup every Verify/Bench process (pid-namespaced on purpose, so
+    * concurrent harnesses cannot race mid-compact) leaves a fresh tree
+    * in java.io.tmpdir forever.
+    */
+  private val tmpRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpRoots.forEach { r =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(r))
+      }))
+  }
+  private def tmpRootCleanedOnExit(prefix: String, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
+    tmpRoots.add(root)
+    root
+  }
+
   private def DSUM(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(30,6))) AS DOUBLE)"
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
   /** normalized text + distinct word 3-gram shingles, DuckDB side */
@@ -798,7 +823,11 @@ object SparkEntry {
         .agg((count(when(
           graft.functions.cosineSim(col("vec_a"), col("vec_b")) < t, 1)) === 0)
           .as("no_false_pos"))
-      recallDf.crossJoin(fpDf)
+      // gate persists released on return (the repo rule: no bare
+      // .persist() in SparkEntry without a paired release — a Verify
+      // session has no per-query cache clear)
+      Dedup.materializeAndRelease(recallDf.crossJoin(fpDf),
+        exactSampled, approx)
     }),
 
     // Text quality + token budgeting + portable fingerprint chain:
@@ -900,10 +929,10 @@ object SparkEntry {
       // row instead of whole documents (same grouping modulo sha2
       // collisions — the standard content-hash dedup key, as in
       // Dedup.exact)
-      val canon = Curation.capPerGroup(
+      val canon = Curation.canonicalizeBy(
           docs.withColumn("__nt",
             sha2(graft.functions.normText(col("text")), 256)),
-          Seq("__nt"), Seq(col("doc_id").asc), quota = 1)
+          Seq("__nt"), col("doc_id"))
         .drop("__nt")
       val contam = docs.filter(col("doc_id") % 97 === 0)
       val (clean, _) = Curation.decontaminate(canon, "doc_id", "text",
@@ -933,10 +962,10 @@ object SparkEntry {
       // second consumer, so nothing else caches — and the final
       // materializeAndRelease frees canon before returning (Verify
       // runs all queries in one session with no per-query cache clear).
-      val canon = Curation.capPerGroup(
+      val canon = Curation.canonicalizeBy(
           docs.withColumn("__nt",
             sha2(graft.functions.normText(col("text")), 256)),
-          Seq("__nt"), Seq(col("doc_id").asc), quota = 1)
+          Seq("__nt"), col("doc_id"))
         .drop("__nt").persist()
       val contained = Dedup.containmentJoin(canon, "doc_id", "text", n = 3)
         .select(col("id_a").as("doc_id")).distinct()
@@ -1113,9 +1142,9 @@ object SparkEntry {
       // namespaced by sf-dir AND pid: two harness processes on one
       // host (Bench alongside Verify) must not race on the same root
       // mid-compact; within one process the overwrite per call is the
-      // point (each run rebuilds the layout it then reads)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q55_layout_" +
-        Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
+      // point (each run rebuilds the layout it then reads); the tree
+      // is deleted on JVM exit
+      val root = tmpRootCleanedOnExit("graft_q55_layout", dir)
       Scale.writeTimePartitioned(eventsPoints(s, dir), "ts", root,
         sortCols = Seq("stream_id"))
       Scale.compact(s, root, targetFileBytes = 8L * 1024 * 1024,
@@ -1566,13 +1595,27 @@ object SparkEntry {
             .select(col("doc_id"), col("source"), col("text"), h.as("h")),
           "h", hist, "h", expectedKeys = 10000L)
         .drop("h").persist()
-      // persisted: the LM build and the gate join both read the chunks
-      val chunks = Curation.chunkDocs(batch, "doc_id", "text",
+      // the LM build and the gate join both read the chunks — but only
+      // the LM needs chunk_text, so the persist is the NARROW
+      // projection (ckey, source, n_chunk_tok) and the LM streams the
+      // text once straight off the cached batch instead: chunk text is
+      // corpus-sized and has no business in the cache (r7 carried it
+      // through the source join; recompute-narrow beats cache-wide).
+      // ckey packs chunk_idx into 3 decimal digits — guarded, because
+      // a ≥1000-chunk document (~48k tokens at 64/48 chunking) would
+      // silently collide into the next doc_id's key space, and both
+      // engines would compute the same wrong answer (the oracle twin
+      // mirrors the packing, so the gate could never catch it).
+      val chunked = Curation.chunkDocs(batch, "doc_id", "text",
           chunkTokens = 64, strideTokens = 48)
         .join(batch.select(col("doc_id"), col("source")), "doc_id")
-        .withColumn("ckey", col("doc_id") * 1000 + col("chunk_idx"))
-        .persist()
-      val lm = TextAnalysis.unigramLogProb(chunks, "ckey", "chunk_text")
+        .withColumn("ckey",
+          when(assert_true(col("chunk_idx") < 1000,
+              lit("q71 ckey packing assumes < 1000 chunks per doc")).isNull,
+            col("doc_id") * 1000 + col("chunk_idx")))
+      val chunks = chunked
+        .select(col("ckey"), col("source"), col("n_chunk_tok")).persist()
+      val lm = TextAnalysis.unigramLogProb(chunked, "ckey", "chunk_text")
       val thr = lm.agg(
         org.apache.spark.sql.GraftColumnBridge.column(
           org.apache.spark.sql.catalyst.expressions.IntegralDivide(
@@ -1723,8 +1766,7 @@ object SparkEntry {
     // clustering quality is pinned in ScaleSpec). The gate: answering
     // a 2-dim predicate THROUGH the layout must equal the flat table.
     "q64_zorder_roundtrip" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q64_zorder_" +
-        Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
+      val root = tmpRootCleanedOnExit("graft_q64_zorder", dir)
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"))
@@ -2609,18 +2651,30 @@ object SparkEntry {
         |      '.' || CAST(doc_id % 100 AS VARCHAR) || '.7 or +1-555-' ||
         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
         |  FROM documents)
+        |, steps AS (
+        |  -- progressive redaction: each pattern is COUNTED on the text
+        |  -- as it stands when its replacement runs, so the audit
+        |  -- columns are exact replacement counts (mirrors redactPii)
+        |  SELECT doc_id, text AS t0,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM aug)
+        |, steps2 AS (
+        |  SELECT doc_id, t0, t1,
+        |    regexp_replace(t1,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM steps)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  regexp_replace(t2,
         |    '\+\d{1,3}[- ]\d{3,4}[- ]\d{3,4}\b', '<PHONE>', 'g') AS text,
-        |  len(regexp_extract_all(text,
+        |  len(regexp_extract_all(t0,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text,
+        |  len(regexp_extract_all(t1,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-        |  len(regexp_extract_all(text,
+        |  len(regexp_extract_all(t2,
         |    '\+\d{1,3}[- ]\d{3,4}[- ]\d{3,4}\b')) AS n_phones
-        |FROM aug
+        |FROM steps2
         |ORDER BY doc_id""".stripMargin,
 
     // plain IN-subquery twin: the bloom stage must be answer-invariant

@@ -241,8 +241,16 @@ object Catalog {
         else LineageStrategy.Doubling
       case s => s
     }
-    if (chosen == LineageStrategy.LevelBfs) levelBfsClosure(edges, maxDepth)
-    else doublingClosure(edges, maxDepth)
+    // the closure result is checkpoint-backed on both paths (doubling
+    // returns an eager checkpoint; level-BFS a union of eager frontier
+    // checkpoints), so the edges checkpoint is releasable the moment
+    // the closure returns — and on the maxDepth-refusal throw it must
+    // not linger until GC (the exact leak Checkpoints.free exists to
+    // prevent; connectedComponents frees its edges the same way)
+    try {
+      if (chosen == LineageStrategy.LevelBfs) levelBfsClosure(edges, maxDepth)
+      else doublingClosure(edges, maxDepth)
+    } finally Checkpoints.free(edges)
   }
 
   /** Min-plus pointer doubling (see [[LineageStrategy.Doubling]]):
@@ -276,24 +284,29 @@ object Catalog {
       Checkpoints.free(reach)
       val changed = nextStats.getLong(0) != stats.getLong(0) ||
         nextStats.getLong(1) != stats.getLong(1)
-      if (changed && (1L << (round - 1)) >= maxDepth)
+      if (changed && (1L << (round - 1)) >= maxDepth) {
         // Still growing while the PREVIOUS round already covered every
         // pair within maxDepth ⇒ the new pairs are deeper than
         // maxDepth. Refuse to return a silently-truncated closure
-        // (same contract as connectedComponents' convergence guard).
+        // (same contract as connectedComponents' convergence guard);
+        // the in-flight closure checkpoint must not outlive the throw.
+        Checkpoints.free(next)
         throw new IllegalStateException(
           s"ancestor closure still expanding past maxDepth=$maxDepth; " +
             "raise maxDepth (the loop stops on its own at the fixed point)")
+      }
       reach = next; stats = nextStats; round += 1
       done = !changed
     }
     // pairs deeper than maxDepth can also land BEFORE the round guard
     // can see them (coverage doubles, maxDepth need not be a power of
     // two) — the converged closure gets the same refusal
-    if (!reach.filter(col("depth") > maxDepth).isEmpty)
+    if (!reach.filter(col("depth") > maxDepth).isEmpty) {
+      Checkpoints.free(reach)
       throw new IllegalStateException(
         s"ancestor closure contains pairs deeper than maxDepth=$maxDepth; " +
           "raise maxDepth")
+    }
     reach
   }
 
@@ -316,12 +329,17 @@ object Catalog {
         .join(closure.select("id", "ancestor_id"), Seq("id", "ancestor_id"), "left_anti")
         .withColumn("depth", lit(depth + 1))
         .localCheckpoint(true)
-      if (next.isEmpty) done = true
-      else if (depth >= maxDepth)
-        // same refusal contract as the doubling path
+      if (next.isEmpty) { Checkpoints.free(next); done = true }
+      else if (depth >= maxDepth) {
+        // same refusal contract as the doubling path; free the
+        // frontier checkpoints in flight (the union's older leaves are
+        // freed by the periodic compaction / ContextCleaner)
+        Checkpoints.free(next)
+        Checkpoints.free(frontier)
         throw new IllegalStateException(
           s"ancestor closure still expanding after maxDepth=$maxDepth rounds; " +
             "raise maxDepth (the loop stops on its own once the frontier empties)")
+      }
       else {
         closure = closure.union(next)
         if (depth % closureCompactEvery == 0)

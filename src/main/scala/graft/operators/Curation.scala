@@ -110,6 +110,28 @@ object Curation {
       .drop("__cap_rk")
   }
 
+  /** The quota=1 case of [[capPerGroup]] as a HASH AGGREGATE: keep,
+    * per group, the single row minimizing `tieCol` (same row set as
+    * `capPerGroup(groupCols, Seq(tieCol.asc), quota = 1)` whenever
+    * `tieCol` is unique within each group — e.g. a primary key).
+    * A `groupBy`/`min_by` aggregate gets MAP-SIDE PARTIAL aggregation
+    * — each input partition reduces to ≤1 candidate row per local
+    * group before anything shuffles — where `row_number().over(window)`
+    * must shuffle-and-sort every input row (capPerGroup's local
+    * pre-pass prunes per-partition, but is itself a window over
+    * (group, partition_id), i.e. a full shuffle of its own). For the
+    * content-hash canonicalization step of q44/q50 the groups ARE
+    * near-unique (dup rate is small), so the window shape shuffled the
+    * whole corpus twice for nothing.
+    */
+  def canonicalizeBy(df: DataFrame, groupCols: Seq[String],
+                     tieCol: org.apache.spark.sql.Column): DataFrame = {
+    val dataCols = df.columns.toSeq
+    df.groupBy(groupCols.map(col): _*)
+      .agg(min_by(struct(dataCols.map(col): _*), tieCol).as("__canon"))
+      .select(dataCols.map(c => col("__canon").getField(c).as(c)): _*)
+  }
+
   /** SEMANTIC decontamination — the embedding-space twin of
     * [[decontaminate]]: drop every corpus row whose embedding cosine
     * to ANY contamination-set embedding reaches `t`. n-gram overlap
@@ -515,17 +537,24 @@ object Curation {
     * digit runs can never be re-matched as phones, and the
     * placeholders contain no digits so later passes cannot match
     * inside earlier replacements.
+    *
+    * The audit counts are PROGRESSIVE — each pattern is counted on
+    * the text as it stands when that pattern's replacement runs
+    * (emails on the raw text, IPv4 on the email-redacted text, phones
+    * on the email+IPv4-redacted text) — so n_emails/n_ipv4/n_phones
+    * are exact REPLACEMENT counts: an IPv4- or phone-shaped run
+    * inside an email's domain is consumed by the email pass and never
+    * inflates the later counters. (Raw-text counting would overstate
+    * exactly those nested matches.) Codegen's common-subexpression
+    * elimination shares the intermediate replace passes between the
+    * counters and the final text.
     */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
-    val counted = df
-      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
-      .withColumn("n_ipv4", regexp_count(col(textCol), lit(Ipv4Re)))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
-    counted.withColumn(textCol,
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>"))
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ipv4", regexp_count(afterEmail, lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhoneRe)))
+      .withColumn(textCol, regexp_replace(afterIp, PhoneRe, "<PHONE>"))
   }
 }

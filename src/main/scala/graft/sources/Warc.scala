@@ -77,16 +77,26 @@ object Warc {
         s"not a WARC version line at offset $pos: '${version.take(20)}'")
       var p = afterVersion
       var headers = Map.empty[String, String]
+      var lastKey: String = null
       var done = false
       while (!done) {
         val (l, next) = line(p)
         p = next
         if (l.isEmpty) done = true
-        else {
+        else if (l.charAt(0) == ' ' || l.charAt(0) == '\t') {
+          // folded header continuation (ISO 28500 named fields follow
+          // the RFC field grammar): a leading-whitespace line extends
+          // the PREVIOUS field's value, joined by a single space —
+          // real Common Crawl records use this; it is spec-legal, not
+          // malformed. A fold before any field still throws.
+          require(lastKey != null,
+            s"WARC header continuation with no preceding field: '$l'")
+          headers += (lastKey -> (headers(lastKey) + " " + l.trim))
+        } else {
           val colon = l.indexOf(':')
           require(colon > 0, s"malformed WARC header '$l'")
-          headers += (l.substring(0, colon).trim.toLowerCase ->
-            l.substring(colon + 1).trim)
+          lastKey = l.substring(0, colon).trim.toLowerCase
+          headers += (lastKey -> l.substring(colon + 1).trim)
         }
       }
       val len = headers.getOrElse("content-length",

@@ -243,14 +243,15 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("redactPii: typed placeholders, raw-text counts, conservative boundaries") {
+  test("redactPii: typed placeholders, progressive replacement counts, conservative boundaries") {
     import spark.implicits._
     val rows = Seq(
       (1L, "mail a.b+c@x-corp.co.uk and b@y.io today"),
       (2L, "server at 192.168.0.1 and 10.0.0.7, but 1234.5.6.7 is not an IP"),
       (3L, "call +44-2079-4600 or +1 555 0142"),
       (4L, "price +99 items, version 1.2.3, id 12345 — nothing to redact"),
-      (5L, "mixed: root@10.0.0.1 box, mail me at x@y.org or +1-555-0000")
+      (5L, "mixed: root@10.0.0.1 box, mail me at x@y.org or +1-555-0000"),
+      (6L, "ping user@10.1.2.3.example.com now")
     ).toDF("id", "text")
     val got = Curation.redactPii(rows, "text")
       .orderBy("id")
@@ -268,6 +269,11 @@ class CurationSpec extends SparkSpec {
     // the phone are typed independently
     got(4) shouldBe (("mixed: root@<IP> box, mail me at <EMAIL> or <PHONE>",
       1, 1, 1))
+    // counts are PROGRESSIVE (exact replacement counts): the
+    // IPv4-shaped run inside the email's domain is consumed by the
+    // email pass — raw-text counting would report n_ipv4 = 1 here
+    // while replacing nothing
+    got(5) shouldBe (("ping <EMAIL> now", 1, 0, 0))
   }
 
   test("chunkDocs: stride windows clip at the end, overlap when stride < chunk, null text drops") {

@@ -303,6 +303,14 @@ class ScaleSpec extends SparkSpec {
     l("spark.sql.autoBroadcastJoinThreshold") shouldBe
       c("spark.sql.autoBroadcastJoinThreshold")
     l("spark.sql.session.timeZone") shouldBe "UTC"
+    // a many-query session generates far more than the default 100
+    // codegen cache entries; thrashing makes every re-execution pay
+    // full Janino recompilation (r8: q50 5.0 s warm vs ~15 s on the
+    // compiling pass — the r7 driver-bench doubling). Both tiers must
+    // raise it, identically.
+    c("spark.sql.codegen.cache.maxEntries").toInt should be >= 1024
+    l("spark.sql.codegen.cache.maxEntries") shouldBe
+      c("spark.sql.codegen.cache.maxEntries")
     // cluster-width and scan-size knobs must NOT leak into local runs
     l.get("spark.sql.files.maxPartitionBytes") shouldBe None
     l("spark.sql.shuffle.partitions") should not be

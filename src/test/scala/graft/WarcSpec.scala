@@ -48,6 +48,28 @@ class WarcSpec extends SparkSpec {
     r.head.record_id shouldBe "" // absent optional header -> empty
   }
 
+  test("folded header continuations (spec-legal) extend the previous field; fold-first throws") {
+    val raw = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.com/a\r\n" +
+      " very/long/path?q=1\r\n" +      // space-folded continuation
+      "Content-Type: text/html;\r\n" +
+      "\tcharset=utf-8\r\n" +          // tab-folded continuation
+      "Content-Length: 2\r\n" +
+      "\r\n" +
+      "hi\r\n\r\n").getBytes("UTF-8")
+    val r = Warc.parseWarc(raw)
+    r.length shouldBe 1
+    r.head.target_uri shouldBe "https://example.com/a very/long/path?q=1"
+    r.head.content_type shouldBe "text/html; charset=utf-8"
+    new String(r.head.body, "UTF-8") shouldBe "hi"
+    // a continuation line with no preceding field is still malformed
+    an[IllegalArgumentException] should be thrownBy
+      Warc.parseWarc(("WARC/1.0\r\n" +
+        " orphan-fold\r\n" +
+        "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes("UTF-8"))
+  }
+
   test("malformed WARC throws: bad version, no length, truncated block, missing separator") {
     an[IllegalArgumentException] should be thrownBy
       Warc.parseWarc("HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8"))
