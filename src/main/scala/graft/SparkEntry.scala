@@ -1577,6 +1577,26 @@ object SparkEntry {
         "doc_id", "text", buckets = 10)
     }),
 
+    // LLM quality 4 — the LINEAR quality classifier (fastText/CCNet
+    // class), both halves: closed-form naive-Bayes log-odds weights
+    // over 512 hashed unigram+bigram buckets, trained on a
+    // deterministic labeled seed (every 7th doc; "positive" = src0),
+    // then EVERY document scored by the broadcast-model mean-pooled
+    // dot product + sigmoid and gated at 0.5 — the standard learned
+    // quality gate web pipelines run after the heuristic one (q39).
+    // The q73 hashed-feature machinery, shared code path.
+    "q87_linear_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = TextAnalysis.trainLinearQuality(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        isPositive = col("source") === "src0", buckets = 512)
+      TextAnalysis.scoreLinearQuality(docs, "doc_id", "text", model,
+          buckets = 512)
+        .select(col("id").as("doc_id"), col("nfeat"), col("score"),
+          (col("score") >= 0.5).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2875,6 +2895,55 @@ object SparkEntry {
         |    AS BIGINT) AS cum_vocab
         |FROM tp LEFT JOIN vp USING (b)
         |ORDER BY bucket""".stripMargin,
+
+    // the classifier twin: same seed split, same closed-form
+    // naive-Bayes bucket weights (DECIMAL round-9), same mean-pooled
+    // sigmoid — both halves of q87 re-derived end-to-end in SQL
+    "q87_linear_quality" ->
+      """WITH dtok AS (SELECT doc_id, source,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |sfeat AS (SELECT doc_id, source = 'src0' AS pos,
+        |    unnest(list_concat(toks,
+        |      list_transform(range(len(toks)-1),
+        |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+        |  FROM dtok WHERE doc_id % 7 = 0),
+        |sfb AS (SELECT doc_id, pos,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
+        |  FROM sfeat),
+        |cnt AS (SELECT b, COUNT(*) AS cr,
+        |    COUNT(*) FILTER (WHERE pos) AS cp
+        |  FROM sfb GROUP BY 1),
+        |dom AS (SELECT range AS b FROM range(512)),
+        |fullb AS (SELECT dom.b, COALESCE(cnt.cr, 0) AS cr,
+        |    COALESCE(cnt.cp, 0) AS cp
+        |  FROM dom LEFT JOIN cnt USING (b)),
+        |tots AS (SELECT SUM(cp) AS tp, SUM(cr) - SUM(cp) AS tn FROM fullb),
+        |model AS (SELECT b,
+        |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) /
+        |      CAST(tp + 512 AS DOUBLE)), 9) AS DECIMAL(30,9)) -
+        |    CAST(round(ln(CAST(cr - cp + 1 AS DOUBLE) /
+        |      CAST(tn + 512 AS DOUBLE)), 9) AS DECIMAL(30,9)) AS w
+        |  FROM fullb CROSS JOIN tots),
+        |feat AS (SELECT doc_id,
+        |    unnest(list_concat(toks,
+        |      list_transform(range(len(toks)-1),
+        |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+        |  FROM dtok),
+        |fb AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
+        |  FROM feat),
+        |pooled AS (SELECT fb.doc_id, COUNT(*) AS nfeat, SUM(model.w) AS s
+        |  FROM fb JOIN model USING (b) GROUP BY 1),
+        |scored AS (SELECT d.doc_id,
+        |    COALESCE(p.nfeat, 0) AS nfeat,
+        |    round(1.0 / (1.0 + exp(-(0.0 +
+        |      COALESCE(CAST(p.s AS DOUBLE) / CAST(p.nfeat AS DOUBLE),
+        |        0.0)))), 9) + 0.0 AS score
+        |  FROM documents d LEFT JOIN pooled p USING (doc_id))
+        |SELECT doc_id, nfeat, score, score >= 0.5 AS kept
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
 
     // q81's closure + the one-left-join tagging; docs outside any
     // cluster are their own canonical

@@ -382,16 +382,24 @@ object Curation {
     * point of DSIR's hashed features is that the model fits in a
     * broadcast no matter the corpus size.
     */
-  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-                        isTarget: org.apache.spark.sql.Column,
-                        buckets: Int): DataFrame = {
+  /** Hashed unigram+bigram feature rows — the DSIR / fastText hashing
+    * trick shared by [[importanceWeights]] (q73/q79) and the linear
+    * quality classifier ([[TextAnalysis.trainLinearQuality]] /
+    * [[TextAnalysis.scoreLinearQuality]]). The token array is
+    * materialized as a column BEFORE the bigram lambda reads it, with
+    * the inert filter barrier holding the projections apart (the
+    * Dedup.shingles re-inlining trap); features hash to `buckets` via
+    * the md5-prefix integer, so the bucket ids are engine-reproducible.
+    * Emits one row per (carry columns..., bucket `b`); a null/empty
+    * text contributes no rows.
+    */
+  private[graft] def hashedNgramFeatures(df: DataFrame, carry: Seq[String],
+                                         textCol: String,
+                                         buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    // token array materialized as a column BEFORE the bigram lambda
-    // reads it, with the inert filter barrier holding the projections
-    // apart (the Dedup.shingles re-inlining trap)
-    val tok = docs
-      .select(col(idCol).as("id"), isTarget.as("__tgt"),
-        graft.functions.tokens(col(textCol)).as("__toks"))
+    val tok = df
+      .select(carry.map(col) :+
+        graft.functions.tokens(col(textCol)).as("__toks"): _*)
       .filter(coalesce(size(col("__toks")) >= -1, lit(true)))
     // sequence(1, size-1) would RISE for size=1 (Spark defaults to
     // step -1 when start > stop), hence the explicit size guard
@@ -400,12 +408,20 @@ object Curation {
         i => concat_ws(" ", element_at(col("__toks"), i),
           element_at(col("__toks"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val feat = tok
-      .select(col("id"), col("__tgt"),
-        explode(concat(col("__toks"), bigrams)).as("f"))
-      .select(col("id"), col("__tgt"),
+    tok.select(carry.map(col) :+
+        explode(concat(col("__toks"), bigrams)).as("f"): _*)
+      .select(carry.map(col) :+
         pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"))
+          lit(buckets.toLong)).as("b"): _*)
+  }
+
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: org.apache.spark.sql.Column,
+                        buckets: Int): DataFrame = {
+    val feat = hashedNgramFeatures(
+      docs.select(col(idCol).as("id"), isTarget.as("__tgt"),
+        col(textCol).as("__text")),
+      Seq("id", "__tgt"), "__text", buckets)
       .persist()
     // BOTH models in one aggregate pass over the feature rows (ct is
     // the conditional count), and one broadcast join instead of two —

@@ -526,4 +526,82 @@ object TextAnalysis {
           .as("novelty"))
     Dedup.materializeAndRelease(out, sh)
   }
+
+  // ----------------------------------- linear quality classifier
+
+  /** The "offline" half of a fastText/CCNet-style LINEAR quality
+    * classifier: closed-form naive-Bayes log-odds weights over hashed
+    * unigram+bigram features (the same hashing trick as DSIR's bucket
+    * models, [[Curation.importanceWeights]]) from a SMALL labeled seed
+    * set. Naive Bayes IS a linear model in feature space, and the
+    * closed form trains in ONE aggregate pass — no iterative
+    * optimizer, no ML runtime dependency; swap in externally-trained
+    * weights by handing [[scoreLinearQuality]] any (b, w) table.
+    *
+    * Returns the COMPLETE (b, w) model — every bucket in [0, buckets),
+    * unseen buckets carrying the smoothing-only weight — so scoring is
+    * a plain inner join with no missing-key coalesce. Weights are
+    * round-9 DECIMAL(30,9): the per-document dot product sums in
+    * DECIMAL (order-independent), keeping scores engine-exact.
+    */
+  def trainLinearQuality(docs: DataFrame, idCol: String, textCol: String,
+                         isPositive: Column, buckets: Int): DataFrame = {
+    val feat = Curation.hashedNgramFeatures(
+      docs.select(col(idCol).as("id"), isPositive.as("__pos"),
+        col(textCol).as("__text")),
+      Seq("id", "__pos"), "__text", buckets)
+    // one aggregate pass carries BOTH class counts (q73 idiom)
+    val cnt = feat.groupBy("b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))).as("__cp"))
+    val full = docs.sparkSession.range(0, buckets)
+      .select(col("id").as("b"))
+      .join(cnt, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cp"), lit(0L)).as("__cp"))
+    val tots = full.agg(sum(col("__cp")).as("__tp"),
+      (sum(col("__cr")) - sum(col("__cp"))).as("__tn"))
+    def lp(c: Column, t: Column): Column =
+      round(log((c + lit(1L)).cast("double") /
+        (t + lit(buckets.toLong)).cast("double")), 9)
+        .cast("decimal(30,9)")
+    full.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (lp(col("__cp"), col("__tp")) -
+          lp(col("__cr") - col("__cp"), col("__tn"))).as("w"))
+  }
+
+  /** The online half: score every document as the mean-pooled dot
+    * product of its hashed features against the broadcast model,
+    * squashed by a sigmoid — how a fastText scorer gates quality in
+    * CCNet/RefinedWeb-class web pipelines. `buckets` must match the
+    * model's training value (the feature hash domain).
+    *
+    * Scale shape: the model is `buckets` rows (broadcast); the corpus
+    * streams ONCE through a feature explode + broadcast join + hash
+    * aggregate — nothing corpus-sized shuffles except the narrow
+    * (id, bucket) feature rows, and the aggregate partial-combines
+    * map-side. Determinism: the DECIMAL dot product is
+    * order-independent; the mean + sigmoid is one IEEE chain rounded
+    * hash-safe to 9 dp. A document with zero features (null/empty
+    * text) scores sigmoid(bias) with nfeat = 0, not a dropped row.
+    */
+  def scoreLinearQuality(docs: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame, buckets: Int,
+                         bias: Double = 0.0): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val pooled = Curation.hashedNgramFeatures(base, Seq("id"), "__text",
+        buckets)
+      .join(broadcast(model), "b")
+      .groupBy("id")
+      .agg(count(lit(1)).as("nfeat"), sum(col("w")).as("__s"))
+    base.select(col("id")).join(pooled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("nfeat"), lit(0L)).as("nfeat"),
+        hashSafeRound(
+          lit(1.0) / (lit(1.0) + exp(-(lit(bias) +
+            coalesce(col("__s").cast("double") / col("nfeat").cast("double"),
+              lit(0.0))))), 9).as("score"))
+  }
 }

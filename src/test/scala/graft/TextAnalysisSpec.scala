@@ -264,4 +264,63 @@ class TextAnalysisSpec extends SparkSpec {
     got shouldBe Array(
       (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0))
   }
+
+  test("linear quality classifier: closed-form weights and scores match the hand-computed formula") {
+    import org.apache.spark.sql.functions._
+    // seed: one positive doc ("good good"), one negative ("bad bad").
+    // features per doc: the token twice + the bigram once (3 each), so
+    // tp = tn = 3 and the per-bucket counts are known by hand PROVIDED
+    // the 4 distinct features land in 4 distinct buckets — asserted
+    // below (md5 is fixed, so this can never flake).
+    val B = 512
+    val seed = Seq((1L, "good good", true), (2L, "bad bad", false))
+      .toDF("doc_id", "text", "pos")
+    val usedBuckets = operators.Curation.hashedNgramFeatures(
+        seed.select($"doc_id".as("id"), $"text".as("__text")),
+        Seq("id"), "__text", B)
+      .select("b").distinct().as[Long].collect().toSet
+    usedBuckets.size shouldBe 4 // good, bad, "good good", "bad bad"
+
+    val model = TextAnalysis.trainLinearQuality(seed, "doc_id", "text",
+      isPositive = $"pos", buckets = B)
+    model.count() shouldBe B.toLong // COMPLETE domain, unseen included
+
+    // Spark's round() routes through BigDecimal HALF_UP — replicate
+    // (scala BigDecimal(double) = valueOf semantics, the q79 idiom)
+    def r9(x: Double): BigDecimal = BigDecimal(x)
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    def lp(c: Long, t: Long): BigDecimal =
+      r9(math.log((c + 1.0) / (t + B.toDouble)))
+    // bucket("good"): cp=2 of cr=2 -> w = lp(2,3) - lp(0,3)
+    // bucket("bad"):  cp=0 of cr=2 -> w = lp(0,3) - lp(2,3)
+    // unseen bucket:  w = lp(0,3) - lp(0,3) = 0
+    val wGoodExp = lp(2, 3) - lp(0, 3)
+    val wBadExp = lp(0, 3) - lp(2, 3)
+    val unseenB = (0L until B.toLong).find(b => !usedBuckets.contains(b)).get
+    val wMap = model.collect().map(r =>
+      r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    wMap(unseenB) shouldBe BigDecimal(0).setScale(9)
+    assert(wMap(usedBuckets.head) != BigDecimal(0).setScale(9))
+
+    // score a one-token doc: nfeat=1, s=w(good) -> sigmoid(w)
+    val scored = TextAnalysis.scoreLinearQuality(
+      Seq((10L, "good"), (11L, "bad")).toDF("doc_id", "text"),
+      "doc_id", "text", model, buckets = B)
+      .orderBy($"id").collect()
+    def sig(w: BigDecimal): Double =
+      r9(1.0 / (1.0 + math.exp(-w.toDouble))).toDouble + 0.0
+    scored(0).getLong(1) shouldBe 1L
+    scored(0).getDouble(2) shouldBe sig(wGoodExp)
+    scored(1).getDouble(2) shouldBe sig(wBadExp)
+    // the learned gate separates: positive-flavored above 0.5,
+    // negative-flavored below
+    assert(scored(0).getDouble(2) > 0.5 && scored(1).getDouble(2) < 0.5)
+
+    // zero-feature doc (null text): present, nfeat 0, score sigmoid(0)
+    val nullDoc = Seq((20L, Option.empty[String])).toDF("doc_id", "text")
+    val z = TextAnalysis.scoreLinearQuality(nullDoc, "doc_id", "text",
+      model, buckets = B).collect()(0)
+    z.getLong(1) shouldBe 0L
+    z.getDouble(2) shouldBe 0.5
+  }
 }
