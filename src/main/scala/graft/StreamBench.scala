@@ -18,12 +18,26 @@ import graft.streaming.StreamingOps
   * scheduling (N batches), watermark advance, and state-store
   * open/commit per batch — the costs a single-batch run would hide.
   *
+  * The pipeline runs TWICE, once per state-store provider — the
+  * HDFS-backed in-memory default, then RocksDB with changelog
+  * checkpointing (the GraftConf.clusterDefaults choice) — so the
+  * cluster-config claim is a measured number, not a comment: the same
+  * workload, same topic, fresh checkpoint each, with per-provider
+  * rows/s side by side. The RocksDB run also asserts the provider
+  * actually engaged (its stateOperators expose rocksdb custom
+  * metrics) — a typo'd provider class would otherwise fall back
+  * silently and "benchmark" the default twice.
+  *
   * Rows default to 200k (SPARK_GRAFT_STREAM_ROWS overrides): enough
   * that per-batch fixed costs do not dominate, small enough to run in
   * seconds locally. Throughput = input rows / wall seconds across the
   * whole query (setup + all batches + final commit).
   */
 object StreamBench {
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val ChangelogConf =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftConf.localSession(cpus)
@@ -31,7 +45,7 @@ object StreamBench {
 
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong
     val dir = Files.createTempDirectory("stream_bench")
-    val topic = s"$dir/topic"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val topic = s"$dir/topic"
 
     // deterministic synthetic trades: 250 ms spacing (4 rows/s of
     // event time), 50 symbols, both sides/types, premiums straddling
@@ -57,37 +71,63 @@ object StreamBench {
       StructField("side", StringType), StructField("otype", StringType),
       StructField("qty", LongType), StructField("premium", DoubleType)))
 
-    val t0 = System.nanoTime()
-    val raw = spark.readStream
-      .schema("key string, value string, ts timestamp")
-      .option("maxFilesPerTrigger", "2") // 16 files / 2 → 8 micro-batches
-      .parquet(topic)
-      .withColumnRenamed("ts", "kafka_ts")
-    val parsed = Ingest.valid(Ingest.parseJson(raw, "value", valueSchema))
-      .select("ts", "osym", "side", "otype", "qty", "premium")
-    // 10-minute grace: files drain near time-order (range-partitioned
-    // write), so real cross-batch disorder stays far inside the grace
-    val agged = StreamingOps.windowedAgg(parsed, "ts", "osym",
-      "1 minute", "10 minutes",
-      count(lit(1)).as("count") +: OptionAgg.measures())
-    val q = StreamingOps.sink(agged, "parquet", Some(out), ckpt,
-      trigger = Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val secs = (System.nanoTime() - t0) / 1e9
+    /** One full pipeline run under the session's CURRENT state-store
+      * provider, against a fresh sink + checkpoint. Returns the JSON
+      * fragment for this provider.
+      */
+    def runOnce(tag: String, expectRocksDb: Boolean): String = {
+      val out = s"$dir/out_$tag"; val ckpt = s"$dir/ckpt_$tag"
+      val t0 = System.nanoTime()
+      val raw = spark.readStream
+        .schema("key string, value string, ts timestamp")
+        .option("maxFilesPerTrigger", "2") // 16 files / 2 → 8 micro-batches
+        .parquet(topic)
+        .withColumnRenamed("ts", "kafka_ts")
+      val parsed = Ingest.valid(Ingest.parseJson(raw, "value", valueSchema))
+        .select("ts", "osym", "side", "otype", "qty", "premium")
+      // 10-minute grace: files drain near time-order (range-partitioned
+      // write), so real cross-batch disorder stays far inside the grace
+      val agged = StreamingOps.windowedAgg(parsed, "ts", "osym",
+        "1 minute", "10 minutes",
+        count(lit(1)).as("count") +: OptionAgg.measures())
+      val q = StreamingOps.sink(agged, "parquet", Some(out), ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
 
-    val progress = q.recentProgress
-    val inputRows = progress.map(_.numInputRows).sum
-    val batches = progress.count(_.numInputRows > 0)
-    // explicit schema: a tiny run (rows' event time all inside the
-    // watermark grace) finalizes ZERO windows, and a schema-inferring
-    // read of the empty sink dir would throw AFTER the bench succeeded
-    val outWindows = spark.read.schema(agged.schema).parquet(out).count()
+      val progress = q.recentProgress
+      val inputRows = progress.map(_.numInputRows).sum
+      val batches = progress.count(_.numInputRows > 0)
+      // provider engagement check: RocksDB's state operator exposes
+      // rocksdb* custom metrics the default provider does not
+      val rocksDbMetrics = progress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+        .exists(_.toLowerCase(java.util.Locale.ROOT).contains("rocksdb"))
+      require(rocksDbMetrics == expectRocksDb,
+        s"state-store provider mismatch for '$tag': rocksdb metrics " +
+          s"present=$rocksDbMetrics, expected=$expectRocksDb")
+      // explicit schema: a tiny run (rows' event time all inside the
+      // watermark grace) finalizes ZERO windows, and a schema-inferring
+      // read of the empty sink dir would throw AFTER the bench succeeded
+      val outWindows = spark.read.schema(agged.schema).parquet(out).count()
+      s""""$tag":{"rows_per_sec":${inputRows / secs},"secs":$secs,""" +
+        s""""input_rows":$inputRows,"batches":$batches,""" +
+        s""""out_windows":$outWindows,"rocksdb_engaged":$rocksDbMetrics}"""
+    }
+
+    // pass 1: the HDFS-backed in-memory default (Spark's out-of-box)
+    val hdfsFrag = runOnce("hdfs_default", expectRocksDb = false)
+    // pass 2: the cluster default — RocksDB + changelog checkpointing
+    spark.conf.set(ProviderConf, GraftConf.clusterDefaults(ProviderConf))
+    spark.conf.set(ChangelogConf, GraftConf.clusterDefaults(ChangelogConf))
+    val rocksFrag = runOnce("rocksdb_changelog", expectRocksDb = true)
+
     val line =
-      s"""{"metric":"stream_e2e_pipeline","unit":"rows_per_sec","value":${inputRows / secs},""" +
-        s""""rows":$n,"input_rows":$inputRows,"batches":$batches,""" +
-        s""""secs":$secs,"out_windows":$outWindows,"cpus":$cpus}"""
-    println(line)
+      s"""{"metric":"stream_e2e_pipeline","unit":"rows_per_sec",""" +
+        s""""rows":$n,"cpus":$cpus,""" +
+        s""""providers":{$hdfsFrag,$rocksFrag}}"""
     Files.writeString(Paths.get("stream_bench.json"), line + "\n")
     spark.stop()
+    println(line)
   }
 }

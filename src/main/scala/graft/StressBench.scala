@@ -1,0 +1,377 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import graft.operators.{Catalog, Curation, Dedup, Similarity, TextAnalysis}
+
+/** 100×-readiness stress harness as a DRIVER-RUNNABLE artifact: the
+  * synthesized hostile corpora that previously lived as prose in
+  * SURVEY.md (round-5/6 scale stresses) — pathological duplication,
+  * million-node lineage, hot-domain skew, a hot semantic cluster, and
+  * the 11× capstone chain — each with its expected-count assertion
+  * INLINE, so the evidence is re-runnable instead of anecdotal.
+  *
+  * Every assertion is scale-factor-independent (self-consistent): the
+  * expectation is either derived combinatorially from a measured 1×
+  * run (clone pairs: 45·n within-group + 100·basePairs across copies),
+  * computed in closed form on the driver (the binary-tree closure row
+  * count), or cross-checked against an independently-planned query
+  * (canonical count vs a plain DISTINCT). A failed expectation fails
+  * the stress (ok=false, nonzero exit), not just a log line.
+  *
+  * Output: one JSON line (last stdout line, also stress_out.json) —
+  * {"metric":"stress_total","value":secs,...,"stresses":{...}}.
+  * SPARK_GRAFT_STRESS selects a comma-separated subset for local
+  * iteration; the driver default runs all five.
+  */
+object StressBench {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def r3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** `copies` offset clones of `df` (doc_id + k·offset), preserving
+    * every other column — the pathological-duplication corpus builder
+    * (each base doc gains copies−1 exact clones).
+    */
+  private def clones(df: DataFrame, copies: Int, offset: Long): DataFrame =
+    df.withColumn("__k",
+        explode(array((0 until copies).map(lit): _*)))
+      .withColumn("doc_id", col("doc_id") + col("__k") * offset)
+      .drop("__k")
+
+  /** Dedup under pathological duplication: 10 offset copies of the
+    * documents table, so every doc has 9 exact clones. The MinHash-LSH
+    * pair count is exactly predictable from the 1× run: clones share
+    * signatures, so each base doc contributes C(10,2)=45 within-group
+    * pairs and each 1× near-dup pair (a,b) becomes the 10×10 = 100
+    * cross-copy pairs (a_i, b_j) — found iff the 1× pair was found.
+    * Work scales with OUTPUT (~1000× the 1× pair count), never n².
+    */
+  private def dedupClone10x(s: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    val n = docs.count()
+    val offset = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val corpus = clones(docs, 10, offset)
+    val (basePairs, baseSecs) = time {
+      val df = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, t = 0.5, bands = 32, rows = 2)
+      val c = df.count(); df.unpersist(blocking = false); c
+    }
+    val (pairs10, secs10) = time {
+      val df = Dedup.minhashLsh(corpus, "doc_id", "text",
+        n = 3, t = 0.5, bands = 32, rows = 2)
+      val c = df.count(); df.unpersist(blocking = false); c
+    }
+    val expected = 45L * n + 100L * basePairs
+    val ok = pairs10 == expected
+    s""""dedup_clone10x":{"secs":${r3(secs10)},"base_secs":${r3(baseSecs)},""" +
+      s""""docs":${10 * n},"pairs":$pairs10,"expected":$expected,"ok":$ok}"""
+  }
+
+  /** Lineage closure at a million streams: a complete binary-tree
+    * dimension (node i's parent is i/2), three orders of magnitude
+    * beyond the catalog specs. The transitive-closure row count has a
+    * closed form — Σ_{i=2..N} floor(log2 i) — computed on the driver
+    * and asserted against the distributed result, along with the max
+    * depth (floor(log2 N)).
+    */
+  private def lineage1M(s: SparkSession): String = {
+    val nNodes =
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_NODES", "1000000").toLong
+    val streams = s.range(1, nNodes + 1).select(
+      col("id").cast("string").as("id"),
+      when(col("id") === 1, array().cast("array<string>"))
+        .otherwise(array(shiftright(col("id"), 1).cast("string")))
+        .as("parents"))
+    var expectedRows = 0L
+    var k = 1
+    while ((1L << k) <= nNodes) {
+      val hi = math.min(nNodes, (1L << (k + 1)) - 1)
+      expectedRows += k * (hi - (1L << k) + 1)
+      k += 1
+    }
+    val expectedDepth = 63 - java.lang.Long.numberOfLeadingZeros(nNodes)
+    val ((rows, maxDepth), secs) = time {
+      val closure = Catalog.ancestors(streams, "id", "parents",
+        maxDepth = expectedDepth)
+      val agg = closure
+        .agg(count(lit(1)), coalesce(max("depth"), lit(0))).head()
+      (agg.getLong(0), agg.getInt(1))
+    }
+    val ok = rows == expectedRows && maxDepth == expectedDepth
+    s""""lineage_1m":{"secs":${r3(secs)},"nodes":$nNodes,""" +
+      s""""closure_rows":$rows,"expected_rows":$expectedRows,""" +
+      s""""max_depth":$maxDepth,"expected_depth":$expectedDepth,"ok":$ok}"""
+  }
+
+  /** Decontamination + quota under hot-shingle and hot-domain skew:
+    * 10 offset copies of the documents table, every doc carrying a
+    * shared boilerplate sentence (so every contam shingle list collides
+    * with ALL corpus rows — the join inflates, the drop set must not),
+    * 90% of rows remapped to one hot source. The 10× drop set must be
+    * EXACTLY the 10 offset images of the 1× drop set (clone jaccard is
+    * copy-invariant), and the per-source quota output must equal
+    * Σ min(quota, |kept group|) — computed by an independent aggregate.
+    */
+  private def curationSkew10x(s: SparkSession, sfDir: String): String = {
+    val boiler = " common boilerplate navigation footer text shared by" +
+      " every page of this synthetic web corpus"
+    val base = Tables.documents(s, sfDir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 9, lit("hot_src"))
+          .otherwise(col("source")).as("source"),
+        concat(col("text"), lit(boiler)).as("text"))
+    val offset = base.agg(max("doc_id")).head().getLong(0) + 1
+    val corpus10 = clones(base, 10, offset)
+    val contam = base.orderBy(col("doc_id")).limit(50)
+      .select(col("doc_id").as("cid"), col("text"))
+    // 1× reference drop set (small: ≤ a few hundred ids)
+    val droppedBase = Curation.decontaminate(base, "doc_id", "text",
+      contam, "cid", "text", n = 3, t = 0.5)._2
+    val baseIds = droppedBase.select(col("id")).collect().map(_.getLong(0))
+    droppedBase.unpersist(blocking = false)
+    val expectedIds = baseIds
+      .flatMap(id => (0L until 10L).map(k => id + k * offset)).sorted
+    val ((kept10, dropped10), deconSecs) = time {
+      val (kept, d) = Curation.decontaminate(corpus10, "doc_id", "text",
+        contam, "cid", "text", n = 3, t = 0.5)
+      d.count() // materialize the join inside the timed region
+      (kept, d)
+    }
+    val got = dropped10.select(col("id")).collect().map(_.getLong(0)).sorted
+    val dropped10Count = got.length
+    dropped10.unpersist(blocking = false)
+    val setOk = got.sameElements(expectedIds)
+    val (capRows, capSecs) = time {
+      Curation.capPerGroup(kept10, Seq("source"),
+        Seq(length(col("text")).desc, col("doc_id").asc), quota = 10).count()
+    }
+    val expectedCap = kept10.groupBy("source").count()
+      .agg(sum(least(col("count"), lit(10L)))).head().getLong(0)
+    val ok = setOk && capRows == expectedCap
+    s""""curation_skew10x":{"decon_secs":${r3(deconSecs)},""" +
+      s""""cap_secs":${r3(capSecs)},"docs":${10 * base.count()},""" +
+      s""""dropped":$dropped10Count,"expected_dropped":${expectedIds.length},""" +
+      s""""drop_set_exact":$setOk,"cap_rows":$capRows,""" +
+      s""""expected_cap_rows":$expectedCap,"ok":$ok}"""
+  }
+
+  /** AQE skew-split evidence for semDedup's hot cluster (the scaladoc
+    * claim in Similarity.semDedupPairs): a synthetic corpus with 90% of
+    * vectors in ONE cluster, run through the real operator twice —
+    * skew-join off, then on — under demo-scaled AQE thresholds (the
+    * corpus is MBs, not the 100 TB the production thresholds assume;
+    * broadcast is disabled because at corpus scale the join sides are
+    * far beyond any broadcast threshold anyway). Evidence: a
+    * QueryExecutionListener captures every executed plan and the run
+    * with skew-join on must contain a skew=true join while the run
+    * with it off must not; both runs must emit the identical pair
+    * count. The hot cluster's within-cluster join partition splits
+    * across reducers instead of serializing on one.
+    */
+  private def semdedupSkewAqe(s: SparkSession): String = {
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_STRESS_VECS", "8000").toInt
+    val dim = 32
+    // 90% of vectors perturb basis e0, 10% basis e1; noise is a
+    // deterministic xxhash64 coin, amplitude ±0.25 per coordinate —
+    // big enough that same-cluster cosine stays well under the 0.8
+    // threshold (the output is pairs of near-identical noise only),
+    // small enough that nearest-centroid assignment is never ambiguous
+    val emb = s.range(nVecs).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), j -> cast(" +
+        "(CASE WHEN j = (CASE WHEN id % 10 < 9 THEN 0 ELSE 1 END)" +
+        " THEN 1.0 ELSE 0.0 END)" +
+        " + (pmod(xxhash64(id, j), 1000) / 1000.0 - 0.5) * 0.5 as float))")
+        .as("embedding"))
+    val cents = s.range(2).select(col("id").as("cent_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+        "cast(CASE WHEN j = id THEN 1.0 ELSE 0.0 END as float))").as("cv"))
+
+    val demoConfs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = (demoConfs.keys ++
+      Seq("spark.sql.adaptive.skewJoin.enabled")).map { k =>
+      k -> s.conf.getOption(k)
+    }.toMap
+
+    def run(skewOn: Boolean): (Long, Double, Boolean) = {
+      demoConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      val plans = ArrayBuffer.empty[String]
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      s.listenerManager.register(listener)
+      try {
+        val (pairs, secs) = time {
+          val df = Similarity.semDedupPairs(emb, "vec_id", "embedding",
+            cents, "cent_id", "cv", t = 0.8)
+          val c = df.count(); df.unpersist(blocking = false); c
+        }
+        // listener events are posted asynchronously — wait until the
+        // join's plan has been captured before reading
+        val deadline = System.currentTimeMillis + 10000
+        while (System.currentTimeMillis < deadline &&
+          !plans.synchronized(plans.exists(_.contains("Join")))) {
+          Thread.sleep(100)
+        }
+        val sawSkew =
+          plans.synchronized { plans.exists(_.contains("skew=true")) }
+        (pairs, secs, sawSkew)
+      } finally {
+        s.listenerManager.unregister(listener)
+        saved.foreach { case (k, vOpt) =>
+          vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+        }
+      }
+    }
+
+    val (pairsOff, secsOff, skewOff) = run(skewOn = false)
+    val (pairsOn, secsOn, skewOn) = run(skewOn = true)
+    val ok = pairsOn == pairsOff && skewOn && !skewOff
+    s""""semdedup_skew_aqe":{"vectors":$nVecs,"hot_fraction":0.9,""" +
+      s""""secs_skew_off":${r3(secsOff)},"secs_skew_on":${r3(secsOn)},""" +
+      s""""pairs_off":$pairsOff,"pairs_on":$pairsOn,""" +
+      s""""skew_split_seen_off":$skewOff,"skew_split_seen_on":$skewOn,""" +
+      s""""ok":$ok}"""
+  }
+
+  /** The q50 capstone chain at 11× with skew: 10 offset clone copies
+    * of every doc + one planted excerpt per (long-enough) base doc —
+    * a word-prefix, so its normalized text is a word-boundary
+    * substring of its source — with 90% of rows in one hot source.
+    * Assertions: the canonical count equals an independently-planned
+    * plain DISTINCT of the normalized-text digests (clones collapse
+    * BEFORE the expensive stages — the point of the stage order);
+    * ZERO planted excerpts survive the containment drop; the final
+    * quota output respects Σ min(quota, group). The 1× chain runs for
+    * the sublinearity ratio.
+    */
+  private def capstone11x(s: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(s, sfDir)
+    val offset = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val toks = graft.functions.tokens(col("text"))
+    val excerpts = docs
+      .filter(size(toks) >= 8)
+      .select((col("doc_id") + lit(10L) * offset).as("doc_id"),
+        array_join(slice(toks, lit(1), (size(toks) / 2).cast("int")), " ")
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val corpus = clones(docs, 10, offset)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(excerpts)
+      .withColumn("source",
+        when(pmod(col("doc_id"), lit(10)) < 9, lit("hot_src"))
+          .otherwise(col("source")))
+    val contam = docs.filter(col("doc_id") % 97 === 0)
+    val excerptBase = 10L * offset
+
+    def chain(in: DataFrame): (Long, Long, Long, Long) = {
+      val canon = Curation.canonicalizeBy(
+          in.withColumn("__nt",
+            sha2(graft.functions.normText(col("text")), 256)),
+          Seq("__nt"), col("doc_id"))
+        .drop("__nt").persist()
+      val canonCount = canon.count()
+      val contained = Dedup.containmentJoin(canon, "doc_id", "text", n = 3)
+        .select(col("id_a").as("doc_id")).distinct()
+      val noExcerpts = canon.join(contained, Seq("doc_id"), "left_anti")
+      val (clean, _) = Curation.decontaminate(noExcerpts, "doc_id", "text",
+        contam, "doc_id", "text", n = 3, t = 0.5)
+      val gated = TextAnalysis.withRepetitionStats(clean, "text", n = 3)
+        .filter(col("top_token_ratio") <= 0.12)
+        .drop("ntok", "dup_ngram_rate", "top_token_ratio")
+      val mixed = Curation.sampleStratified(gated, "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0), defaultRate = 0.5)
+      val out = Curation.capPerGroup(mixed, Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id").asc), quota = 10).persist()
+      val outRows = out.count()
+      val excerptSurvivors =
+        noExcerpts.filter(col("doc_id") >= excerptBase).count()
+      val capBound = mixed.groupBy("source").count()
+        .agg(coalesce(sum(least(col("count"), lit(10L))), lit(0L)))
+        .head().getLong(0)
+      canon.unpersist(blocking = false)
+      out.unpersist(blocking = false)
+      (canonCount, excerptSurvivors, outRows, capBound)
+    }
+
+    val (base1x, secs1x) = time(chain(docs
+      .select("doc_id", "text", "lang", "source", "n_chars")))
+    val ((canon11, survivors, outRows, capBound), secs11) =
+      time(chain(corpus))
+    val expectedCanon = corpus
+      .select(sha2(graft.functions.normText(col("text")), 256))
+      .distinct().count()
+    val ok = canon11 == expectedCanon && survivors == 0L &&
+      outRows == capBound
+    s""""capstone_11x":{"secs_11x":${r3(secs11)},"secs_1x":${r3(secs1x)},""" +
+      s""""rows":${corpus.count()},"canonicals":$canon11,""" +
+      s""""expected_canonicals":$expectedCanon,""" +
+      s""""excerpt_survivors":$survivors,"out_rows":$outRows,""" +
+      s""""expected_out_rows":$capBound,""" +
+      s""""out_rows_1x":${base1x._3},"ok":$ok}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftConf.localSession(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = Seq[(String, () => String)](
+      "dedup_clone10x" -> (() => dedupClone10x(spark, sfDir)),
+      "lineage_1m" -> (() => lineage1M(spark)),
+      "curation_skew10x" -> (() => curationSkew10x(spark, sfDir)),
+      "semdedup_skew_aqe" -> (() => semdedupSkewAqe(spark)),
+      "capstone_11x" -> (() => capstone11x(spark, sfDir)))
+    val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).toSet
+        all.filter { case (name, _) => want(name) }
+      case None => all
+    }
+
+    val t0 = System.nanoTime()
+    val fragments = selected.map { case (name, f) =>
+      val frag =
+        try f()
+        catch { case e: Throwable =>
+          System.err.println(s"[stress] $name failed: ${e.getMessage}")
+          s""""$name":{"ok":false,"err":"${e.getClass.getSimpleName}"}"""
+        }
+      // caches/checkpoints from one stress must not distort the next
+      spark.sqlContext.clearCache()
+      System.gc()
+      frag
+    }
+    val total = (System.nanoTime() - t0) / 1e9
+    val line =
+      s"""{"metric":"stress_total","value":${r3(total)},"unit":"sec",""" +
+        s""""sf":"$sfDir","cpus":$cpus,""" +
+        s""""stresses":${fragments.mkString("{", ",", "}")}}"""
+    Files.writeString(Paths.get("stress_out.json"), line + "\n")
+    val anyFailed = fragments.exists(_.contains("\"ok\":false"))
+    spark.stop()
+    println(line)
+    if (anyFailed) sys.exit(1)
+  }
+}
