@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata star schema + stream tables
   * (see /root/repo/TESTDATA.md). One parquet file per table under
@@ -31,13 +32,43 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events with the canonical event-time column: `ts` is rewritten from
-    * the raw nanosecond long to a microsecond TimestampType by truncation
-    * — bit-identical to what DuckDB v1 sees when it reads the same file
-    * (SURVEY.md §7 hard part 6). The raw long survives as `ts_ns`.
+  /** events with the canonical event-time columns, regardless of how the
+    * generator encoded `ts` on disk. Two physical encodings have been
+    * observed across driver testdata regenerations (SURVEY.md §7 hard
+    * part 6):
+    *
+    *   - TIMESTAMP(NANOS), which Spark 4 only reads as a raw long
+    *     (`nanosAsLong`): `ts_ns` = the raw long; `ts` = µs TimestampType
+    *     by exact truncation — bit-identical to DuckDB's ns→µs read.
+    *   - TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ): `ts` = the value
+    *     cast to TimestampType (µs-exact under the session's fixed UTC —
+    *     [[GraftConf]]); `ts_ns` = `unix_micros(ts) * 1000`.
+    *
+    * Both paths yield the same logical schema in the same column order
+    * (`ts_ns`: ns-epoch long in the original `ts` slot; `ts`: µs
+    * TimestampType appended) and identical values wherever the source
+    * resolution allows, so every downstream consumer and every DuckDB
+    * twin is encoding-agnostic. Any other physical type fails fast with
+    * the observed schema rather than 30 queries deep in analysis.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", graft.functions.nsToTimestamp(col("ts_ns")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", graft.functions.nsToTimestamp(col("ts_ns")))
+      case TimestampType | TimestampNTZType =>
+        val ordered = raw.columns.map(c => if (c == "ts") "ts_ns" else c) :+ "ts"
+        raw
+          .withColumn("ts_ns",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .select(ordered.map(col).toIndexedSeq: _*)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other in $d/events.parquet " +
+            "(expected TIMESTAMP(NANOS)-as-long or TIMESTAMP[_NTZ])")
+    }
+  }
 }
