@@ -90,10 +90,18 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes}"""
+    // At 87 queries the full line is ~2.6 kB — larger than the driver's
+    // captured log tail, so it can never be recovered from stdout alone
+    // (BENCH_r07/r08 both came back parsed:null). The full record lives
+    // in bench_out.json; stdout gets the full line for humans plus a
+    // guaranteed-short summary line LAST, sized to always fit the tail.
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"detail":"bench_out.json"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    // stop BEFORE printing so the JSON line is the LAST stdout line —
-    // the driver captures a bounded log tail and must find it there
+    // stop BEFORE printing so the JSON lines are the LAST stdout lines —
+    // the driver captures a bounded log tail and must find them there
     spark.stop()
     println(line)
+    println(summary)
   }
 }

@@ -72,10 +72,10 @@ object StreamBench {
       StructField("qty", LongType), StructField("premium", DoubleType)))
 
     /** One full pipeline run under the session's CURRENT state-store
-      * provider, against a fresh sink + checkpoint. Returns the JSON
-      * fragment for this provider.
+      * provider, against a fresh sink + checkpoint. Returns
+      * (inputRows, secs, batches, outWindows).
       */
-    def runOnce(tag: String, expectRocksDb: Boolean): String = {
+    def runOnce(tag: String, expectRocksDb: Boolean): (Long, Double, Int, Long) = {
       val out = s"$dir/out_$tag"; val ckpt = s"$dir/ckpt_$tag"
       val t0 = System.nanoTime()
       val raw = spark.readStream
@@ -110,20 +110,41 @@ object StreamBench {
       // watermark grace) finalizes ZERO windows, and a schema-inferring
       // read of the empty sink dir would throw AFTER the bench succeeded
       val outWindows = spark.read.schema(agged.schema).parquet(out).count()
-      s""""$tag":{"rows_per_sec":${inputRows / secs},"secs":$secs,""" +
-        s""""input_rows":$inputRows,"batches":$batches,""" +
-        s""""out_windows":$outWindows,"rocksdb_engaged":$rocksDbMetrics}"""
+      (inputRows, secs, batches, outWindows)
     }
 
-    // pass 1: the HDFS-backed in-memory default (Spark's out-of-box)
-    val hdfsFrag = runOnce("hdfs_default", expectRocksDb = false)
-    // pass 2: the cluster default — RocksDB + changelog checkpointing
+    /** Min-of-2 per provider, matching Bench's convention: whichever
+      * provider runs second in this JVM would otherwise inherit warmed
+      * JIT/codegen/file-cache state from the first and the side-by-side
+      * comparison would be systematically biased toward it. Pass 1 is
+      * the warm-up; the reported rows/s is the better (min-secs) pass,
+      * with both passes' seconds recorded.
+      */
+    def runProvider(tag: String,
+                    expectRocksDb: Boolean): (String, Double) = {
+      val p1 = runOnce(s"${tag}_p1", expectRocksDb)
+      val p2 = runOnce(s"${tag}_p2", expectRocksDb)
+      val best = if (p2._2 <= p1._2) p2 else p1
+      val (inputRows, secs, batches, outWindows) = best
+      val rps = inputRows / secs
+      (s""""$tag":{"rows_per_sec":$rps,"secs":$secs,""" +
+        s""""secs_pass1":${p1._2},"secs_pass2":${p2._2},""" +
+        s""""input_rows":$inputRows,"batches":$batches,""" +
+        s""""out_windows":$outWindows,"rocksdb_engaged":$expectRocksDb}""",
+        rps)
+    }
+
+    // provider A: the HDFS-backed in-memory default (Spark's out-of-box)
+    val (hdfsFrag, _) = runProvider("hdfs_default", expectRocksDb = false)
+    // provider B: the cluster default — RocksDB + changelog checkpointing
     spark.conf.set(ProviderConf, GraftConf.clusterDefaults(ProviderConf))
     spark.conf.set(ChangelogConf, GraftConf.clusterDefaults(ChangelogConf))
-    val rocksFrag = runOnce("rocksdb_changelog", expectRocksDb = true)
+    val (rocksFrag, rocksRps) = runProvider("rocksdb_changelog", expectRocksDb = true)
 
+    // top-level value = the cluster-default provider's rows/s, keeping
+    // the {metric,value,unit} shape bench_out.json / stress_out.json use
     val line =
-      s"""{"metric":"stream_e2e_pipeline","unit":"rows_per_sec",""" +
+      s"""{"metric":"stream_e2e_pipeline","value":$rocksRps,"unit":"rows_per_sec",""" +
         s""""rows":$n,"cpus":$cpus,""" +
         s""""providers":{$hdfsFrag,$rocksFrag}}"""
     Files.writeString(Paths.get("stream_bench.json"), line + "\n")

@@ -59,7 +59,13 @@ object StressBench {
     */
   private def dedupClone10x(s: SparkSession, sfDir: String): String = {
     val docs = Tables.documents(s, sfDir).select("doc_id", "text")
-    val n = docs.count()
+    // the within-group expectation counts docs that PRODUCE a signature:
+    // Dedup.shingles silently excludes docs with < n tokens, so a short
+    // doc contributes no clone pairs — counting it would make the stress
+    // fail on clean code (sf0.1 currently has no short docs; this keeps
+    // the expectation data-independent rather than assuming that)
+    val n = docs
+      .filter(size(graft.functions.tokens(col("text"))) >= 3).count()
     val offset = docs.agg(max("doc_id")).head().getLong(0) + 1
     val corpus = clones(docs, 10, offset)
     val (basePairs, baseSecs) = time {
@@ -225,11 +231,21 @@ object StressBench {
             cents, "cent_id", "cv", t = 0.8)
           val c = df.count(); df.unpersist(blocking = false); c
         }
-        // listener events are posted asynchronously — wait until the
-        // join's plan has been captured before reading
+        // listener events are posted asynchronously, and the operator
+        // runs SEVERAL actions (internal materialize counts + the final
+        // count) — waiting for "any plan with a Join" could read the
+        // buffer before the skewed join's plan lands and flakily report
+        // skew_split_seen_on=false. Wait until the event stream
+        // quiesces (no new plan for 500 ms), or the skew marker itself
+        // shows up when we expect one, bounded by a 10 s deadline.
         val deadline = System.currentTimeMillis + 10000
-        while (System.currentTimeMillis < deadline &&
-          !plans.synchronized(plans.exists(_.contains("Join")))) {
+        var last = -1
+        var stableTicks = 0
+        while (System.currentTimeMillis < deadline && stableTicks < 5 &&
+          !(skewOn && plans.synchronized(plans.exists(_.contains("skew=true"))))) {
+          val c = plans.synchronized(plans.length)
+          if (c == last && c > 0) stableTicks += 1
+          else { stableTicks = 0; last = c }
           Thread.sleep(100)
         }
         val sawSkew =

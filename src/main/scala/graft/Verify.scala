@@ -15,6 +15,15 @@ object Verify {
     val spark = GraftConf.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight: one line per table with the PHYSICAL schema Spark sees,
+    // so a driver-side testdata regeneration (round 8: events.ts switched
+    // ns→µs and 30 queries died in analysis) is diagnosable from the log
+    // header instead of from 30 opaque per-query failures.
+    Tables.names.foreach { t =>
+      val s = try Tables.load(spark, sfDir, t).schema.simpleString
+              catch { case e: Throwable => s"UNREADABLE: ${e.getMessage}" }
+      System.err.println(s"[verify] schema $t: $s")
+    }
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
