@@ -85,6 +85,31 @@ class TablesSpec extends SparkSpec {
     bucketed(asNsLong) shouldBe bucketed(asLtz)
   }
 
+  test("time-range predicates reach the parquet scan under BOTH encodings") {
+    // the 100 TB property behind Telemetry's twin-predicate design
+    // (operators/Telemetry.scala plan()): whatever the generator's
+    // encoding, ONE of the canonical columns is (a cast of) the physical
+    // column and its bound must appear in PushedFilters — that is the
+    // row-group/partition pruning that keeps a time-slice query from
+    // scanning the whole table. Spark unwraps the NTZ→LTZ cast under the
+    // fixed-UTC session, so the µs encoding pushes through `ts`; the
+    // ns-long encoding pushes through `ts_ns`.
+    def pushed(dir: String): String = {
+      val fromUs = 1700000050000000L
+      loaded(dir)
+        .filter($"ts_ns" >= fromUs * 1000L &&
+          $"ts" >= timestamp_micros(lit(fromUs)))
+        .agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    }
+    // ns-long path: the rename ts→ts_ns is logical only, so the pushed
+    // bound appears under the PHYSICAL name `ts` with the raw ns value
+    pushed(asNsLong) should include("GreaterThanOrEqual(ts,1700000050000000000)")
+    pushed(asNtz) should include("GreaterThanOrEqual(ts,")
+    pushed(asLtz) should include("GreaterThanOrEqual(ts,")
+  }
+
   test("an unsupported ts type fails fast, naming the file") {
     val dir = writeFixture(
       _.withColumn("ts", date_format(timestamp_micros($"ts_us"), "yyyy-MM-dd"))
