@@ -204,6 +204,23 @@ object Multimodal {
     * feature extraction standing where an embedding model would.
     */
   def netpbmDecoder(id: Long, payload: Array[Byte]): DecodedMedia = {
+    val (formatId, width, height, maxval, pos) = parseNetpbmHeader(id, payload)
+    val channels = if (formatId == 5) 1 else 3
+    val expected = width.toLong * height * channels
+    val hist = new Array[Long](8)
+    var i = pos
+    val end = pos + expected.toInt
+    while (i < end) { hist(((payload(i) & 0xff) * 8) / (maxval + 1)) += 1; i += 1 }
+    val features = hist.map(h => (h.toDouble / expected).toFloat)
+    DecodedMedia(id, payload.length.toLong, formatId, width, height, features)
+  }
+
+  /** Shared netpbm P5/P6 header parse → (formatId, width, height,
+    * maxval, rasterOffset). Raster length is validated EXACTLY here, so
+    * every consumer inherits the no-fabrication contract.
+    */
+  private def parseNetpbmHeader(id: Long, payload: Array[Byte])
+      : (Int, Int, Int, Int, Int) = {
     require(payload.length >= 2 && payload(0) == 'P'.toByte &&
       (payload(1) == '5'.toByte || payload(1) == '6'.toByte),
       s"not a raw netpbm payload (want P5/P6): id=$id")
@@ -237,12 +254,72 @@ object Multimodal {
     // must reject what it cannot decode correctly, never fabricate
     require(payload.length - pos == expected,
       s"netpbm raster length mismatch (${payload.length - pos} != $expected): id=$id")
-    val hist = new Array[Long](8)
-    var i = pos
-    val end = pos + expected.toInt
-    while (i < end) { hist(((payload(i) & 0xff) * 8) / (maxval + 1)) += 1; i += 1 }
-    val features = hist.map(h => (h.toDouble / expected).toFloat)
-    DecodedMedia(id, payload.length.toLong, formatId, width, height, features)
+    (formatId, width, height, maxval, pos)
+  }
+
+  /** Decoded raster: the pixel-level record resize/crop operate on.
+    * `pixels` is the row-major interleaved raster (1 byte per sample,
+    * `channels` samples per pixel) — the layout netpbm stores and every
+    * pixel op here assumes.
+    */
+  case class RasterImage(id: Long, width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte])
+
+  /** REAL pixel decode for netpbm payloads: same container contract as
+    * [[netpbmDecoder]], but returning the raster itself instead of the
+    * feature summary — the input record for [[resizeNearest]].
+    */
+  def netpbmRasterDecoder(id: Long, payload: Array[Byte]): RasterImage = {
+    val (formatId, width, height, _, pos) = parseNetpbmHeader(id, payload)
+    val channels = if (formatId == 5) 1 else 3
+    RasterImage(id, width, height, channels,
+      java.util.Arrays.copyOfRange(payload, pos, payload.length))
+  }
+
+  /** Nearest-neighbor resize — the standard cheap pre-training
+    * normalization (thumbnailing to a model's input grid). Exact
+    * integer sampling: output pixel (x, y) copies source pixel
+    * (⌊x·W/W'⌋, ⌊y·H/H'⌋), channels preserved. Pure per-row CPU work
+    * with no cross-row dependency, so it rides [[decodePartitionsAs]]'s
+    * per-partition batching at any scale; at 100 TB the only knob that
+    * matters is payload-balanced partitioning
+    * ([[repartitionForPayloads]]), not the arithmetic here.
+    */
+  def resizeNearest(img: RasterImage, outW: Int, outH: Int): RasterImage = {
+    require(outW > 0 && outH > 0, s"bad resize target ${outW}x$outH: id=${img.id}")
+    val c = img.channels
+    val out = new Array[Byte](outW * outH * c)
+    var y = 0
+    while (y < outH) {
+      // long multiply before the divide: W·H up to 2^31-ish must not
+      // overflow the source-index computation
+      val sy = ((y.toLong * img.height) / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = ((x.toLong * img.width) / outW).toInt
+        val src = (sy * img.width + sx) * c
+        val dst = (y * outW + x) * c
+        var k = 0
+        while (k < c) { out(dst + k) = img.pixels(src + k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(img.id, outW, outH, c, out)
+  }
+
+  /** Dataset-level resize plumbing: binary netpbm payloads → decoded
+    * rasters → fixed-grid thumbnails, one `mapPartitions` pass (decode
+    * and resize share the batch, so the full-size raster never leaves
+    * the task).
+    */
+  def resizeNetpbm(df: DataFrame, idCol: String, payloadCol: String,
+                   outW: Int, outH: Int)
+                  : org.apache.spark.sql.Dataset[RasterImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    decodePartitionsAs(df, idCol, payloadCol)((id, payload) =>
+      resizeNearest(netpbmRasterDecoder(id, payload), outW, outH))
   }
 
   /** Decoded-audio record: what a PCM decode produces. */

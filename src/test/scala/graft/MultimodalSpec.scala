@@ -111,6 +111,48 @@ class MultimodalSpec extends SparkSpec {
         "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0))
   }
 
+  test("netpbmRasterDecoder returns the exact raster; resizeNearest samples the expected pixels") {
+    // 4x2 grayscale: downscale to 2x1 → source pixels (0,0) and (2,0);
+    // the exact ⌊x·W/W'⌋ grid, no interpolation
+    val raster = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val img = Multimodal.netpbmRasterDecoder(1L, p5(4, 2, 255, raster))
+    img.width shouldBe 4
+    img.height shouldBe 2
+    img.channels shouldBe 1
+    img.pixels.toSeq shouldBe raster.toSeq
+    val small = Multimodal.resizeNearest(img, 2, 1)
+    (small.width, small.height) shouldBe ((2, 1))
+    small.pixels.toSeq shouldBe Seq[Byte](10, 30)
+    // upscale 2x: each source pixel replicates into a 2x2 block
+    val up = Multimodal.resizeNearest(
+      Multimodal.netpbmRasterDecoder(2L,
+        p5(2, 1, 255, Array[Byte](1, 9))), 4, 2)
+    up.pixels.toSeq shouldBe Seq[Byte](1, 1, 9, 9, 1, 1, 9, 9)
+    // identity resize is a pixel-exact no-op
+    Multimodal.resizeNearest(img, 4, 2).pixels.toSeq shouldBe raster.toSeq
+    // RGB (P6): channels move together — 2x1 red|blue upscaled to 4x1
+    val rgb = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, 0, 0, 0, 0, -1)
+    val rgbUp = Multimodal.resizeNearest(
+      Multimodal.netpbmRasterDecoder(3L, rgb), 4, 1)
+    rgbUp.channels shouldBe 3
+    rgbUp.pixels.toSeq shouldBe
+      Seq[Byte](-1, 0, 0, -1, 0, 0, 0, 0, -1, 0, 0, -1)
+  }
+
+  test("resizeNetpbm runs the decode+resize batch over a DataFrame of payloads") {
+    val rows = Seq(
+      (1L, p5(4, 2, 255, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))),
+      (2L, p5(2, 2, 255, Array[Byte](1, 2, 3, 4))))
+    val df = spark.createDataFrame(rows).toDF("id", "payload")
+    val out = Multimodal.resizeNetpbm(df, "id", "payload", 2, 2)
+      .collect().sortBy(_.id)
+    out.map(r => (r.width, r.height, r.channels)).toSeq shouldBe
+      Seq((2, 2, 1), (2, 2, 1))
+    out(0).pixels.toSeq shouldBe Seq[Byte](10, 30, 50, 70)
+    out(1).pixels.toSeq shouldBe Seq[Byte](1, 2, 3, 4)
+  }
+
   test("wavDecoder parses RIFF/fmt/data and computes exact signal stats on a known square wave") {
     // mono 8 kHz square wave +/-16384: rms = 0.5, peak = 0.5, zcr =
     // sign flips every sample -> 7/7 = 1.0, mean = 0 (4 up, 4 down)
