@@ -1605,6 +1605,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM quality 5 — CCNet perplexity bucketing (Wenzek et al. 2020):
+    // corpus-LM score → head/middle/tail by exact tercile order
+    // statistics over a fixed-size id-stride sample (never a global
+    // sort) → per-bucket md5-coin sampling (head kept, middle 1/2,
+    // tail 1/10). The step between language ID and the training mix in
+    // every public web-corpus pipeline.
+    "q88_perplexity_buckets" -> ((s, dir) => {
+      Curation.perplexityBuckets(Tables.documents(s, dir), "doc_id",
+          "text", sampleCap = 1000L,
+          rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1))
+        .select(col("id").as("doc_id"), col("bucket"),
+          col("nll_mean_nano"), col("ntok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -3370,6 +3385,47 @@ object SparkEntry {
     // per-token log-prob rounded to 9 dp FIRST, summed as
     // DECIMAL(30,9) (order-independent); the mean is the all-integer
     // floor((-sum*1e9)/ntok) — positive, so // and Spark's div agree
+    // the CCNet bucketing twin: q66's LM CTEs, then the same
+    // stride-sample → row_number tercile order statistics → bucket →
+    // md5-coin chain (rate hexes: 1.0 → 'g', 0.5 → 0x80000000,
+    // 0.1 → trunc(0.1·2^32) = 0x19999999)
+    "q88_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM tok),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*) AS ntok,
+        |    CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) /
+        |      CAST(total AS DOUBLE)), 9) AS DECIMAL(30,9)))
+        |      * -1000000000 AS BIGINT) // COUNT(*) AS nll_mean_nano
+        |  FROM tok JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        |n AS (SELECT COUNT(*) AS n FROM scored),
+        |stride AS (SELECT GREATEST(1, (n + 999) // 1000) AS s FROM n),
+        |samp AS (SELECT nll_mean_nano FROM scored, stride
+        |  WHERE doc_id % s = 0),
+        |m AS (SELECT COUNT(*) AS m FROM samp),
+        |ks AS (SELECT GREATEST(1, (m + 2) // 3) AS k1,
+        |    GREATEST(1, (2 * m + 2) // 3) AS k2 FROM m),
+        |ranked AS (SELECT nll_mean_nano,
+        |    row_number() OVER (ORDER BY nll_mean_nano) AS r FROM samp),
+        |thr AS (SELECT
+        |    MIN(CASE WHEN r = k1 THEN nll_mean_nano END) AS t1,
+        |    MIN(CASE WHEN r = k2 THEN nll_mean_nano END) AS t2
+        |  FROM ranked, ks),
+        |b AS (SELECT doc_id, ntok, nll_mean_nano,
+        |    CASE WHEN nll_mean_nano <= t1 THEN 'head'
+        |         WHEN nll_mean_nano <= t2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM scored, thr)
+        |SELECT doc_id, bucket, nll_mean_nano, ntok FROM b
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE bucket WHEN 'head' THEN 'g'
+        |              WHEN 'middle' THEN '80000000'
+        |              ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+
     "q66_lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok

@@ -220,6 +220,60 @@ object Curation {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
   }
 
+  /** CCNet-style perplexity bucketing + sampling (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data" — the head/middle/tail split every major web corpus
+    * pipeline runs after language ID): every document is scored by the
+    * corpus unigram LM ([[TextAnalysis.unigramLogProb]] — lower mean
+    * NLL = more fluent = "head"), tercile thresholds are derived from
+    * the score distribution, each document is bucketed against them,
+    * and each bucket keeps rows at its configured rate through the
+    * pure md5 coin ([[sampleStratified]] — per-row, shuffle-free,
+    * layout-independent).
+    *
+    * Scale shape: thresholds come from exact order statistics over a
+    * FIXED-SIZE deterministic id-stride sample of the scores
+    * (`stride = ceil(n/sampleCap)` — the q37 gate pattern), NOT a
+    * global sort: the threshold stage is O(sampleCap) at ANY corpus
+    * size (CCNet itself fits its thresholds on a held-out sample).
+    * The single `Window.orderBy` runs over ≤ sampleCap rows by
+    * construction — bounded, never corpus-wide. Scoring and bucketing
+    * are one LM pass plus a broadcast of the 1-row threshold frame.
+    *
+    * Returns kept rows as (id, bucket, nll_mean_nano, ntok);
+    * deterministic across engines (nll_mean_nano is exact long
+    * arithmetic, thresholds are multiset order statistics — tie order
+    * inside row_number cannot change the value at a rank).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        sampleCap: Long,
+                        rates: Map[String, Double]): DataFrame = {
+    val scored = TextAnalysis.unigramLogProb(docs, idCol, textCol)
+    // scored is persisted+materialized by unigramLogProb, so the two
+    // driver-side counts below are cache reads, not corpus passes
+    val n = scored.count()
+    val stride = math.max(1L, (n + sampleCap - 1) / sampleCap)
+    val sample = scored.filter(col("id") % stride === 0)
+      .select(col("nll_mean_nano"))
+    val m = sample.count()
+    val k1 = math.max(1L, (m + 2) / 3)     // ceil(m/3)
+    val k2 = math.max(1L, (2 * m + 2) / 3) // ceil(2m/3)
+    val ranked = sample.withColumn("__r",
+      row_number().over(Window.orderBy(col("nll_mean_nano"))))
+    val thr = ranked
+      .agg(min(when(col("__r") === k1, col("nll_mean_nano"))).as("__t1"),
+           min(when(col("__r") === k2, col("nll_mean_nano"))).as("__t2"))
+    val bucketed = scored.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("nll_mean_nano") <= col("__t1"), "head")
+          .when(col("nll_mean_nano") <= col("__t2"), "middle")
+          .otherwise("tail"))
+      .drop("__t1", "__t2")
+    Dedup.materializeAndRelease(
+      sampleStratified(bucketed, "id", "bucket", rates, defaultRate = 1.0),
+      scored)
+  }
+
   /** Token-budget shard packing: within each group (source/domain),
     * documents ordered by `idCol` are packed into shards of ~`budget`
     * tokens — shard k holds the docs whose EXCLUSIVE running token sum

@@ -151,6 +151,36 @@ class CurationSpec extends SparkSpec {
       .subsetOf(sampled.filter(id => id % 4 == 0)) shouldBe true
   }
 
+  test("perplexityBuckets: tercile thresholds are exact order statistics; buckets partition; rates apply per bucket") {
+    // 9 docs: three fluency tiers by construction — repeated common
+    // tokens (low NLL), mixed, and unique-token docs (high NLL)
+    val docs = (1L to 9L).map { i =>
+      val text =
+        if (i <= 3) "the the the the the the"          // head: max-freq tokens
+        else if (i <= 6) s"the the common word w$i x$i" // middle
+        else s"a$i b$i c$i d$i e$i f$i"                 // tail: all-unique
+      (i, text)
+    }.toDF("doc_id", "text")
+    val all = Curation.perplexityBuckets(docs, "doc_id", "text",
+      sampleCap = 1000L, // stride 1: every doc in the threshold sample
+      rates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0))
+      .select("id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // rate 1.0 everywhere → the bucketing itself is exposed: with m=9,
+    // k1 = ceil(9/3) = 3rd and k2 = 6th smallest NLL → 3/3/3 split
+    all.keySet shouldBe (1L to 9L).toSet
+    (1L to 3L).foreach(i => all(i) shouldBe "head")
+    (4L to 6L).foreach(i => all(i) shouldBe "middle")
+    (7L to 9L).foreach(i => all(i) shouldBe "tail")
+    // per-bucket rates ride the same md5 coin as sampleStratified: a
+    // dropped-tail run keeps head/middle untouched and only thins tail
+    val thinned = Curation.perplexityBuckets(docs, "doc_id", "text",
+      sampleCap = 1000L,
+      rates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 0.0))
+      .collect().map(_.getLong(0)).toSet
+    thinned shouldBe (1L to 6L).toSet
+  }
+
   test("plan shapes: sampleStratified adds NO shuffle; packShards adds exactly one (the per-group window)") {
     val df = (1L to 100L).map(id => (id, "s" + (id % 4), 10L))
       .toDF("doc_id", "source", "n_tok")
