@@ -1620,6 +1620,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM curation 10 — URL canonicalization + host blocklist (the
+    // C4/RefinedWeb front gate): messy synthetic URLs (mixed case,
+    // www, explicit :443, tracking params, fragments) derived
+    // deterministically from the documents table, normalized by the
+    // RE2-portable regex chain, then the src2 host family dropped by
+    // the IN-list gate. Both engines run the identical regexes.
+    "q89_url_blocklist" -> ((s, dir) => {
+      val withUrl = Tables.documents(s, dir)
+        .withColumn("url", concat(
+          lit("HTTPS://WWW."), col("source"), lit("-"),
+          (col("doc_id") % 5).cast("string"),
+          lit(".Example.COM:443/Docs/"), col("doc_id").cast("string"),
+          lit("/?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+          lit("&ref=tracker#sec-"), col("lang")))
+      Curation.filterBlockedHosts(withUrl, "url",
+          blocked = (0 until 5).map(k => s"src2-$k.example.com"))
+        .select(col("doc_id"), col("canonical_url"), col("host"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -3385,6 +3405,45 @@ object SparkEntry {
     // per-token log-prob rounded to 9 dp FIRST, summed as
     // DECIMAL(30,9) (order-independent); the mean is the all-integer
     // floor((-sum*1e9)/ntok) — positive, so // and Spark's div agree
+    // the URL gate twin: the IDENTICAL RE2-portable regex chain, step
+    // for step ('g' flag — Spark's regexp_replace is always global)
+    "q89_url_blocklist" ->
+      """WITH u0 AS (SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '-' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.Example.COM:443/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |    '/?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '&ref=tracker#sec-' || lang AS url
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u
+        |  FROM u0),
+        |u2 AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+        |    || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '', 'g')
+        |    AS u FROM u1),
+        |u3 AS (SELECT doc_id,
+        |    regexp_replace(u, '^https://', 'http://', 'g') AS u FROM u2),
+        |u4 AS (SELECT doc_id,
+        |    regexp_replace(u, '^(http://)www\.', '\1', 'g') AS u FROM u3),
+        |u5 AS (SELECT doc_id, regexp_replace(u,
+        |    '^(http://[^/:?]*):(80|443)([/?].*)?$', '\1\3', 'g') AS u
+        |  FROM u4),
+        |u6 AS (SELECT doc_id, regexp_replace(u, '\?', '?&', 'g') AS u
+        |  FROM u5),
+        |u7 AS (SELECT doc_id, regexp_replace(u,
+        |    '&(utm_[^&=]*|ref|fbclid|gclid)=[^&]*', '', 'g') AS u FROM u6),
+        |u8 AS (SELECT doc_id, regexp_replace(u, '\?&', '?', 'g') AS u
+        |  FROM u7),
+        |u9 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u
+        |  FROM u8),
+        |uA AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u
+        |  FROM u9),
+        |g AS (SELECT doc_id, u AS canonical_url,
+        |    regexp_extract(u, '^http://([^/:?]*)', 1) AS host FROM uA)
+        |SELECT doc_id, canonical_url, host FROM g
+        |WHERE host NOT IN ('src2-0.example.com', 'src2-1.example.com',
+        |  'src2-2.example.com', 'src2-3.example.com', 'src2-4.example.com')
+        |ORDER BY doc_id""".stripMargin,
+
     // the CCNet bucketing twin: q66's LM CTEs, then the same
     // stride-sample → row_number tercile order statistics → bucket →
     // md5-coin chain (rate hexes: 1.0 → 'g', 0.5 → 0x80000000,

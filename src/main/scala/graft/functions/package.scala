@@ -118,6 +118,51 @@ package object functions {
     when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 
+  // ---------------------------------------------------------------- urls
+
+  /** URL canonicalization — the C4/RefinedWeb-class normalization run
+    * before host blocklists and URL-level dedup, as a pure
+    * regexp_replace chain (codegen'd, per-row, shuffle-free; every
+    * pattern is RE2-portable — no lookaround — so the DuckDB twins run
+    * the identical regexes with the 'g' flag). Steps, in order:
+    *
+    *  1. drop the fragment (`#…`);
+    *  2. lowercase the scheme+host prefix (path/query case preserved);
+    *  3. collapse `https` → `http` (scheme-insensitive identity);
+    *  4. strip a leading `www.`;
+    *  5. strip explicit default ports `:80`/`:443`;
+    *  6. remove tracking params (`utm_*`, `ref`, `fbclid`, `gclid`)
+    *     via the `?`→`?&` marking trick, then re-collapse separators
+    *     and strip a dangling `?`/`&`;
+    *  7. strip ONE terminal `/` (only when the URL ends with it).
+    *
+    * Deliberately excluded (documented, not forgotten): query-param
+    * sorting, percent-decoding, and IDN — each changes identity in
+    * ways that need a policy decision, not a default.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    val lowered = concat(lower(prefix), rest)
+    val scheme = regexp_replace(lowered, "^https://", "http://")
+    val noWww = regexp_replace(scheme, "^(http://)www\\.", "$1")
+    val noPort = regexp_replace(noWww,
+      "^(http://[^/:?]*):(80|443)([/?].*)?$", "$1$3")
+    val marked = regexp_replace(noPort, "\\?", "?&")
+    val cleaned = regexp_replace(marked,
+      "&(utm_[^&=]*|ref|fbclid|gclid)=[^&]*", "")
+    val unmarked = regexp_replace(cleaned, "\\?&", "?")
+    val noDangle = regexp_replace(unmarked, "[?&]+$", "")
+    regexp_replace(noDangle, "/$", "")
+  }
+
+  /** Host of a [[canonicalUrl]]-normalized URL (scheme collapsed to
+    * `http`, host already lowercased, default ports stripped).
+    */
+  def urlHost(canon: Column): Column =
+    regexp_extract(canon, "^http://([^/:?]*)", 1)
+
   // ------------------------------------------------------------- vectors
 
   private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =

@@ -220,6 +220,27 @@ object Curation {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
   }
 
+  /** URL canonicalization + host-blocklist gate — the front gate of
+    * every public web-corpus pipeline (C4's bad-domain list,
+    * RefinedWeb's URL filtering) run BEFORE content work, so blocked
+    * pages never pay tokenization. Appends `canonical_url`
+    * ([[graft.functions.canonicalUrl]]) and `host`, drops rows whose
+    * host is blocklisted. The blocklist is inlined as an `IN`-list
+    * predicate: per-row, shuffle-free, pushdown-eligible — right for
+    * the curated lists this step uses (hundreds to a few thousand
+    * entries). A million-host blocklist should use a broadcast
+    * anti-join on `host` ([[graft.operators.Scale.bloomPrunedAntiJoin]])
+    * instead — same semantics, different join shape.
+    */
+  def filterBlockedHosts(df: DataFrame, urlCol: String,
+                         blocked: Seq[String]): DataFrame = {
+    val out = df
+      .withColumn("canonical_url", graft.functions.canonicalUrl(col(urlCol)))
+      .withColumn("host", graft.functions.urlHost(col("canonical_url")))
+    if (blocked.isEmpty) out
+    else out.filter(!col("host").isin(blocked: _*))
+  }
+
   /** CCNet-style perplexity bucketing + sampling (Wenzek et al. 2020,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web
     * Crawl Data" — the head/middle/tail split every major web corpus

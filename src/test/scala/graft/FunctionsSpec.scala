@@ -129,6 +129,34 @@ class FunctionsSpec extends SparkSpec {
     got shouldBe 1705320000L * 1000000L + 123456L
   }
 
+  test("canonicalUrl: each documented step, plus the cases it must NOT touch") {
+    val cases = Seq(
+      // the full gauntlet: case, www, default port, tracking, fragment
+      "HTTPS://WWW.News.Example.COM:443/A/b?utm_source=x&id=3&ref=r#top" ->
+        "http://news.example.com/A/b?id=3",
+      // params-only-tracking → dangling '?' cleaned, trailing '/' kept rule
+      "http://a.com/p/?utm_campaign=c" -> "http://a.com/p",
+      // non-default port survives; path case preserved
+      "https://A.com:8080/Path" -> "http://a.com:8080/Path",
+      // no query, no fragment, terminal slash stripped once
+      "http://a.com/" -> "http://a.com",
+      // 'ref' only matches as a WHOLE param name
+      "http://a.com/?refresh=1&ref=x" -> "http://a.com/?refresh=1",
+      // schemeless strings pass through un-lowercased (no false prefix)
+      "Not-A-Url" -> "Not-A-Url")
+    val df = cases.map(_._1).toDF("u")
+      .select(canonicalUrl($"u").as("c"))
+    df.collect().map(_.getString(0)).toSeq shouldBe cases.map(_._2)
+  }
+
+  test("urlHost extracts the canonical host (no port, no path)") {
+    val df = Seq("http://news.example.com/A/b?id=3",
+      "http://a.com:8080/Path", "http://bare.com").toDF("u")
+      .select(urlHost($"u").as("h"))
+    df.collect().map(_.getString(0)).toSeq shouldBe
+      Seq("news.example.com", "a.com", "bare.com")
+  }
+
   test("cosineSim: known vectors") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),   // parallel -> 1
