@@ -1640,6 +1640,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM reporting — the corpus MANIFEST (dataset-card aggregate)
+    // every corpus release publishes: per (source, lang) doc counts,
+    // token totals, exact-duplicate rate (distinct normalized-text
+    // digests vs docs), and mean LM NLL — one keyed group-by over the
+    // LM-scored corpus, all arithmetic cross-engine exact (DECIMAL
+    // sums, IntegralDivide mean).
+    "q90_corpus_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = operators.TextAnalysis
+        .unigramLogProb(docs, "doc_id", "text") // persisted by contract
+      val base = docs.select(col("doc_id"), col("source"), col("lang"),
+          sha2(graft.functions.normText(col("text")), 256).as("__nt"))
+        .join(scored.select(col("id").as("doc_id"), col("ntok"),
+          col("nll_mean_nano")), "doc_id")
+      val out = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          countDistinct(col("__nt")).as("n_unique"),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                sum(col("nll_mean_nano"))),
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                count(lit(1))))).as("mean_nll_nano"))
+        .orderBy(col("source"), col("lang"))
+      operators.Dedup.materializeAndRelease(out, scored)
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -3405,6 +3433,32 @@ object SparkEntry {
     // per-token log-prob rounded to 9 dp FIRST, summed as
     // DECIMAL(30,9) (order-independent); the mean is the all-integer
     // floor((-sum*1e9)/ntok) — positive, so // and Spark's div agree
+    // manifest twin: q66's LM CTEs + sha256 of the shared normText →
+    // the same keyed aggregate (integer-divide mean, exact sums)
+    "q90_corpus_manifest" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM tok),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*) AS ntok,
+        |    CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) /
+        |      CAST(total AS DOUBLE)), 9) AS DECIMAL(30,9)))
+        |      * -1000000000 AS BIGINT) // COUNT(*) AS nll_mean_nano
+        |  FROM tok JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        |base AS (SELECT d.doc_id, d.source, d.lang,
+        |    sha256(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g'))))
+        |      AS nt,
+        |    s.ntok, s.nll_mean_nano
+        |  FROM documents d JOIN scored s USING (doc_id))
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT nt) AS n_unique,
+        |  CAST(SUM(nll_mean_nano) AS BIGINT) // COUNT(*) AS mean_nll_nano
+        |FROM base GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
     // the URL gate twin: the IDENTICAL RE2-portable regex chain, step
     // for step ('g' flag — Spark's regexp_replace is always global)
     "q89_url_blocklist" ->
