@@ -1668,6 +1668,31 @@ object SparkEntry {
       operators.Dedup.materializeAndRelease(out, scored)
     }),
 
+    // LLM dedup 7 — QUALITY-AWARE canonical selection: the near-dup
+    // clusters of q38, but the kept representative per cluster is the
+    // HIGHEST-QUALITY copy (q39's heuristic score; min doc_id breaks
+    // exact score ties) instead of the lowest id — the policy real
+    // pipelines want, since near-dups differ in boilerplate/truncation
+    // and "first crawled" is not "best copy". One keyed argmax over the
+    // tagged corpus (max_by on a (quality, -id) struct — no window, no
+    // extra shuffle beyond the group-by); singletons are their own
+    // representative via the left join's coalesce.
+    "q91_quality_canonicalize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stop = Seq("the", "a", "of", "to", "and", "in", "is", "for")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, t = 0.5, bands = 72, rows = 2)
+      val cc = Dedup.connectedComponents(pairs)
+      pairs.unpersist(blocking = false)
+      Dedup.canonicalizeByPreference(
+          docs.select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text"), stop).as("quality")),
+          "doc_id", cc, struct(col("quality"), -col("doc_id")))
+        .select(col("doc_id"), col("comp"), col("quality"), col("rep_id"),
+          col("is_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -3433,6 +3458,43 @@ object SparkEntry {
     // per-token log-prob rounded to 9 dp FIRST, summed as
     // DECIMAL(30,9) (order-independent); the mean is the all-integer
     // floor((-sum*1e9)/ntok) — positive, so // and Spark's div agree
+    // q38's recursive closure + q39's quality formula + the per-cluster
+    // argmax (row_number with the same (quality DESC, id ASC) ordering)
+    "q91_quality_canonicalize" ->
+      s"""WITH RECURSIVE $SHINGLES_CTE,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, v AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |comp AS (SELECT id, least(id, min(r)) AS comp
+        |  FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |  (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+        |    + (CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is','for'))) AS DOUBLE) / len(toks)) * 0.3
+        |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+        |    AS quality
+        |  FROM tok),
+        |tagged AS (SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS comp,
+        |    q.quality
+        |  FROM q LEFT JOIN comp c ON q.doc_id = c.id),
+        |reps AS (SELECT comp, doc_id AS rep_id FROM (
+        |    SELECT comp, doc_id, row_number() OVER (PARTITION BY comp
+        |      ORDER BY quality DESC, doc_id ASC) AS rn FROM tagged)
+        |  WHERE rn = 1)
+        |SELECT t.doc_id, t.comp, t.quality, r.rep_id,
+        |  t.doc_id = r.rep_id AS is_rep
+        |FROM tagged t JOIN reps r USING (comp)
+        |ORDER BY t.doc_id""".stripMargin,
+
     // manifest twin: q66's LM CTEs + sha256 of the shared normText →
     // the same keyed aggregate (integer-divide mean, exact sums)
     "q90_corpus_manifest" ->

@@ -635,6 +635,34 @@ object Dedup {
       .withColumn("keep", col("canonical_id") === col(idCol))
       .drop("comp")
 
+  /** [[canonicalize]] with a CHOSEN representative: the kept copy per
+    * duplicate cluster is the row maximizing `pref` (e.g.
+    * `struct(quality, -id)` — best quality, smallest id on ties)
+    * instead of the component's min id. The policy real pipelines
+    * want: near-dups differ in boilerplate and truncation, and "first
+    * crawled" is not "best copy". Appends `comp` (the cluster id, own
+    * id for singletons), `rep_id`, and `is_rep`.
+    *
+    * Scale shape: one keyed argmax (`max_by` — map-side partial, no
+    * window) over the left-joined corpus, then one keyed join of the
+    * SMALL (one row per cluster) representative table back. `pref`
+    * must be deterministic and total per cluster, or the kept copy is
+    * partition-order dependent — struct tie-breaks on the id make it
+    * total.
+    */
+  def canonicalizeByPreference(docs: DataFrame, idCol: String,
+                               components: DataFrame,
+                               pref: Column): DataFrame = {
+    val tagged = docs
+      .join(components.select(col("id").as(idCol), col("comp")),
+        Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val reps = tagged.groupBy(col("comp"))
+      .agg(max_by(col(idCol), pref).as("rep_id"))
+    tagged.join(reps, "comp")
+      .withColumn("is_rep", col(idCol) === col("rep_id"))
+  }
+
   /** SimHash near-dup over the 64-bit xxhash64 fingerprint (the
     * engine-fast default; for an oracle-reproducible variant use
     * [[simhashPortable64]] + [[hammingPairs]]).

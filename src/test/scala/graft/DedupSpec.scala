@@ -410,6 +410,27 @@ class DedupSpec extends SparkSpec {
     got.values.toSet shouldBe Set(1L)
   }
 
+  test("canonicalizeByPreference keeps the best-quality copy per cluster; singletons are their own rep") {
+    import spark.implicits._
+    // cluster {1,2,3} with quality peaking at 2; cluster {5,6} tied on
+    // quality → min id wins via the -id struct leg; 9 is a singleton
+    val docs = Seq(
+      (1L, 0.4), (2L, 0.9), (3L, 0.7),
+      (5L, 0.5), (6L, 0.5),
+      (9L, 0.1)).toDF("doc_id", "quality")
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "comp")
+    val out = Dedup.canonicalizeByPreference(docs, "doc_id", cc,
+        struct($"quality", -$"doc_id"))
+      .select("doc_id", "comp", "rep_id", "is_rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (5L, 5L, 5L, true), (6L, 5L, 5L, false),
+      (9L, 9L, 9L, true))
+  }
+
   test("native simhashPortable64 is bit-identical to the explode + 64-sums formulation") {
     import graft.functions.tokens
     val tok = docs.select($"doc_id".as("id"), explode(tokens($"text")).as("tk"))
