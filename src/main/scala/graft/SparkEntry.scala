@@ -73,6 +73,54 @@ object SparkEntry {
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
       |  FROM tok WHERE len(toks) >= 3),
       |shz AS (SELECT doc_id, s, len(s) AS sz FROM sh)""".stripMargin
+  /** q87/q92 shared scoring chain: the linear quality classifier's
+    * twin — seed split (every 7th doc, positive = src0), closed-form
+    * naive-Bayes weights over 512 hashed uni+bigram buckets (DECIMAL
+    * round-9), mean-pooled sigmoid — ending in
+    * scored(doc_id, nfeat, score). */
+  private val Q87_SCORE_CTE =
+    """dtok AS (SELECT doc_id, source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents),
+      |sfeat AS (SELECT doc_id, source = 'src0' AS pos,
+      |    unnest(list_concat(toks,
+      |      list_transform(range(len(toks)-1),
+      |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+      |  FROM dtok WHERE doc_id % 7 = 0),
+      |sfb AS (SELECT doc_id, pos,
+      |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
+      |  FROM sfeat),
+      |cnt AS (SELECT b, COUNT(*) AS cr,
+      |    COUNT(*) FILTER (WHERE pos) AS cp
+      |  FROM sfb GROUP BY 1),
+      |dom AS (SELECT range AS b FROM range(512)),
+      |fullb AS (SELECT dom.b, COALESCE(cnt.cr, 0) AS cr,
+      |    COALESCE(cnt.cp, 0) AS cp
+      |  FROM dom LEFT JOIN cnt USING (b)),
+      |tots AS (SELECT SUM(cp) AS tp, SUM(cr) - SUM(cp) AS tn FROM fullb),
+      |model AS (SELECT b,
+      |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) /
+      |      CAST(tp + 512 AS DOUBLE)), 9) AS DECIMAL(30,9)) -
+      |    CAST(round(ln(CAST(cr - cp + 1 AS DOUBLE) /
+      |      CAST(tn + 512 AS DOUBLE)), 9) AS DECIMAL(30,9)) AS w
+      |  FROM fullb CROSS JOIN tots),
+      |feat AS (SELECT doc_id,
+      |    unnest(list_concat(toks,
+      |      list_transform(range(len(toks)-1),
+      |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+      |  FROM dtok),
+      |fb AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
+      |  FROM feat),
+      |pooled AS (SELECT fb.doc_id, COUNT(*) AS nfeat, SUM(model.w) AS s
+      |  FROM fb JOIN model USING (b) GROUP BY 1),
+      |scored AS (SELECT d.doc_id,
+      |    COALESCE(p.nfeat, 0) AS nfeat,
+      |    round(1.0 / (1.0 + exp(-(0.0 +
+      |      COALESCE(CAST(p.s AS DOUBLE) / CAST(p.nfeat AS DOUBLE),
+      |        0.0)))), 9) + 0.0 AS score
+      |  FROM documents d LEFT JOIN pooled p USING (doc_id))""".stripMargin
+
   /** DSIR weight table (q73/q79 shared prefix): hashed unigram+bigram
     * bucket models, add-one smoothing, round-9 DECIMAL log-ratio sum;
     * ends in w(doc_id, nfeat, log_weight) over NON-target docs. */
@@ -1693,6 +1741,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM evaluation — CALIBRATION of the learned quality gate: the
+    // q87 classifier's scores bucketed into deciles, each with the
+    // ACTUAL positive rate (label agreement) and exact-decimal mean
+    // score — the reliability diagram that tells a pipeline whether
+    // the 0.5 gate threshold means anything. One keyed aggregate over
+    // the scored corpus; the model rides the same broadcast as q87.
+    "q92_quality_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = TextAnalysis.trainLinearQuality(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        isPositive = col("source") === "src0", buckets = 512)
+      TextAnalysis.scoreLinearQuality(docs, "doc_id", "text", model,
+          buckets = 512)
+        .select(col("id").as("doc_id"), col("score"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(least(floor(col("score") * 10).cast("long"), lit(9L))
+          .as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("source") === "src0", 1)).as("n_pos"),
+          (count(when(col("source") === "src0", 1)).cast("double") /
+            count(lit(1))).as("pos_rate"),
+          graft.functions.davg(col("score")).as("mean_score"))
+        .orderBy(col("decile"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -2996,50 +3069,25 @@ object SparkEntry {
     // naive-Bayes bucket weights (DECIMAL round-9), same mean-pooled
     // sigmoid — both halves of q87 re-derived end-to-end in SQL
     "q87_linear_quality" ->
-      """WITH dtok AS (SELECT doc_id, source,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-        |  FROM documents),
-        |sfeat AS (SELECT doc_id, source = 'src0' AS pos,
-        |    unnest(list_concat(toks,
-        |      list_transform(range(len(toks)-1),
-        |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
-        |  FROM dtok WHERE doc_id % 7 = 0),
-        |sfb AS (SELECT doc_id, pos,
-        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
-        |  FROM sfeat),
-        |cnt AS (SELECT b, COUNT(*) AS cr,
-        |    COUNT(*) FILTER (WHERE pos) AS cp
-        |  FROM sfb GROUP BY 1),
-        |dom AS (SELECT range AS b FROM range(512)),
-        |fullb AS (SELECT dom.b, COALESCE(cnt.cr, 0) AS cr,
-        |    COALESCE(cnt.cp, 0) AS cp
-        |  FROM dom LEFT JOIN cnt USING (b)),
-        |tots AS (SELECT SUM(cp) AS tp, SUM(cr) - SUM(cp) AS tn FROM fullb),
-        |model AS (SELECT b,
-        |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) /
-        |      CAST(tp + 512 AS DOUBLE)), 9) AS DECIMAL(30,9)) -
-        |    CAST(round(ln(CAST(cr - cp + 1 AS DOUBLE) /
-        |      CAST(tn + 512 AS DOUBLE)), 9) AS DECIMAL(30,9)) AS w
-        |  FROM fullb CROSS JOIN tots),
-        |feat AS (SELECT doc_id,
-        |    unnest(list_concat(toks,
-        |      list_transform(range(len(toks)-1),
-        |        i -> toks[i+1] || ' ' || toks[i+2]))) AS f
-        |  FROM dtok),
-        |fb AS (SELECT doc_id,
-        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 512 AS b
-        |  FROM feat),
-        |pooled AS (SELECT fb.doc_id, COUNT(*) AS nfeat, SUM(model.w) AS s
-        |  FROM fb JOIN model USING (b) GROUP BY 1),
-        |scored AS (SELECT d.doc_id,
-        |    COALESCE(p.nfeat, 0) AS nfeat,
-        |    round(1.0 / (1.0 + exp(-(0.0 +
-        |      COALESCE(CAST(p.s AS DOUBLE) / CAST(p.nfeat AS DOUBLE),
-        |        0.0)))), 9) + 0.0 AS score
-        |  FROM documents d LEFT JOIN pooled p USING (doc_id))
+      s"""WITH $Q87_SCORE_CTE
         |SELECT doc_id, nfeat, score, score >= 0.5 AS kept
         |FROM scored
         |ORDER BY doc_id""".stripMargin,
+
+    // calibration twin: the shared scoring chain, then the identical
+    // decile bucketing (floor of the same doubles) and the exact-sum
+    // mean (DSUM/COUNT) + long-ratio positive rate
+    "q92_quality_calibration" ->
+      s"""WITH $Q87_SCORE_CTE
+        |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS decile,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE d.source = 'src0') AS n_pos,
+        |  CAST(COUNT(*) FILTER (WHERE d.source = 'src0') AS DOUBLE)
+        |    / COUNT(*) AS pos_rate,
+        |  ${DAVG("score")} AS mean_score
+        |FROM scored JOIN documents d USING (doc_id)
+        |GROUP BY 1
+        |ORDER BY decile""".stripMargin,
 
     // q81's closure + the one-left-join tagging; docs outside any
     // cluster are their own canonical
