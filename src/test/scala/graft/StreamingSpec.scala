@@ -16,6 +16,7 @@ case class CFrame(stream_id: Long, timestamps: Seq[Long],
                   numericValues: Map[String, Seq[Double]])
 /** A streamed document for the curation pipeline tests. */
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
+case class SrcDoc(source: String, lang: String, text: String)
 
 /** Streaming-parity tests for the defining computation (SURVEY.md §7
   * hard part 1): Quix `.final()` ≡ Spark append output mode — a window
@@ -259,6 +260,48 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     got shouldBe expected
     got shouldBe Seq(3L, 4L) // contaminated 1, 2, 5 all dropped
+  }
+
+  test("incremental corpus manifest: complete-mode streaming agg equals the batch group-by (q90 streaming face)") {
+    // the dataset-card counters a live ingest keeps current: per
+    // (source, lang) doc counts and token totals as ONE streaming
+    // aggregation (map-side partials + state store), complete-mode
+    // memory sink. Corpus-global stats that need the whole corpus (the
+    // LM mean, distinct-digest dedup rate) stay on the batch path by
+    // design — this pins that the counter half is incremental with no
+    // cross-batch drift.
+    val rows = Seq(
+      SrcDoc("src0", "en", "alpha beta gamma"),
+      SrcDoc("src0", "en", "delta epsilon"),
+      SrcDoc("src0", "de", "zeta"),
+      SrcDoc("src1", "en", "eta theta iota kappa"),
+      SrcDoc("src1", "en", "lambda"))
+    def manifest(df: org.apache.spark.sql.DataFrame) = df
+      .select($"source", $"lang",
+        org.apache.spark.sql.functions.size(tokens($"text"))
+          .cast("long").as("ntok"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("total_tokens"))
+    val expected = manifest(rows.toDF()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val input = MemoryStream[SrcDoc](spark)
+    val q = manifest(input.toDF()).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("manifest_stream").start()
+    try {
+      input.addData(rows(0), rows(1), rows(2))
+      q.processAllAvailable()
+      input.addData(rows(3), rows(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("manifest_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    got shouldBe expected
+    got.map(t => (t._1, t._2)).toSet shouldBe
+      Set(("src0", "en"), ("src0", "de"), ("src1", "en"))
   }
 
   test("streaming ingest quarantine: one parse, valid rows to the sink, corrupt payloads to a dead-letter sink") {
