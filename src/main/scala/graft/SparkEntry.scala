@@ -1766,6 +1766,31 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // LLM dedup diagnostics — the CROSS-SOURCE duplication matrix:
+    // q38's near-dup pairs labeled with both members' sources,
+    // normalized to an unordered (src_a ≤ src_b) cell, counted — the
+    // report that tells a corpus team WHERE duplication comes from
+    // (within one crawl vs leaking across crawls). Pair volume is the
+    // LSH output (keyed, output-scaled); the two label joins are plain
+    // keyed equi-joins against the narrow (doc_id, source) projection.
+    "q93_crossdup_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, t = 0.5, bands = 72, rows = 2)
+      val src = docs.select(col("doc_id"), col("source"))
+      val labeled = pairs
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("src_of_a")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("src_of_b")), "id_b")
+      val out = labeled.groupBy(
+          least(col("src_of_a"), col("src_of_b")).as("src_a"),
+          greatest(col("src_of_a"), col("src_of_b")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+      Dedup.materializeAndRelease(out, pairs)
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -3506,6 +3531,25 @@ object SparkEntry {
     // per-token log-prob rounded to 9 dp FIRST, summed as
     // DECIMAL(30,9) (order-independent); the mean is the all-integer
     // floor((-sum*1e9)/ntok) — positive, so // and Spark's div agree
+    // the pair set is pinned identical to the exact join's (q38's
+    // qualification), so the matrix twin runs the exact all-pairs
+    // Jaccard + the same least/greatest cell normalization
+    "q93_crossdup_matrix" ->
+      s"""WITH $SHINGLES_CTE,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |lab AS (SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+        |  FROM pairs p
+        |  JOIN documents da ON p.id_a = da.doc_id
+        |  JOIN documents db ON p.id_b = db.doc_id)
+        |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+        |  COUNT(*) AS n_pairs
+        |FROM lab GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin,
+
     // q38's recursive closure + q39's quality formula + the per-cluster
     // argmax (row_number with the same (quality DESC, id ASC) ordering)
     "q91_quality_canonicalize" ->
