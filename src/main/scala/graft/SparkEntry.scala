@@ -1694,27 +1694,9 @@ object SparkEntry {
     // digests vs docs), and mean LM NLL — one keyed group-by over the
     // LM-scored corpus, all arithmetic cross-engine exact (DECIMAL
     // sums, IntegralDivide mean).
-    "q90_corpus_manifest" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scored = operators.TextAnalysis
-        .unigramLogProb(docs, "doc_id", "text") // persisted by contract
-      val base = docs.select(col("doc_id"), col("source"), col("lang"),
-          sha2(graft.functions.normText(col("text")), 256).as("__nt"))
-        .join(scored.select(col("id").as("doc_id"), col("ntok"),
-          col("nll_mean_nano")), "doc_id")
-      val out = base.groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("ntok")).as("total_tokens"),
-          countDistinct(col("__nt")).as("n_unique"),
-          org.apache.spark.sql.GraftColumnBridge.column(
-            org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-              org.apache.spark.sql.GraftColumnBridge.expression(
-                sum(col("nll_mean_nano"))),
-              org.apache.spark.sql.GraftColumnBridge.expression(
-                count(lit(1))))).as("mean_nll_nano"))
-        .orderBy(col("source"), col("lang"))
-      operators.Dedup.materializeAndRelease(out, scored)
-    }),
+    "q90_corpus_manifest" -> ((s, dir) =>
+      operators.TextAnalysis.corpusManifest(Tables.documents(s, dir),
+        "doc_id", "text", groupCols = Seq("source", "lang"))),
 
     // LLM dedup 7 — QUALITY-AWARE canonical selection: the near-dup
     // clusters of q38, but the kept representative per cluster is the

@@ -347,6 +347,34 @@ object StressBench {
       s""""out_rows_1x":${base1x._3},"ok":$ok}"""
   }
 
+  /** The manifest aggregate under 10× uniform cloning — EXACT
+    * closed-form expectations, not tolerances: n_docs and total_tokens
+    * scale ×10 per group, n_unique is unchanged (clones share
+    * normalized text), and mean_nll_nano is IDENTICAL per group —
+    * P(w) = 10·cnt / 10·total is scale-free, round-9 ln of the same
+    * double is the same double, and floor(10S/10N) = floor(S/N). Any
+    * drift means the aggregate is not scale-invariant and its 100 TB
+    * numbers could not be trusted against a sampled run.
+    */
+  private def manifestClone10x(s: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(s, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val offset = docs.agg(max("doc_id")).head().getLong(0) + 1
+    def rows(in: DataFrame): Map[(String, String), (Long, Long, Long, Long)] =
+      TextAnalysis.corpusManifest(in, "doc_id", "text",
+          groupCols = Seq("source", "lang"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (base, baseSecs) = time(rows(docs))
+    val (c10, secs10) = time(rows(clones(docs, 10, offset)))
+    val ok = c10.keySet == base.keySet && base.forall { case (k, b) =>
+      val c = c10(k)
+      c._1 == 10 * b._1 && c._2 == 10 * b._2 && c._3 == b._3 && c._4 == b._4
+    }
+    s""""manifest_clone10x":{"secs":${r3(secs10)},"base_secs":${r3(baseSecs)},""" +
+      s""""groups":${base.size},"docs":${10 * docs.count()},"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -358,7 +386,8 @@ object StressBench {
       "lineage_1m" -> (() => lineage1M(spark)),
       "curation_skew10x" -> (() => curationSkew10x(spark, sfDir)),
       "semdedup_skew_aqe" -> (() => semdedupSkewAqe(spark)),
-      "capstone_11x" -> (() => capstone11x(spark, sfDir)))
+      "capstone_11x" -> (() => capstone11x(spark, sfDir)),
+      "manifest_clone10x" -> (() => manifestClone10x(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet

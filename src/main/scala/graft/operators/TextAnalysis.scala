@@ -604,4 +604,38 @@ object TextAnalysis {
             coalesce(col("__s").cast("double") / col("nfeat").cast("double"),
               lit(0.0))))), 9).as("score"))
   }
+
+  /** Corpus manifest — the dataset-card aggregate a corpus release
+    * publishes, per `groupCols`: doc count, token total, distinct
+    * normalized-text digest count (the exact-dup audit), and mean LM
+    * NLL ([[unigramLogProb]]; IntegralDivide — exact long arithmetic,
+    * engine-portable). One LM pass + one keyed group-by; the distinct
+    * count is the only extra shuffle and stays keyed.
+    *
+    * Scale invariants (pinned by StressBench's manifest_clone10x):
+    * under uniform k× corpus cloning, n_docs and total_tokens scale
+    * ×k, n_unique is UNCHANGED, and mean_nll_nano is IDENTICAL —
+    * P(w) = k·cnt / k·total is scale-free, and
+    * floor(k·S / k·N) = floor(S/N) exactly.
+    */
+  def corpusManifest(docs: DataFrame, idCol: String, textCol: String,
+                     groupCols: Seq[String]): DataFrame = {
+    val scored = unigramLogProb(docs, idCol, textCol)
+    val base = docs.select((Seq(col(idCol)) ++ groupCols.map(col) :+
+        sha2(normText(col(textCol)), 256).as("__nt")): _*)
+      .join(scored.select(col("id").as(idCol), col("ntok"),
+        col("nll_mean_nano")), idCol)
+    val out = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        countDistinct(col("__nt")).as("n_unique"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              sum(col("nll_mean_nano"))),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              count(lit(1))))).as("mean_nll_nano"))
+      .orderBy(groupCols.map(col): _*)
+    Dedup.materializeAndRelease(out, scored)
+  }
 }
