@@ -1773,6 +1773,24 @@ object SparkEntry {
       Dedup.materializeAndRelease(out, pairs)
     }),
 
+    // LLM curation 11 — the WORDLIST gate (C4's badwords filter, the
+    // other half of the C4 front gate next to q89's URL blocklist):
+    // count each document's tokens that hit a blockword list, keep
+    // docs with zero hits, report the count either way. Pure per-row
+    // array filter over the shared tokenizer — codegen'd, no shuffle,
+    // composes anywhere. The list here is a neutral stand-in (real
+    // deployments plug in the published lists); token-exact matching,
+    // not substring, is the deliberate policy (no scunthorpe effect).
+    "q94_wordlist_gate" -> ((s, dir) => {
+      val blocked = Seq("slow", "broken", "panic")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(graft.functions.tokens(col("text")),
+            t => t.isin(blocked: _*))).cast("long").as("n_flagged"))
+        .withColumn("kept", col("n_flagged") === 0L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone v3 — the SESSION family end-to-end: incremental dedup
     // (bloom anti-join vs the even-id history) → context-window
     // chunking (64/48) → unigram-LM gate (keep chunks better than the
@@ -3513,6 +3531,18 @@ object SparkEntry {
     // per-token log-prob rounded to 9 dp FIRST, summed as
     // DECIMAL(30,9) (order-independent); the mean is the all-integer
     // floor((-sum*1e9)/ntok) — positive, so // and Spark's div agree
+    // token-exact wordlist count over the shared tokenizer
+    "q94_wordlist_gate" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |    t -> t IN ('slow', 'broken', 'panic'))) AS BIGINT) AS n_flagged,
+        |  len(list_filter(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+        |    t -> t IN ('slow', 'broken', 'panic'))) = 0 AS kept
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // the pair set is pinned identical to the exact join's (q38's
     // qualification), so the matrix twin runs the exact all-pairs
     // Jaccard + the same least/greatest cell normalization
