@@ -12,6 +12,18 @@ import graft.sinks.ConfluentFraming
 class PropertiesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("SparkEntry contract: every oracle names a query; only q40 is rows-only") {
+    // the driver's correctness gate keys on these maps — an oracle
+    // entry whose key doesn't match a query is silently dead, and a
+    // query without an oracle silently downgrades to rows-only. Pin
+    // the one intentional rows-only exception (q40: capped ⊆ exact is
+    // not SQL-expressible; DedupSpec pins the containment instead).
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    o.diff(q) shouldBe empty
+    q.diff(o) shouldBe Set("q40_jaccard_capped")
+  }
+
   test("timeBucket property: bucket_ts <= ts < bucket_ts + bucket, epoch-aligned") {
     val rnd = new scala.util.Random(3)
     val bucketNs = 3600L * 1000000000L
