@@ -2060,6 +2060,27 @@ object SparkEntry {
       Curation.packShards(withTok, "source", "doc_id", "n_tok",
           budget = 2000L)
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // LLM curation 15 — deterministic train/val/test hash split: every
+    // doc lands in exactly one named split by the salted md5 coin
+    // (prefix-nested boundaries, layout-independent, shuffle-free);
+    // the query audits the split as a per-(split, source) manifest —
+    // doc and token counts — which is how a pipeline proves its
+    // held-out sets are stable and its mix is as configured. The
+    // DuckDB twin recomputes the identical coin/CASE chain, so the
+    // exact ASSIGNMENT (not just the counts) is oracle-gated through
+    // the group keys.
+    "q95_hash_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.splitByHash(docs, "doc_id",
+          Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02))
+        .select(col("split"), col("source"),
+          TextAnalysis.tokenCounts(col("text")).getField("n_whitespace")
+            .cast("long").as("n_tok"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        .orderBy(col("split"), col("source"))
     })
   )
 
@@ -3924,6 +3945,22 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 2000
         |    AS BIGINT) AS shard
         |FROM tok
-        |ORDER BY source, doc_id""".stripMargin
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q95_hash_split" -> {
+      val t1 = graft.operators.Curation.rateThresholdHex(0.96)
+      val t2 = graft.operators.Curation.rateThresholdHex(0.98)
+      s"""WITH s AS (SELECT source,
+        |  CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok,
+        |  substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) AS coin
+        |  FROM documents)
+        |SELECT CASE WHEN coin < '$t1' THEN 'train'
+        |            WHEN coin < '$t2' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM s
+        |GROUP BY 1, 2
+        |ORDER BY split, source""".stripMargin
+    }
   )
 }

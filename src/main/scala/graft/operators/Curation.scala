@@ -220,6 +220,55 @@ object Curation {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
   }
 
+  /** Deterministic hash split into named disjoint partitions — the
+    * train/val/test assignment every training pipeline needs before
+    * anything is shuffled into shards. `splits` is the ORDERED
+    * (name, fraction) list (fractions must sum to 1); row → split is
+    * decided by where the md5 coin substr(md5(salt '#' id), 1, 8)
+    * falls among the cumulative-fraction thresholds (the
+    * [[sampleStratified]] lowercase-hex comparison trick), so:
+    *
+    *   - the assignment is a PURE per-row predicate — no shuffle, no
+    *     state, layout-independent, reproducible across engines (the
+    *     DuckDB twin is the identical substr/CASE chain);
+    *   - splits are DISJOINT and EXHAUSTIVE by construction (the last
+    *     threshold is forced to top-of-range, so float accumulation
+    *     can never strand a coin);
+    *   - boundaries are PREFIX-NESTED: growing an earlier split's
+    *     fraction only MOVES boundary rows from the adjacent split —
+    *     train@96% is a superset of train@90% with val/test order
+    *     kept, the property that makes held-out sets stable as the
+    *     mix evolves;
+    *   - the coin is SALTED, so split assignment is independent of
+    *     every other md5 coin in the pipeline (sampling, Gumbel,
+    *     negative pairs) — a row's survival in [[sampleStratified]]
+    *     says nothing about which split it lands in.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0.0),
+      s"split fractions must be non-negative: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct: ${splits.map(_._1)}")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) <= 1e-9,
+      s"split fractions must sum to 1, got $total")
+    require(!df.columns.contains("split"),
+      "splitByHash writes a 'split' column; input already has one")
+    val coin = substring(
+      md5(concat(lit(s"$salt#"), col(idCol).cast("string"))), 1, 8)
+    val cums = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val bounded = splits.map(_._1)
+      .zip(cums.init.map(c => rateThresholdHex(math.min(1.0, c))) :+ "g")
+    val assign = bounded.init.foldRight(
+      lit(bounded.last._1): org.apache.spark.sql.Column) {
+      case ((name, thr), acc) => when(coin < lit(thr), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** URL canonicalization + host-blocklist gate — the front gate of
     * every public web-corpus pipeline (C4's bad-domain list,
     * RefinedWeb's URL filtering) run BEFORE content work, so blocked

@@ -194,6 +194,54 @@ class CurationSpec extends SparkSpec {
     exchanges(Curation.packShards(df, "source", "doc_id", "n_tok", 100L)) shouldBe 1
   }
 
+  test("splitByHash: disjoint+exhaustive, layout-independent, prefix-nested, salt-decorrelated, shuffle-free") {
+    val df = (1L to 2000L).map(id => (id, s"s${id % 3}")).toDF("doc_id", "source")
+    def assign(d: org.apache.spark.sql.DataFrame) =
+      d.select($"doc_id", $"split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assign(Curation.splitByHash(df, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+    // exhaustive: every row gets exactly one of the declared names
+    base.keySet shouldBe (1L to 2000L).toSet
+    base.values.toSet shouldBe Set("train", "val", "test")
+    // fractions land near their targets (binomial on 2000 trials)
+    base.values.count(_ == "train").toDouble / 2000 shouldBe 0.9 +- 0.03
+    // layout independence: repartitioning cannot move a row's split
+    assign(Curation.splitByHash(df.repartition(17), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))) shouldBe base
+    // prefix nesting: growing train only absorbs rows from later splits
+    val grown = assign(Curation.splitByHash(df, "doc_id",
+      Seq("train" -> 0.95, "val" -> 0.025, "test" -> 0.025)))
+    base.filter(_._2 == "train").keySet
+      .subsetOf(grown.filter(_._2 == "train").keySet) shouldBe true
+    // salted coin: split assignment is independent of the sampling coin
+    // (an unsalted coin would make e.g. every sampleStratified-kept row
+    // pile into the early splits)
+    val sampled = Curation.sampleStratified(df, "doc_id", "source",
+      Map.empty, defaultRate = 0.1)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val trainRateInSample =
+      sampled.count(id => base(id) == "train").toDouble / sampled.size
+    trainRateInSample shouldBe 0.9 +- 0.07
+    // scale shape: a pure per-row projection — zero exchanges
+    Curation.splitByHash(df, "doc_id", Seq("train" -> 1.0))
+      .queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange")) shouldBe 0
+  }
+
+  test("splitByHash rejects bad fraction lists and a preexisting split column") {
+    val df = Seq((1L, "a")).toDF("doc_id", "source")
+    an[IllegalArgumentException] should be thrownBy
+      Curation.splitByHash(df, "doc_id", Seq("train" -> 0.5, "val" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      Curation.splitByHash(df, "doc_id", Seq("a" -> 0.5, "a" -> 0.5))
+    an[IllegalArgumentException] should be thrownBy
+      Curation.splitByHash(df, "doc_id", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.splitByHash(df.withColumn("split", lit("x")), "doc_id",
+        Seq("train" -> 1.0))
+  }
+
   test("sampleStratified rejects rates outside [0,1]") {
     val df = Seq((1L, "a")).toDF("doc_id", "source")
     an[IllegalArgumentException] should be thrownBy
