@@ -2081,6 +2081,20 @@ object SparkEntry {
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
         .orderBy(col("split"), col("source"))
+    }),
+
+    // LLM embeddings 9 — kNN label-agreement audit (label-noise
+    // detection): each vector's 5 cosine-nearest neighbors vote on its
+    // label; low agreement flags mislabel/outlier candidates before
+    // training on weak labels. Exact brute-force neighbors here (the
+    // corpus projection broadcasts); at scale the same vote runs over
+    // IVF/LSH candidate sets. The DuckDB twin recomputes the full
+    // all-pairs ranking, so the exact neighbor SETS are oracle-gated
+    // through the counts.
+    "q96_knn_label_audit" -> ((s, dir) => {
+      Similarity.knnLabelAgreement(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -3961,6 +3975,23 @@ object SparkEntry {
         |FROM s
         |GROUP BY 1, 2
         |ORDER BY split, source""".stripMargin
-    }
+    },
+
+    "q96_knn_label_audit" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cos_sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, label, nbr_label,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos_sim DESC, nbr_id) AS rank
+        |      FROM scored)
+        |SELECT vec_id, label,
+        |  CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS agree_rate
+        |FROM r WHERE rank <= 5
+        |GROUP BY vec_id, label
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -34,6 +34,48 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos_sim")
   }
 
+  /** kNN label-agreement audit — label-noise detection over an
+    * embedded, labeled corpus (Confident-Learning-style QA: a row
+    * whose nearest neighbors mostly carry a DIFFERENT label is a
+    * mislabel/outlier candidate — the standard embedding-space check
+    * run before training on weak labels). For every row, the k
+    * cosine-nearest OTHER rows vote: `n_agree` = how many share the
+    * row's label, `agree_rate` = n_agree/k. Thresholding/acting on the
+    * rate is the caller's policy; this operator computes the audit.
+    *
+    * Exactness: neighbor ranking is (cos_sim DESC, neighbor id ASC) —
+    * the q13 tie order — so the neighbor SET, and with it every count,
+    * is deterministic and engine-exact (cosine is bit-identical across
+    * engines on non-identical vectors; the division n_agree/k is one
+    * correctly-rounded IEEE op).
+    *
+    * Scale shape: this EXACT variant broadcasts the (id, vec, label)
+    * corpus projection against a streaming probe scan — right whenever
+    * the projection fits a broadcast (n·dim·4 bytes; ~2.5 GB at 10M
+    * vectors × 64 dims). Past that, audit the IVF/LSH candidate sets
+    * instead ([[ivfTopK]]/[[lshTopK]]'s bucket joins): same per-row
+    * vote over approximate neighbors — the audit math is unchanged,
+    * only candidate generation swaps, exactly as search does.
+    */
+  def knnLabelAgreement(emb: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      col(labelCol).as("nbr_label"))
+    val probes = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).as("query_vec"), col(labelCol).as("label"))
+    val scored = probes.join(broadcast(corpus), col("nbr_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("nbr_label") === col("label"), lit(1L))
+        .otherwise(lit(0L))).as("n_agree"))
+      .withColumn("agree_rate", col("n_agree").cast("double") / lit(k))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
     * weights in [-0.5, 0.5), derived from a seeded xorshift so every run
     * and every executor sees the same planes (no Math.random).

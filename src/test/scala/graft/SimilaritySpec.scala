@@ -37,6 +37,37 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getLong(1)).toSeq shouldBe Seq(2L, 2L)
   }
 
+  test("knnLabelAgreement: neighbor votes match the obvious geometry; self excluded; rate = n_agree/k") {
+    // two tight clusters: x-axis (labels A,A,A) and y-axis (B,B), plus
+    // one x-axis vector mislabeled B — its neighbors are all A
+    val labeled = Seq(
+      (0L, Array(1f, 0f, 0f), "A"),
+      (1L, Array(0.99f, 0.01f, 0f), "A"),
+      (2L, Array(0.98f, 0.02f, 0f), "A"),
+      (3L, Array(0.97f, 0.03f, 0f), "B"), // mislabel: x-cluster, B tag
+      (4L, Array(0f, 1f, 0f), "B"),
+      (5L, Array(0.01f, 0.99f, 0f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreement(labeled, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    out.keySet shouldBe (0L to 5L).toSet
+    // x-cluster A rows: 3 nearest are the other x vectors — 2 A + the
+    // mislabeled B → agree 2/3
+    Seq(0L, 1L, 2L).foreach { id =>
+      out(id)._1 shouldBe "A"
+      out(id)._2 shouldBe 2L
+      out(id)._3 shouldBe 2.0 / 3 +- 1e-15
+    }
+    // the mislabel: all 3 nearest are A, zero agreement — flagged
+    out(3L) shouldBe (("B", 0L, 0.0))
+    // y-cluster B rows: nearest is the other y vector (agree) plus two
+    // far x vectors; the mislabeled B among them lifts agreement to 2/3
+    out(4L)._2 should be >= 1L
+    out(5L)._2 should be >= 1L
+  }
+
   test("lshTopK returns exactly-ranked subsets: every reported pair's cosine is exact and ranks are consistent") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding",
         queryIds = Seq(0L), k = 3, tables = 8, planesPerTable = 2, dim = 4)
