@@ -17,6 +17,7 @@ case class CFrame(stream_id: Long, timestamps: Seq[Long],
 /** A streamed document for the curation pipeline tests. */
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class SrcDoc(source: String, lang: String, text: String)
+case class IdDoc(doc_id: Long, source: String)
 
 /** Streaming-parity tests for the defining computation (SURVEY.md §7
   * hard part 1): Quix `.final()` ≡ Spark append output mode — a window
@@ -302,6 +303,42 @@ class StreamingSpec extends SparkSpec {
     got shouldBe expected
     got.map(t => (t._1, t._2)).toSet shouldBe
       Set(("src0", "en"), ("src0", "de"), ("src1", "en"))
+  }
+
+  test("streaming hash split: stateless per-row assignment composes with a complete-mode split manifest (q95 streaming face)") {
+    // splitByHash is a pure per-row projection, so it drops into a
+    // stream unchanged — each arriving doc gets its final split the
+    // moment it lands (no state, no watermark, no reassignment ever),
+    // and the per-(split, source) manifest is the same one streaming
+    // aggregation as q90's counters. Pins batch/stream parity of BOTH
+    // the assignment and the counts across micro-batches.
+    val rows = (1L to 200L).map(id => IdDoc(id, s"src${id % 3}"))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.splitByHash(df, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).as("n_docs"))
+    val expected = manifest(rows.toDF()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val input = MemoryStream[IdDoc](spark)
+    val q = manifest(input.toDF()).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("split_stream").start()
+    try {
+      input.addData(rows.take(120): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(120): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("split_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    got shouldBe expected
+    // all three splits materialized and the totals cover every row
+    got.map(_._1).toSet shouldBe Set("train", "val", "test")
+    got.map(_._3).sum shouldBe 200L
   }
 
   test("streaming ingest quarantine: one parse, valid rows to the sink, corrupt payloads to a dead-letter sink") {
