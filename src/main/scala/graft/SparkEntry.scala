@@ -2095,6 +2095,19 @@ object SparkEntry {
       Similarity.knnLabelAgreement(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", k = 5)
         .orderBy(col("vec_id"))
+    }),
+
+    // LLM embeddings 10 — per-label centroid outliers: the O(n·dim)
+    // drift audit next to q96's O(n²) neighborhood vote — top-20
+    // farthest members per label by exact nano-fixed-point squared
+    // distance to the quantized label centroid. Narrow exploded rows,
+    // broadcast centroid table, map-side-combinable aggregates; the
+    // DuckDB twin recomputes the identical integer arithmetic, so the
+    // full RANKING is hash-gated.
+    "q97_centroid_outliers" -> ((s, dir) => {
+      Similarity.labelCentroidOutliers(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", topK = 20)
+        .orderBy(col("label"), col("rank"))
     })
   )
 
@@ -3992,6 +4005,26 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS agree_rate
         |FROM r WHERE rank <= 5
         |GROUP BY vec_id, label
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q97_centroid_outliers" ->
+      """WITH x0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding
+        |            FROM embeddings),
+        |x AS (SELECT vec_id, label, dim,
+        |        CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |          + 2000000000 AS xi
+        |      FROM x0),
+        |c AS (SELECT label, dim, CAST(SUM(xi) AS BIGINT) // COUNT(*) AS ci
+        |      FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.label, SUM((x.xi - c.ci) * (x.xi - c.ci)) AS s2
+        |      FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+        |      GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, s2,
+        |        row_number() OVER (PARTITION BY label
+        |                           ORDER BY s2 DESC, vec_id) AS rank
+        |      FROM d)
+        |SELECT label, rank, vec_id, CAST(s2 AS DOUBLE) / 1e18 AS dist2
+        |FROM r WHERE rank <= 20
+        |ORDER BY label, rank""".stripMargin
   )
 }

@@ -76,6 +76,65 @@ object Similarity {
       .withColumn("agree_rate", col("n_agree").cast("double") / lit(k))
   }
 
+  /** Per-label centroid outlier audit — the second embedding-space QA
+    * next to [[knnLabelAgreement]]: rank each label's members by
+    * squared L2 distance to the label's centroid and keep the top-k
+    * farthest (outlier/drift candidates — rows that sit far from their
+    * class mass even if their local neighborhood agrees).
+    *
+    * EXACT fixed-point arithmetic end to end, so the ranking (not just
+    * the rows) is engine-reproducible and hash-gatable — the
+    * `mean_nll_nano` idiom applied to geometry:
+    *
+    *   - components quantize to nano units: xi = floor(v·1e9 + 0.5),
+    *     OFFSET by +2e9 so every later division/floor is on
+    *     non-negative ints (floor == truncate in every engine; the
+    *     constant cancels in the differences);
+    *   - the centroid is the QUANTIZED mean ci = si div n (exact
+    *     integral division — floor-vs-double-rounding divergence
+    *     class of Scale.epochDay);
+    *   - per-dim squared diffs stay in long (|diff| ≤ 2.4e9 →
+    *     square ≤ 5.8e18 < 2⁶³), the 64-dim sum rides DECIMAL(38,0)
+    *     (a long sum could wrap past ~9.2e18); `dist2` is that exact
+    *     integer cast to double and de-scaled by 1e18.
+    *
+    * Scale shape: narrow (id, label, dim, xi) rows — Θ(n·dim); the
+    * centroid table is labels×dim rows and BROADCASTS; one map-side-
+    * combinable aggregate per stage; the final per-label window ranks
+    * only per-document scalars. No pairwise term anywhere — this is
+    * the O(n·dim) audit, vs [[knnLabelAgreement]]'s O(n²·dim).
+    */
+  def labelCentroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    val x = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .withColumn("xi",
+        (floor(col("v").cast("double") * lit(1e9) + lit(0.5)) +
+          lit(2000000000L)).cast("long"))
+      .drop("v")
+    val cent = x.groupBy("label", "dim")
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), intDiv(col("s"), col("n")).as("ci"))
+    val d = x.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("sq",
+        ((col("xi") - col("ci")) * (col("xi") - col("ci")))
+          .cast("decimal(38,0)"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("sq")).as("s2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("s2").desc, col("vec_id").asc)
+    d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("rank"), col("vec_id"),
+        (col("s2").cast("double") / lit(1e18)).as("dist2"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
     * weights in [-0.5, 0.5), derived from a seeded xorshift so every run
     * and every executor sees the same planes (no Math.random).

@@ -68,6 +68,32 @@ class SimilaritySpec extends SparkSpec {
     out(5L)._2 should be >= 1L
   }
 
+  test("labelCentroidOutliers: exact fixed-point ranking, per-label windows, zero-distance ties break by id") {
+    val labeled = Seq(
+      // label 7: two at the origin, one far out on x — the obvious outlier
+      (0L, Array(0f, 0f), 7),
+      (1L, Array(0f, 0f), 7),
+      (2L, Array(1f, 0f), 7),
+      // label 8: identical vectors — all distances exactly 0, id ties
+      (3L, Array(0f, 1f), 8),
+      (4L, Array(0f, 1f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(labeled, "vec_id", "embedding",
+        "label", topK = 5)
+      .orderBy($"label", $"rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.map(t => (t._1, t._2, t._3)).toSeq shouldBe Seq(
+      (7, 1L, 2L), (7, 2L, 0L), (7, 3L, 1L), // farthest first; 0<1 id tie
+      (8, 1L, 3L), (8, 2L, 4L))
+    // label 7 dim-0 nano values: 2e9, 2e9, 3e9 → quantized centroid
+    // floor(7e9/3) = 2333333333; outlier dist² = 666666667² / 1e18
+    out(0)._4 shouldBe (666666667.0 * 666666667.0 / 1e18) +- 1e-12
+    out(1)._4 shouldBe out(2)._4 // the two origin rows are equidistant
+    // identical vectors: exactly zero, not epsilon
+    out(3)._4 shouldBe 0.0
+    out(4)._4 shouldBe 0.0
+  }
+
   test("lshTopK returns exactly-ranked subsets: every reported pair's cosine is exact and ranks are consistent") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding",
         queryIds = Seq(0L), k = 3, tables = 8, planesPerTable = 2, dim = 4)
