@@ -2108,6 +2108,35 @@ object SparkEntry {
       Similarity.labelCentroidOutliers(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", topK = 20)
         .orderBy(col("label"), col("rank"))
+    }),
+
+    // LLM curation 16 — SPLIT LEAKAGE report: q38's near-dup pairs
+    // labeled with both members' q95 hash-split assignments, collapsed
+    // to the unordered split×split matrix with cross-split cells
+    // flagged `leaky`. THE audit run before any evaluation on held-out
+    // splits: a train↔test near-duplicate inflates eval scores even
+    // when exact dedup is clean. Same scale shape as q93 (pair volume
+    // stays LSH-output-scaled; the label join is keyed on the narrow
+    // (doc_id, split) projection — and the split labels are a pure
+    // per-row md5 coin, no extra shuffle to produce them).
+    "q98_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, t = 0.5, bands = 72, rows = 2)
+      val sp = Curation.splitByHash(docs.select("doc_id"), "doc_id",
+          Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02))
+      val labeled = pairs
+        .join(sp.select(col("doc_id").as("id_a"),
+          col("split").as("split_of_a")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"),
+          col("split").as("split_of_b")), "id_b")
+      val out = labeled.groupBy(
+          least(col("split_of_a"), col("split_of_b")).as("split_a"),
+          greatest(col("split_of_a"), col("split_of_b")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+        .orderBy(col("split_a"), col("split_b"))
+      Dedup.materializeAndRelease(out, pairs)
     })
   )
 
@@ -4025,6 +4054,31 @@ object SparkEntry {
         |      FROM d)
         |SELECT label, rank, vec_id, CAST(s2 AS DOUBLE) / 1e18 AS dist2
         |FROM r WHERE rank <= 20
-        |ORDER BY label, rank""".stripMargin
+        |ORDER BY label, rank""".stripMargin,
+
+    "q98_split_leakage" -> {
+      val t1 = graft.operators.Curation.rateThresholdHex(0.96)
+      val t2 = graft.operators.Curation.rateThresholdHex(0.98)
+      s"""WITH $SHINGLES_CTE,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t1' THEN 'train'
+        |       WHEN substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t2' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents),
+        |lab AS (SELECT p.id_a, p.id_b, sa.split AS spa, sb.split AS spb
+        |  FROM pairs p
+        |  JOIN sp sa ON p.id_a = sa.doc_id
+        |  JOIN sp sb ON p.id_b = sb.doc_id)
+        |SELECT least(spa, spb) AS split_a, greatest(spa, spb) AS split_b,
+        |  COUNT(*) AS n_pairs,
+        |  least(spa, spb) <> greatest(spa, spb) AS leaky
+        |FROM lab GROUP BY 1, 2, 4
+        |ORDER BY split_a, split_b""".stripMargin
+    }
   )
 }
