@@ -2137,6 +2137,21 @@ object SparkEntry {
         .withColumn("leaky", col("split_a") =!= col("split_b"))
         .orderBy(col("split_a"), col("split_b"))
       Dedup.materializeAndRelease(out, pairs)
+    }),
+
+    // LLM curation 17 — train-overlap audit of the val split: per val
+    // doc, the fraction of its distinct 3-gram shingles occurring
+    // anywhere in train (GPT-3-appendix-style overlap analysis — the
+    // aggregate containment stat that catches piecewise leakage q98's
+    // pairwise matrix misses). The small val shingle set drives a
+    // bloom that prunes the train side before the only keyed shuffle.
+    "q99_train_overlap" -> ((s, dir) => {
+      Curation.splitOverlapAudit(Tables.documents(s, dir), "doc_id", "text",
+          Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
+          n = 3, trainName = "train", auditName = "val")
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_in_train"),
+          col("overlap_rate"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4079,6 +4094,26 @@ object SparkEntry {
         |  least(spa, spb) <> greatest(spa, spb) AS leaky
         |FROM lab GROUP BY 1, 2, 4
         |ORDER BY split_a, split_b""".stripMargin
+    },
+
+    "q99_train_overlap" -> {
+      val t1 = graft.operators.Curation.rateThresholdHex(0.96)
+      val t2 = graft.operators.Curation.rateThresholdHex(0.98)
+      s"""WITH $SHINGLES_CTE,
+        |sp AS (SELECT doc_id, s,
+        |  CASE WHEN substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t1' THEN 'train'
+        |       WHEN substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t2' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM shz),
+        |ex AS (SELECT doc_id, split, unnest(s) AS g FROM sp),
+        |tr AS (SELECT DISTINCT g FROM ex WHERE split = 'train')
+        |SELECT e.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN t.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_in_train,
+        |  CAST(SUM(CASE WHEN t.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS overlap_rate
+        |FROM ex e LEFT JOIN tr t USING (g)
+        |WHERE e.split = 'val'
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -375,6 +375,39 @@ object StressBench {
       s""""groups":${base.size},"docs":${10 * docs.count()},"ok":$ok}"""
   }
 
+  /** Embedding centroid-outlier audit under 10× uniform cloning
+    * (q97's operator): the label centroids are EXACTLY invariant
+    * (floor(10S/10n) = floor(S/n) — the integral-divide centroid is
+    * scale-free, like the manifest's mean_nll_nano), so every clone's
+    * exact fixed-point distance equals its base row's BIT-FOR-BIT, and
+    * row volume is exactly 10×. Closed-form expectations, not
+    * tolerances — any drift means the arithmetic stopped being exact.
+    * Timing narrative: the audit is O(n·dim) scan + broadcast-join —
+    * 10× rows should cost ~10× or less (aggregation amortizes), never
+    * quadratically.
+    */
+  private def centroidClone10x(s: SparkSession, sfDir: String): String = {
+    val emb = Tables.embeddings(s, sfDir)
+    val offset = emb.agg(max("vec_id")).head().getLong(0) + 1
+    def embClones(copies: Int): DataFrame =
+      emb.withColumn("__k", explode(array((0 until copies).map(lit): _*)))
+        .withColumn("vec_id", col("vec_id") + col("__k") * offset)
+        .drop("__k")
+    def dists(in: DataFrame, topK: Int): Map[Long, (Int, Double)] =
+      Similarity.labelCentroidOutliers(in, "vec_id", "embedding", "label",
+          topK = topK)
+        .collect().map(r => r.getLong(2) -> (r.getInt(0), r.getDouble(3)))
+        .toMap
+    val n = emb.count().toInt
+    val (base, baseSecs) = time(dists(emb, n))
+    val (c10, secs10) = time(dists(embClones(10), 10 * n))
+    val ok = c10.size == 10 * base.size && base.forall { case (id, bv) =>
+      (0 until 10).forall(k => c10.get(id + k * offset).contains(bv))
+    }
+    s""""centroid_clone10x":{"secs":${r3(secs10)},"base_secs":${r3(baseSecs)},""" +
+      s""""rows":${10 * base.size},"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -387,7 +420,8 @@ object StressBench {
       "curation_skew10x" -> (() => curationSkew10x(spark, sfDir)),
       "semdedup_skew_aqe" -> (() => semdedupSkewAqe(spark)),
       "capstone_11x" -> (() => capstone11x(spark, sfDir)),
-      "manifest_clone10x" -> (() => manifestClone10x(spark, sfDir)))
+      "manifest_clone10x" -> (() => manifestClone10x(spark, sfDir)),
+      "centroid_clone10x" -> (() => centroidClone10x(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet

@@ -269,6 +269,52 @@ object Curation {
     df.withColumn("split", assign)
   }
 
+  /** Train-overlap audit of a held-out split — the aggregate
+    * containment stat next to q98's pairwise leakage matrix (the
+    * GPT-3-appendix-style n-gram overlap analysis): for every document
+    * of `auditName` (val/test), the fraction of its DISTINCT word
+    * n-gram shingles that occur anywhere in the `trainName` split.
+    * A near-1 overlap_rate marks an eval document whose content the
+    * model will have seen piecewise even if no single training doc is
+    * a near-duplicate — what pairwise-Jaccard leakage checks miss.
+    *
+    * Scale shape: the audit split is SMALL by construction (its split
+    * fraction), so its shingle set drives a bloom that PRUNES the
+    * train side ([[Scale.bloomPrunedSemiJoin]]) — train shingles
+    * shuffle only the might-match subset (audit-sized + false
+    * positives), and the train split is never globally distinct'd.
+    * Shingles are the [[Dedup]] 64-bit hashes (same collision
+    * qualification as every Dedup join; docs with < n tokens have no
+    * shingles and are absent, per the shared shingle contract).
+    * Exact output: (doc id, n_grams, n_in_train, overlap_rate) for
+    * every audit doc with at least one shingle.
+    */
+  def splitOverlapAudit(docs: DataFrame, idCol: String, textCol: String,
+                        splits: Seq[(String, Double)], n: Int,
+                        trainName: String, auditName: String,
+                        salt: String = "split"): DataFrame = {
+    require(splits.exists(_._1 == trainName) && splits.exists(_._1 == auditName),
+      s"trainName/auditName must be declared splits: $splits")
+    val shl = Dedup.hashedShingles(docs, idCol, textCol, n, materialize = true)
+    val ex = splitByHash(shl, "id", splits, salt)
+      .select(col("id"), col("split"), explode(col("sh")).as("g"))
+    val auditEx = ex.filter(col("split") === auditName).select(col("id"), col("g"))
+    val trainG = ex.filter(col("split") === trainName).select(col("g"))
+    val nAudit = auditEx.count() // the small split: one cache-backed count
+    val inter = Scale.bloomPrunedSemiJoin(trainG, "g",
+        auditEx.select(col("g")), "g",
+        expectedKeys = math.max(1L, nAudit), fpp = 0.01)
+      .distinct().withColumn("__hit", lit(1L))
+    val out = auditEx.join(inter, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_in_train"))
+      .withColumn("overlap_rate",
+        col("n_in_train").cast("double") / col("n_grams").cast("double"))
+      .select(col("id"), col("n_grams"), col("n_in_train"), col("overlap_rate"))
+    Dedup.materializeAndRelease(out, shl)
+  }
+
   /** URL canonicalization + host-blocklist gate — the front gate of
     * every public web-corpus pipeline (C4's bad-domain list,
     * RefinedWeb's URL filtering) run BEFORE content work, so blocked

@@ -242,6 +242,35 @@ class CurationSpec extends SparkSpec {
         Seq("train" -> 1.0))
   }
 
+  test("splitOverlapAudit: per-audit-doc containment matches a driver-side reference; bloom prune keeps exactness") {
+    // split assignment is the md5 coin, so derive it first and build
+    // the reference from the SAME assignment the operator will compute
+    val ids = (1L to 40L)
+    val asg = Curation.splitByHash(ids.map(id => (id, "")).toDF("doc_id", "t"),
+        "doc_id", Seq("train" -> 0.5, "val" -> 0.5))
+      .select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // two doc shapes: a fully-shared phrase vs a shared prefix plus
+    // doc-unique tail → val docs land on distinct overlap rates
+    val texts = ids.map { id =>
+      (id, if (id % 3 == 0) "a b c d e" else s"a b c u$id v$id")
+    }
+    def sh2(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val trainSet = texts.filter(t => asg(t._1) == "train")
+      .flatMap(t => sh2(t._2)).toSet
+    val expected = texts.filter(t => asg(t._1) == "val").map { case (id, t) =>
+      val sh = sh2(t); val hit = sh.count(trainSet.contains).toLong
+      id -> ((sh.size.toLong, hit, hit.toDouble / sh.size))
+    }.toMap
+    expected.values.map(_._2).toSet.size should be > 1 // non-degenerate corpus
+    val got = Curation.splitOverlapAudit(texts.toDF("doc_id", "text"),
+        "doc_id", "text", Seq("train" -> 0.5, "val" -> 0.5), n = 2,
+        trainName = "train", auditName = "val")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe expected
+  }
+
   test("sampleStratified rejects rates outside [0,1]") {
     val df = Seq((1L, "a")).toDF("doc_id", "source")
     an[IllegalArgumentException] should be thrownBy
