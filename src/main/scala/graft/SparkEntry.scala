@@ -2152,6 +2152,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_grams"), col("n_in_train"),
           col("overlap_rate"))
         .orderBy(col("doc_id"))
+    }),
+
+    // LLM curation 18 — the epoch/repetition PLAN (the recipe table
+    // q70's sampler executes): per-source token masses → temperature
+    // shares → target tokens under a fixed budget → epoch counts
+    // capped at 4. One map-side aggregate + a broadcast 1-row total;
+    // output is |sources| rows whatever the corpus size. Exact-decimal
+    // q70 arithmetic end to end, so the whole plan is hash-gated.
+    "q100_epoch_plan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withTok = docs.select(col("source"),
+        TextAnalysis.tokenCounts(col("text")).getField("n_whitespace")
+          .cast("long").as("n_tok"))
+      Curation.epochPlan(withTok, "source", "n_tok",
+          alpha = 0.5, budgetTokens = 100000L, maxEpochs = 4.0)
+        .orderBy(col("source"))
     })
   )
 
@@ -4114,6 +4130,28 @@ object SparkEntry {
         |WHERE e.split = 'val'
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q100_epoch_plan" ->
+      """WITH tok AS (SELECT source,
+        |  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cnt AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM tok),
+        |w AS (SELECT source, n_docs, n_tokens, total,
+        |  round(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE)), 9) AS weight
+        |  FROM cnt CROSS JOIN tot),
+        |ws AS (SELECT CAST(SUM(CAST(weight AS DECIMAL(20,9))) AS DOUBLE) AS wsum
+        |  FROM w)
+        |SELECT source, n_docs, n_tokens, weight,
+        |  CAST(floor(CAST(100000 AS DOUBLE) * (weight / wsum)) AS BIGINT)
+        |    AS target_tokens,
+        |  round(least(CAST(4.0 AS DOUBLE),
+        |    CAST(CAST(floor(CAST(100000 AS DOUBLE) * (weight / wsum)) AS BIGINT)
+        |      AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 9) AS epochs
+        |FROM w CROSS JOIN ws
+        |ORDER BY source""".stripMargin
   )
 }

@@ -520,6 +520,51 @@ object Curation {
       .drop("keep_rate")
   }
 
+  /** Epoch/repetition planner — the RECIPE table [[sampleTemperature]]
+    * executes row-wise: given per-stratum token masses, a temperature
+    * exponent, a total token budget, and a repetition cap, emit each
+    * stratum's planned share and epoch count (how many passes over the
+    * source a training run makes — >1 repeats a small high-value
+    * source, <1 subsamples a hot one; capped at `maxEpochs` per the
+    * standard guidance that many repetitions degrade quality). This is
+    * the planning artifact data teams review before launching a run;
+    * the sampler enforces its <1 rows, a repeated-reader its >1 rows.
+    *
+    * Determinism is the q70 idiom verbatim: token-mass shares
+    * p_s ∝ (T_s/T)^α with the transcendental pow rounded to 9 dp, the
+    * weight sum in DECIMAL (order-independent), target_tokens =
+    * floor(budget·p) in exact long, epochs rounded to 9 dp — the whole
+    * table is engine-exact and hash-gatable.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over (stratum,
+    * tokens) pairs; the totals ride as a broadcast 1-row frame; the
+    * output is |strata| rows. Nothing here grows with corpus size.
+    */
+  def epochPlan(df: DataFrame, stratumCol: String, tokensCol: String,
+                alpha: Double, budgetTokens: Long,
+                maxEpochs: Double): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive: $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(maxEpochs > 0.0, s"maxEpochs must be positive: $maxEpochs")
+    val cnt = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+    val tot = df.agg(sum(col(tokensCol)).as("__tot"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("weight", round(pow(
+        col("n_tokens").cast("double") / col("__tot").cast("double"),
+        lit(alpha)), 9))
+      .withColumn("__wsum", sum(col("weight").cast("decimal(20,9)"))
+        .over(Window.partitionBy()))
+      .withColumn("__p", col("weight") / col("__wsum").cast("double"))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("__p")).cast("long"))
+      .withColumn("epochs", round(least(lit(maxEpochs),
+        col("target_tokens").cast("double") / col("n_tokens").cast("double")),
+        9))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        col("weight"), col("target_tokens"), col("epochs"))
+  }
+
   // ------------------------------------------ importance weighting
 
   /** DSIR-style hashed n-gram importance weighting (Xie et al. 2023,

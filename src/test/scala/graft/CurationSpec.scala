@@ -271,6 +271,32 @@ class CurationSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("epochPlan: temperature shares, budget floors, and the epoch cap match a driver-side reference") {
+    val rows = Seq.fill(4)(("a", 2000L)) ++ Seq.fill(2)(("b", 1000L)) ++
+      Seq(("c", 10L))
+    val out = Curation.epochPlan(rows.toDF("source", "n_tok"),
+        "source", "n_tok", alpha = 0.5, budgetTokens = 5000L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    def r9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val masses = Map("a" -> 8000L, "b" -> 2000L, "c" -> 10L)
+    val total = masses.values.sum.toDouble
+    val wts = masses.map { case (k, t) => k -> r9(math.pow(t / total, 0.5)) }
+    val wsum = wts.values
+      .map(BigDecimal(_).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    masses.foreach { case (k, t) =>
+      val target = math.floor(5000.0 * (wts(k) / wsum)).toLong
+      out(k) shouldBe ((if (k == "a") 4L else if (k == "b") 2L else 1L, t,
+        wts(k), target, r9(math.min(4.0, target.toDouble / t))))
+    }
+    out("c")._5 shouldBe 4.0 // the repetition cap engages for the tiny source
+    // floors can only under-spend: planned tokens never exceed budget
+    out.values.map(_._4).sum should be <= 5000L
+  }
+
   test("sampleStratified rejects rates outside [0,1]") {
     val df = Seq((1L, "a")).toDF("doc_id", "source")
     an[IllegalArgumentException] should be thrownBy
