@@ -64,14 +64,19 @@ object Similarity {
       col(labelCol).as("nbr_label"))
     // the probe side REPARTITIONS by id before meeting the broadcast:
     // a small parquet corpus arrives as ONE scan partition, which would
-    // put the whole n² cosine product on a single task (measured 6.3 s
-    // → 1.5 s class at sf0.1); hashing by vec_id also pre-establishes
-    // the ranking window's partitioning, so the explicit exchange
-    // REPLACES the window's rather than adding one. The post-join
+    // put the whole n² cosine product on a single task; hashing by
+    // vec_id also pre-establishes the ranking window's partitioning, so
+    // the explicit exchange REPLACES the window's rather than adding
+    // one. The partition COUNT is pinned to the session's shuffle
+    // parallelism: the exchange's own bytes are tiny (n narrow rows),
+    // so AQE's size-based coalescing would fold it back to one
+    // partition — but the DOWNSTREAM cost is n× per row (the broadcast
+    // product), which size-based rules cannot see. The post-join
     // projection keeps the two 64-float arrays out of the window sort.
     val probes = emb.select(col(idCol).as("vec_id"),
         col(vecCol).as("query_vec"), col(labelCol).as("label"))
-      .repartition(col("vec_id"))
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
     val scored = probes.join(broadcast(corpus), col("nbr_id") =!= col("vec_id"))
       .withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
       .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
