@@ -73,6 +73,40 @@ object SparkEntry {
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
       |  FROM tok WHERE len(toks) >= 3),
       |shz AS (SELECT doc_id, s, len(s) AS sz FROM sh)""".stripMargin
+
+  /** BPE twins, DuckDB side: frequency-weighted word vocabulary (wc)
+    * and its char+</w> symbol sequences (v0). */
+  private val BPE_VOCAB_CTE =
+    """wc AS (SELECT w, COUNT(*) AS c FROM (
+      |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |  FROM documents) WHERE w <> '' GROUP BY w),
+      |v0 AS (SELECT list_append(list_transform(range(length(w)), i -> w[i+1]), '</w>') AS s, c
+      |  FROM wc)""".stripMargin
+
+  /** q102's twin: the 6-round BPE trainer unrolled — round r counts
+    * adjacent pairs over vocab v{r-1}, takes the (count DESC, a, b)
+    * argmax b$r, and rebuilds v$r via the SAME left-to-right
+    * non-overlapping fold the engine uses (list_reduce over a
+    * space-joined accumulator; symbols never contain spaces, so the
+    * split/join round-trip is lossless). */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      s"""p$r AS (SELECT u.a AS a, u.b AS b, CAST(SUM(c) AS BIGINT) AS pc
+         |  FROM v${r - 1} CROSS JOIN unnest(list_transform(range(len(s)-1),
+         |    i -> {'a': s[i+1], 'b': s[i+2]})) AS t(u)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+         |v$r AS (SELECT string_split(list_reduce(s, (acc, x) ->
+         |    CASE WHEN (acc = m.a OR right(acc, length(m.a)+1) = ' ' || m.a) AND x = m.b
+         |      THEN left(acc, length(acc)-length(m.a)) || m.a || m.b
+         |      ELSE acc || ' ' || x END), ' ') AS s, c
+         |  FROM v${r - 1} CROSS JOIN b$r m)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to numMerges).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, a, b, pc AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $BPE_VOCAB_CTE,\n$rounds\n$sel\nORDER BY merge_rank"
+  }
   /** q87/q92 shared scoring chain: the linear quality classifier's
     * twin — seed split (every 7th doc, positive = src0), closed-form
     * naive-Bayes weights over 512 hashed uni+bigram buckets (DECIMAL
@@ -2168,7 +2202,21 @@ object SparkEntry {
       Curation.epochPlan(withTok, "source", "n_tok",
           alpha = 0.5, budgetTokens = 100000L, maxEpochs = 4.0)
         .orderBy(col("source"))
-    })
+    }),
+
+    // BPE tokenizer training, round 0: adjacent char-pair statistics
+    // over the frequency-weighted word vocabulary (chars + </w>), top
+    // 50 merge candidates. One wordcount shuffle; everything after runs
+    // on the distinct-word table.
+    "q101_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, dir), "text", topK = 50)),
+
+    // Full BPE merge training, 6 rounds: per-round argmax pair + fold
+    // merge over the vocabulary. The DuckDB twin replays all 6 rounds
+    // exactly (unrolled CTEs with the same left-to-right fold), so the
+    // whole iterative trainer is hash-gated.
+    "q102_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", numMerges = 6))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4152,6 +4200,18 @@ object SparkEntry {
         |    CAST(CAST(floor(CAST(100000 AS DOUBLE) * (weight / wsum)) AS BIGINT)
         |      AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 9) AS epochs
         |FROM w CROSS JOIN ws
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q101_bpe_pairs" ->
+      s"""WITH $BPE_VOCAB_CTE
+        |SELECT u.a AS a, u.b AS b, CAST(SUM(c) AS BIGINT) AS pair_count
+        |FROM wc CROSS JOIN unnest(list_transform(range(length(w)),
+        |  i -> {'a': w[i+1],
+        |        'b': CASE WHEN i+2 <= length(w) THEN w[i+2] ELSE '</w>' END})) AS t(u)
+        |GROUP BY 1, 2
+        |ORDER BY pair_count DESC, a, b
+        |LIMIT 50""".stripMargin,
+
+    "q102_bpe_train" -> bpeTrainOracle(6)
   )
 }

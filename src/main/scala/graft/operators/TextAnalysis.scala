@@ -638,4 +638,111 @@ object TextAnalysis {
       .orderBy(groupCols.map(col): _*)
     Dedup.materializeAndRelease(out, scored)
   }
+
+  /** Corpus word frequencies — the word-level dictionary every BPE-style
+    * tokenizer trainer starts from (ref pipeline's token budgeting is
+    * downstream of exactly this table). One wordcount-shaped keyed
+    * shuffle with map-side partial aggregation; at 100 TB the output is
+    * the DISTINCT-word table (≪ corpus), which is why [[bpeTrain]]'s
+    * per-merge passes run over this table and never re-touch the corpus.
+    */
+  private[graft] def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Adjacent symbol-pair statistics over the character-level corpus
+    * vocabulary — round 0 of BPE tokenizer training (Sennrich et al.
+    * 2016): each word becomes its character sequence plus a `</w>`
+    * end-of-word marker, and every adjacent pair is counted weighted by
+    * the word's corpus frequency. Returns the top-`topK` pairs by
+    * (count DESC, a ASC, b ASC) — the candidate merge table.
+    *
+    * Scale shape: ONE corpus-scale wordcount shuffle ([[wordCounts]]),
+    * then pair explosion over the distinct-word table only (vocab ×
+    * word-length rows), and a final aggregate over a tiny keyspace
+    * (observed-alphabet² pairs) that map-side partials collapse almost
+    * entirely. No part of this re-reads the corpus after the wordcount.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val wc = wordCounts(docs, textCol)
+    wc.select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => struct(col("w").substr(i, lit(1)).as("a"),
+          when(i + lit(1) <= length(col("w")),
+            col("w").substr(i + lit(1), lit(1)))
+            .otherwise(lit("</w>")).as("b")))).as("p"), col("c"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("c")).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("a"), asc("b"))
+      .limit(topK)
+  }
+
+  /** BPE merge training (Sennrich et al. 2016, the word-frequency
+    * formulation): starting from each distinct word's character
+    * sequence + `</w>`, repeatedly (1) count adjacent symbol pairs
+    * weighted by word frequency, (2) take the argmax pair by
+    * (count DESC, a ASC, b ASC), (3) merge every left-to-right
+    * non-overlapping occurrence of that pair in every word. Returns the
+    * ordered merge table `(merge_rank, a, b, pair_count)` — the learned
+    * tokenizer, ready for [[tokenCounts]]-style budgeting or encoding.
+    *
+    * Distribution: the corpus is touched ONCE (the [[wordCounts]]
+    * shuffle). Each merge round is a narrow map over the distinct-word
+    * vocabulary (the `aggregate` fold below — codegen'd, no UDF) plus a
+    * tiny pair aggregate; the only driver traffic is the per-round
+    * 1-row argmax read (the same scalar-cursor pattern as the REST
+    * cursor sources). Per-round vocab is persisted and the previous
+    * round released, so lineage stays O(1) across rounds. At 100 TB the
+    * vocabulary is what scales (≈10⁸ distinct words), and every
+    * per-round pass is over exactly that table — the classic map-reduce
+    * BPE trainer shape.
+    *
+    * The merge-apply fold is a single left-to-right pass: the
+    * accumulator holds the merged prefix; a symbol equal to `b` fuses
+    * with a trailing `a` (non-overlapping, so `aaa` under (a,a) yields
+    * `[aa, a]` — the standard BPE convention, and bit-identical to the
+    * DuckDB twin's string fold).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = wordCounts(docs, textCol)
+      .select(concat(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), array(lit("</w>"))).as("s"),
+        col("c"))
+      .persist()
+    vocab.count()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val best = vocab.filter(size(col("s")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
+          i => struct(element_at(col("s"), i + lit(1)).as("a"),
+            element_at(col("s"), i + lit(2)).as("b")))).as("p"), col("c"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(desc("pc"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, a, b, pc))
+        val next = vocab.select(aggregate(col("s"),
+            array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("s"),
+          col("c")).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "a", "b", "pair_count")
+  }
 }

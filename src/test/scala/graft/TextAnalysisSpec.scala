@@ -323,4 +323,57 @@ class TextAnalysisSpec extends SparkSpec {
     z.getLong(1) shouldBe 0L
     z.getDouble(2) shouldBe 0.5
   }
+
+  // ---- BPE tokenizer training ----------------------------------------
+
+  /** The classic Sennrich toy corpus: low×5 lower×2 newest×6 widest×3,
+    * one doc per word group (word repetition inside the doc carries the
+    * multiplicity). */
+  private def bpeToyCorpus = Seq(
+    (1L, Seq.fill(5)("low").mkString(" ")),
+    (2L, Seq.fill(2)("lower").mkString(" ")),
+    (3L, Seq.fill(6)("newest").mkString(" ")),
+    (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+
+  test("bpePairStats: hand-computed top pairs on the Sennrich toy corpus") {
+    val top = TextAnalysis.bpePairStats(bpeToyCorpus, "text", topK = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // count 9 ties broken (a, b) ascending, then the count-8 pair
+    top shouldBe Array(
+      ("e", "s", 9L), ("s", "t", 9L), ("t", "</w>", 9L), ("w", "e", 8L))
+  }
+
+  test("bpeTrain: 6 hand-computed merges on the Sennrich toy corpus") {
+    val merges = TextAnalysis.bpeTrain(bpeToyCorpus, "text", numMerges = 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    merges shouldBe Array(
+      (1, "e", "s", 9L),        // es (ties at 9: (e,s) < (s,t) < (t,</w>))
+      (2, "es", "t", 9L),       // est
+      (3, "est", "</w>", 9L),   // est</w>
+      (4, "l", "o", 7L),        // lo ((l,o) < (o,w) at 7)
+      (5, "lo", "w", 7L),       // low
+      (6, "e", "w", 6L))        // ew ((e,w) < (n,e) < (w,est</w>) at 6)
+  }
+
+  test("bpeTrain: left-to-right non-overlapping merge ('aaa' + (a,a) -> [aa, a])") {
+    val merges = TextAnalysis.bpeTrain(
+        Seq((1L, "aaa aaa")).toDF("doc_id", "text"), "text", numMerges = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // if the fold overlapped, round 2 would see (aa,a) AND a phantom
+    // (a,a); the pinned sequence proves 'a a a </w>' folded to
+    // 'aa a </w>' exactly
+    merges shouldBe Array(
+      (1, "a", "a", 4L),
+      (2, "a", "</w>", 2L),     // (a,</w>) beats (aa,a): 'a' < 'aa'
+      (3, "aa", "a</w>", 2L))
+  }
+
+  test("bpeTrain: stops early when the vocabulary is fully merged") {
+    val merges = TextAnalysis.bpeTrain(
+        Seq((1L, "ab")).toDF("doc_id", "text"), "text", numMerges = 10)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    merges shouldBe Array(("a", "b"), ("ab", "</w>"))
+  }
 }
