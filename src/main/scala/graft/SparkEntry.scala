@@ -80,33 +80,51 @@ object SparkEntry {
     """wc AS (SELECT w, COUNT(*) AS c FROM (
       |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
       |  FROM documents) WHERE w <> '' GROUP BY w),
-      |v0 AS (SELECT list_append(list_transform(range(length(w)), i -> w[i+1]), '</w>') AS s, c
+      |v0 AS (SELECT w, list_append(list_transform(range(length(w)), i -> w[i+1]), '</w>') AS s, c
       |  FROM wc)""".stripMargin
 
-  /** q102's twin: the 6-round BPE trainer unrolled — round r counts
-    * adjacent pairs over vocab v{r-1}, takes the (count DESC, a, b)
-    * argmax b$r, and rebuilds v$r via the SAME left-to-right
-    * non-overlapping fold the engine uses (list_reduce over a
-    * space-joined accumulator; symbols never contain spaces, so the
-    * split/join round-trip is lossless). */
-  private def bpeTrainOracle(numMerges: Int): String = {
-    val rounds = (1 to numMerges).map { r =>
+  /** The unrolled BPE trainer, DuckDB side (q102/q103 twins) — round r
+    * counts adjacent pairs over vocab v{r-1}, takes the
+    * (count DESC, a, b) argmax b$r, and rebuilds v$r via the SAME
+    * left-to-right non-overlapping fold the engine uses (list_reduce
+    * over a space-joined accumulator; symbols never contain spaces, so
+    * the split/join round-trip is lossless). Yields CTEs
+    * b1..b$numMerges (the merges) and v$numMerges (the final
+    * vocabulary, with the word column carried through). */
+  private def bpeRoundsCte(numMerges: Int): String =
+    BPE_VOCAB_CTE + ",\n" + (1 to numMerges).map { r =>
       s"""p$r AS (SELECT u.a AS a, u.b AS b, CAST(SUM(c) AS BIGINT) AS pc
          |  FROM v${r - 1} CROSS JOIN unnest(list_transform(range(len(s)-1),
          |    i -> {'a': s[i+1], 'b': s[i+2]})) AS t(u)
          |  GROUP BY 1, 2),
          |b$r AS (SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
-         |v$r AS (SELECT string_split(list_reduce(s, (acc, x) ->
+         |v$r AS (SELECT w, string_split(list_reduce(s, (acc, x) ->
          |    CASE WHEN (acc = m.a OR right(acc, length(m.a)+1) = ' ' || m.a) AND x = m.b
          |      THEN left(acc, length(acc)-length(m.a)) || m.a || m.b
          |      ELSE acc || ' ' || x END), ' ') AS s, c
          |  FROM v${r - 1} CROSS JOIN b$r m)""".stripMargin
     }.mkString(",\n")
+
+  private def bpeTrainOracle(numMerges: Int): String = {
     val sel = (1 to numMerges).map(r =>
       s"SELECT CAST($r AS INTEGER) AS merge_rank, a, b, pc AS pair_count FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"WITH $BPE_VOCAB_CTE,\n$rounds\n$sel\nORDER BY merge_rank"
+    s"WITH ${bpeRoundsCte(numMerges)}\n$sel\nORDER BY merge_rank"
   }
+
+  /** q103's twin: per-source word counts joined against the trained
+    * vocabulary's symbol counts — encoding as a dictionary join. */
+  private def bpeFertilityOracle(numMerges: Int): String =
+    s"""WITH ${bpeRoundsCte(numMerges)},
+      |ws AS (SELECT source, w, COUNT(*) AS c FROM (
+      |  SELECT source, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      |  FROM documents) WHERE w <> '' GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(ws.c) AS BIGINT) AS n_words,
+      |  CAST(SUM(ws.c * len(v.s)) AS BIGINT) AS n_subwords,
+      |  round(CAST(SUM(ws.c * len(v.s)) AS DOUBLE) / CAST(SUM(ws.c) AS DOUBLE), 9) AS fertility
+      |FROM ws JOIN v$numMerges v USING (w)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
   /** q87/q92 shared scoring chain: the linear quality classifier's
     * twin — seed split (every 7th doc, positive = src0), closed-form
     * naive-Bayes weights over 512 hashed uni+bigram buckets (DECIMAL
@@ -2216,7 +2234,35 @@ object SparkEntry {
     // exactly (unrolled CTEs with the same left-to-right fold), so the
     // whole iterative trainer is hash-gated.
     "q102_bpe_train" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", numMerges = 6))
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", numMerges = 6)),
+
+    // Tokenizer fertility audit: 6 trained merges, then per-source
+    // subwords-per-word via a word-keyed dictionary join — the corpus
+    // is tokenized once and never re-encoded.
+    "q103_bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(Tables.documents(s, dir), "text",
+        groupCol = "source", numMerges = 6)),
+
+    // Sequence-length distribution per source: exact interpolated
+    // percentiles (p50/p90/p99) of the whitespace token count, plus
+    // doc/token totals and max. One keyed aggregate; the percentile
+    // state is a per-group count-map over the bounded token-count
+    // domain.
+    "q104_seqlen_dist" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).select(col("source"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("n_tok"))
+      tok.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          graft.functions.hashSafeRound(
+            percentile(col("n_tok"), lit(0.5)), 9).as("p50"),
+          graft.functions.hashSafeRound(
+            percentile(col("n_tok"), lit(0.9)), 9).as("p90"),
+          graft.functions.hashSafeRound(
+            percentile(col("n_tok"), lit(0.99)), 9).as("p99"),
+          max("n_tok").as("max_tokens"))
+        .orderBy("source")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4212,6 +4258,22 @@ object SparkEntry {
         |ORDER BY pair_count DESC, a, b
         |LIMIT 50""".stripMargin,
 
-    "q102_bpe_train" -> bpeTrainOracle(6)
+    "q102_bpe_train" -> bpeTrainOracle(6),
+
+    "q103_bpe_fertility" -> bpeFertilityOracle(6),
+
+    "q104_seqlen_dist" ->
+      """WITH tok AS (SELECT source,
+        |  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  round(quantile_cont(n_tok, 0.5), 9) AS p50,
+        |  round(quantile_cont(n_tok, 0.9), 9) AS p90,
+        |  round(quantile_cont(n_tok, 0.99), 9) AS p99,
+        |  max(n_tok) AS max_tokens
+        |FROM tok
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }

@@ -704,9 +704,22 @@ object TextAnalysis {
     * DuckDB twin's string fold).
     */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (merges, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)
+    vocab.unpersist()
+    merges
+  }
+
+  /** The trainer loop behind [[bpeTrain]]. Returns (merge table, final
+    * vocabulary `(w, s, c)` — each distinct word with its post-merge
+    * symbol sequence and corpus frequency). The vocabulary comes back
+    * PERSISTED; the caller owns the release.
+    */
+  private[graft] def bpeTrainWithVocab(docs: DataFrame, textCol: String,
+      numMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var vocab = wordCounts(docs, textCol)
-      .select(concat(transform(sequence(lit(1), length(col("w"))),
+      .select(col("w"),
+        concat(transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))), array(lit("</w>"))).as("s"),
         col("c"))
       .persist()
@@ -728,7 +741,7 @@ object TextAnalysis {
         val (a, b, pc) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, a, b, pc))
-        val next = vocab.select(aggregate(col("s"),
+        val next = vocab.select(col("w"), aggregate(col("s"),
             array().cast("array<string>"),
             (acc, x) => when(size(acc) > 0 &&
                 element_at(acc, lit(-1)) === lit(a) && x === lit(b),
@@ -741,8 +754,39 @@ object TextAnalysis {
         rank += 1
       }
     }
-    vocab.unpersist()
     import spark.implicits._
-    merges.result().toDF("merge_rank", "a", "b", "pair_count")
+    (merges.result().toDF("merge_rank", "a", "b", "pair_count"), vocab)
+  }
+
+  /** Tokenizer fertility audit: train `numMerges` BPE merges
+    * ([[bpeTrain]]), then measure per-`groupCol` how well the learned
+    * vocabulary compresses the corpus — word occurrences, subword
+    * tokens after encoding, and fertility (subwords per word, the
+    * standard tokenizer-quality metric; 1.0 = every word is one
+    * token). Because the trained vocabulary IS the encoding of every
+    * distinct corpus word, encoding is a keyed join of the per-group
+    * word counts against the vocabulary on `w` — the corpus is never
+    * re-tokenized. Both sides of that join are word-keyed aggregates,
+    * and the final group-by is |groups| rows; fertility is rounded to
+    * 9 decimals ([[graft.functions.hashSafeRound]]) for engine-portable
+    * hashing.
+    */
+  def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
+      numMerges: Int): DataFrame = {
+    val (_, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)
+    val perGroup = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(groupCol, "w").agg(count(lit(1)).as("c"))
+    val out = perGroup
+      .join(vocab.select(col("w"), size(col("s")).cast("long").as("n_sub")), "w")
+      .groupBy(groupCol)
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_subwords"))
+      .select(col(groupCol), col("n_words"), col("n_subwords"),
+        hashSafeRound(col("n_subwords").cast("double")
+          / col("n_words").cast("double"), 9).as("fertility"))
+      .orderBy(col(groupCol))
+    Dedup.materializeAndRelease(out, vocab)
   }
 }

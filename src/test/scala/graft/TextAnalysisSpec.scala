@@ -370,6 +370,20 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "aa", "a</w>", 2L))
   }
 
+  test("bpeFertility: subwords-per-word from the trained vocab, per group") {
+    val rows = TextAnalysis.bpeFertility(bpeToyCorpus, "text",
+        groupCol = "doc_id", numMerges = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // post-merge symbol counts: low=[low,</w>]=2, lower=[low,e,r,</w>]=4,
+    // newest=[n,ew,est</w>]=3, widest=[w,i,d,est</w>]=4
+    rows shouldBe Array(
+      (1L, 5L, 10L, 2.0),
+      (2L, 2L, 8L, 4.0),
+      (3L, 6L, 18L, 3.0),
+      (4L, 3L, 12L, 4.0))
+  }
+
   test("bpeTrain: stops early when the vocabulary is fully merged") {
     val merges = TextAnalysis.bpeTrain(
         Seq((1L, "ab")).toDF("doc_id", "text"), "text", numMerges = 10)
