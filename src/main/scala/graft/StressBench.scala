@@ -408,6 +408,29 @@ object StressBench {
       s""""rows":${10 * base.size},"ok":$ok}"""
   }
 
+  /** BPE trainer under 10× uniform cloning: word frequencies scale ×10
+    * exactly, so every per-round pair count scales ×10 and the argmax
+    * sequence — the learned tokenizer — is IDENTICAL merge for merge.
+    * Closed-form (count×10, same (a,b) per rank), no tolerances. Cost
+    * narrative: cloning multiplies the CORPUS but not the distinct-word
+    * vocabulary, so only the round-0 wordcount pass should get more
+    * expensive — the per-merge passes run over the same vocab rows.
+    */
+  private def bpeClone10x(s: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    val offset = docs.agg(max("doc_id")).head().getLong(0) + 1
+    def merges(in: DataFrame): Seq[(Int, String, String, Long)] =
+      TextAnalysis.bpeTrain(in, "text", numMerges = 6)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val (base, baseSecs) = time(merges(docs))
+    val (m10, secs10) = time(merges(clones(docs, 10, offset)))
+    val ok = m10 == base.map { case (r, a, b, c) => (r, a, b, 10 * c) }
+    s""""bpe_clone10x":{"secs":${r3(secs10)},"base_secs":${r3(baseSecs)},""" +
+      s""""merges":${base.size},"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -421,7 +444,8 @@ object StressBench {
       "semdedup_skew_aqe" -> (() => semdedupSkewAqe(spark)),
       "capstone_11x" -> (() => capstone11x(spark, sfDir)),
       "manifest_clone10x" -> (() => manifestClone10x(spark, sfDir)),
-      "centroid_clone10x" -> (() => centroidClone10x(spark, sfDir)))
+      "centroid_clone10x" -> (() => centroidClone10x(spark, sfDir)),
+      "bpe_clone10x" -> (() => bpeClone10x(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet
