@@ -2262,7 +2262,13 @@ object SparkEntry {
             percentile(col("n_tok"), lit(0.99)), 9).as("p99"),
           max("n_tok").as("max_tokens"))
         .orderBy("source")
-    })
+    }),
+
+    // Deequ-class single-pass table profile of `orders`: per column,
+    // null count, EXACT distinct count, typed min/max. One aggregate
+    // (multi-distinct Expand), reshaped wide->long on the 1-row result.
+    "q105_table_profile" -> ((s, dir) =>
+      operators.Profile.profileTable(Tables.orders(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4274,6 +4280,33 @@ object SparkEntry {
         |  max(n_tok) AS max_tokens
         |FROM tok
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q105_table_profile" -> {
+      val shared = (c: String, t: String) =>
+        s"""SELECT '$c' AS "column", '$t' AS dtype, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct""".stripMargin
+      def num(c: String, t: String) =
+        s"""${shared(c, t)},
+           |  round(CAST(MIN($c) AS DOUBLE), 9) AS min_num,
+           |  round(CAST(MAX($c) AS DOUBLE), 9) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""${shared(c, "string")},
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  MIN($c) AS min_str, MAX($c) AS max_str
+           |FROM orders""".stripMargin
+      def ts(c: String) =
+        s"""${shared(c, "timestamp_ntz")},
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  strftime(MIN($c), '%Y-%m-%d %H:%M:%S') AS min_str,
+           |  strftime(MAX($c), '%Y-%m-%d %H:%M:%S') AS max_str
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey", "bigint"), num("o_custkey", "bigint"),
+          str("o_orderstatus"), num("o_totalprice", "double"),
+          ts("o_orderdate"), str("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    }
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.hashSafeRound
+
+/** Single-pass table profiling — the Deequ/data-quality-report class of
+  * operator a pipeline runs over every ingested table before trusting
+  * it: per column, null count, exact distinct count, and typed min/max
+  * (numeric as round-9 doubles, strings as-is, timestamps formatted
+  * `yyyy-MM-dd HH:mm:ss` — each engine-portable).
+  *
+  * Scale shape: ONE aggregate over the table. The exact distinct counts
+  * make Catalyst plan an Expand (#cols × rows intermediate) — the
+  * standard multi-distinct shape, map-side partially aggregated before
+  * the single shuffle; there is no per-column rescan. At 100 TB, swap
+  * `countDistinct` for `approx_count_distinct` if ±2% suffices — same
+  * plan minus the Expand — but the CONTRACT here is the exact audit.
+  * The wide→long reshape happens on the single 1-row aggregate result,
+  * so it is free.
+  */
+object Profile {
+
+  def profileTable(df: DataFrame): DataFrame = {
+    val aggs: Seq[Column] = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val n = f.name
+      val nullNum = lit(null).cast("double")
+      val nullStr = lit(null).cast("string")
+      val (minNum, maxNum, minStr, maxStr) = f.dataType match {
+        case _: NumericType =>
+          (hashSafeRound(min(c).cast("double"), 9),
+            hashSafeRound(max(c).cast("double"), 9), nullStr, nullStr)
+        case TimestampType | TimestampNTZType =>
+          (nullNum, nullNum,
+            date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
+        case StringType =>
+          (nullNum, nullNum, min(c), max(c))
+        case _ => // opaque payloads (binary, arrays): counts only
+          (nullNum, nullNum, nullStr, nullStr)
+      }
+      Seq(
+        count(when(c.isNull, 1)).as(s"__null_$n"),
+        countDistinct(c).as(s"__nd_$n"),
+        minNum.as(s"__minn_$n"), maxNum.as(s"__maxn_$n"),
+        minStr.as(s"__mins_$n"), maxStr.as(s"__maxs_$n"))
+    }.toSeq
+    val allAggs = count(lit(1)).as("__rows") +: aggs
+    val wide = df.agg(allAggs.head, allAggs.tail: _*)
+    val perCol = df.schema.fields.map { f =>
+      val n = f.name
+      struct(lit(n).as("column"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col(s"__null_$n").as("n_null"),
+        col(s"__nd_$n").as("n_distinct"),
+        col(s"__minn_$n").as("min_num"),
+        col(s"__maxn_$n").as("max_num"),
+        col(s"__mins_$n").as("min_str"),
+        col(s"__maxs_$n").as("max_str"))
+    }
+    wide.select(col("__rows").as("n_rows"),
+        explode(array(perCol.toIndexedSeq: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.dtype").as("dtype"),
+        col("n_rows"), col("p.n_null").as("n_null"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_num").as("min_num"), col("p.max_num").as("max_num"),
+        col("p.min_str").as("min_str"), col("p.max_str").as("max_str"))
+      .orderBy("column")
+  }
+}
