@@ -2268,7 +2268,14 @@ object SparkEntry {
     // null count, EXACT distinct count, typed min/max. One aggregate
     // (multi-distinct Expand), reshaped wide->long on the 1-row result.
     "q105_table_profile" -> ((s, dir) =>
-      operators.Profile.profileTable(Tables.orders(s, dir)))
+      operators.Profile.profileTable(Tables.orders(s, dir))),
+
+    // Tokenizer encode gate: every doc's subword count plus the first
+    // 20 subwords in document order under the trained 6-merge vocab —
+    // encoding as a dictionary join, ordered reassembly per doc.
+    "q106_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+        numMerges = 6, prefixLen = 20))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4307,6 +4314,21 @@ object SparkEntry {
           str("o_orderstatus"), num("o_totalprice", "double"),
           ts("o_orderdate"), str("o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-    }
+    },
+
+    "q106_bpe_encode" ->
+      s"""WITH ${bpeRoundsCte(6)},
+        |tokd AS (SELECT doc_id,
+        |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |pw AS (SELECT doc_id, u.pos AS pos, u.w AS w
+        |  FROM tokd CROSS JOIN unnest(list_transform(range(len(toks)),
+        |    i -> {'pos': i, 'w': toks[i+1]})) AS t(u)
+        |  WHERE u.w <> '')
+        |SELECT doc_id, CAST(SUM(len(v.s)) AS BIGINT) AS n_subwords,
+        |  array_to_string(flatten(list(v.s ORDER BY pos))[1:20], ' ') AS prefix
+        |FROM pw JOIN v6 v USING (w)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -771,6 +771,34 @@ object TextAnalysis {
     * 9 decimals ([[graft.functions.hashSafeRound]]) for engine-portable
     * hashing.
     */
+  /** BPE corpus encoding: train `numMerges` merges, then encode every
+    * document under the learned vocabulary — per doc, the subword count
+    * and the first `prefixLen` subwords in document order (the
+    * spot-check window; the count is the full-document audit). Because
+    * every corpus word is a key of the trained vocabulary, encoding is
+    * the (pos, word) explode joined against the vocab on `w` — a keyed
+    * shuffle against a dictionary that is broadcast when small — and a
+    * per-document ordered reassembly (`array_sort` on the unique
+    * in-document position, then flatten). No per-word re-merging ever
+    * runs at encode time. Empty-text docs vanish with the inner join
+    * (they have no words), matching the twin.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int, prefixLen: Int): DataFrame = {
+    val (_, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)
+    val words = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val out = words.join(vocab.select("w", "s"), "w")
+      .groupBy(idCol)
+      .agg(sum(size(col("s"))).as("n_subwords"),
+        array_join(slice(flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s"))), 1, prefixLen), " ").as("prefix"))
+      .orderBy(col(idCol))
+    Dedup.materializeAndRelease(out, vocab)
+  }
+
   def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
       numMerges: Int): DataFrame = {
     val (_, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)

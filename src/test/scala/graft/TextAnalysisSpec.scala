@@ -384,6 +384,17 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 3L, 12L, 4.0))
   }
 
+  test("bpeEncode: document-order subwords under the trained vocab") {
+    val rows = TextAnalysis.bpeEncode(bpeToyCorpus, "doc_id", "text",
+        numMerges = 6, prefixLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // lower -> [low, e, r, </w>] x2 = 8 subwords; prefix = first 5 in
+    // document order
+    rows should contain ((2L, 8L, "low e r </w> low"))
+    // newest -> [n, ew, est</w>] x6 = 18
+    rows should contain ((3L, 18L, "n ew est</w> n ew"))
+  }
+
   test("bpeTrain: stops early when the vocabulary is fully merged") {
     val merges = TextAnalysis.bpeTrain(
         Seq((1L, "ab")).toDF("doc_id", "text"), "text", numMerges = 10)
