@@ -723,7 +723,11 @@ object TextAnalysis {
           i => col("w").substr(i, lit(1))), array(lit("</w>"))).as("s"),
         col("c"))
       .persist()
-    vocab.count()
+    // lazy per-round materialization: round r's argmax job fills round
+    // r's cache, at which point round r-1's blocks are dead — one job
+    // per round instead of two (the trailing count() below settles the
+    // final round)
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -736,6 +740,8 @@ object TextAnalysis {
         .agg(sum(col("c")).as("pc"))
         .orderBy(desc("pc"), asc("a"), asc("b"))
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = None
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, pc) =
@@ -748,11 +754,14 @@ object TextAnalysis {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
               .otherwise(concat(acc, array(x)))).as("s"),
           col("c")).persist()
-        next.count()
-        vocab.unpersist()
+        prev = Some(vocab)
         vocab = next
         rank += 1
       }
+    }
+    if (prev.isDefined) {
+      vocab.count() // materialize before releasing the cached parent
+      prev.foreach(_.unpersist())
     }
     import spark.implicits._
     (merges.result().toDF("merge_rank", "a", "b", "pair_count"), vocab)
