@@ -2275,7 +2275,31 @@ object SparkEntry {
     // encoding as a dictionary join, ordered reassembly per doc.
     "q106_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
-        numMerges = 6, prefixLen = 20))
+        numMerges = 6, prefixLen = 20)),
+
+    // Dataset-card capstone: the per-source release report a corpus
+    // ships with — manifest (docs/tokens/unique/LM-NLL), sequence-
+    // length distribution (exact p50/p90/p99/max), and tokenizer
+    // fertility under the trained 6-merge vocab — three independent
+    // aggregate pipelines joined on the tiny source key.
+    "q107_dataset_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val manifest = TextAnalysis.corpusManifest(docs, "doc_id", "text",
+        groupCols = Seq("source"))
+      val dist = docs.select(col("source"),
+          size(graft.functions.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source").agg(
+          graft.functions.hashSafeRound(
+            percentile(col("n_tok"), lit(0.5)), 9).as("p50"),
+          graft.functions.hashSafeRound(
+            percentile(col("n_tok"), lit(0.9)), 9).as("p90"),
+          graft.functions.hashSafeRound(
+            percentile(col("n_tok"), lit(0.99)), 9).as("p99"),
+          max("n_tok").as("max_tokens"))
+      val fert = TextAnalysis.bpeFertility(docs, "text",
+        groupCol = "source", numMerges = 6)
+      manifest.join(dist, "source").join(fert, "source").orderBy("source")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4329,6 +4353,50 @@ object SparkEntry {
         |  array_to_string(flatten(list(v.s ORDER BY pos))[1:20], ' ') AS prefix
         |FROM pw JOIN v6 v USING (w)
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q107_dataset_card" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM tok),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*) AS ntok,
+        |    CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) /
+        |      CAST(total AS DOUBLE)), 9) AS DECIMAL(30,9)))
+        |      * -1000000000 AS BIGINT) // COUNT(*) AS nll_mean_nano
+        |  FROM tok JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        |base AS (SELECT d.doc_id, d.source,
+        |    sha256(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+        |      AS nt,
+        |    s.ntok, s.nll_mean_nano
+        |  FROM documents d JOIN scored s USING (doc_id)),
+        |man AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT nt) AS n_unique,
+        |  CAST(SUM(nll_mean_nano) AS BIGINT) // COUNT(*) AS mean_nll_nano
+        |  FROM base GROUP BY source),
+        |tok2 AS (SELECT source,
+        |  CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |dist AS (SELECT source,
+        |  round(quantile_cont(n_tok, 0.5), 9) AS p50,
+        |  round(quantile_cont(n_tok, 0.9), 9) AS p90,
+        |  round(quantile_cont(n_tok, 0.99), 9) AS p99,
+        |  max(n_tok) AS max_tokens
+        |  FROM tok2 GROUP BY source),
+        |${bpeRoundsCte(6)},
+        |ws AS (SELECT source, w, COUNT(*) AS c FROM (
+        |  SELECT source, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents) WHERE w <> '' GROUP BY 1, 2),
+        |fert AS (SELECT source, CAST(SUM(ws.c) AS BIGINT) AS n_words,
+        |  CAST(SUM(ws.c * len(v.s)) AS BIGINT) AS n_subwords,
+        |  round(CAST(SUM(ws.c * len(v.s)) AS DOUBLE) / CAST(SUM(ws.c) AS DOUBLE), 9) AS fertility
+        |  FROM ws JOIN v6 v USING (w) GROUP BY source)
+        |SELECT source, n_docs, total_tokens, n_unique, mean_nll_nano,
+        |  p50, p90, p99, max_tokens, n_words, n_subwords, fertility
+        |FROM man JOIN dist USING (source) JOIN fert USING (source)
+        |ORDER BY source""".stripMargin
   )
 }
