@@ -747,12 +747,7 @@ object TextAnalysis {
         val (a, b, pc) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, a, b, pc))
-        val next = vocab.select(col("w"), aggregate(col("s"),
-            array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))).as("s"),
+        val next = vocab.select(col("w"), mergeFold(col("s"), a, b).as("s"),
           col("c")).persist()
         prev = Some(vocab)
         vocab = next
@@ -766,6 +761,29 @@ object TextAnalysis {
     import spark.implicits._
     (merges.result().toDF("merge_rank", "a", "b", "pair_count"), vocab)
   }
+
+  /** The BPE merge-apply: one left-to-right pass fusing every
+    * non-overlapping adjacent (a, b) into `a+b` — a codegen'd
+    * `aggregate` fold whose accumulator is the merged prefix. The
+    * `size(acc) > 0` guard short-circuits the ANSI `element_at` on the
+    * empty accumulator. PropertiesSpec pins this against a driver-side
+    * reference fold on randomized symbol sequences.
+    */
+  private[graft] def mergeFold(s: Column, a: String, b: String): Column =
+    aggregate(s, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Reference semantics of [[mergeFold]], driver-side. */
+  private[graft] def mergeFoldReference(s: Seq[String], a: String,
+      b: String): Seq[String] =
+    s.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b)
+        acc.init :+ (a + b)
+      else acc :+ x
+    }
 
   /** Tokenizer fertility audit: train `numMerges` BPE merges
     * ([[bpeTrain]]), then measure per-`groupCol` how well the learned

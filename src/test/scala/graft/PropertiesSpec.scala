@@ -24,6 +24,27 @@ class PropertiesSpec extends SparkSpec {
     q.diff(o) shouldBe Set("q40_jaccard_capped")
   }
 
+  test("BPE mergeFold property: distributed fold == reference fold on random sequences") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(11)
+    val syms = Vector("a", "b", "ab", "aa", "</w>")
+    val cases = Seq.fill(150) {
+      val n = 1 + rnd.nextInt(8)
+      Seq.fill(n)(syms(rnd.nextInt(syms.length)))
+    }
+    // pairs chosen to hit overlap runs ((a,a) over a* runs), multi-char
+    // symbols, and the end marker
+    for ((a, b) <- Seq(("a", "a"), ("a", "b"), ("ab", "a"), ("b", "</w>"))) {
+      val got = cases.zipWithIndex.toDF("s", "i")
+        .select($"i", TextAnalysis.mergeFold($"s", a, b).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      cases.zipWithIndex.foreach { case (s, i) =>
+        assert(got(i) == TextAnalysis.mergeFoldReference(s, a, b),
+          s"pair ($a,$b) seq $s: got ${got(i)}")
+      }
+    }
+  }
+
   test("timeBucket property: bucket_ts <= ts < bucket_ts + bucket, epoch-aligned") {
     val rnd = new scala.util.Random(3)
     val bucketNs = 3600L * 1000000000L
