@@ -2299,7 +2299,21 @@ object SparkEntry {
       val fert = TextAnalysis.bpeFertility(docs, "text",
         groupCol = "source", numMerges = 6)
       manifest.join(dist, "source").join(fert, "source").orderBy("source")
-    })
+    }),
+
+    // Funnel analysis, greedy earliest-completion: per user, the
+    // view -> click -> purchase state machine folded over the sorted
+    // per-user history — ONE entity-keyed shuffle, not one per step.
+    "q108_funnel" -> ((s, dir) =>
+      operators.EventAnalytics.funnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"))),
+
+    // Cohort retention: first-activity-day cohorts x day offset,
+    // distinct active users per cell; calendar-bounded output.
+    "q109_cohort_retention" -> ((s, dir) =>
+      operators.EventAnalytics.cohortRetention(Tables.events(s, dir),
+        "user_id", "ts"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4397,6 +4411,37 @@ object SparkEntry {
         |SELECT source, n_docs, total_tokens, n_unique, mean_nll_nano,
         |  p50, p90, p99, max_tokens, n_words, n_subwords, fertility
         |FROM man JOIN dist USING (source) JOIN fert USING (source)
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // chained-min formulation — equivalent to the engine's fold state
+    // machine because strict > makes tie order irrelevant
+    "q108_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST((t1 IS NOT NULL) AS INTEGER) + CAST((t2 IS NOT NULL) AS INTEGER)
+        |    + CAST((t3 IS NOT NULL) AS INTEGER) AS depth,
+        |  t1, t2, t3
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q109_cohort_retention" ->
+      """WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+        |  FROM events GROUP BY 1),
+        |ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', cohort_d, d) AS INTEGER) AS k,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM ad JOIN fd USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, k""".stripMargin
   )
 }

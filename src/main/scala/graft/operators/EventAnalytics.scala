@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classic event-stream product analytics over the keyed event tables
+  * the reference pipeline emits: funnel completion and cohort
+  * retention. Both are single keyed shuffles; neither self-joins the
+  * event table per step.
+  */
+object EventAnalytics {
+
+  /** Funnel analysis with greedy earliest-completion semantics: per
+    * entity, advance to step k+1 at the EARLIEST event of the step-k+1
+    * type strictly after the step-k timestamp. Equivalent to the
+    * chained `min(ts) > prev` formulation (the DuckDB twin) — strict
+    * `>` makes tie order irrelevant — but computed in ONE pass: the
+    * per-entity event history is sorted and folded through the
+    * step-state machine as a codegen'd `aggregate`, so the event table
+    * is shuffled ONCE on the entity key instead of once per funnel
+    * step. Returns every entity with its reached depth and the
+    * per-step completion timestamps (null past the reached depth).
+    *
+    * Scale: one hash-partitioned aggregate; state per entity is the
+    * sorted (ts, type) history — bounded by per-entity activity, the
+    * same envelope as Sessionize. A 100 TB event table with millions
+    * of entities spreads on the entity key; no step count multiplies
+    * the shuffle volume.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepsArr = array(steps.map(lit): _*)
+    val evs = sort_array(collect_list(struct(col(tsCol).as("ts"),
+      col(typeCol).as("et"))))
+    val folded = aggregate(evs, array().cast("array<timestamp>"),
+      (acc, e) => when(size(acc) < steps.size &&
+          e.getField("et") === element_at(stepsArr, size(acc) + 1) &&
+          (size(acc) === 0 || e.getField("ts") > element_at(acc, lit(-1))),
+        concat(acc, array(e.getField("ts"))))
+        .otherwise(acc))
+    val stepCols = steps.indices.map { i =>
+      when(size(col("__ts")) > i, element_at(col("__ts"), i + 1))
+        .as(s"t${i + 1}")
+    }
+    events.groupBy(col(userCol))
+      .agg(folded.as("__ts"))
+      .select(col(userCol) +: size(col("__ts")).as("depth") +: stepCols: _*)
+      .orderBy(col(userCol))
+  }
+
+  /** Cohort retention: each entity's cohort is its first activity day;
+    * the cell (cohort_day, k) counts entities of that cohort active
+    * exactly k days after it. Two keyed aggregates (first-day, then
+    * distinct activity days) joined on the entity key and collapsed to
+    * the |cohorts| × |offsets| matrix — output is calendar-bounded
+    * whatever the event volume. Days are rendered as strings so the
+    * result is engine- and dtype-portable.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val day: Column = to_date(col(tsCol))
+    val firstDay = events.groupBy(col(userCol))
+      .agg(min(day).as("cohort_d"))
+    val activeDays = events.select(col(userCol), day.as("d")).distinct()
+    activeDays.join(firstDay, userCol)
+      .select(col(userCol), col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).as("k"))
+      .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+        col("k"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+      .orderBy(col("cohort_day"), col("k"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.EventAnalytics
+
+/** Funnel + cohort retention: greedy earliest-completion semantics and
+  * the calendar-bounded retention matrix.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: greedy earliest completion, strict-after ties, missing steps") {
+    val events = Seq(
+      // u1 completes in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      // u2: click BEFORE the first view doesn't count; none after
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // u3: click at EXACTLY the view timestamp — strict > excludes it,
+      // a later click advances
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      (3L, ts("2024-01-01 10:05:00"), "click"),
+      // u4: no view at all
+      (4L, ts("2024-01-01 10:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val rows = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+          Option(r.getTimestamp(4)))).toMap
+    rows(1L) shouldBe ((3, Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 10:01:00")), Some(ts("2024-01-01 10:02:00"))))
+    rows(2L) shouldBe ((1, Some(ts("2024-01-01 10:00:00")), None, None))
+    rows(3L) shouldBe ((2, Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 10:05:00")), None))
+    rows(4L) shouldBe ((0, None, None, None))
+  }
+
+  test("cohortRetention: first-activity cohorts by day offset") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 23:00:00"), "click"), // same day, one cell
+      (1L, ts("2024-01-03 10:00:00"), "view"),
+      (2L, ts("2024-01-02 10:00:00"), "view"),
+      (2L, ts("2024-01-02 11:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val cells = EventAnalytics.cohortRetention(events, "user_id", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    cells shouldBe Map(
+      ("2024-01-01", 0) -> 1L,
+      ("2024-01-01", 2) -> 1L,
+      ("2024-01-02", 0) -> 1L)
+  }
+}
