@@ -2314,6 +2314,15 @@ object SparkEntry {
     "q109_cohort_retention" -> ((s, dir) =>
       operators.EventAnalytics.cohortRetention(Tables.events(s, dir),
         "user_id", "ts"))
+    ,
+    // Rolling engagement: exact DAU + trailing-7-day WAU per day. The
+    // (day, user) distinct projection fans out over the 7 window
+    // anchors before ONE distinct-count aggregate — no per-window
+    // rescan. (The 100 TB path for sliding distincts is the mergeable
+    // HLL register family, q65/q69; this is the exact contract.)
+    "q110_rolling_active" -> ((s, dir) =>
+      operators.EventAnalytics.rollingActive(Tables.events(s, dir),
+        "user_id", "ts", windowDays = 7))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4442,6 +4451,19 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_active
         |FROM ad JOIN fd USING (user_id)
         |GROUP BY 1, 2
-        |ORDER BY cohort_day, k""".stripMargin
+        |ORDER BY cohort_day, k""".stripMargin,
+
+    "q110_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+        |  FROM events),
+        |dau AS (SELECT d, COUNT(DISTINCT u) AS dau FROM du GROUP BY 1),
+        |rw AS (SELECT d + CAST(i AS INTEGER) AS anchor, u FROM du
+        |  CROSS JOIN unnest(generate_series(0, 6)) t(i)),
+        |wau AS (SELECT anchor, COUNT(DISTINCT u) AS wau_7d
+        |  FROM rw GROUP BY 1)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau AS dau,
+        |  wau.wau_7d AS wau_7d
+        |FROM dau JOIN wau ON dau.d = wau.anchor
+        |ORDER BY day""".stripMargin
   )
 }

@@ -49,6 +49,36 @@ object EventAnalytics {
       .orderBy(col(userCol))
   }
 
+  /** Rolling engagement: per calendar day, the exact distinct active
+    * entities that day (DAU) and over the trailing `windowDays` days
+    * (WAU-style). The (day, entity) distinct projection is fanned out
+    * over its `windowDays` window anchors (a bounded explode — each
+    * activity day serves up to `windowDays` windows) and aggregated
+    * with ONE distinct count per anchor; the event table is never
+    * rescanned per window. Anchors are restricted to days with
+    * activity (inner join with the DAU side). At 100 TB, sliding
+    * exact distincts are where the mergeable-HLL register family
+    * ([[Sketch]]) takes over; this operator is the exact contract the
+    * sketch is audited against.
+    */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    val days = events
+      .select(to_date(col(tsCol)).as("d"), col(userCol).as("u")).distinct()
+    val dau = days.groupBy(col("d"))
+      .agg(countDistinct(col("u")).as("dau"))
+    val rolling = days
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("d"), col("u"))
+      .select(date_add(col("d"), col("off")).as("anchor"), col("u"))
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("u")).as(s"wau_${windowDays}d"))
+    dau.join(rolling, dau("d") === rolling("anchor"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col(s"wau_${windowDays}d"))
+      .orderBy(col("day"))
+  }
+
   /** Cohort retention: each entity's cohort is its first activity day;
     * the cell (cohort_day, k) counts entities of that cohort active
     * exactly k days after it. Two keyed aggregates (first-day, then

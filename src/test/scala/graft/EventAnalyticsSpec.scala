@@ -43,6 +43,24 @@ class EventAnalyticsSpec extends SparkSpec {
     rows(4L) shouldBe ((0, None, None, None))
   }
 
+  test("rollingActive: DAU and trailing-window distinct counts") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (1L, ts("2024-01-02 10:00:00"), "view"),
+      (3L, ts("2024-01-04 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val cells = EventAnalytics.rollingActive(events, "user_id", "ts",
+        windowDays = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // day -> (dau, trailing-3d distinct): jan4's window is {jan2..jan4}
+    // = users {1, 3}; anchors without activity (jan3) are absent
+    cells shouldBe Map(
+      "2024-01-01" -> ((2L, 2L)),
+      "2024-01-02" -> ((1L, 2L)),
+      "2024-01-04" -> ((1L, 2L)))
+  }
+
   test("cohortRetention: first-activity cohorts by day offset") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),
