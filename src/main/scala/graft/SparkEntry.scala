@@ -2322,7 +2322,13 @@ object SparkEntry {
     // HLL register family, q65/q69; this is the exact contract.)
     "q110_rolling_active" -> ((s, dir) =>
       operators.EventAnalytics.rollingActive(Tables.events(s, dir),
-        "user_id", "ts", windowDays = 7))
+        "user_id", "ts", windowDays = 7)),
+
+    // First-order Markov transitions between event types per user
+    // timeline: one window pass + a |types|^2 aggregate.
+    "q111_event_transitions" -> ((s, dir) =>
+      operators.EventAnalytics.transitionMatrix(Tables.events(s, dir),
+        "user_id", "ts", "event_type", tieCol = "event_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4464,6 +4470,19 @@ object SparkEntry {
         |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau AS dau,
         |  wau.wau_7d AS wau_7d
         |FROM dau JOIN wau ON dau.d = wau.anchor
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    "q111_event_transitions" ->
+      """WITH nx AS (SELECT event_type AS et,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS net
+        |  FROM events),
+        |cnt AS (SELECT et, net, COUNT(*) AS n FROM nx
+        |  WHERE net IS NOT NULL GROUP BY 1, 2)
+        |SELECT et, net, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY et) AS DOUBLE), 9) AS p
+        |FROM cnt
+        |ORDER BY et, net""".stripMargin
   )
 }

@@ -79,6 +79,32 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** First-order Markov transition matrix of the event stream: for
+    * each (state, next-state) pair of event types within an entity's
+    * timeline, the transition count and row-normalized probability.
+    * One window pass per entity (lead over (ts, tie-break id)) and a
+    * tiny keyed aggregate — the |types|² matrix is driver-scale
+    * whatever the event volume. Terminal events (no successor) are
+    * dropped, so each row of the matrix sums to 1.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(typeCol).as("et"), lead(col(typeCol), 1).over(w).as("net"))
+      .filter(col("net").isNotNull)
+      .groupBy("et", "net").agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy(col("et"))
+    pairs
+      .select(col("et"), col("net"), col("n"),
+        graft.functions.hashSafeRound(
+          col("n").cast("double") / sum(col("n")).over(wr).cast("double"),
+          9).as("p"))
+      .orderBy(col("et"), col("net"))
+  }
+
   /** Cohort retention: each entity's cohort is its first activity day;
     * the cell (cohort_day, k) counts entities of that cohort active
     * exactly k days after it. Two keyed aggregates (first-day, then

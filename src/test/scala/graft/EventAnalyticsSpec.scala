@@ -61,6 +61,25 @@ class EventAnalyticsSpec extends SparkSpec {
       "2024-01-04" -> ((1L, 2L)))
   }
 
+  test("transitionMatrix: per-user lead pairs, row-normalized, terminals dropped") {
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (11L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (12L, 1L, ts("2024-01-01 10:02:00"), "a"),   // u1: a->b, b->a
+      (13L, 2L, ts("2024-01-01 10:00:00"), "a"),
+      (14L, 2L, ts("2024-01-01 10:01:00"), "c"))   // u2: a->c; c terminal
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val rows = graft.operators.EventAnalytics.transitionMatrix(events,
+        "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    rows shouldBe Map(
+      ("a", "b") -> ((1L, 0.5)),
+      ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0)))
+  }
+
   test("cohortRetention: first-activity cohorts by day offset") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),
