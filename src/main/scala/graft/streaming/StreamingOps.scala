@@ -16,6 +16,11 @@ case class LagMetrics(key: String, tsUs: Long, value: Double,
                       pctGap: Option[Double], stalenessUs: Option[Long])
 private[streaming] case class LagState(lastTs: Long, lastValue: Double)
 
+/** Typed rows for the stateful streaming funnel. */
+case class FunnelEvent(user: Long, tsUs: Long, etype: String)
+case class FunnelProgress(user: Long, depth: Int, stepTsUs: Seq[Long])
+private[streaming] case class FunnelState(stepTs: Seq[Long])
+
 /** Structured-Streaming parity for the reference's stream processors.
   *
   * The defining computation (ref option_trade_aggs/main.py:203-230):
@@ -136,6 +141,40 @@ object StreamingOps {
           }
           st.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** STREAMING twin of [[graft.operators.EventAnalytics.funnel]]: the
+    * per-entity funnel state machine (reached-step timestamps) lives in
+    * the state store; a [[FunnelProgress]] row is emitted on every
+    * ADVANCE, so the latest row per entity is its current depth. Within
+    * a micro-batch, rows are folded in (tsUs, etype) order — identical
+    * to the batch operator's sorted fold — so the final state equals
+    * the batch result whenever arrival order across batches respects
+    * event time (the same contract as [[packShardsStateful]]; a
+    * late-arriving step-k event that predates an already-consumed
+    * step-k match cannot rewind committed state). Works on batch
+    * Datasets too (state spans the whole group).
+    */
+  def funnelStateful(ds: Dataset[FunnelEvent],
+      steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.map(_.stepTs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[FunnelProgress]
+          rows.toSeq.sortBy(r => (r.tsUs, r.etype)).foreach { r =>
+            if (st.length < steps.size && r.etype == steps(st.length) &&
+                (st.isEmpty || r.tsUs > st.last)) {
+              st = st :+ r.tsUs
+              out += FunnelProgress(user, st.length, st)
+            }
+          }
+          state.update(FunnelState(st))
+          out.result().iterator
       }
   }
 

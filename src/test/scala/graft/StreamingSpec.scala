@@ -162,6 +162,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStateful matches batch funnel across micro-batches (event-ordered arrival)") {
+    import graft.streaming.{FunnelEvent, FunnelProgress}
+    val steps = Seq("view", "click", "purchase")
+    val us = 1000000L
+    val b1 = Seq(
+      FunnelEvent(1L, 10 * us, "view"), FunnelEvent(1L, 20 * us, "click"),
+      FunnelEvent(2L, 10 * us, "click"),      // click before any view
+      FunnelEvent(3L, 10 * us, "view"))
+    val b2 = Seq(
+      FunnelEvent(1L, 30 * us, "purchase"),   // completes across batches
+      FunnelEvent(2L, 40 * us, "view"),
+      FunnelEvent(3L, 10 * us, "click"))      // tie with u3's view: strict >
+    val input = MemoryStream[FunnelEvent](spark)
+    val out = StreamingOps.funnelStateful(input.toDS(), steps)
+    val ckpt = Files.createTempDirectory("ckpt_funnel").toString
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // latest progress row per user = its final state
+      val streamed = spark.table("funnel_out").as[FunnelProgress].collect()
+        .groupBy(_.user).map { case (u, rows) =>
+          val last = rows.maxBy(_.depth)
+          u -> (last.depth, last.stepTsUs.toList)
+        }
+      // batch reference over the union, timestamps in whole seconds
+      val batch = graft.operators.EventAnalytics.funnel(
+          (b1 ++ b2).map(e => (e.user, new java.sql.Timestamp(e.tsUs / 1000), e.etype))
+            .toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps)
+        .collect().map { r =>
+          val ts = (2 to 4).flatMap(i => Option(r.getTimestamp(i)))
+            .map(_.getTime * 1000L).toList
+          r.getLong(0) -> (r.getInt(1), ts)
+        }.toMap
+      streamed shouldBe batch.filter(_._2._1 > 0) // depth-0 users emit nothing
+      batch(2L)._1 shouldBe 1 // u2's early click never counted
+      batch(3L)._1 shouldBe 1 // u3's same-ts click excluded by strict >
+    } finally q.stop()
+  }
+
   test("packShardsStateful matches batch packShards across micro-batches (streaming shard packing)") {
     import graft.streaming.{ShardDoc, ShardAssigned}
     val docs = Seq(
