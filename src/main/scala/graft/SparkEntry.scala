@@ -2328,7 +2328,14 @@ object SparkEntry {
     // timeline: one window pass + a |types|^2 aggregate.
     "q111_event_transitions" -> ((s, dir) =>
       operators.EventAnalytics.transitionMatrix(Tables.events(s, dir),
-        "user_id", "ts", "event_type", tieCol = "event_id"))
+        "user_id", "ts", "event_type", tieCol = "event_id")),
+
+    // Time-to-convert distribution over the q108 funnel: completion
+    // rate + exact p50/p90/max seconds across converters.
+    "q112_conversion_stats" -> ((s, dir) =>
+      operators.EventAnalytics.conversionStats(Tables.events(s, dir),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4483,6 +4490,27 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) /
         |    CAST(SUM(n) OVER (PARTITION BY et) AS DOUBLE), 9) AS p
         |FROM cnt
-        |ORDER BY et, net""".stripMargin
+        |ORDER BY et, net""".stripMargin,
+
+    "q112_conversion_stats" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |d AS (SELECT u.user_id, t3,
+        |  CAST(epoch_us(t3) - epoch_us(t1) AS DOUBLE) / 1000000.0 AS d
+        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s3 USING (user_id))
+        |SELECT COUNT(*) AS n_users, COUNT(t3) AS n_converted,
+        |  round(CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |    AS conv_rate,
+        |  round(quantile_cont(d, 0.5), 9) AS p50_secs,
+        |  round(quantile_cont(d, 0.9), 9) AS p90_secs,
+        |  round(MAX(d), 9) AS max_secs
+        |FROM d""".stripMargin
   )
 }

@@ -79,6 +79,32 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Conversion statistics over [[funnel]]: entity counts, completion
+    * rate, and the distribution of time-to-convert (first step → last
+    * step) in seconds — exact interpolated percentiles over the
+    * converted population (nulls, i.e. non-converters, are excluded by
+    * the percentile/max semantics on both engines). The duration is
+    * µs-exact long arithmetic divided once into double, so the value
+    * is bit-identical across engines before the round-9.
+    */
+  def conversionStats(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, tsCol, typeCol, steps)
+    val dur = ((unix_micros(col(s"t${steps.size}")) - unix_micros(col("t1")))
+      .cast("double") / lit(1000000.0)).as("d")
+    f.select(col("t1"), col(s"t${steps.size}"), dur)
+      .agg(count(lit(1)).as("n_users"),
+        count(col(s"t${steps.size}")).as("n_converted"),
+        graft.functions.hashSafeRound(
+          count(col(s"t${steps.size}")).cast("double")
+            / count(lit(1)).cast("double"), 9).as("conv_rate"),
+        graft.functions.hashSafeRound(
+          percentile(col("d"), lit(0.5)), 9).as("p50_secs"),
+        graft.functions.hashSafeRound(
+          percentile(col("d"), lit(0.9)), 9).as("p90_secs"),
+        graft.functions.hashSafeRound(max(col("d")), 9).as("max_secs"))
+  }
+
   /** First-order Markov transition matrix of the event stream: for
     * each (state, next-state) pair of event types within an entity's
     * timeline, the transition count and row-normalized probability.
