@@ -80,6 +80,28 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0)))
   }
 
+  test("conversionStats: rate and exact duration percentiles over converters") {
+    val events = Seq(
+      // u1 converts in 100s, u2 in 200s, u3 stalls at depth 1
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:50"), "click"),
+      (1L, ts("2024-01-01 10:01:40"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:01:00"), "click"),
+      (2L, ts("2024-01-01 10:03:20"), "purchase"),
+      (3L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val r = graft.operators.EventAnalytics.conversionStats(events,
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect()(0)
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 2L
+    r.getDouble(2) shouldBe (2.0 / 3.0 +- 1e-9)
+    r.getDouble(3) shouldBe 150.0 // interpolated median of {100, 200}
+    r.getDouble(4) shouldBe 190.0 // p90 = 100 + 0.9*100
+    r.getDouble(5) shouldBe 200.0
+  }
+
   test("cohortRetention: first-activity cohorts by day offset") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),
