@@ -24,32 +24,60 @@ import graft.functions.hashSafeRound
 object Profile {
 
   def profileTable(df: DataFrame): DataFrame = {
+    // Two aggregate passes over the scan: a STRING (or any
+    // variable-length) min/max in the agg buffer forces Spark out of
+    // HashAggregate (immutable buffer type) into a non-codegen
+    // SortAggregate — disastrous under the ×#cols Expand the exact
+    // distinct counts impose. So the Expand pass carries only
+    // fixed-width buffers (counts, distincts, numeric/timestamp
+    // min-max → whole-stage-codegen HashAggregate), and string min/max
+    // run in a second, Expand-free pass over the same scan (the
+    // SortAggregate there sees the raw rows once, no ×#cols blowup).
+    // The two 1-row results cross-join for free. Measured at sf0.1
+    // orders (isolated min-of-4): 3.24 s single-pass SortAggregate →
+    // 1.58 s split.
+    val strFields = df.schema.fields.filter(_.dataType == StringType)
     val aggs: Seq[Column] = df.schema.fields.flatMap { f =>
       val c = col(f.name)
       val n = f.name
       val nullNum = lit(null).cast("double")
-      val nullStr = lit(null).cast("string")
-      val (minNum, maxNum, minStr, maxStr) = f.dataType match {
+      val (minNum, maxNum) = f.dataType match {
         case _: NumericType =>
           (hashSafeRound(min(c).cast("double"), 9),
-            hashSafeRound(max(c).cast("double"), 9), nullStr, nullStr)
-        case TimestampType | TimestampNTZType =>
-          (nullNum, nullNum,
-            date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
-            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
-        case StringType =>
-          (nullNum, nullNum, min(c), max(c))
-        case _ => // opaque payloads (binary, arrays): counts only
-          (nullNum, nullNum, nullStr, nullStr)
+            hashSafeRound(max(c).cast("double"), 9))
+        case _ => (nullNum, nullNum)
+      }
+      // string __mins/__maxs come from the second pass (see above)
+      val strMinMax = f.dataType match {
+        case TimestampType | TimestampNTZType => Seq(
+          date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"__mins_$n"),
+          date_format(max(c), "yyyy-MM-dd HH:mm:ss").as(s"__maxs_$n"))
+        case StringType => Seq.empty
+        case _ => Seq(lit(null).cast("string").as(s"__mins_$n"),
+          lit(null).cast("string").as(s"__maxs_$n"))
       }
       Seq(
         count(when(c.isNull, 1)).as(s"__null_$n"),
         countDistinct(c).as(s"__nd_$n"),
-        minNum.as(s"__minn_$n"), maxNum.as(s"__maxn_$n"),
-        minStr.as(s"__mins_$n"), maxStr.as(s"__maxs_$n"))
+        minNum.as(s"__minn_$n"), maxNum.as(s"__maxn_$n")) ++ strMinMax
     }.toSeq
     val allAggs = count(lit(1)).as("__rows") +: aggs
-    val wide = df.agg(allAggs.head, allAggs.tail: _*)
+    val widePrim = df.agg(allAggs.head, allAggs.tail: _*)
+    val wide =
+      if (strFields.isEmpty) widePrim
+      else {
+        val strAggs = strFields.flatMap { f =>
+          Seq(min(col(f.name)).as(s"__smin_${f.name}"),
+            max(col(f.name)).as(s"__smax_${f.name}"))
+        }.toSeq
+        widePrim.crossJoin(df.agg(strAggs.head, strAggs.tail: _*))
+          .select(col("*") +: strFields.toSeq.flatMap { f =>
+            Seq(col(s"__smin_${f.name}").as(s"__mins_${f.name}"),
+              col(s"__smax_${f.name}").as(s"__maxs_${f.name}"))
+          }: _*)
+          .drop(strFields.flatMap(f =>
+            Seq(s"__smin_${f.name}", s"__smax_${f.name}")).toSeq: _*)
+      }
     val perCol = df.schema.fields.map { f =>
       val n = f.name
       struct(lit(n).as("column"),
