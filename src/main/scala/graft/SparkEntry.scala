@@ -2335,7 +2335,13 @@ object SparkEntry {
     "q112_conversion_stats" -> ((s, dir) =>
       operators.EventAnalytics.conversionStats(Tables.events(s, dir),
         "user_id", "ts", "event_type",
-        steps = Seq("view", "click", "purchase")))
+        steps = Seq("view", "click", "purchase"))),
+
+    // Label confusion geometry: exact fixed-point pairwise centroid
+    // distances (q97's quantization), labels^2 output rows.
+    "q113_label_separation" -> ((s, dir) =>
+      operators.Similarity.labelCentroidSeparation(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4511,6 +4517,26 @@ object SparkEntry {
         |  round(quantile_cont(d, 0.5), 9) AS p50_secs,
         |  round(quantile_cont(d, 0.9), 9) AS p90_secs,
         |  round(MAX(d), 9) AS max_secs
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q113_label_separation" ->
+      """WITH x0 AS (SELECT label, unnest(range(len(embedding))) AS dim, embedding
+        |            FROM embeddings),
+        |x AS (SELECT label, dim,
+        |        CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |          + 2000000000 AS xi
+        |      FROM x0),
+        |c AS (SELECT label, dim, CAST(SUM(xi) AS BIGINT) // COUNT(*) AS ci
+        |      FROM x GROUP BY 1, 2),
+        |sz AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        SUM((a.ci - b.ci) * (a.ci - b.ci)) AS s2
+        |      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_a, label_b, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(s2 AS DOUBLE) / 1e18 AS dist2
+        |FROM p JOIN sz sa ON p.label_a = sa.label
+        |       JOIN sz sb ON p.label_b = sb.label
+        |ORDER BY label_a, label_b""".stripMargin
   )
 }

@@ -150,6 +150,54 @@ object Similarity {
         (col("s2").cast("double") / lit(1e18)).as("dist2"))
   }
 
+  /** Label confusion geometry — the companion audit to
+    * [[labelCentroidOutliers]]: the EXACT fixed-point squared L2
+    * distance between every pair of label centroids, with the label
+    * sizes alongside. Labels whose centroids sit close are the pairs a
+    * classifier (or a label-noise process, q96) will confuse; read
+    * next to q97's within-label spread this is the between/within
+    * separation picture. Same nano quantization and integral-divide
+    * centroid as q97, so the numbers are bit-stable across engines and
+    * runs. Cost: one narrow exploded aggregate for the centroid table
+    * (labels × dim rows), then a labels²-scale self-join on the dim
+    * key — driver-scale output whatever the corpus size.
+    */
+  def labelCentroidSeparation(emb: DataFrame, idCol: String, vecCol: String,
+                              labelCol: String): DataFrame = {
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    val x = emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .withColumn("xi",
+        (floor(col("v").cast("double") * lit(1e9) + lit(0.5)) +
+          lit(2000000000L)).cast("long"))
+    val cent = x.groupBy("label", "dim")
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), intDiv(col("s"), col("n")).as("ci"))
+    val sizes = emb.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val a = cent.select(col("label").as("label_a"), col("dim"),
+      col("ci").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("dim"),
+      col("ci").as("cb"))
+    a.join(b, a("dim") === b("dim") && col("label_a") < col("label_b"))
+      .withColumn("sq",
+        ((col("ca") - col("cb")) * (col("ca") - col("cb")))
+          .cast("decimal(38,0)"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sq")).as("s2"))
+      .join(broadcast(sizes).withColumnRenamed("label", "label_a")
+        .withColumnRenamed("n", "n_a"), "label_a")
+      .join(broadcast(sizes).withColumnRenamed("label", "label_b")
+        .withColumnRenamed("n", "n_b"), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (col("s2").cast("double") / lit(1e18)).as("dist2"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
     * weights in [-0.5, 0.5), derived from a seeded xorshift so every run
     * and every executor sees the same planes (no Math.random).

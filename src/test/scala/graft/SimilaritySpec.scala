@@ -94,6 +94,21 @@ class SimilaritySpec extends SparkSpec {
     out(4)._4 shouldBe 0.0
   }
 
+  test("labelCentroidSeparation: exact pairwise centroid distances with sizes") {
+    val labeled = Seq(
+      (0L, Array(0f, 0f), 0),
+      (1L, Array(0f, 2f), 0),   // centroid (0, 1)
+      (2L, Array(2f, 0f), 1))   // centroid (2, 0)
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.labelCentroidSeparation(labeled, "vec_id",
+        "embedding", "label")
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // dist² = (2-0)² + (0-1)² = 5, exactly (nano quantization is exact
+    // for these values)
+    rows.toSeq shouldBe Seq((0, 1, 2L, 1L, 5.0))
+  }
+
   test("lshTopK returns exactly-ranked subsets: every reported pair's cosine is exact and ranks are consistent") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding",
         queryIds = Seq(0L), k = 3, tables = 8, planesPerTable = 2, dim = 4)
