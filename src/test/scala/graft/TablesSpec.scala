@@ -118,4 +118,26 @@ class TablesSpec extends SparkSpec {
     e.getMessage should include("unsupported physical type")
     e.getMessage should include(dir)
   }
+
+  test("documents/embeddings loaders pin canonical widths under regenerated physical types") {
+    // a regeneration that writes int32 ids, int64 labels, or
+    // double-width embeddings must still load to the canonical logical
+    // schema (the round-8 events lesson, generalized per VERDICT r8
+    // item 8)
+    val dir = Files.createTempDirectory("tables-spec-wide-").toString
+    Seq((1, "hello world", "en", "src0", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((7, Array(1.0, 2.0), 3L))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    docs.schema("doc_id").dataType shouldBe LongType
+    docs.schema("n_chars").dataType shouldBe LongType
+    val emb = Tables.embeddings(spark, dir)
+    emb.schema("vec_id").dataType shouldBe LongType
+    emb.schema("embedding").dataType.simpleString shouldBe "array<float>"
+    emb.schema("label").dataType.simpleString shouldBe "int"
+    emb.select($"embedding").collect()(0).getSeq[Float](0) shouldBe Seq(1.0f, 2.0f)
+  }
 }
