@@ -2341,6 +2341,12 @@ object SparkEntry {
     // distances (q97's quantization), labels^2 output rows.
     "q113_label_separation" -> ((s, dir) =>
       operators.Similarity.labelCentroidSeparation(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label")),
+
+    // Embedding-health audit: per-label exact fixed-point norm^2
+    // distribution (collapsed/exploding embedding check).
+    "q114_embedding_norms" -> ((s, dir) =>
+      operators.Similarity.embeddingNormStats(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label"))
   )
 
@@ -4537,6 +4543,24 @@ object SparkEntry {
         |  CAST(s2 AS DOUBLE) / 1e18 AS dist2
         |FROM p JOIN sz sa ON p.label_a = sa.label
         |       JOIN sz sb ON p.label_b = sb.label
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    "q114_embedding_norms" ->
+      """WITH x0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding
+        |            FROM embeddings),
+        |x AS (SELECT vec_id, label,
+        |        CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS xi
+        |      FROM x0),
+        |nr AS (SELECT vec_id, label,
+        |        CAST(SUM(CAST(xi AS DECIMAL(38,0)) * xi) AS DOUBLE) / 1e18 AS norm2
+        |      FROM x GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS n,
+        |  round(quantile_cont(norm2, 0.5), 9) AS p50_norm2,
+        |  round(quantile_cont(norm2, 0.9), 9) AS p90_norm2,
+        |  round(MIN(norm2), 9) AS min_norm2,
+        |  round(MAX(norm2), 9) AS max_norm2
+        |FROM nr
+        |GROUP BY label
+        |ORDER BY label""".stripMargin
   )
 }

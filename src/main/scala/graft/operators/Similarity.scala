@@ -198,6 +198,36 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Embedding-health audit: per label, the distribution of squared
+    * vector norms — the collapsed-embedding / exploding-embedding
+    * check run before trusting any cosine machinery. Norms are
+    * computed in the q97 nano fixed-point (offset removed, so this is
+    * the true ‖v‖²): integer squares summed exactly in DECIMAL(38,0),
+    * then scaled once to double — order-independent, bit-stable across
+    * engines. One narrow exploded aggregate; percentile state per
+    * label is a count-map.
+    */
+  def embeddingNormStats(emb: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String): DataFrame = {
+    val x = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        explode(col(vecCol)).as("v"))
+      .withColumn("xi",
+        floor(col("v").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+    val norms = x
+      .withColumn("sq", (col("xi") * col("xi")).cast("decimal(38,0)"))
+      .groupBy("vec_id", "label")
+      .agg((sum(col("sq")).cast("double") / lit(1e18)).as("norm2"))
+    norms.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.hashSafeRound(
+          percentile(col("norm2"), lit(0.5)), 9).as("p50_norm2"),
+        graft.functions.hashSafeRound(
+          percentile(col("norm2"), lit(0.9)), 9).as("p90_norm2"),
+        graft.functions.hashSafeRound(min(col("norm2")), 9).as("min_norm2"),
+        graft.functions.hashSafeRound(max(col("norm2")), 9).as("max_norm2"))
+      .orderBy("label")
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
     * weights in [-0.5, 0.5), derived from a seeded xorshift so every run
     * and every executor sees the same planes (no Math.random).

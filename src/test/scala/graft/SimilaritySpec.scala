@@ -109,6 +109,20 @@ class SimilaritySpec extends SparkSpec {
     rows.toSeq shouldBe Seq((0, 1, 2L, 1L, 5.0))
   }
 
+  test("embeddingNormStats: exact fixed-point norms, per-label distribution") {
+    val labeled = Seq(
+      (0L, Array(3f, 4f), 0),    // norm2 = 25
+      (1L, Array(0f, 0f), 0),    // norm2 = 0  (the collapse case)
+      (2L, Array(1f, 1f), 1))    // norm2 = 2
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.embeddingNormStats(labeled, "vec_id",
+        "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+    rows(0) shouldBe ((2L, 12.5, 0.0, 25.0)) // p50 interpolates {0, 25}
+    rows(1) shouldBe ((1L, 2.0, 2.0, 2.0))
+  }
+
   test("lshTopK returns exactly-ranked subsets: every reported pair's cosine is exact and ranks are consistent") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding",
         queryIds = Seq(0L), k = 3, tables = 8, planesPerTable = 2, dim = 4)
