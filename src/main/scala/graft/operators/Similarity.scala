@@ -213,8 +213,11 @@ object Similarity {
         explode(col(vecCol)).as("v"))
       .withColumn("xi",
         floor(col("v").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+    // square in DECIMAL: xi² overflows LONG once |v| ≥ ~3.04 (xi ≥
+    // 2^31.5 nano-units), and embedding audits exist precisely for
+    // out-of-envelope vectors
     val norms = x
-      .withColumn("sq", (col("xi") * col("xi")).cast("decimal(38,0)"))
+      .withColumn("sq", col("xi").cast("decimal(38,0)") * col("xi"))
       .groupBy("vec_id", "label")
       .agg((sum(col("sq")).cast("double") / lit(1e18)).as("norm2"))
     norms.groupBy("label")
