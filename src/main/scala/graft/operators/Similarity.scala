@@ -137,9 +137,11 @@ object Similarity {
       .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
       .select(col("label"), col("dim"), intDiv(col("s"), col("n")).as("ci"))
     val d = x.join(broadcast(cent), Seq("label", "dim"))
+      // widen BEFORE squaring — (xi-ci)² overflows long once the spread
+      // exceeds ~3.04 in vector units (see embeddingNormStats)
       .withColumn("sq",
-        ((col("xi") - col("ci")) * (col("xi") - col("ci")))
-          .cast("decimal(38,0)"))
+        (col("xi") - col("ci")).cast("decimal(38,0)") *
+          (col("xi") - col("ci")))
       .groupBy("vec_id", "label")
       .agg(sum(col("sq")).as("s2"))
     val w = Window.partitionBy(col("label"))
@@ -184,9 +186,10 @@ object Similarity {
     val b = cent.select(col("label").as("label_b"), col("dim"),
       col("ci").as("cb"))
     a.join(b, a("dim") === b("dim") && col("label_a") < col("label_b"))
+      // widen BEFORE squaring (see embeddingNormStats)
       .withColumn("sq",
-        ((col("ca") - col("cb")) * (col("ca") - col("cb")))
-          .cast("decimal(38,0)"))
+        (col("ca") - col("cb")).cast("decimal(38,0)") *
+          (col("ca") - col("cb")))
       .groupBy("label_a", "label_b")
       .agg(sum(col("sq")).as("s2"))
       .join(broadcast(sizes).withColumnRenamed("label", "label_a")
