@@ -21,6 +21,11 @@ case class FunnelEvent(user: Long, tsUs: Long, etype: String)
 case class FunnelProgress(user: Long, depth: Int, stepTsUs: Seq[Long])
 private[streaming] case class FunnelState(stepTs: Seq[Long])
 
+/** Typed rows for the stateful streaming transition feed. */
+case class TransEvent(user: Long, tsUs: Long, eid: Long, etype: String)
+case class Transition(user: Long, et: String, net: String, tsUs: Long)
+private[streaming] case class TransState(tsUs: Long, eid: Long, etype: String)
+
 /** Structured-Streaming parity for the reference's stream processors.
   *
   * The defining computation (ref option_trade_aggs/main.py:203-230):
@@ -174,6 +179,33 @@ object StreamingOps {
             }
           }
           state.update(FunnelState(st))
+          out.result().iterator
+      }
+  }
+
+  /** STREAMING twin of [[graft.operators.EventAnalytics
+    * .transitionMatrix]]'s pair extraction: the last event per entity
+    * lives in the state store; each arriving event emits the
+    * (previous-type → current-type) transition, so a downstream
+    * (complete-mode or incremental) count by (et, net) IS the matrix's
+    * count column. Within a micro-batch rows fold in (tsUs, eid)
+    * order — the batch operator's window order — so the emitted pair
+    * multiset equals the batch lead-pairs under event-ordered arrival
+    * across batches. Works on batch Datasets too.
+    */
+  def transitionsStateful(ds: Dataset[TransEvent]): Dataset[Transition] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[TransState]) =>
+          var st = state.getOption
+          val out = Seq.newBuilder[Transition]
+          rows.toSeq.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+            st.foreach(p => out += Transition(user, p.etype, r.etype, r.tsUs))
+            st = Some(TransState(r.tsUs, r.eid, r.etype))
+          }
+          st.foreach(state.update)
           out.result().iterator
       }
   }

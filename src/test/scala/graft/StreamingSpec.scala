@@ -204,6 +204,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionsStateful: pair counts equal the batch transition matrix across micro-batches") {
+    import graft.streaming.{TransEvent, Transition}
+    val us = 1000000L
+    val b1 = Seq(
+      TransEvent(1L, 10 * us, 100L, "a"), TransEvent(1L, 20 * us, 101L, "b"),
+      TransEvent(2L, 10 * us, 102L, "a"))
+    val b2 = Seq(
+      TransEvent(1L, 30 * us, 103L, "a"),   // cross-batch b->a
+      TransEvent(2L, 20 * us, 104L, "c"))
+    val input = MemoryStream[TransEvent](spark)
+    val out = StreamingOps.transitionsStateful(input.toDS())
+    val ckpt = Files.createTempDirectory("ckpt_trans").toString
+    val q = out.writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("trans_out").as[Transition].collect()
+        .groupBy(t => (t.et, t.net)).view.mapValues(_.length.toLong).toMap
+      val batch = graft.operators.EventAnalytics.transitionMatrix(
+          (b1 ++ b2).map(e =>
+            (e.user, new java.sql.Timestamp(e.tsUs / 1000), e.eid, e.etype))
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_type", "event_id")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      streamed shouldBe batch
+      batch(("b", "a")) shouldBe 1L // the cross-batch pair made it
+    } finally q.stop()
+  }
+
   test("packShardsStateful matches batch packShards across micro-batches (streaming shard packing)") {
     import graft.streaming.{ShardDoc, ShardAssigned}
     val docs = Seq(
