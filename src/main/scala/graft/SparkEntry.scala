@@ -2347,7 +2347,13 @@ object SparkEntry {
     // distribution (collapsed/exploding embedding check).
     "q114_embedding_norms" -> ((s, dir) =>
       operators.Similarity.embeddingNormStats(
-        Tables.embeddings(s, dir), "vec_id", "embedding", "label"))
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label")),
+
+    // Top ordered 3-step event paths (second-order companion to the
+    // q111 transition matrix): chained leads, one keyed shuffle.
+    "q115_top_paths" -> ((s, dir) =>
+      operators.EventAnalytics.topPaths(Tables.events(s, dir),
+        "user_id", "ts", "event_type", tieCol = "event_id", n = 3, k = 20))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4561,6 +4567,18 @@ object SparkEntry {
         |  round(MAX(norm2), 9) AS max_norm2
         |FROM nr
         |GROUP BY label
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    "q115_top_paths" ->
+      """WITH nx AS (SELECT event_type AS e0,
+        |    lead(event_type, 1) OVER w AS e1,
+        |    lead(event_type, 2) OVER w AS e2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e0 || ' > ' || e1 || ' > ' || e2 AS path, COUNT(*) AS n
+        |FROM nx WHERE e2 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, path
+        |LIMIT 20""".stripMargin
   )
 }

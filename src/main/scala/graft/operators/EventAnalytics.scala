@@ -131,6 +131,30 @@ object EventAnalytics {
       .orderBy(col("et"), col("net"))
   }
 
+  /** Top event paths: the most common ordered `n`-step event-type
+    * sequences across entity timelines (the second-order companion to
+    * [[transitionMatrix]]). One window pass chains `n-1` leads per
+    * event — still a single entity-keyed shuffle — and the path
+    * aggregate is at most |types|ⁿ keys. Ties in the top-k cut break
+    * by path string ascending.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"path length must be >= 2: $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val steps = col(typeCol) +:
+      (1 until n).map(i => lead(col(typeCol), i).over(w))
+    events
+      .select(concat_ws(" > ", steps: _*).as("path"),
+        steps.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(k)
+  }
+
   /** Cohort retention: each entity's cohort is its first activity day;
     * the cell (cohort_day, k) counts entities of that cohort active
     * exactly k days after it. Two keyed aggregates (first-day, then

@@ -102,6 +102,22 @@ class EventAnalyticsSpec extends SparkSpec {
     r.getDouble(5) shouldBe 200.0
   }
 
+  test("topPaths: ordered n-step sequences, incomplete tails dropped") {
+    val events = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (101L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (102L, 1L, ts("2024-01-01 10:02:00"), "c"),
+      (103L, 1L, ts("2024-01-01 10:03:00"), "a"),   // paths: a>b>c, b>c>a
+      (104L, 2L, ts("2024-01-01 10:00:00"), "a"),
+      (105L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (106L, 2L, ts("2024-01-01 10:02:00"), "c"))   // path: a>b>c
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val rows = graft.operators.EventAnalytics.topPaths(events,
+        "user_id", "ts", "event_type", "event_id", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.toSeq shouldBe Seq(("a > b > c", 2L), ("b > c > a", 1L))
+  }
+
   test("cohortRetention: first-activity cohorts by day offset") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),
