@@ -102,7 +102,13 @@ object SparkEntry {
          |    CASE WHEN (acc = m.a OR right(acc, length(m.a)+1) = ' ' || m.a) AND x = m.b
          |      THEN left(acc, length(acc)-length(m.a)) || m.a || m.b
          |      ELSE acc || ' ' || x END), ' ') AS s, c
-         |  FROM v${r - 1} CROSS JOIN b$r m)""".stripMargin
+         |  FROM v${r - 1} LEFT JOIN b$r m ON TRUE)""".stripMargin
+    // ^ LEFT JOIN ON TRUE, not CROSS JOIN: when training exhausts early
+    // (b$r empty) the vocabulary must pass through UNCHANGED — the
+    // NULL merge pair makes every fold comparison false, rebuilding s
+    // verbatim — matching the engine's early-exit, instead of
+    // collapsing v$r (and every downstream fertility/encode twin) to
+    // zero rows
     }.mkString(",\n")
 
   private def bpeTrainOracle(numMerges: Int): String = {
@@ -4261,7 +4267,8 @@ object SparkEntry {
         |      FROM x0),
         |c AS (SELECT label, dim, CAST(SUM(xi) AS BIGINT) // COUNT(*) AS ci
         |      FROM x GROUP BY 1, 2),
-        |d AS (SELECT x.vec_id, x.label, SUM((x.xi - c.ci) * (x.xi - c.ci)) AS s2
+        |d AS (SELECT x.vec_id, x.label,
+        |        SUM(CAST(x.xi - c.ci AS DECIMAL(38,0)) * (x.xi - c.ci)) AS s2
         |      FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
         |      GROUP BY 1, 2),
         |r AS (SELECT label, vec_id, s2,
@@ -4542,7 +4549,7 @@ object SparkEntry {
         |      FROM x GROUP BY 1, 2),
         |sz AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
         |p AS (SELECT a.label AS label_a, b.label AS label_b,
-        |        SUM((a.ci - b.ci) * (a.ci - b.ci)) AS s2
+        |        SUM(CAST(a.ci - b.ci AS DECIMAL(38,0)) * (a.ci - b.ci)) AS s2
         |      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
         |      GROUP BY 1, 2)
         |SELECT label_a, label_b, sa.n AS n_a, sb.n AS n_b,

@@ -89,6 +89,11 @@ object EventAnalytics {
     */
   def conversionStats(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
+    // time-to-convert is first step -> last step; with one step the
+    // select below would project t1 twice and every t1 reference
+    // becomes ambiguous
+    require(steps.size >= 2,
+      s"conversionStats needs at least two steps, got ${steps.size}")
     val f = funnel(events, userCol, tsCol, typeCol, steps)
     val dur = ((unix_micros(col(s"t${steps.size}")) - unix_micros(col("t1")))
       .cast("double") / lit(1000000.0)).as("d")

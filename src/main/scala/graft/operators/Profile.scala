@@ -66,17 +66,13 @@ object Profile {
     val wide =
       if (strFields.isEmpty) widePrim
       else {
+        // the Expand pass emits no __mins_/__maxs_ for string fields,
+        // so the second pass can alias them directly
         val strAggs = strFields.flatMap { f =>
-          Seq(min(col(f.name)).as(s"__smin_${f.name}"),
-            max(col(f.name)).as(s"__smax_${f.name}"))
+          Seq(min(col(f.name)).as(s"__mins_${f.name}"),
+            max(col(f.name)).as(s"__maxs_${f.name}"))
         }.toSeq
         widePrim.crossJoin(df.agg(strAggs.head, strAggs.tail: _*))
-          .select(col("*") +: strFields.toSeq.flatMap { f =>
-            Seq(col(s"__smin_${f.name}").as(s"__mins_${f.name}"),
-              col(s"__smax_${f.name}").as(s"__maxs_${f.name}"))
-          }: _*)
-          .drop(strFields.flatMap(f =>
-            Seq(s"__smin_${f.name}", s"__smax_${f.name}")).toSeq: _*)
       }
     val perCol = df.schema.fields.map { f =>
       val n = f.name

@@ -785,19 +785,6 @@ object TextAnalysis {
       else acc :+ x
     }
 
-  /** Tokenizer fertility audit: train `numMerges` BPE merges
-    * ([[bpeTrain]]), then measure per-`groupCol` how well the learned
-    * vocabulary compresses the corpus — word occurrences, subword
-    * tokens after encoding, and fertility (subwords per word, the
-    * standard tokenizer-quality metric; 1.0 = every word is one
-    * token). Because the trained vocabulary IS the encoding of every
-    * distinct corpus word, encoding is a keyed join of the per-group
-    * word counts against the vocabulary on `w` — the corpus is never
-    * re-tokenized. Both sides of that join are word-keyed aggregates,
-    * and the final group-by is |groups| rows; fertility is rounded to
-    * 9 decimals ([[graft.functions.hashSafeRound]]) for engine-portable
-    * hashing.
-    */
   /** BPE corpus encoding: train `numMerges` merges, then encode every
     * document under the learned vocabulary — per doc, the subword count
     * and the first `prefixLen` subwords in document order (the
@@ -826,6 +813,19 @@ object TextAnalysis {
     Dedup.materializeAndRelease(out, vocab)
   }
 
+  /** Tokenizer fertility audit: train `numMerges` BPE merges
+    * ([[bpeTrain]]), then measure per-`groupCol` how well the learned
+    * vocabulary compresses the corpus — word occurrences, subword
+    * tokens after encoding, and fertility (subwords per word, the
+    * standard tokenizer-quality metric; 1.0 = every word is one
+    * token). Because the trained vocabulary IS the encoding of every
+    * distinct corpus word, encoding is a keyed join of the per-group
+    * word counts against the vocabulary on `w` — the corpus is never
+    * re-tokenized. Both sides of that join are word-keyed aggregates,
+    * and the final group-by is |groups| rows; fertility is rounded to
+    * 9 decimals ([[graft.functions.hashSafeRound]]) for engine-portable
+    * hashing.
+    */
   def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
       numMerges: Int): DataFrame = {
     val (_, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)
