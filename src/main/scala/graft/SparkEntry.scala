@@ -2359,7 +2359,38 @@ object SparkEntry {
     // q111 transition matrix): chained leads, one keyed shuffle.
     "q115_top_paths" -> ((s, dir) =>
       operators.EventAnalytics.topPaths(Tables.events(s, dir),
-        "user_id", "ts", "event_type", tieCol = "event_id", n = 3, k = 20))
+        "user_id", "ts", "event_type", tieCol = "event_id", n = 3, k = 20)),
+
+    // Per-dimension embedding mean/variance in exact fixed point: the
+    // collapsed-dimension audit (columns companion to q114's rows).
+    "q116_dimension_stats" -> ((s, dir) =>
+      operators.Similarity.dimensionStats(
+        Tables.embeddings(s, dir), "embedding")),
+
+    // Pairwise per-source unigram Jensen-Shannon divergence: corpus
+    // drift between sources; closed-form unshared-mass term so the
+    // only join is the inner token join.
+    "q117_source_divergence" -> ((s, dir) =>
+      operators.TextAnalysis.sourceDivergence(
+        Tables.documents(s, dir), "text", "source")),
+
+    // Daily event-volume z-scores vs the trailing 7-calendar-day
+    // window: the ingest spike/stall audit.
+    "q118_volume_anomaly" -> ((s, dir) =>
+      operators.EventAnalytics.volumeAnomaly(
+        Tables.events(s, dir), "ts", "event_type")),
+
+    // Inter-event cadence: per-type gap distribution between
+    // consecutive same-entity events.
+    "q119_event_cadence" -> ((s, dir) =>
+      operators.EventAnalytics.interEventGaps(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id")),
+
+    // Activity concentration per event type: exact Gini + top-decile
+    // share (the whale audit).
+    "q120_activity_gini" -> ((s, dir) =>
+      operators.EventAnalytics.activityConcentration(
+        Tables.events(s, dir), "user_id", "event_type"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4586,6 +4617,134 @@ object SparkEntry {
         |FROM nx WHERE e2 IS NOT NULL
         |GROUP BY 1
         |ORDER BY n DESC, path
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // same nano quantization as q113/q114; the variance numerator
+    // n*S2 - S1^2 stays integral (DECIMAL) until one final double
+    // division chain written in the identical order; the collapsed
+    // flag compares in integer nano^2-space
+    "q116_dimension_stats" ->
+      """WITH x0 AS (SELECT unnest(range(len(embedding))) AS dim, embedding
+        |            FROM embeddings),
+        |x AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |        CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS xi
+        |      FROM x0),
+        |agg AS (SELECT dim, COUNT(*) AS n,
+        |          SUM(CAST(xi AS DECIMAL(38,0))) AS s1,
+        |          SUM(CAST(xi AS DECIMAL(38,0)) * xi) AS s2
+        |        FROM x GROUP BY 1),
+        |v AS (SELECT dim, n, s1, n * s2 - s1 * s1 AS var_num FROM agg)
+        |SELECT dim, n,
+        |  CAST(s1 AS DOUBLE) / n / 1e9 AS mean,
+        |  CAST(var_num AS DOUBLE) / n / n / 1e18 AS variance,
+        |  var_num < CAST(100000000000000 AS DECIMAL(38,0)) * n * n AS collapsed
+        |FROM v
+        |ORDER BY dim""".stripMargin,
+
+    // shared-token terms via the q66 round-9/DECIMAL idiom; unshared
+    // probability mass contributes 0.5*ln(2)*(1 - sharedMass) in
+    // closed form (m = p/2 there), pinned as one double chain
+    "q117_source_divergence" ->
+      """WITH tok AS (SELECT source AS src, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT src, tok FROM tok WHERE len(tok) > 0),
+        |cnt AS (SELECT src, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT src, COUNT(*) AS tot FROM tk GROUP BY 1),
+        |sh AS (SELECT a.src AS src_a, b.src AS src_b,
+        |         a.cnt AS cnt_a, b.cnt AS cnt_b, ta.tot AS tot_a, tb.tot AS tot_b
+        |       FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.src < b.src
+        |       JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src),
+        |pm AS (SELECT src_a, src_b, cnt_a, cnt_b,
+        |         CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS pa,
+        |         CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS pb
+        |       FROM sh),
+        |tm AS (SELECT src_a, src_b, cnt_a, cnt_b,
+        |         CAST(round(0.5 * (pa * ln(pa / ((pa + pb) / 2))
+        |           + pb * ln(pb / ((pa + pb) / 2))), 9) AS DECIMAL(30,9)) AS contrib
+        |       FROM pm),
+        |agg AS (SELECT src_a, src_b, COUNT(*) AS n_shared,
+        |          CAST(SUM(cnt_a) AS BIGINT) AS sh_a,
+        |          CAST(SUM(cnt_b) AS BIGINT) AS sh_b, SUM(contrib) AS c
+        |        FROM tm GROUP BY 1, 2),
+        |pairs AS (SELECT a.src AS src_a, b.src AS src_b,
+        |            a.tot AS tot_a, b.tot AS tot_b
+        |          FROM tot a JOIN tot b ON a.src < b.src)
+        |SELECT p.src_a, p.src_b, COALESCE(n_shared, 0) AS n_shared,
+        |  CAST(COALESCE(c, 0) AS DOUBLE)
+        |    + (0.5 * ln(2)) * (CAST(tot_a - COALESCE(sh_a, 0) AS DOUBLE)
+        |        / CAST(tot_a AS DOUBLE))
+        |    + (0.5 * ln(2)) * (CAST(tot_b - COALESCE(sh_b, 0) AS DOUBLE)
+        |        / CAST(tot_b AS DOUBLE)) AS js
+        |FROM pairs p LEFT JOIN agg USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // trailing stats stay integral (n*S2 - S1^2) until one pinned
+    // double chain + IEEE sqrt; RANGE window on the epoch-day key so
+    // missing days shrink the sample
+    "q118_volume_anomaly" ->
+      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dn AS (SELECT et, d, n,
+        |    CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS dnum
+        |  FROM daily),
+        |w AS (SELECT et, d, n,
+        |    COUNT(n) OVER tw AS n_days,
+        |    CAST(SUM(n) OVER tw AS BIGINT) AS s1,
+        |    CAST(SUM(n * n) OVER tw AS BIGINT) AS s2
+        |  FROM dn
+        |  WINDOW tw AS (PARTITION BY et ORDER BY dnum
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT *, n_days * s2 - s1 * s1 AS var_num,
+        |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_w
+        |  FROM w WHERE n_days >= 3),
+        |z AS (SELECT *, CASE WHEN var_num > 0 THEN
+        |    (CAST(n AS DOUBLE) - mean_w)
+        |      / sqrt(CAST(var_num AS DOUBLE)
+        |          / CAST(n_days * (n_days - 1) AS DOUBLE)) END AS z
+        |  FROM f)
+        |SELECT et AS event_type, strftime(d, '%Y-%m-%d') AS day, n, n_days,
+        |  mean_w, z, COALESCE(abs(z) > 3.0, FALSE) AS spike
+        |FROM z
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q119_event_cadence" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |gg AS (SELECT event_type, g, CAST(g AS DOUBLE) / 1000000.0 AS gs
+        |  FROM g WHERE g IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(SUM(g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+        |    AS mean_s,
+        |  round(quantile_cont(gs, 0.5), 9) AS p50_s,
+        |  round(quantile_cont(gs, 0.9), 9) AS p90_s,
+        |  MAX(gs) AS max_s
+        |FROM gg GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
+
+    // rank-sum Gini: numerator 2*Sum(i*x) - (n+1)*Sum(x) exact in
+    // DECIMAL; top-decile cut is ceil(n/10) entities by the pinned
+    // (x, entity) ascending order
+    "q120_activity_gini" ->
+      """WITH pu AS (SELECT event_type, user_id AS u, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, u, x,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY event_type ORDER BY x, u) AS BIGINT) AS i,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ntot
+        |  FROM pu),
+        |t AS (SELECT *, i > ntot - ((ntot + 9) // 10) AS topdec FROM r)
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(x) AS BIGINT) AS n_events,
+        |  CAST(2 * SUM(CAST(i AS DECIMAL(38,0)) * x)
+        |      - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / CAST(SUM(x) AS DOUBLE) AS gini,
+        |  CAST(SUM(CASE WHEN topdec THEN x ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(x) AS DOUBLE) AS top10_share
+        |FROM t GROUP BY 1
+        |ORDER BY event_type""".stripMargin
   )
 }

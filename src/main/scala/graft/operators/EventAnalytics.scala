@@ -160,6 +160,133 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Daily-volume anomaly detection: per (event type, day), the event
+    * count's z-score against the trailing `windowDays`-day calendar
+    * window (current day excluded) — the ops-facing "did ingest spike
+    * or stall today" audit. The window is RANGE-based on the epoch-day
+    * key, so missing calendar days genuinely shrink the trailing
+    * sample instead of silently stretching it. Days with fewer than
+    * `minDays` trailing observations emit no judgment (n_days reports
+    * the sample), and a zero-variance history yields a null z (flagged
+    * false), not a division blow-up.
+    *
+    * Exactness: counts are longs; the trailing mean and the sample
+    * variance numerator n·Σx² − (Σx)² stay integral until one pinned
+    * double division chain (and one IEEE sqrt), so z is bit-stable
+    * across engines with no rounding step.
+    *
+    * Scale: one keyed aggregate to the |types| × |days| daily table —
+    * calendar-bounded — then windows over that tiny table. The raw
+    * event table is touched once.
+    */
+  def volumeAnomaly(events: DataFrame, tsCol: String, typeCol: String,
+      windowDays: Int = 7, minDays: Int = 3, zThreshold: Double = 3.0)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol).as("et"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dnum", unix_date(col("d")).cast("long"))
+    val w = Window.partitionBy(col("et")).orderBy(col("dnum"))
+      .rangeBetween(-windowDays, -1)
+    val stats = daily
+      .withColumn("n_days", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("n_days") >= minDays)
+      .withColumn("var_num",
+        col("n_days") * col("s2") - col("s1") * col("s1"))
+      .withColumn("mean_w",
+        col("s1").cast("double") / col("n_days").cast("double"))
+      .withColumn("z",
+        when(col("var_num") > 0,
+          (col("n").cast("double") - col("mean_w")) /
+            sqrt(col("var_num").cast("double") /
+              (col("n_days") * (col("n_days") - 1)).cast("double"))))
+    stats.select(col("et").as("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n"), col("n_days"), col("mean_w"), col("z"),
+        coalesce(abs(col("z")) > lit(zThreshold), lit(false)).as("spike"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Inter-event cadence: the distribution of gaps between consecutive
+    * events of the same type within an entity's timeline — the "how
+    * often does a user do X" audit next to [[volumeAnomaly]]'s global
+    * volumes. One (entity, type)-keyed window pass computes the µs
+    * gaps (deterministic (ts, tie) order); the per-type aggregate
+    * reports exact mean (integral µs sum, one pinned division) and
+    * interpolated p50/p90/max seconds. Output is |types| rows.
+    */
+  def interEventGaps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val gaps = events
+      .select(col(typeCol).as("event_type"),
+        (unix_micros(col(tsCol)) -
+          lag(unix_micros(col(tsCol)), 1).over(w)).as("g"))
+      .filter(col("g").isNotNull)
+      .withColumn("gs", col("g").cast("double") / lit(1000000.0))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("g")).cast("double") / count(lit(1)).cast("double") /
+          lit(1000000.0)).as("mean_s"),
+        graft.functions.hashSafeRound(
+          percentile(col("gs"), lit(0.5)), 9).as("p50_s"),
+        graft.functions.hashSafeRound(
+          percentile(col("gs"), lit(0.9)), 9).as("p90_s"),
+        max(col("gs")).as("max_s"))
+      .orderBy("event_type")
+  }
+
+  /** Activity concentration: per event type, how concentrated the
+    * volume is across entities — exact Gini coefficient plus the share
+    * held by the top decile of entities (the power-user curve
+    * summarized to two numbers; the "is this metric driven by a few
+    * whales" audit). Per-entity counts are ranked ascending with a
+    * pinned (count, entity) tie order; Σ rank·count is widened to
+    * DECIMAL before the product so the Gini numerator
+    * 2·Σi·xᵢ − (n+1)·Σx stays exact at any entity count, with one
+    * pinned double division chain at the end. The top-decile cut is
+    * ceil(n/10) entities by the same deterministic order (ties broken
+    * identically in both engines, so the cut set — not just its size —
+    * is pinned).
+    *
+    * Scale: one keyed aggregate to (type, entity) counts, then windows
+    * partitioned by type over that collapsed table — rank state per
+    * type, no self-joins.
+    */
+  def activityConcentration(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .groupBy(col(typeCol).as("event_type"), col(userCol).as("u"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x").asc, col("u").asc)
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = perUser
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("ntot", count(lit(1)).over(wAll))
+      // ceil(ntot/10) entities from the TOP of the ascending rank order
+      .withColumn("topdec",
+        col("i") > col("ntot") - expr("(ntot + 9) div 10"))
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("n_events"),
+        sum(col("i").cast("decimal(38,0)") * col("x")).as("six"),
+        sum(when(col("topdec"), col("x")).otherwise(lit(0L))).as("top_cnt"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        ((lit(2) * col("six") - (col("n_users") + 1) * col("n_events"))
+          .cast("double") / col("n_users").cast("double") /
+          col("n_events").cast("double")).as("gini"),
+        (col("top_cnt").cast("double") / col("n_events").cast("double"))
+          .as("top10_share"))
+      .orderBy("event_type")
+  }
+
   /** Cohort retention: each entity's cohort is its first activity day;
     * the cell (cohort_day, k) counts entities of that cohort active
     * exactly k days after it. Two keyed aggregates (first-day, then

@@ -234,6 +234,50 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Per-dimension embedding health: EXACT fixed-point mean and
+    * variance of every coordinate across the whole corpus — the
+    * collapsed-dimension audit (a dimension whose variance is ~0
+    * carries no information and silently degrades every cosine above
+    * it; a huge-variance dimension dominates the metric). Read next to
+    * [[embeddingNormStats]] (per-vector norms) this completes the
+    * geometry-health picture: q114 audits rows, this audits columns.
+    *
+    * Exactness: coordinates are quantized to nano units (signed long),
+    * summed exactly — Σx in DECIMAL(38,0), Σx² widened to DECIMAL
+    * BEFORE squaring (the q114 overflow lesson) — and the population
+    * variance numerator n·Σx² − (Σx)² stays integral until ONE final
+    * double division chain (… / n / n / 1e18), pinned in the same
+    * order in the DuckDB twin, so the output is bit-stable across
+    * engines. The `collapsed` flag compares in INTEGER nano²-space
+    * (var_num < threshold·n²·1e18), not on the divided double.
+    *
+    * Scale shape: one narrow posexplode → hash aggregate keyed by
+    * `dim` with map-side partials; output is `dim` rows whatever the
+    * corpus size. No joins, no windows.
+    */
+  def dimensionStats(emb: DataFrame, vecCol: String,
+                     collapsedVar: Double = 1e-4): DataFrame = {
+    val x = emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1e9) + lit(0.5))
+          .cast("long").as("xi"))
+    val thNano2 = BigDecimal(collapsedVar * 1e18).toBigInt
+    x.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).as("s1"),
+        sum(col("xi").cast("decimal(38,0)") * col("xi")).as("s2"))
+      .withColumn("var_num",
+        col("n") * col("s2") - col("s1") * col("s1"))
+      .select(col("dim"), col("n"),
+        (col("s1").cast("double") / col("n") / lit(1e9)).as("mean"),
+        (col("var_num").cast("double") / col("n") / col("n") / lit(1e18))
+          .as("variance"),
+        (col("var_num") <
+          lit(thNano2.toString).cast("decimal(38,0)") *
+            col("n") * col("n")).as("collapsed"))
+      .orderBy("dim")
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
     * weights in [-0.5, 0.5), derived from a seeded xorshift so every run
     * and every executor sees the same planes (no Math.random).

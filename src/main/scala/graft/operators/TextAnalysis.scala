@@ -844,4 +844,66 @@ object TextAnalysis {
       .orderBy(col(groupCol))
     Dedup.materializeAndRelease(out, vocab)
   }
+
+  /** Pairwise corpus drift: the Jensen–Shannon divergence (nats,
+    * 0 ≤ JS ≤ ln 2) between every pair of per-`srcCol` unigram
+    * distributions — the "did this crawl/source shift vocabulary"
+    * audit run when mixing or refreshing corpus sources. A pair near 0
+    * is near-identical text; a pair near ln 2 is disjoint vocabulary.
+    *
+    * The sum is split analytically: tokens PRESENT IN BOTH sources
+    * contribute 0.5·(pₐ·ln(pₐ/m) + p_b·ln(p_b/m)) with m the mixture
+    * mean, while each source's UNSHARED probability mass contributes
+    * exactly 0.5·ln 2·(1 − sharedMass) in closed form (m = p/2 there)
+    * — so the only join is the INNER token join between source pairs,
+    * never a full outer over the union vocabulary. Per-term doubles
+    * follow the q66 cross-engine idiom (round-9 → DECIMAL(30,9), exact
+    * order-independent sums); shared masses stay integral; the final
+    * three-term combination is one pinned double chain.
+    *
+    * Scale: the (src, tok) count table is token-keyed; the pair join
+    * fans each token over its ≤|sources| carriers with map-side
+    * partial aggregation down to |sources|² rows. Source totals are a
+    * broadcast. The corpus is tokenized once.
+    */
+  def sourceDivergence(docs: DataFrame, textCol: String, srcCol: String)
+      : DataFrame = {
+    val halfLn2 = 0.5 * math.log(2.0)
+    val tok = docs.select(col(srcCol).as("src"),
+      explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cnt = tok.groupBy("src", "tok").agg(count(lit(1)).as("cnt"))
+    val tot = tok.groupBy("src").agg(count(lit(1)).as("tot"))
+    val a = cnt.select(col("src").as("src_a"), col("tok"),
+      col("cnt").as("cnt_a"))
+    val b = cnt.select(col("src").as("src_b"), col("tok"),
+      col("cnt").as("cnt_b"))
+    val totA = tot.select(col("src").as("src_a"), col("tot").as("tot_a"))
+    val totB = tot.select(col("src").as("src_b"), col("tot").as("tot_b"))
+    val pa = col("cnt_a").cast("double") / col("tot_a").cast("double")
+    val pb = col("cnt_b").cast("double") / col("tot_b").cast("double")
+    val m = (pa + pb) / lit(2)
+    val shared = a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .join(broadcast(totA), "src_a")
+      .join(broadcast(totB), "src_b")
+      .withColumn("contrib",
+        round(lit(0.5) * (pa * log(pa / m) + pb * log(pb / m)), 9)
+          .cast("decimal(30,9)"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("cnt_a")).as("sh_a"),
+        sum(col("cnt_b")).as("sh_b"), sum(col("contrib")).as("c"))
+    val pairs = broadcast(totA).crossJoin(broadcast(totB))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("c"), lit(0).cast("decimal(30,9)")).cast("double") +
+          lit(halfLn2) *
+            ((col("tot_a") - coalesce(col("sh_a"), lit(0L))).cast("double") /
+              col("tot_a").cast("double")) +
+          lit(halfLn2) *
+            ((col("tot_b") - coalesce(col("sh_b"), lit(0L))).cast("double") /
+              col("tot_b").cast("double"))).as("js"))
+      .orderBy("src_a", "src_b")
+  }
 }

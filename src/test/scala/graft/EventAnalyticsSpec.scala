@@ -134,4 +134,90 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 2) -> 1L,
       ("2024-01-02", 0) -> 1L)
   }
+
+  private def mkEvents(spec: Seq[(Int, Int, String)]) = {
+    var id = 0L
+    spec.flatMap { case (day, c, et) =>
+      (1 to c).map { _ =>
+        id += 1
+        (id, ts(f"2024-01-$day%02d 10:00:00"), et)
+      }
+    }.toDF("event_id", "ts", "event_type")
+  }
+
+  test("volumeAnomaly: zero-variance null z, spike flag, calendar RANGE window") {
+    val events = mkEvents(
+      // a: constant 10/day for 8 days -> every trailing window has var 0
+      (1 to 8).map(d => (d, 10, "a")) ++
+      // c: alternating 9/11 for 7 days, then a 50-event day 8
+      ((1 to 7).map(d => (d, if (d % 2 == 1) 9 else 11, "c")) :+ (8, 50, "c")) ++
+      // d: sparse days 1, 2, 10 — day 10's trailing CALENDAR window is
+      // empty (a ROWS window would wrongly see two trailing rows)
+      Seq((1, 5, "d"), (2, 5, "d"), (10, 5, "d")))
+    val out = EventAnalytics.volumeAnomaly(events, "ts", "event_type")
+    val m = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // a, day 4: trailing = days 1..3, all 10 -> var 0 -> null z, no spike
+    val a4 = m(("a", "2024-01-04"))
+    a4.getLong(3) shouldBe 3L
+    a4.getDouble(4) shouldBe 10.0
+    a4.isNullAt(5) shouldBe true
+    a4.getBoolean(6) shouldBe false
+    // c, day 8: trailing = days 1..7 = 9,11,9,11,9,11,9
+    val c8 = m(("c", "2024-01-08"))
+    c8.getLong(2) shouldBe 50L
+    c8.getLong(3) shouldBe 7L
+    val mean = 69.0 / 7.0
+    c8.getDouble(4) shouldBe mean
+    val varNum = 7L * (4 * 81L + 3 * 121L) - 69L * 69L
+    val z = (50.0 - mean) / math.sqrt(varNum.toDouble / (7.0 * 6.0))
+    c8.getDouble(5) shouldBe z
+    c8.getBoolean(6) shouldBe true
+    // d emits nothing: day 1 has 0 trailing days, day 2 has 1, day 10's
+    // 7-day calendar window (days 3..9) is empty
+    m.keys.count(_._1 == "d") shouldBe 0
+  }
+
+  test("interEventGaps: per (entity, type) gaps, cross-type isolation") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 10:00:05"), "b"), // interleaved other type
+      (3L, ts("2024-01-01 10:00:10"), "a"),
+      (4L, ts("2024-01-01 10:00:30"), "a"),
+      (5L, ts("2024-01-01 11:00:00"), "a")) // user 2: single -> no gap
+      .map { case (id, t, et) => (id, if (id == 5L) 2L else 1L, t, et) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.interEventGaps(events, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    a.getLong(1) shouldBe 2L            // gaps 10s, 20s for user 1 only
+    a.getDouble(2) shouldBe 15.0        // mean
+    a.getDouble(3) shouldBe 15.0        // p50 interpolated
+    a.getDouble(4) shouldBe 19.0        // p90 = 10 + 0.9*(20-10)
+    a.getDouble(5) shouldBe 20.0        // max
+    out.contains("b") shouldBe false    // single event -> no gap row
+  }
+
+  test("activityConcentration: uniform Gini 0, whale-dominated Gini, top-decile share") {
+    val events =
+      ((1 to 4).map(u => (u.toLong, "a", 1)) ++ // 4 users x 1 event
+        (1 to 9).map(u => (u.toLong, "b", 1)) :+ (10L, "b", 91))
+        .flatMap { case (u, et, c) => (1 to c).map(_ => (u, et)) }
+        .toDF("user_id", "event_type")
+    val out = EventAnalytics.activityConcentration(events, "user_id",
+        "event_type")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    a.getLong(1) shouldBe 4L
+    a.getLong(2) shouldBe 4L
+    a.getDouble(3) shouldBe 0.0         // perfectly equal
+    a.getDouble(4) shouldBe 0.25        // ceil(4/10)=1 top entity of 4
+    val b = out("b")
+    b.getLong(1) shouldBe 10L
+    b.getLong(2) shouldBe 100L
+    // sum i*x = 45*1 + 10*91 = 955; gini = (2*955 - 11*100) / (10*100)
+    b.getDouble(3) shouldBe 0.81
+    b.getDouble(4) shouldBe 0.91        // whale holds 91 of 100
+  }
 }

@@ -304,4 +304,27 @@ class SimilaritySpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 5L))
   }
+
+  test("dimensionStats: exact mean/variance per dimension, collapsed flag") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.5f)),
+      (2L, Array(1.0f, -0.5f)),
+      (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.dimensionStats(emb, "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d0 = rows(0L)
+    d0.getLong(1) shouldBe 3L
+    d0.getDouble(2) shouldBe 1.0
+    d0.getDouble(3) shouldBe 0.0
+    d0.getBoolean(4) shouldBe true        // zero variance = collapsed
+    val d1 = rows(1L)
+    d1.getDouble(2) shouldBe 0.0
+    // xi = (5e8, -5e8, 0): var = (3*(2*25e16) - 0) / 9 / 1e18 = 1/6
+    d1.getDouble(3) shouldBe (3.0 * 5e17 / 9.0 / 1e18)
+    d1.getBoolean(4) shouldBe false
+    // threshold dial: with collapsedVar above 1/6 both dims flag
+    Similarity.dimensionStats(emb, "embedding", collapsedVar = 0.5)
+      .collect().map(_.getBoolean(4)).toSeq shouldBe Seq(true, true)
+  }
 }

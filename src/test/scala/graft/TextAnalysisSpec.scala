@@ -401,4 +401,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getString(2)))
     merges shouldBe Array(("a", "b"), ("ab", "</w>"))
   }
+
+  test("sourceDivergence: 0 for identical, ln 2 for disjoint, closed-form unshared mass") {
+    val docs = Seq(
+      (1L, "x y", "A"), (2L, "x y", "B"),   // identical distributions
+      (3L, "q q", "C"), (4L, "r", "D"),     // disjoint vocabularies
+      (5L, "x y", "E"), (6L, "x z", "F"))   // half-shared mass
+      .toDF("doc_id", "text", "source")
+    val js = TextAnalysis.sourceDivergence(docs, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    js.size shouldBe 15                      // all 6-choose-2 pairs present
+    js(("A", "B")) shouldBe ((2L, 0.0))
+    val (nCD, jsCD) = js(("C", "D"))
+    nCD shouldBe 0L
+    jsCD shouldBe math.log(2.0) +- 1e-12
+    // E/F share 'x' (p = 0.5 each side, zero contribution); each side's
+    // unshared half contributes 0.5*ln2*0.5
+    val (nEF, jsEF) = js(("E", "F"))
+    nEF shouldBe 1L
+    jsEF shouldBe (0.5 * math.log(2.0)) +- 1e-9
+  }
 }
