@@ -2390,8 +2390,60 @@ object SparkEntry {
     // share (the whale audit).
     "q120_activity_gini" -> ((s, dir) =>
       operators.EventAnalytics.activityConcentration(
-        Tables.events(s, dir), "user_id", "event_type"))
+        Tables.events(s, dir), "user_id", "event_type")),
+
+    // Distributed Lloyd k-means in exact fixed point (k=8, 3 rounds):
+    // the trainer for the IVF/SemDeDup centroid tables, bit-stable
+    // across engines (the twin replays every round).
+    "q121_kmeans" -> ((s, dir) =>
+      operators.Similarity.kmeans(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3))
   )
+
+  /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
+    * (iterative-twin) discipline applied to Lloyd's algorithm — every
+    * round's assignment (exact DECIMAL distances, (d2, cluster) tie
+    * order) and integral-divide centroid update is unrolled as CTEs,
+    * so the trainer is hash-gated end to end, not rows-only. */
+  private def kmeansTwin(k: Int, iters: Int): String = {
+    def assignCte(r: String, c: String): String =
+      s"""d$r AS (SELECT x.vec_id, c.cluster,
+         |    SUM(CAST(x.xi - c.ci AS DECIMAL(38,0)) * (x.xi - c.ci)) AS d2
+         |  FROM x JOIN $c c USING (dim) GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cluster, d2 FROM (
+         |    SELECT vec_id, cluster, d2, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d$r)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (0 until iters).map { r =>
+      s"""${assignCte(r.toString, s"c$r")},
+         |u$r AS (SELECT a.cluster, x.dim,
+         |    CAST(SUM(x.xi) AS BIGINT) // COUNT(*) AS ci
+         |  FROM x JOIN a$r a USING (vec_id) GROUP BY 1, 2),
+         |c${r + 1} AS (SELECT c.cluster, c.dim, COALESCE(u.ci, c.ci) AS ci
+         |  FROM c$r c LEFT JOIN u$r u
+         |    ON u.cluster = c.cluster AND u.dim = c.dim)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x0 AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+       |    embedding FROM embeddings),
+       |x AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |    CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1e9 + 0.5)
+       |      AS BIGINT) + 2000000000 AS xi
+       |  FROM x0),
+       |seeds AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT s.cluster, x.dim, x.xi AS ci
+       |  FROM x JOIN seeds s USING (vec_id)),
+       |$rounds,
+       |${assignCte("f", s"c$iters")},
+       |s AS (SELECT cluster, COUNT(*) AS n,
+       |    CAST(CAST(CAST(SUM(d2) AS HUGEINT) // 1000000000 AS BIGINT)
+       |      AS DOUBLE) / 1e9 AS sse
+       |  FROM af GROUP BY 1)
+       |SELECT g.cluster, COALESCE(n, 0) AS n, COALESCE(sse, 0.0) AS sse
+       |FROM (SELECT DISTINCT cluster FROM c$iters) g LEFT JOIN s USING (cluster)
+       |ORDER BY cluster""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Three kinds of entry: full recomputation
@@ -4619,10 +4671,12 @@ object SparkEntry {
         |ORDER BY n DESC, path
         |LIMIT 20""".stripMargin,
 
-    // same nano quantization as q113/q114; the variance numerator
-    // n*S2 - S1^2 stays integral (DECIMAL) until one final double
-    // division chain written in the identical order; the collapsed
-    // flag compares in integer nano^2-space
+    // same nano quantization as q113/q114; mean and the variance
+    // numerator n*S2 - S1^2 stay integral and are floor-quantized to
+    // nano units by integral divides BEFORE any double cast (wide
+    // DECIMAL->DOUBLE rounds differently across engines past 2^53 —
+    // the q121 lesson; int64->double is correctly rounded everywhere);
+    // the collapsed flag compares in integer nano^2-space
     "q116_dimension_stats" ->
       """WITH x0 AS (SELECT unnest(range(len(embedding))) AS dim, embedding
         |            FROM embeddings),
@@ -4635,8 +4689,11 @@ object SparkEntry {
         |        FROM x GROUP BY 1),
         |v AS (SELECT dim, n, s1, n * s2 - s1 * s1 AS var_num FROM agg)
         |SELECT dim, n,
-        |  CAST(s1 AS DOUBLE) / n / 1e9 AS mean,
-        |  CAST(var_num AS DOUBLE) / n / n / 1e18 AS variance,
+        |  CAST(CAST(CAST(s1 + CAST(n AS DECIMAL(38,0)) * 2000000000
+        |      AS HUGEINT) // n AS BIGINT) - 2000000000 AS DOUBLE) / 1e9
+        |    AS mean,
+        |  CAST(CAST(CAST(var_num AS HUGEINT) // (n * n) AS BIGINT)
+        |      AS DOUBLE) / 1e18 AS variance,
         |  var_num < CAST(100000000000000 AS DECIMAL(38,0)) * n * n AS collapsed
         |FROM v
         |ORDER BY dim""".stripMargin,
@@ -4745,6 +4802,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN topdec THEN x ELSE 0 END) AS DOUBLE)
         |    / CAST(SUM(x) AS DOUBLE) AS top10_share
         |FROM t GROUP BY 1
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q121_kmeans" -> kmeansTwin(8, 3)
   )
 }

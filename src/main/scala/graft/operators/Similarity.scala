@@ -245,11 +245,14 @@ object Similarity {
     * Exactness: coordinates are quantized to nano units (signed long),
     * summed exactly — Σx in DECIMAL(38,0), Σx² widened to DECIMAL
     * BEFORE squaring (the q114 overflow lesson) — and the population
-    * variance numerator n·Σx² − (Σx)² stays integral until ONE final
-    * double division chain (… / n / n / 1e18), pinned in the same
-    * order in the DuckDB twin, so the output is bit-stable across
-    * engines. The `collapsed` flag compares in INTEGER nano²-space
-    * (var_num < threshold·n²·1e18), not on the divided double.
+    * variance numerator n·Σx² − (Σx)² stays integral all the way to a
+    * ≤2^53 gate: mean and variance are floor-quantized to nano units
+    * by INTEGRAL divides (exact at any corpus size), then cast and
+    * divided ONCE — above 2^53, DECIMAL→DOUBLE rounding differs
+    * across engines by an ULP (the q121 lesson), so no wide integer
+    * ever crosses into double. The `collapsed` flag compares in
+    * INTEGER nano²-space (var_num < threshold·n²·1e18), not on the
+    * divided double.
     *
     * Scale shape: one narrow posexplode → hash aggregate keyed by
     * `dim` with map-side partials; output is `dim` rows whatever the
@@ -257,11 +260,23 @@ object Similarity {
     */
   def dimensionStats(emb: DataFrame, vecCol: String,
                      collapsedVar: Double = 1e-4): DataFrame = {
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
     val x = emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("dim").cast("long").as("dim"),
         floor(col("v").cast("double") * lit(1e9) + lit(0.5))
           .cast("long").as("xi"))
     val thNano2 = BigDecimal(collapsedVar * 1e18).toBigInt
+    // the q97 offset keeps the mean dividend non-negative, so the
+    // engines' integral divides (floor vs truncate) agree
+    val meanNano =
+      intDiv(col("s1") + col("n").cast("decimal(38,0)") * lit(2000000000L),
+        col("n")) - lit(2000000000L)
+    val varNano2 =
+      intDiv(col("var_num"), col("n").cast("decimal(38,0)") * col("n"))
     x.groupBy("dim")
       .agg(count(lit(1)).as("n"),
         sum(col("xi").cast("decimal(38,0)")).as("s1"),
@@ -269,13 +284,100 @@ object Similarity {
       .withColumn("var_num",
         col("n") * col("s2") - col("s1") * col("s1"))
       .select(col("dim"), col("n"),
-        (col("s1").cast("double") / col("n") / lit(1e9)).as("mean"),
-        (col("var_num").cast("double") / col("n") / col("n") / lit(1e18))
-          .as("variance"),
+        (meanNano.cast("double") / lit(1e9)).as("mean"),
+        (varNano2.cast("double") / lit(1e18)).as("variance"),
         (col("var_num") <
           lit(thNano2.toString).cast("decimal(38,0)") *
             col("n") * col("n")).as("collapsed"))
       .orderBy("dim")
+  }
+
+  /** Distributed k-means (Lloyd) over the embedding column in EXACT
+    * fixed-point arithmetic — the trainer for the centroid tables the
+    * IVF index ([[ivfTopK]]) and SemDeDup ([[semDedup]]) consume.
+    * Deterministic end to end: seeds are the `k` smallest-id vectors,
+    * coordinates are quantized to offset nano units (the q97 idiom),
+    * assignment distance is an exact DECIMAL sum of squared diffs with
+    * ties broken toward the smaller cluster id, and the centroid
+    * update is a non-negative integral divide — so every iteration,
+    * and the final summary, is bit-identical across engines and runs
+    * (no float drift, no RNG). A cluster that loses all members keeps
+    * its previous centroid.
+    *
+    * Scale shape per iteration: the centroid table (k × dim rows) is
+    * BROADCAST to the exploded corpus for assignment (map-side
+    * distance partials keyed by (vec, cluster), then a per-vec argmin
+    * window over k rows); the update is one (cluster, dim)-keyed
+    * aggregate. The corpus is exploded once and cached; each round is
+    * materialized and its predecessor released (the BPE trainer's
+    * lazy-round pattern), so plan depth and cache footprint stay
+    * constant in `iters`.
+    *
+    * Returns the per-cluster summary after `iters` updates: member
+    * count and exact SSE (nano²-exact DECIMAL scaled once to double)
+    * under the FINAL centroids.
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    val x = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        (floor(col("v").cast("double") * lit(1e9) + lit(0.5)) +
+          lit(2000000000L)).cast("long").as("xi"))
+      .persist()
+    val seeds = emb.select(col(idCol).as("vec_id"))
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .cast("long").as("cluster"))
+    var cent = x.join(broadcast(seeds), "vec_id")
+      .select(col("cluster"), col("dim"), col("xi").as("ci"))
+      .persist()
+    cent.count()
+    // per-vector argmin assignment under the CURRENT centroids
+    def assign(c: DataFrame): DataFrame = {
+      val d2 = x.join(broadcast(c), "dim")
+        .withColumn("sq",
+          (col("xi") - col("ci")).cast("decimal(38,0)") *
+            (col("xi") - col("ci")))
+        .groupBy("vec_id", "cluster")
+        .agg(sum(col("sq")).as("d2"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cluster").asc)
+      d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+    }
+    for (_ <- 1 to iters) {
+      val upd = x.join(assign(cent).select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(intDiv(sum(col("xi")), count(lit(1))).as("ci_new"))
+      val next = cent.join(upd, Seq("cluster", "dim"), "left")
+        .select(col("cluster"), col("dim"),
+          coalesce(col("ci_new"), col("ci")).as("ci"))
+      cent = Dedup.materializeAndRelease(next, cent)
+    }
+    // SSE leaves integer space through a ≤2^53 gate: Σd2 can exceed
+    // 2^53, where DECIMAL→DOUBLE rounding differs across engines by an
+    // ULP (observed at sf0.001) — so truncate to nano² units with an
+    // integral divide FIRST (exact, ≤~6e10 here), then one exact cast
+    // and one correctly-rounded division.
+    val out = assign(cent)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        (intDiv(sum(col("d2")), lit(1000000000L)).cast("double") /
+          lit(1e9)).as("sse"))
+      .join(cent.groupBy("cluster").agg(count(lit(1)).as("__d")), Seq("cluster"),
+        "right")
+      .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sse"), lit(0.0)).as("sse"))
+      .orderBy("cluster")
+    Dedup.materializeAndRelease(out, cent, x)
   }
 
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`

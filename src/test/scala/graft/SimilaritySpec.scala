@@ -320,11 +320,42 @@ class SimilaritySpec extends SparkSpec {
     d0.getBoolean(4) shouldBe true        // zero variance = collapsed
     val d1 = rows(1L)
     d1.getDouble(2) shouldBe 0.0
-    // xi = (5e8, -5e8, 0): var = (3*(2*25e16) - 0) / 9 / 1e18 = 1/6
-    d1.getDouble(3) shouldBe (3.0 * 5e17 / 9.0 / 1e18)
+    // xi = (5e8, -5e8, 0): var_num = 3*(2*25e16) - 0 = 1.5e18, floor-
+    // quantized to nano^2 by the integral divide before the cast
+    d1.getDouble(3) shouldBe (1500000000000000000L / 9L).toDouble / 1e18
     d1.getBoolean(4) shouldBe false
     // threshold dial: with collapsedVar above 1/6 both dims flag
     Similarity.dimensionStats(emb, "embedding", collapsedVar = 0.5)
       .collect().map(_.getBoolean(4)).toSeq shouldBe Seq(true, true)
+  }
+
+  test("kmeans: two blobs converge to exact centroids/SSE in two rounds") {
+    // float-exact coordinates so the fixed-point walk is clean:
+    // blob A = {0, 0.25, 0.5}, blob B = {10, 10.25, 10.5}; seeds are
+    // ids 1 (0.0) and 2 (0.25). Round 1 captures all of B plus 0.25
+    // and 0.5 into cluster 1; round 2 separates the blobs exactly.
+    val emb = Seq(
+      (1L, Array(0.0f)), (2L, Array(0.25f)), (3L, Array(0.5f)),
+      (4L, Array(10.0f)), (5L, Array(10.25f)), (6L, Array(10.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(emb, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // per-blob SSE = 2 * 0.25^2 = 0.125, exact in nano^2 units
+    out.toSeq shouldBe Seq((0L, 3L, 0.125), (1L, 3L, 0.125))
+    // deterministic: identical re-run, bit for bit
+    Similarity.kmeans(emb, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq shouldBe out.toSeq
+  }
+
+  test("kmeans: a cluster that loses all members keeps its centroid") {
+    // three identical points, k=2: both seeds coincide, every point
+    // ties to cluster 0 (tie order), cluster 1 goes empty and must
+    // retain its previous centroid instead of vanishing
+    val emb = Seq((1L, Array(1.0f)), (2L, Array(1.0f)), (3L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(emb, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq((0L, 3L, 0.0), (1L, 0L, 0.0))
   }
 }
