@@ -431,6 +431,38 @@ object StressBench {
       s""""merges":${base.size},"ok":$ok}"""
   }
 
+  /** k-means under 10× uniform cloning: seeds (the k smallest ids)
+    * survive cloning (clone ids are offset above the originals), every
+    * clone is coordinate-identical to its base row, so each round's
+    * assignment maps clones exactly where their base went and the
+    * integral-divide centroid is INVARIANT (floor(10S/10n) =
+    * floor(S/n)). Hence member counts scale ×10 exactly, and SSE
+    * scales ×10 up to the closed-form floor-quantization envelope
+    * (each reported SSE is floor-truncated at 1e-9, so
+    * |sse10 − 10·sseB| ≤ 1e-8 — an arithmetic bound, not a float
+    * tolerance). Cost narrative: per-round work is corpus-linear, so
+    * 10× data ≈ 10× per-iteration cost with the same iteration count.
+    */
+  private def kmeansClone10x(s: SparkSession, sfDir: String): String = {
+    val emb = Tables.embeddings(s, sfDir).select("vec_id", "embedding")
+    val offset = emb.agg(max("vec_id")).head().getLong(0) + 1
+    def fit(in: DataFrame): Seq[(Long, Long, Double)] =
+      Similarity.kmeans(in, "vec_id", "embedding", k = 8, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val (base, baseSecs) = time(fit(emb))
+    val (c10, secs10) = time(fit(
+      emb.withColumnRenamed("vec_id", "doc_id")
+        .transform(clones(_, 10, offset))
+        .withColumnRenamed("doc_id", "vec_id")))
+    val ok = c10.map(t => (t._1, t._2)) == base.map(t => (t._1, 10 * t._2)) &&
+      c10.zip(base).forall { case ((_, _, s10), (_, _, sb)) =>
+        math.abs(s10 - 10 * sb) <= 1.0e-8
+      }
+    s""""kmeans_clone10x":{"secs":${r3(secs10)},"base_secs":${r3(baseSecs)},""" +
+      s""""clusters":${base.size},"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -445,7 +477,8 @@ object StressBench {
       "capstone_11x" -> (() => capstone11x(spark, sfDir)),
       "manifest_clone10x" -> (() => manifestClone10x(spark, sfDir)),
       "centroid_clone10x" -> (() => centroidClone10x(spark, sfDir)),
-      "bpe_clone10x" -> (() => bpeClone10x(spark, sfDir)))
+      "bpe_clone10x" -> (() => bpeClone10x(spark, sfDir)),
+      "kmeans_clone10x" -> (() => kmeansClone10x(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet

@@ -26,6 +26,10 @@ case class TransEvent(user: Long, tsUs: Long, eid: Long, etype: String)
 case class Transition(user: Long, et: String, net: String, tsUs: Long)
 private[streaming] case class TransState(tsUs: Long, eid: Long, etype: String)
 
+/** Emitted row of the stateful streaming cadence feed. */
+case class EventGap(user: Long, etype: String, gapUs: Long)
+private[streaming] case class GapState(tsUs: Long)
+
 /** Structured-Streaming parity for the reference's stream processors.
   *
   * The defining computation (ref option_trade_aggs/main.py:203-230):
@@ -206,6 +210,33 @@ object StreamingOps {
             st = Some(TransState(r.tsUs, r.eid, r.etype))
           }
           st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** STREAMING twin of [[graft.operators.EventAnalytics
+    * .interEventGaps]]'s gap extraction: the last event time per
+    * (entity, type) lives in the state store; each arriving event
+    * emits its µs gap to the previous same-key event, so a downstream
+    * aggregate over the gap feed IS the cadence table, maintained
+    * incrementally. Within a micro-batch rows fold in (tsUs, eid)
+    * order — the batch operator's window order — so the emitted gap
+    * multiset equals the batch lag-gaps under event-ordered arrival
+    * across batches. Works on batch Datasets too.
+    */
+  def gapsStateful(ds: Dataset[TransEvent]): Dataset[EventGap] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => (r.user, r.etype))
+      .flatMapGroupsWithState[GapState, EventGap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((user, etype), rows, state: GroupState[GapState]) =>
+          var last = state.getOption.map(_.tsUs)
+          val out = Seq.newBuilder[EventGap]
+          rows.toSeq.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+            last.foreach(l => out += EventGap(user, etype, r.tsUs - l))
+            last = Some(r.tsUs)
+          }
+          last.foreach(t => state.update(GapState(t)))
           out.result().iterator
       }
   }

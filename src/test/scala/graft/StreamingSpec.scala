@@ -235,6 +235,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapsStateful: gap multiset equals the batch cadence extraction across micro-batches") {
+    import graft.streaming.{TransEvent, EventGap}
+    val us = 1000000L
+    val b1 = Seq(
+      TransEvent(1L, 10 * us, 100L, "a"), TransEvent(1L, 20 * us, 101L, "a"),
+      TransEvent(1L, 15 * us, 102L, "b"), // other type, same user: isolated
+      TransEvent(2L, 10 * us, 103L, "a"))
+    val b2 = Seq(
+      TransEvent(1L, 50 * us, 104L, "a"), // cross-batch 30 s gap
+      TransEvent(2L, 11 * us, 105L, "a"))
+    val input = MemoryStream[TransEvent](spark)
+    val out = StreamingOps.gapsStateful(input.toDS())
+    val ckpt = Files.createTempDirectory("ckpt_gaps").toString
+    val q = out.writeStream.format("memory").queryName("gaps_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("gaps_out").as[EventGap].collect()
+        .map(g => (g.user, g.etype, g.gapUs)).sorted.toSeq
+      streamed shouldBe Seq(
+        (1L, "a", 10 * us), (1L, "a", 30 * us), (2L, "a", 1 * us))
+      // parity with the batch operator's aggregate over the same events
+      val batch = graft.operators.EventAnalytics.interEventGaps(
+          (b1 ++ b2).map(e =>
+            (e.user, new java.sql.Timestamp(e.tsUs / 1000), e.eid, e.etype))
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_type", "event_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      batch shouldBe Map("a" -> 3L) // same three gaps, type b has none
+    } finally q.stop()
+  }
+
   test("packShardsStateful matches batch packShards across micro-batches (streaming shard packing)") {
     import graft.streaming.{ShardDoc, ShardAssigned}
     val docs = Seq(
