@@ -2397,7 +2397,26 @@ object SparkEntry {
     // across engines (the twin replays every round).
     "q121_kmeans" -> ((s, dir) =>
       operators.Similarity.kmeans(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3))
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3)),
+
+    // Funnel drop-off: per-step reach + step-over-step conversion,
+    // the funnel-chart table over q108's state machine.
+    "q122_funnel_dropoff" -> ((s, dir) =>
+      operators.EventAnalytics.funnelDropoff(Tables.events(s, dir),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"))),
+
+    // Lexical diversity per source: vocab/hapax/TTR — the lexical-
+    // health audit next to the Zipf/Heaps fits.
+    "q123_lexical_diversity" -> ((s, dir) =>
+      operators.TextAnalysis.lexicalDiversity(
+        Tables.documents(s, dir), "text", "source")),
+
+    // Session engagement distribution over the 30-min gap sessions:
+    // count, duration percentiles, events/session, bounce rate.
+    "q124_session_stats" -> ((s, dir) =>
+      operators.EventAnalytics.sessionStats(Tables.events(s, dir),
+        "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000000))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -4804,6 +4823,85 @@ object SparkEntry {
         |FROM t GROUP BY 1
         |ORDER BY event_type""".stripMargin,
 
-    "q121_kmeans" -> kmeansTwin(8, 3)
+    "q121_kmeans" -> kmeansTwin(8, 3),
+
+    // q108's chained-min formulation gives the same per-step reach as
+    // the state machine (strict-after makes tie order irrelevant);
+    // step-1's conv_from_prev denominator is the full entity population
+    "q122_funnel_dropoff" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |u AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM events),
+        |n AS (SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |        (SELECT COUNT(*) FROM s1) AS n_reached
+        |      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)),
+        |w AS (SELECT n.*,
+        |    lag(n_reached, 1, (SELECT n_total FROM u)) OVER (ORDER BY step)
+        |      AS prev,
+        |    (SELECT n_total FROM u) AS n_total
+        |  FROM n)
+        |SELECT step, step_name, n_reached,
+        |  CASE WHEN prev > 0 THEN
+        |    CAST(n_reached AS DOUBLE) / CAST(prev AS DOUBLE) END
+        |    AS conv_from_prev,
+        |  CASE WHEN n_total > 0 THEN
+        |    CAST(n_reached AS DOUBLE) / CAST(n_total AS DOUBLE) END
+        |    AS conv_from_total
+        |FROM w
+        |ORDER BY step""".stripMargin,
+
+    "q123_lexical_diversity" ->
+      """WITH tok AS (SELECT source, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, COUNT(*) AS cnt FROM tok
+        |  WHERE len(tok) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS vocab,
+        |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+        |    AS ttr,
+        |  CAST(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+        |FROM cnt
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // the q60 sessionizer CTE collapsed to one global engagement row
+    "q124_session_stats" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(opens) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM o),
+        |per AS (SELECT user_id, session_seq,
+        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2),
+        |d AS (SELECT *, CAST(dur_us AS DOUBLE) / 1000000.0 AS dur_s FROM per)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(dur_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+        |    AS mean_dur_s,
+        |  round(quantile_cont(dur_s, 0.5), 9) AS p50_dur_s,
+        |  round(quantile_cont(dur_s, 0.9), 9) AS p90_dur_s,
+        |  CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_events,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        |FROM d""".stripMargin
   )
 }

@@ -287,6 +287,83 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** Funnel drop-off summary over [[funnel]]: one row per step with
+    * how many entities reached it, the step-over-step conversion, and
+    * the conversion from the step-1 population — the table a funnel
+    * chart renders. Entities that never reach step 1 count only in the
+    * denominator of step 1's `conv_from_prev` (the full entity
+    * population). Steps nobody reached emit 0 with a null conversion
+    * once the previous step is also 0.
+    *
+    * Shape: the funnel's per-entity depths collapse via a bounded
+    * explode (depth ≤ |steps| rows per entity) into |steps| counters;
+    * everything after the funnel's single entity-keyed shuffle is
+    * driver-scale.
+    */
+  def funnelDropoff(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = funnel(events, userCol, tsCol, typeCol, steps)
+      .select(col(userCol), col("depth")).persist()
+    val total = f.agg(count(lit(1)).as("n_total"))
+    val reached = f.filter(col("depth") >= 1)
+      .select(explode(sequence(lit(1), col("depth"))).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("n_reached"))
+    val names = array(steps.map(lit): _*)
+    val grid = events.sparkSession.range(1, steps.size + 1).toDF("step")
+      .select(col("step").cast("int").as("step"))
+    val out = grid.join(reached, Seq("step"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("step").cast("long").as("step"),
+        element_at(names, col("step")).as("step_name"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        col("n_total"))
+      .withColumn("prev",
+        coalesce(lag(col("n_reached"), 1).over(Window.orderBy(col("step"))),
+          col("n_total")))
+      .select(col("step"), col("step_name"), col("n_reached"),
+        when(col("prev") > 0,
+          col("n_reached").cast("double") / col("prev").cast("double"))
+          .as("conv_from_prev"),
+        when(col("n_total") > 0,
+          col("n_reached").cast("double") / col("n_total").cast("double"))
+          .as("conv_from_total"))
+      .orderBy("step")
+    Dedup.materializeAndRelease(out, f)
+  }
+
+  /** Session-level engagement distribution: [[Sessionize.assign]]'s
+    * sessions collapsed to ONE global row — session count, exact mean
+    * and interpolated p50/p90 duration (seconds), mean events per
+    * session, and the single-event (bounce) rate. Durations are
+    * µs-exact longs divided once into double; mean/rate chains are
+    * pinned integer-to-double divisions. One entity-keyed shuffle
+    * (the sessionizer's), then a per-session aggregate and a global
+    * fold with map-side partials.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapMicros: Long): DataFrame = {
+    val sess = Sessionize.assign(
+        events.select(col(userCol), col(tsCol), col(tieCol)),
+        Seq(userCol), tsCol, Seq(tieCol), gapMicros)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg((max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("dur_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("dur_s", col("dur_us").cast("double") / lit(1000000.0))
+    sess.agg(count(lit(1)).as("n_sessions"),
+        (sum(col("dur_us")).cast("double") / count(lit(1)).cast("double") /
+          lit(1000000.0)).as("mean_dur_s"),
+        graft.functions.hashSafeRound(
+          percentile(col("dur_s"), lit(0.5)), 9).as("p50_dur_s"),
+        graft.functions.hashSafeRound(
+          percentile(col("dur_s"), lit(0.9)), 9).as("p90_dur_s"),
+        (sum(col("n_events")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_events"),
+        (sum(when(col("n_events") === 1, lit(1L)).otherwise(lit(0L)))
+          .cast("double") / count(lit(1)).cast("double")).as("bounce_rate"))
+  }
+
   /** Cohort retention: each entity's cohort is its first activity day;
     * the cell (cohort_day, k) counts entities of that cohort active
     * exactly k days after it. Two keyed aggregates (first-day, then

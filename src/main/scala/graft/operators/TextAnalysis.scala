@@ -845,6 +845,35 @@ object TextAnalysis {
     Dedup.materializeAndRelease(out, vocab)
   }
 
+  /** Lexical diversity per group: token mass, vocabulary size, hapax
+    * legomena (words seen exactly once), type-token ratio, and the
+    * hapax share of the vocabulary — the quick lexical-health read
+    * next to the Zipf/Heaps curve fits (q85/q86): templated or
+    * machine-generated text shows depressed TTR and hapax rates long
+    * before a curve fit converges. One wordcount-shaped shuffle; the
+    * per-group fold is over the distinct-word table. Ratios are
+    * pinned integer-to-double divisions (no rounding step).
+    */
+  def lexicalDiversity(docs: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val cnt = docs
+      .select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("grp", "tok").agg(count(lit(1)).as("cnt"))
+    cnt.groupBy("grp")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, lit(1L)).otherwise(lit(0L))).as("hapax"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+        col("hapax"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_ratio"))
+      .orderBy(groupCol)
+  }
+
   /** Pairwise corpus drift: the Jensen–Shannon divergence (nats,
     * 0 ≤ JS ≤ ln 2) between every pair of per-`srcCol` unigram
     * distributions — the "did this crawl/source shift vocabulary"

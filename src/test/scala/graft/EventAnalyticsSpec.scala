@@ -220,4 +220,46 @@ class EventAnalyticsSpec extends SparkSpec {
     b.getDouble(3) shouldBe 0.81
     b.getDouble(4) shouldBe 0.91        // whale holds 91 of 100
   }
+
+  test("funnelDropoff: per-step reach, conversions, zero-reach null propagation") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:01:00"), "click"),
+      (4L, ts("2024-01-01 10:00:00"), "other")) // never enters the funnel
+      .toDF("user_id", "ts", "event_type")
+    val rows = EventAnalytics.funnelDropoff(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase", "refund", "cancel"))
+      .collect()
+    rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L),
+        (4L, "refund", 0L), (5L, "cancel", 0L))
+    rows(0).getDouble(3) shouldBe 3.0 / 4.0  // step 1 over ALL entities
+    rows(1).getDouble(3) shouldBe 2.0 / 3.0
+    rows(2).getDouble(3) shouldBe 0.5
+    rows(3).getDouble(3) shouldBe 0.0        // 0 of 1
+    rows(4).isNullAt(3) shouldBe true        // 0-reach predecessor -> null
+    rows.map(_.getDouble(4)).toSeq shouldBe
+      Seq(0.75, 0.5, 0.25, 0.0, 0.0)         // conv_from_total
+  }
+
+  test("sessionStats: gap splits, duration percentiles, bounce rate") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:10:00")), // 10 min: same session
+      (3L, 1L, ts("2024-01-01 10:50:00")), // 40 min gap: new session
+      (4L, 2L, ts("2024-01-01 09:00:00"))) // single-event user
+      .toDF("event_id", "user_id", "ts")
+    val r = EventAnalytics.sessionStats(events, "user_id", "ts",
+      "event_id", gapMicros = 30L * 60 * 1000000).collect().head
+    r.getLong(0) shouldBe 3L                 // sessions
+    r.getDouble(1) shouldBe 200.0            // durations 600, 0, 0
+    r.getDouble(2) shouldBe 0.0              // p50
+    r.getDouble(3) shouldBe 480.0            // p90 = 0 + 0.8*(600-0)
+    r.getDouble(4) shouldBe 4.0 / 3.0        // events per session
+    r.getDouble(5) shouldBe 2.0 / 3.0        // bounce rate
+  }
 }

@@ -423,4 +423,17 @@ class TextAnalysisSpec extends SparkSpec {
     nEF shouldBe 1L
     jsEF shouldBe (0.5 * math.log(2.0)) +- 1e-9
   }
+
+  test("lexicalDiversity: token mass, vocab, hapax, exact ratios") {
+    val docs = Seq(
+      (1L, "a a b", "A"), (2L, "x y z", "B"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.lexicalDiversity(docs, "text", "source")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    rows("A") shouldBe ((3L, 2L, 1L, 2.0 / 3.0, 0.5))
+    rows("B") shouldBe ((3L, 3L, 3L, 1.0, 1.0))
+  }
 }
