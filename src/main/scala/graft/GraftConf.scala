@@ -69,9 +69,13 @@ object GraftConf {
     // that compiles its classes; the r7 driver bench (86-query suite
     // between q50's two passes evicting everything) reported ~14.6 s
     // on BOTH passes — the same queries ran 7.5 s when the suite was
-    // 53 queries (r6). 4096 entries ≈ tens of MB of class metadata —
-    // noise against executor memory, and strictly driver/executor-local.
-    "spark.sql.codegen.cache.maxEntries" -> "4096",
+    // 53 queries (r6). Re-measured r9 at 124 queries: 4096 overflowed
+    // again (q103 13.7 s on BOTH suite passes vs 2.98 s min-of-2 in a
+    // 5-query suite and 2.41 s isolated min-of-4 — eviction between
+    // passes, not code). Sized to 16384: still tens of MB of class
+    // metadata — noise against executor memory, and strictly
+    // driver/executor-local.
+    "spark.sql.codegen.cache.maxEntries" -> "16384",
     // ---- session determinism: every timestamp operator in this repo
     // is defined in UTC; a session in any other zone would silently
     // shift day buckets (Telemetry dt handshake, timeBucket)

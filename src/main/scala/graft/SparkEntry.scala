@@ -2416,7 +2416,25 @@ object SparkEntry {
     // count, duration percentiles, events/session, bounce rate.
     "q124_session_stats" -> ((s, dir) =>
       operators.EventAnalytics.sessionStats(Tables.events(s, dir),
-        "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000000))
+        "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000000)),
+
+    // Dedup report: exact-dup cluster-size histogram with corpus
+    // shares — the summary read before choosing dedup thresholds.
+    "q125_dup_histogram" -> ((s, dir) =>
+      operators.Dedup.dupSizeHistogram(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // Daily error budget: error counts/rate + distinct entities
+    // hitting errors per day.
+    "q126_error_rates" -> ((s, dir) =>
+      operators.EventAnalytics.errorRates(Tables.events(s, dir),
+        "ts", "event_type", "user_id")),
+
+    // PSI drift of the value column between the two halves of the
+    // time range: equal-width buckets, per-bucket PSI terms.
+    "q127_value_psi" -> ((s, dir) =>
+      operators.Profile.populationStability(
+        Tables.events(s, dir), "value", "ts"))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -4902,6 +4920,63 @@ object SparkEntry {
         |    AS mean_events,
         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q125_dup_histogram" ->
+      """WITH g AS (SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+        |    COUNT(*) AS size
+        |  FROM documents GROUP BY 1),
+        |hist AS (SELECT size, COUNT(*) AS n_clusters,
+        |    CAST(size * COUNT(*) AS BIGINT) AS n_docs
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM hist)
+        |SELECT size, n_clusters, n_docs,
+        |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_share
+        |FROM hist CROSS JOIN t
+        |ORDER BY size""".stripMargin,
+
+    "q126_error_rates" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_errors,
+        |  COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+        |    AS n_error_users,
+        |  CAST(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS error_rate
+        |FROM events
+        |GROUP BY CAST(ts AS DATE)
+        |ORDER BY day""".stripMargin,
+
+    // split point and counts integral; bucket assignment and the PSI
+    // term are pinned IEEE chains (ln through the q66 round-9 idiom);
+    // empty-on-either-side cells report a null term, no epsilon
+    "q127_value_psi" ->
+      """WITH base AS (SELECT CAST(value AS DOUBLE) AS v, epoch_us(ts) AS tus
+        |  FROM events),
+        |b AS (SELECT MIN(tus) AS t0, MAX(tus) AS t1,
+        |    MIN(v) AS vmin, MAX(v) AS vmax FROM base),
+        |ws AS (SELECT v, tus, (t0 + t1) // 2 AS mid,
+        |    (vmax - vmin) / 10 AS w, vmin FROM base CROSS JOIN b),
+        |bk AS (SELECT CASE WHEN tus <= mid THEN 'a' ELSE 'b' END AS side,
+        |    CAST(CASE WHEN w > 0 THEN least(floor((v - vmin) / w), 9.0)
+        |      ELSE 0.0 END AS BIGINT) AS bucket
+        |  FROM ws),
+        |c AS (SELECT bucket,
+        |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM bk GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+        |    CAST(SUM(n_b) AS BIGINT) AS tb FROM c),
+        |g AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bucket)
+        |SELECT g.bucket, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        |  CASE WHEN COALESCE(n_a, 0) > 0 AND COALESCE(n_b, 0) > 0 THEN
+        |    round((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+        |        - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+        |      * ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+        |          / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))), 9) END
+        |    AS psi_term
+        |FROM g LEFT JOIN c ON c.bucket = g.bucket CROSS JOIN t
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -32,6 +32,28 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Duplication report over [[exact]]'s content groups: cluster-size
+    * histogram (how many content groups have exactly `size` copies,
+    * how many documents that is, and each size's share of the corpus)
+    * — the one-page dedup summary read before choosing thresholds.
+    * Everything after the exact-dedup aggregate is |sizes| rows; the
+    * corpus share is a pinned integer→double division against a
+    * broadcast 1-row total.
+    */
+  def dupSizeHistogram(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val h = exact(docs, idCol, textCol)
+      .groupBy(col("dup_count").as("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+    val total = h.agg(sum(col("n_docs")).as("n_total"))
+    h.crossJoin(broadcast(total))
+      .select(col("size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("doc_share"))
+      .orderBy("size")
+  }
+
   /** Shingle table: (id, sh: array<string>, sz) with distinct word
     * n-grams of the normalized text.
     *

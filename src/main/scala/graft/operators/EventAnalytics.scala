@@ -287,6 +287,27 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** Daily reliability: per calendar day, total events, events of the
+    * designated error type, the error rate, and how many distinct
+    * entities hit an error — the error-budget table next to
+    * [[volumeAnomaly]]'s volume z-scores. One keyed aggregate to the
+    * calendar-bounded daily table; the rate is a pinned
+    * integer→double division.
+    */
+  def errorRates(events: DataFrame, tsCol: String, typeCol: String,
+      userCol: String, errorType: String = "error"): DataFrame =
+    events.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col(typeCol) === errorType, lit(1L)).otherwise(lit(0L)))
+          .as("n_errors"),
+        countDistinct(when(col(typeCol) === errorType, col(userCol)))
+          .as("n_error_users"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_errors"), col("n_error_users"),
+        (col("n_errors").cast("double") / col("n_events").cast("double"))
+          .as("error_rate"))
+      .orderBy("day")
+
   /** Funnel drop-off summary over [[funnel]]: one row per step with
     * how many entities reached it, the step-over-step conversion, and
     * the conversion from the step-1 population — the table a funnel

@@ -30,6 +30,21 @@ class DedupSpec extends SparkSpec {
     Dedup.exact(messy, "doc_id", "text").count() shouldBe 2
   }
 
+  test("dupSizeHistogram: cluster sizes, doc mass, corpus shares") {
+    val corpus = Seq(
+      (1L, "same text"), (2L, "same  TEXT"), (3L, "same text"), // norm: 3 copies
+      (4L, "pair"), (5L, "pair"),
+      (6L, "unique"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dupSizeHistogram(corpus, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.toSeq shouldBe Seq(
+      (1L, 1L, 1L, 1.0 / 6.0),
+      (2L, 1L, 2L, 2.0 / 6.0),
+      (3L, 1L, 3L, 3.0 / 6.0))
+  }
+
   test("jaccardSimilarityJoin finds exactly the hand-computed qualifying pairs") {
     // 2-gram shingles of docs 1,2: 8 each, 7 shared -> J = 7/9 ≈ 0.778
     // docs 3,4 identical -> J = 1. No other pair reaches 0.5.

@@ -246,6 +246,23 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq(0.75, 0.5, 0.25, 0.0, 0.0)         // conv_from_total
   }
 
+  test("errorRates: daily counts, distinct error users, exact rate") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "error"),
+      (1L, ts("2024-01-01 12:00:00"), "error"), // same user twice: 1 distinct
+      (2L, ts("2024-01-01 13:00:00"), "click"),
+      (1L, ts("2024-01-02 10:00:00"), "error"),
+      (2L, ts("2024-01-02 11:00:00"), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val rows = EventAnalytics.errorRates(events, "ts", "event_type", "user_id")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    rows("2024-01-01") shouldBe ((4L, 2L, 1L, 0.5))
+    rows("2024-01-02") shouldBe ((2L, 2L, 2L, 1.0))
+  }
+
   test("sessionStats: gap splits, duration percentiles, bounce rate") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),

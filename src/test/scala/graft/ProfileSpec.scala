@@ -60,4 +60,41 @@ class ProfileSpec extends SparkSpec {
     assert(vec.isNullAt(vec.fieldIndex("min_num")) &&
       vec.isNullAt(vec.fieldIndex("min_str")))
   }
+
+  test("populationStability: bucket grid, null terms for one-sided cells, exact PSI term") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // window 00:00..02:00 -> midpoint 01:00; side a holds {0, 0, 5},
+    // side b {0, 9, 10}; vmin 0, vmax 10 -> width 1, v=10 caps into 9
+    val df = Seq(
+      (0.0, ts("2024-01-01 00:00:00")), (0.0, ts("2024-01-01 00:10:00")),
+      (5.0, ts("2024-01-01 00:20:00")),
+      (0.0, ts("2024-01-01 01:30:00")), (9.0, ts("2024-01-01 01:40:00")),
+      (10.0, ts("2024-01-01 02:00:00")))
+      .toDF("value", "ts")
+    val rows = Profile.populationStability(df, "value", "ts")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    rows.size shouldBe 10                       // full grid, empty cells too
+    val expect0 = BigDecimal((2.0 / 3 - 1.0 / 3) *
+        math.log((2.0 / 3) / (1.0 / 3)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows(0L) shouldBe ((2L, 1L, Some(expect0))) // shared cell: real term
+    rows(5L) shouldBe ((1L, 0L, None))          // a-only cell: null term
+    rows(9L) shouldBe ((0L, 2L, None))          // b-only (9 and capped 10)
+    rows(1L) shouldBe ((0L, 0L, None))          // empty cell survives
+  }
+
+  test("populationStability: constant column collapses to bucket 0 with zero drift") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (7.0, ts("2024-01-01 00:00:00")), (7.0, ts("2024-01-01 02:00:00")))
+      .toDF("value", "ts")
+    val r = Profile.populationStability(df, "value", "ts", buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    r.head shouldBe ((0L, 1L, 1L, Some(0.0)))   // width 0 -> all in cell 0
+    r.drop(1).forall(t => t._2 == 0L && t._3 == 0L) shouldBe true
+  }
 }
