@@ -2434,7 +2434,19 @@ object SparkEntry {
     // time range: equal-width buckets, per-bucket PSI terms.
     "q127_value_psi" -> ((s, dir) =>
       operators.Profile.populationStability(
-        Tables.events(s, dir), "value", "ts"))
+        Tables.events(s, dir), "value", "ts")),
+
+    // Daily peak session concurrency: day-partitioned interval sweep
+    // with carry-in (the twin pins it against the global sweep).
+    "q128_peak_concurrency" -> ((s, dir) =>
+      operators.EventAnalytics.peakConcurrency(Tables.events(s, dir),
+        "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000000)),
+
+    // Bot-cadence audit: per-entity event count + min/median gap with
+    // the too-fast-too-regular flag.
+    "q129_bot_candidates" -> ((s, dir) =>
+      operators.EventAnalytics.botCandidates(Tables.events(s, dir),
+        "user_id", "ts", "event_id", minEvents = 50, maxMedianGapS = 3600.0))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -4977,6 +4989,52 @@ object SparkEntry {
         |          / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))), 9) END
         |    AS psi_term
         |FROM g LEFT JOIN c ON c.bucket = g.bucket CROSS JOIN t
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // the GLOBAL sweep formulation (one window): equals the engine's
+    // day-partitioned sweep + carry-in decomposition exactly; ends
+    // order before starts at the same instant (d ascending)
+    "q128_peak_concurrency" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sn AS (
+        |  SELECT *, CAST(SUM(opens) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM o),
+        |sess AS (SELECT user_id, session_seq,
+        |    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+        |  FROM sn GROUP BY 1, 2),
+        |sweep AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM sess
+        |  UNION ALL SELECT e, -1 FROM sess),
+        |r AS (SELECT t, d, CAST(SUM(d) OVER (ORDER BY t, d
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM sweep)
+        |SELECT strftime(CAST(make_timestamp(t) AS DATE), '%Y-%m-%d') AS day,
+        |  MAX(run) AS peak
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+
+    "q129_bot_candidates" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |a AS (SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(MIN(g) AS DOUBLE) / 1000000.0 AS min_gap_s,
+        |    round(quantile_cont(CAST(g AS DOUBLE) / 1000000.0, 0.5), 9)
+        |      AS median_gap_s
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_events, min_gap_s, median_gap_s,
+        |  n_events >= 50 AND median_gap_s <= 3600.0 AS bot_flag
+        |FROM a
+        |WHERE min_gap_s IS NOT NULL
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -385,6 +385,94 @@ object EventAnalytics {
           .cast("double") / count(lit(1)).cast("double")).as("bounce_rate"))
   }
 
+  /** Peak concurrency per day: how many [[Sessionize.assign]] sessions
+    * overlap at once, reported as the daily maximum over the state
+    * immediately after each session start/end transition (days with no
+    * transition — i.e. fully covered by long sessions — emit no row by
+    * definition). The classic interval sweep (+1 at start, −1 at end,
+    * running sum), with ends ordered before starts at the same instant
+    * so touching sessions never double-count.
+    *
+    * Scale shape: the sweep is NOT one global window — rows partition
+    * by calendar day (parallel, bounded partitions) and each day adds
+    * its carry-in: the count of sessions that started on an earlier
+    * day and are still open at the day boundary, computed by a bounded
+    * explode over each session's spanned days. Day-local prefix sum +
+    * carry equals the global sweep exactly; the DuckDB twin runs the
+    * single-window global formulation, pinning the equivalence.
+    */
+  def peakConcurrency(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Sessionize.assign(
+        events.select(col(userCol), col(tsCol), col(tieCol)),
+        Seq(userCol), tsCol, Seq(tieCol), gapMicros)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(min(unix_micros(col(tsCol))).as("s"),
+        max(unix_micros(col(tsCol))).as("e"))
+    val sweep = sess.select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("d")),
+        struct(col("e").as("t"), lit(-1L).as("d")))).as("ev"))
+      .select(col("ev.t").as("t"), col("ev.d").as("d"))
+      .withColumn("day", to_date(timestamp_micros(col("t"))))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayMax = sweep.withColumn("run", sum(col("d")).over(w))
+      .groupBy("day").agg(max(col("run")).as("mx"))
+    // sessions still open at a later day's start: one carry unit for
+    // every day in (start_day, end_day]
+    // guarded: Spark's sequence(a, b) with a > b yields a DESCENDING
+    // sequence, not an empty one — same-day sessions must emit nothing
+    val carry = sess
+      .select(explode_outer(when(
+        to_date(timestamp_micros(col("e"))) >
+          to_date(timestamp_micros(col("s"))),
+        sequence(date_add(to_date(timestamp_micros(col("s"))), 1),
+          to_date(timestamp_micros(col("e")))))).as("day"))
+      .filter(col("day").isNotNull)
+      .groupBy("day").agg(count(lit(1)).as("carry"))
+    dayMax.join(carry, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (coalesce(col("carry"), lit(0L)) + col("mx")).as("peak"))
+      .orderBy("day")
+  }
+
+  /** Bot-cadence audit: entities whose event stream is too fast and
+    * too regular to be human — the curation gate run on event data
+    * before any engagement analytics (the behavioral sibling of the
+    * document-quality gates). Per entity: event count, exact min and
+    * interpolated median inter-event gap across its whole timeline
+    * (all types; (ts, tie) order), flagged when the entity has at
+    * least `minEvents` events AND its median gap is at or under
+    * `maxMedianGapS` seconds. One entity-keyed window pass + one
+    * aggregate; output is one row per entity with ≥2 events.
+    */
+  def botCandidates(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, minEvents: Long = 50,
+      maxMedianGapS: Double = 60.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val gaps = events
+      .select(col(userCol),
+        (unix_micros(col(tsCol)) -
+          lag(unix_micros(col(tsCol)), 1).over(w)).as("g"))
+    gaps.groupBy(col(userCol))
+      // one gaps row per EVENT (g null on each entity's first), so the
+      // plain row count is the event count; min/percentile skip nulls
+      .agg(count(lit(1)).as("n_events"),
+        (min(col("g")).cast("double") / lit(1000000.0)).as("min_gap_s"),
+        graft.functions.hashSafeRound(
+          percentile(col("g").cast("double") / lit(1000000.0), lit(0.5)), 9)
+          .as("median_gap_s"))
+      .filter(col("min_gap_s").isNotNull)
+      .select(col(userCol), col("n_events"), col("min_gap_s"),
+        col("median_gap_s"),
+        (col("n_events") >= minEvents &&
+          col("median_gap_s") <= lit(maxMedianGapS)).as("bot_flag"))
+      .orderBy(col(userCol))
+  }
+
   /** Cohort retention: each entity's cohort is its first activity day;
     * the cell (cohort_day, k) counts entities of that cohort active
     * exactly k days after it. Two keyed aggregates (first-day, then

@@ -246,6 +246,45 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq(0.75, 0.5, 0.25, 0.0, 0.0)         // conv_from_total
   }
 
+  test("peakConcurrency: overlap peak, touching sessions, midnight carry") {
+    val gap = 30L * 60 * 1000000
+    val events = Seq(
+      // day 1: u1 session 10:00-10:05 overlaps u2 10:02-10:03
+      (1L, 1L, ts("2024-01-01 10:00:00")), (2L, 1L, ts("2024-01-01 10:05:00")),
+      (3L, 2L, ts("2024-01-01 10:02:00")), (4L, 2L, ts("2024-01-01 10:03:00")),
+      // u3 session TOUCHES u1's end exactly: end sorts before start
+      (5L, 3L, ts("2024-01-01 10:05:00")), (6L, 3L, ts("2024-01-01 10:20:00")),
+      // u4 spans midnight: 23:50 -> 00:10 is one session (20 min gap)
+      (7L, 4L, ts("2024-01-02 23:50:00")), (8L, 4L, ts("2024-01-03 00:10:00")))
+      .toDF("event_id", "user_id", "ts")
+    val rows = EventAnalytics.peakConcurrency(events, "user_id", "ts",
+        "event_id", gap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows("2024-01-01") shouldBe 2L  // u1+u2 overlap; u3 never stacks
+    rows("2024-01-02") shouldBe 1L  // the midnight session opens
+    // day 3 has only u4's close: carry 1 + run -1 = 0 after the
+    // transition — matching the global-sweep twin exactly
+    rows("2024-01-03") shouldBe 0L
+  }
+
+  test("botCandidates: cadence stats, flag thresholds, singles excluded") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), (2L, 1L, ts("2024-01-01 10:00:02")),
+      (3L, 1L, ts("2024-01-01 10:00:06")),            // gaps 2, 4 -> median 3
+      (4L, 2L, ts("2024-01-01 10:00:00")), (5L, 2L, ts("2024-01-01 10:01:40")),
+      (6L, 3L, ts("2024-01-01 10:00:00")))            // single -> excluded
+      .toDF("event_id", "user_id", "ts")
+    val rows = EventAnalytics.botCandidates(events, "user_id", "ts",
+        "event_id", minEvents = 3, maxMedianGapS = 5.0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    rows.keySet shouldBe Set(1L, 2L)
+    rows(1L) shouldBe ((3L, 2.0, 3.0, true))
+    rows(2L) shouldBe ((2L, 100.0, 100.0, false)) // under minEvents
+  }
+
   test("errorRates: daily counts, distinct error users, exact rate") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),
