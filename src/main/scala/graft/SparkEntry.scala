@@ -4845,9 +4845,10 @@ object SparkEntry {
         |t AS (SELECT *, i > ntot - ((ntot + 9) // 10) AS topdec FROM r)
         |SELECT event_type, COUNT(*) AS n_users,
         |  CAST(SUM(x) AS BIGINT) AS n_events,
-        |  CAST(2 * SUM(CAST(i AS DECIMAL(38,0)) * x)
-        |      - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE) / CAST(SUM(x) AS DOUBLE) AS gini,
+        |  CAST(CAST((CAST(2 * SUM(CAST(i AS DECIMAL(38,0)) * x) AS HUGEINT)
+        |        - (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)) * 1000000000
+        |      // (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(x) AS HUGEINT))
+        |      AS BIGINT) AS DOUBLE) / 1e9 AS gini,
         |  CAST(SUM(CASE WHEN topdec THEN x ELSE 0 END) AS DOUBLE)
         |    / CAST(SUM(x) AS DOUBLE) AS top10_share
         |FROM t GROUP BY 1

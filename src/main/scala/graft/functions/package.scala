@@ -72,6 +72,21 @@ package object functions {
   def hashSafeRound(c: Column, scale: Int): Column =
     round(c, scale) + lit(0.0)
 
+  /** Exact integral division as a Column (Spark SQL's `div`): the
+    * primitive behind the cross-engine int64 gate — floor-quantize a
+    * wide integral (DECIMAL) value to ≤2^53-scale units BEFORE any
+    * double cast, because DECIMAL→DOUBLE rounding differs across
+    * engines past 2^53 while int64→double is correctly rounded
+    * everywhere (SURVEY §16, the q121 lesson). Keep dividends
+    * non-negative (offset first if needed) so floor and truncate
+    * agree across engines.
+    */
+  def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** Smart-case Contains from the catalog filter contract: the match is
     * case-sensitive iff the pattern contains a capital letter
     * (ref dashboard/src/Models/getAllStreamsRequest.ts:55-58).

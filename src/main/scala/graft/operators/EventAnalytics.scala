@@ -273,15 +273,21 @@ object EventAnalytics {
       // ceil(ntot/10) entities from the TOP of the ascending rank order
       .withColumn("topdec",
         col("i") > col("ntot") - expr("(ntot + 9) div 10"))
+    // the Gini numerator 2*Sum(i*x) - (n+1)*Sum(x) is non-negative (ranks
+    // ascend) but DECIMAL-wide; it exits through the int64 gate (floor-
+    // quantize to nano units, then one exact cast — the q121 lesson)
+    // rather than a direct wide-DECIMAL->DOUBLE cast
     ranked.groupBy("event_type")
       .agg(count(lit(1)).as("n_users"),
         sum(col("x")).as("n_events"),
         sum(col("i").cast("decimal(38,0)") * col("x")).as("six"),
         sum(when(col("topdec"), col("x")).otherwise(lit(0L))).as("top_cnt"))
       .select(col("event_type"), col("n_users"), col("n_events"),
-        ((lit(2) * col("six") - (col("n_users") + 1) * col("n_events"))
-          .cast("double") / col("n_users").cast("double") /
-          col("n_events").cast("double")).as("gini"),
+        (graft.functions.intDiv((lit(2) * col("six") -
+            (col("n_users") + 1).cast("decimal(38,0)") * col("n_events")) *
+            lit(1000000000L),
+          col("n_users").cast("decimal(38,0)") * col("n_events"))
+          .cast("double") / lit(1e9)).as("gini"),
         (col("top_cnt").cast("double") / col("n_events").cast("double"))
           .as("top10_share"))
       .orderBy("event_type")
@@ -423,13 +429,13 @@ object EventAnalytics {
     // every day in (start_day, end_day]
     // guarded: Spark's sequence(a, b) with a > b yields a DESCENDING
     // sequence, not an empty one — same-day sessions must emit nothing
+    // (their null array explodes to zero rows)
     val carry = sess
-      .select(explode_outer(when(
+      .select(explode(when(
         to_date(timestamp_micros(col("e"))) >
           to_date(timestamp_micros(col("s"))),
         sequence(date_add(to_date(timestamp_micros(col("s"))), 1),
           to_date(timestamp_micros(col("e")))))).as("day"))
-      .filter(col("day").isNotNull)
       .groupBy("day").agg(count(lit(1)).as("carry"))
     dayMax.join(carry, Seq("day"), "left")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),

@@ -122,11 +122,6 @@ object Similarity {
   def labelCentroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
                             labelCol: String, topK: Int): DataFrame = {
     require(topK > 0, s"topK must be positive: $topK")
-    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftColumnBridge.expression(a),
-          org.apache.spark.sql.GraftColumnBridge.expression(b)))
     val x = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .withColumn("xi",
@@ -135,7 +130,7 @@ object Similarity {
       .drop("v")
     val cent = x.groupBy("label", "dim")
       .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
-      .select(col("label"), col("dim"), intDiv(col("s"), col("n")).as("ci"))
+      .select(col("label"), col("dim"), graft.functions.intDiv(col("s"), col("n")).as("ci"))
     val d = x.join(broadcast(cent), Seq("label", "dim"))
       // widen BEFORE squaring — (xi-ci)² overflows long once the spread
       // exceeds ~3.04 in vector units (see embeddingNormStats)
@@ -166,11 +161,6 @@ object Similarity {
     */
   def labelCentroidSeparation(emb: DataFrame, idCol: String, vecCol: String,
                               labelCol: String): DataFrame = {
-    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftColumnBridge.expression(a),
-          org.apache.spark.sql.GraftColumnBridge.expression(b)))
     val x = emb.select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .withColumn("xi",
@@ -178,7 +168,7 @@ object Similarity {
           lit(2000000000L)).cast("long"))
     val cent = x.groupBy("label", "dim")
       .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
-      .select(col("label"), col("dim"), intDiv(col("s"), col("n")).as("ci"))
+      .select(col("label"), col("dim"), graft.functions.intDiv(col("s"), col("n")).as("ci"))
     val sizes = emb.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n"))
     val a = cent.select(col("label").as("label_a"), col("dim"),
@@ -260,11 +250,6 @@ object Similarity {
     */
   def dimensionStats(emb: DataFrame, vecCol: String,
                      collapsedVar: Double = 1e-4): DataFrame = {
-    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftColumnBridge.expression(a),
-          org.apache.spark.sql.GraftColumnBridge.expression(b)))
     val x = emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("dim").cast("long").as("dim"),
         floor(col("v").cast("double") * lit(1e9) + lit(0.5))
@@ -273,10 +258,10 @@ object Similarity {
     // the q97 offset keeps the mean dividend non-negative, so the
     // engines' integral divides (floor vs truncate) agree
     val meanNano =
-      intDiv(col("s1") + col("n").cast("decimal(38,0)") * lit(2000000000L),
+      graft.functions.intDiv(col("s1") + col("n").cast("decimal(38,0)") * lit(2000000000L),
         col("n")) - lit(2000000000L)
     val varNano2 =
-      intDiv(col("var_num"), col("n").cast("decimal(38,0)") * col("n"))
+      graft.functions.intDiv(col("var_num"), col("n").cast("decimal(38,0)") * col("n"))
     x.groupBy("dim")
       .agg(count(lit(1)).as("n"),
         sum(col("xi").cast("decimal(38,0)")).as("s1"),
@@ -320,11 +305,6 @@ object Similarity {
   def kmeans(emb: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
-    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftColumnBridge.expression(a),
-          org.apache.spark.sql.GraftColumnBridge.expression(b)))
     val x = emb.select(col(idCol).as("vec_id"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
@@ -356,7 +336,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val upd = x.join(assign(cent).select("vec_id", "cluster"), "vec_id")
         .groupBy("cluster", "dim")
-        .agg(intDiv(sum(col("xi")), count(lit(1))).as("ci_new"))
+        .agg(graft.functions.intDiv(sum(col("xi")), count(lit(1))).as("ci_new"))
       val next = cent.join(upd, Seq("cluster", "dim"), "left")
         .select(col("cluster"), col("dim"),
           coalesce(col("ci_new"), col("ci")).as("ci"))
@@ -370,7 +350,7 @@ object Similarity {
     val out = assign(cent)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
-        (intDiv(sum(col("d2")), lit(1000000000L)).cast("double") /
+        (graft.functions.intDiv(sum(col("d2")), lit(1000000000L)).cast("double") /
           lit(1e9)).as("sse"))
       .join(cent.groupBy("cluster").agg(count(lit(1)).as("__d")), Seq("cluster"),
         "right")

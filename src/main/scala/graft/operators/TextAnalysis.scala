@@ -902,7 +902,10 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
     val cnt = tok.groupBy("src", "tok").agg(count(lit(1)).as("cnt"))
-    val tot = tok.groupBy("src").agg(count(lit(1)).as("tot"))
+      .persist()
+    // totals roll up from the already-shuffled count table — the corpus
+    // really is tokenized once
+    val tot = cnt.groupBy("src").agg(sum(col("cnt")).as("tot"))
     val a = cnt.select(col("src").as("src_a"), col("tok"),
       col("cnt").as("cnt_a"))
     val b = cnt.select(col("src").as("src_b"), col("tok"),
@@ -923,7 +926,7 @@ object TextAnalysis {
         sum(col("cnt_b")).as("sh_b"), sum(col("contrib")).as("c"))
     val pairs = broadcast(totA).crossJoin(broadcast(totB))
       .filter(col("src_a") < col("src_b"))
-    pairs.join(shared, Seq("src_a", "src_b"), "left")
+    val out = pairs.join(shared, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("c"), lit(0).cast("decimal(30,9)")).cast("double") +
@@ -934,5 +937,6 @@ object TextAnalysis {
             ((col("tot_b") - coalesce(col("sh_b"), lit(0L))).cast("double") /
               col("tot_b").cast("double"))).as("js"))
       .orderBy("src_a", "src_b")
+    Dedup.materializeAndRelease(out, cnt)
   }
 }
