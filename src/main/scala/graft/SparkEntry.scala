@@ -2446,7 +2446,25 @@ object SparkEntry {
     // the too-fast-too-regular flag.
     "q129_bot_candidates" -> ((s, dir) =>
       operators.EventAnalytics.botCandidates(Tables.events(s, dir),
-        "user_id", "ts", "event_id", minEvents = 50, maxMedianGapS = 3600.0))
+        "user_id", "ts", "event_id", minEvents = 50, maxMedianGapS = 3600.0)),
+
+    // Time-boxed funnel: q122's drop-off table under a 1-day step
+    // deadline (greedy machine == chained min-within-window).
+    "q130_funnel_deadline" -> ((s, dir) =>
+      operators.EventAnalytics.funnelDropoff(Tables.events(s, dir),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        maxStepGapUs = Some(86400L * 1000000))),
+
+    // Last-touch attribution of purchases to the most recent preceding
+    // non-purchase event type.
+    "q131_attribution" -> ((s, dir) =>
+      operators.EventAnalytics.lastTouchAttribution(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", convType = "purchase")),
+
+    // Usage heatmap: (ISO weekday, hour) volume cells with shares.
+    "q132_usage_heatmap" -> ((s, dir) =>
+      operators.EventAnalytics.usageHeatmap(Tables.events(s, dir), "ts"))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -5036,6 +5054,64 @@ object SparkEntry {
         |  n_events >= 50 AND median_gap_s <= 3600.0 AS bot_flag
         |FROM a
         |WHERE min_gap_s IS NOT NULL
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // q122's chained-min twin with a 1-day deadline on each step edge
+    "q130_funnel_deadline" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 86400 SECOND GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 86400 SECOND GROUP BY 1),
+        |u AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM events),
+        |n AS (SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |        (SELECT COUNT(*) FROM s1) AS n_reached
+        |      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)),
+        |w AS (SELECT n.*,
+        |    lag(n_reached, 1, (SELECT n_total FROM u)) OVER (ORDER BY step)
+        |      AS prev,
+        |    (SELECT n_total FROM u) AS n_total
+        |  FROM n)
+        |SELECT step, step_name, n_reached,
+        |  CASE WHEN prev > 0 THEN
+        |    CAST(n_reached AS DOUBLE) / CAST(prev AS DOUBLE) END
+        |    AS conv_from_prev,
+        |  CASE WHEN n_total > 0 THEN
+        |    CAST(n_reached AS DOUBLE) / CAST(n_total AS DOUBLE) END
+        |    AS conv_from_total
+        |FROM w
+        |ORDER BY step""".stripMargin,
+
+    "q131_attribution" ->
+      """WITH ch AS (SELECT event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events),
+        |conv AS (SELECT COALESCE(channel, '(none)') AS channel,
+        |    COUNT(*) AS n_conversions
+        |  FROM ch WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS n_total FROM conv)
+        |SELECT channel, n_conversions,
+        |  CAST(n_conversions AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM conv CROSS JOIN t
+        |ORDER BY channel""".stripMargin,
+
+    // weekday pinned Monday=0 on both engines (weekday == isodow - 1)
+    "q132_usage_heatmap" ->
+      """WITH c AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+        |SELECT dow, hod, n,
+        |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY dow, hod""".stripMargin
   )
 }

@@ -28,15 +28,30 @@ object EventAnalytics {
     * the shuffle volume.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxStepGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val stepsArr = array(steps.map(lit): _*)
     val evs = sort_array(collect_list(struct(col(tsCol).as("ts"),
       col(typeCol).as("et"))))
+    // optional step deadline: advance only if the candidate lands
+    // within maxStepGapUs of the previous step. The greedy machine
+    // still equals the chained-min twin: the earliest qualifying event
+    // is inside the window iff ANY qualifying event is (later ones are
+    // later), so first-match == min-within-window.
+    def withinDeadline(acc: Column, e: Column): Column =
+      maxStepGapUs match {
+        case None => lit(true)
+        case Some(gap) =>
+          unix_micros(e.getField("ts")) <=
+            unix_micros(element_at(acc, lit(-1))) + lit(gap)
+      }
     val folded = aggregate(evs, array().cast("array<timestamp>"),
       (acc, e) => when(size(acc) < steps.size &&
           e.getField("et") === element_at(stepsArr, size(acc) + 1) &&
-          (size(acc) === 0 || e.getField("ts") > element_at(acc, lit(-1))),
+          (size(acc) === 0 ||
+            (e.getField("ts") > element_at(acc, lit(-1)) &&
+              withinDeadline(acc, e))),
         concat(acc, array(e.getField("ts"))))
         .otherwise(acc))
     val stepCols = steps.indices.map { i =>
@@ -328,9 +343,10 @@ object EventAnalytics {
     * driver-scale.
     */
   def funnelDropoff(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxStepGapUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val f = funnel(events, userCol, tsCol, typeCol, steps)
+    val f = funnel(events, userCol, tsCol, typeCol, steps, maxStepGapUs)
       .select(col(userCol), col("depth")).persist()
     val total = f.agg(count(lit(1)).as("n_total"))
     val reached = f.filter(col("depth") >= 1)
@@ -477,6 +493,56 @@ object EventAnalytics {
         (col("n_events") >= minEvents &&
           col("median_gap_s") <= lit(maxMedianGapS)).as("bot_flag"))
       .orderBy(col(userCol))
+  }
+
+  /** Last-touch attribution: for every conversion event, the most
+    * recent PRECEDING non-conversion event type in the same entity's
+    * timeline is its credited channel; conversions with no touch
+    * before them credit `(none)`. One entity-keyed window pass (the
+    * running last non-conversion type over the preceding frame — no
+    * per-conversion rescan or self-join) and a |types|-row aggregate
+    * with conversion shares.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, tieCol: String, typeCol: String,
+      convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val channel = last(
+      when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true)
+      .over(w)
+    val conv = events
+      .withColumn("channel", channel)
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+    val total = conv.agg(sum(col("n_conversions")).as("n_total"))
+    conv.crossJoin(broadcast(total))
+      .select(col("channel"), col("n_conversions"),
+        (col("n_conversions").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy("channel")
+  }
+
+  /** Usage heatmap: event volume by (ISO weekday, hour-of-day) with
+    * each cell's share of the total — the seasonality read under every
+    * volume anomaly. Weekday is pinned cross-engine as Monday=0 (Spark
+    * `weekday` ≡ DuckDB `isodow - 1`). One keyed aggregate to ≤ 7×24
+    * rows; the share divides against a broadcast 1-row total.
+    */
+  def usageHeatmap(events: DataFrame, tsCol: String): DataFrame = {
+    val cells = events
+      .groupBy(weekday(col(tsCol)).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hod"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy("dow", "hod")
   }
 
   /** Cohort retention: each entity's cohort is its first activity day;

@@ -246,6 +246,61 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq(0.75, 0.5, 0.25, 0.0, 0.0)         // conv_from_total
   }
 
+  test("funnel step deadline: late steps don't advance, equal edge included") {
+    val events = Seq(
+      // u1: click exactly AT the deadline edge (inclusive) -> advances
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-02 10:00:00"), "click"),
+      // u2: click one second past the 1-day deadline -> stuck at view,
+      // and the still-later click can't rescue it
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-02 10:00:01"), "click"),
+      (2L, ts("2024-01-03 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val gap = Some(86400L * 1000000)
+    val depths = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click"), gap)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    depths shouldBe Map(1L -> 2, 2L -> 1)
+    // without the deadline both complete
+    EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .collect().map(_.getInt(1)).toSeq shouldBe Seq(2, 2)
+  }
+
+  test("lastTouchAttribution: running last touch, (none), reuse across conversions") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "ad"),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "purchase"),  // credits ad
+      (3L, 1L, ts("2024-01-01 10:10:00"), "purchase"),  // still ad (no new touch)
+      (4L, 2L, ts("2024-01-01 10:00:00"), "purchase"),  // nothing before -> (none)
+      (5L, 3L, ts("2024-01-01 10:00:00"), "ad"),
+      (6L, 3L, ts("2024-01-01 10:01:00"), "email"),
+      (7L, 3L, ts("2024-01-01 10:02:00"), "purchase"))  // last touch = email
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val rows = EventAnalytics.lastTouchAttribution(events, "user_id", "ts",
+        "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    rows shouldBe Map(
+      "(none)" -> ((1L, 0.25)),
+      "ad" -> ((2L, 0.5)),
+      "email" -> ((1L, 0.25)))
+  }
+
+  test("usageHeatmap: Monday=0 weekday pinning and shares") {
+    val events = Seq(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), // Mon 10h x2
+      ts("2024-01-07 23:59:00"))                            // Sun 23h
+      .map(Tuple1(_)).toDF("ts")
+    val rows = EventAnalytics.usageHeatmap(events, "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    rows shouldBe Map(
+      (0L, 10L) -> ((2L, 2.0 / 3.0)),
+      (6L, 23L) -> ((1L, 1.0 / 3.0)))
+  }
+
   test("peakConcurrency: overlap peak, touching sessions, midnight carry") {
     val gap = 30L * 60 * 1000000
     val events = Seq(
