@@ -2464,7 +2464,27 @@ object SparkEntry {
 
     // Usage heatmap: (ISO weekday, hour) volume cells with shares.
     "q132_usage_heatmap" -> ((s, dir) =>
-      operators.EventAnalytics.usageHeatmap(Tables.events(s, dir), "ts"))
+      operators.EventAnalytics.usageHeatmap(Tables.events(s, dir), "ts")),
+
+    // Snapshot diff vs a deterministically derived v2 of the corpus
+    // (drop %13, rewrite %7, add %11 under shifted ids): the dataset
+    // versioning audit.
+    "q133_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      operators.Curation.snapshotDiff(d, v2, "doc_id", "text")
+    }),
+
+    // Key-skew profile of the event entity key: top-20 heaviest keys
+    // with shares and skew factors (the pre-shuffle salting audit).
+    "q134_key_skew" -> ((s, dir) =>
+      operators.Profile.keySkew(Tables.events(s, dir), "user_id", topK = 20))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -5112,6 +5132,44 @@ object SparkEntry {
         |SELECT dow, hod, n,
         |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
         |FROM c CROSS JOIN t
-        |ORDER BY dow, hod""".stripMargin
+        |ORDER BY dow, hod""".stripMargin,
+
+    "q133_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new ' || text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |b AS (SELECT doc_id,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM v2),
+        |j AS (SELECT a.h AS ha, b.h AS hb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN ha IS NULL THEN 'added'
+        |            WHEN hb IS NULL THEN 'removed'
+        |            WHEN ha = hb THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  COUNT(*) AS n_docs
+        |FROM j GROUP BY 1
+        |ORDER BY status""".stripMargin,
+
+    "q134_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows
+        |  FROM c),
+        |r AS (SELECT key, n, CAST(row_number() OVER
+        |    (ORDER BY n DESC, key ASC) AS BIGINT) AS rank FROM c)
+        |SELECT rank, key, n,
+        |  CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+        |  CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS skew_factor
+        |FROM r CROSS JOIN t
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin
   )
 }

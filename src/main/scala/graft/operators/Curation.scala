@@ -28,6 +28,27 @@ object Curation {
     * drops in practice; returns (kept corpus, dropped ids with their
     * best-matching contaminant and score).
     */
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * versions of a document table: per status (`added`, `removed`,
+    * `changed`, `unchanged` — membership by id, change by normalized
+    * content digest), the document count. One id-keyed full outer join
+    * of two digest projections; the digests make "changed" a content
+    * judgment, not a byte comparison, exactly like [[Dedup.exact]].
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def dig(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"id_$side"),
+        sha2(graft.functions.normText(col(textCol)), 256).as(s"h_$side"))
+    dig(a, "a").join(dig(b, "b"), col("id_a") === col("id_b"), "full_outer")
+      .select(when(col("h_a").isNull, lit("added"))
+        .when(col("h_b").isNull, lit("removed"))
+        .when(col("h_a") === col("h_b"), lit("unchanged"))
+        .otherwise(lit("changed")).as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     contam: DataFrame, contamIdCol: String,
                     contamTextCol: String,

@@ -95,6 +95,33 @@ object Profile {
       .orderBy("column")
   }
 
+  /** Key-skew profiler — the diagnostic that feeds the
+    * [[Scale]] salting / AQE-skew-join decision before a big keyed
+    * shuffle: the `topK` heaviest keys with their row counts, corpus
+    * share, and skew factor (count ÷ mean-rows-per-key — 1.0 means
+    * perfectly uniform; the factor of the heaviest key bounds the
+    * straggler task). One keyed count, one broadcast 1-row totals
+    * rider, one global top-k (WindowGroupLimit prunes before the
+    * sort); keys surface as strings so the audit is schema-generic.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"))
+    val w = Window.orderBy(col("n").desc, col("key").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("key"), col("n"),
+        (col("n").cast("double") / col("n_rows").cast("double")).as("share"),
+        (col("n").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"))
+      .orderBy("rank")
+  }
+
   /** Population Stability Index drift audit of a numeric column: the
     * time range splits at its µs midpoint (integral arithmetic), the
     * value range into `buckets` equal-width cells from the GLOBAL

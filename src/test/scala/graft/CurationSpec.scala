@@ -588,4 +588,17 @@ class CurationSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Curation.importanceWeights(docs, "doc_id", "text", $"tgt", 1)
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged by normalized digest") {
+    val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, " X "),   // normalizes to "x": unchanged despite byte diff
+      (2L, "w"),     // changed
+      (4L, "n"))     // added; 3 is removed
+      .toDF("doc_id", "text")
+    val rows = Curation.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows shouldBe Map(
+      "added" -> 1L, "changed" -> 1L, "removed" -> 1L, "unchanged" -> 1L)
+  }
 }

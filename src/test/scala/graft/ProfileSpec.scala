@@ -86,6 +86,21 @@ class ProfileSpec extends SparkSpec {
     rows(1L) shouldBe ((0L, 0L, None))          // empty cell survives
   }
 
+  test("keySkew: top-k heavy keys, shares, skew factor, tie order") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") :+ "c")
+      .map(Tuple1(_)).toDF("k")
+    val rows = Profile.keySkew(df, "k", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // mean rows/key = 10/3; skew = n * n_keys / n_rows
+    rows.toSeq shouldBe Seq(
+      (1L, "a", 6L, 0.6, 6.0 * 3.0 / 10.0),
+      (2L, "b", 3L, 0.3, 3.0 * 3.0 / 10.0))
+    // count ties break by key ascending
+    val tied = Seq("d", "e", "d", "e").map(Tuple1(_)).toDF("k")
+    Profile.keySkew(tied, "k", topK = 1).collect().head.getString(1) shouldBe "d"
+  }
+
   test("populationStability: constant column collapses to bucket 0 with zero drift") {
     def ts(s: String) = Timestamp.valueOf(s)
     val df = Seq(
