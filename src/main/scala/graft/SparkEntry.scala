@@ -2484,7 +2484,18 @@ object SparkEntry {
     // Key-skew profile of the event entity key: top-20 heaviest keys
     // with shares and skew factors (the pre-shuffle salting audit).
     "q134_key_skew" -> ((s, dir) =>
-      operators.Profile.keySkew(Tables.events(s, dir), "user_id", topK = 20))
+      operators.Profile.keySkew(Tables.events(s, dir), "user_id", topK = 20)),
+
+    // Entity-consistent split: q95's hash coin keyed on the ENTITY so
+    // every event of a user lands in one split (no cross-split
+    // leakage of a user's behavior); per-split event/user manifest.
+    "q135_entity_split" -> ((s, dir) =>
+      operators.Curation.splitByHash(Tables.events(s, dir), "user_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "user")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("split"))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -5170,6 +5181,21 @@ object SparkEntry {
         |    AS skew_factor
         |FROM r CROSS JOIN t
         |WHERE rank <= 20
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+
+    "q135_entity_split" -> {
+      val t1 = graft.operators.Curation.rateThresholdHex(0.9)
+      val t2 = graft.operators.Curation.rateThresholdHex(0.95)
+      s"""WITH s AS (SELECT user_id,
+        |    substr(md5('user#' || CAST(user_id AS VARCHAR)), 1, 8) AS coin
+        |  FROM events)
+        |SELECT CASE WHEN coin < '$t1' THEN 'train'
+        |            WHEN coin < '$t2' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM s
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin
+    }
   )
 }

@@ -30,6 +30,10 @@ private[streaming] case class TransState(tsUs: Long, eid: Long, etype: String)
 case class EventGap(user: Long, etype: String, gapUs: Long)
 private[streaming] case class GapState(tsUs: Long)
 
+/** Emitted row of the stateful streaming attribution feed. */
+case class Attribution(user: Long, channel: String, tsUs: Long)
+private[streaming] case class AttrState(channel: String)
+
 /** Structured-Streaming parity for the reference's stream processors.
   *
   * The defining computation (ref option_trade_aggs/main.py:203-230):
@@ -237,6 +241,36 @@ object StreamingOps {
             last = Some(r.tsUs)
           }
           last.foreach(t => state.update(GapState(t)))
+          out.result().iterator
+      }
+  }
+
+  /** STREAMING twin of [[graft.operators.EventAnalytics
+    * .lastTouchAttribution]]: the running last non-conversion event
+    * type per entity lives in the state store; each arriving
+    * conversion emits its credited channel (`(none)` before any
+    * touch), so a downstream count by channel IS the attribution
+    * table, maintained incrementally. Within a micro-batch rows fold
+    * in (tsUs, eid) order — the batch operator's window order — so the
+    * emitted credit multiset equals the batch window under
+    * event-ordered arrival across batches. Works on batch Datasets
+    * too.
+    */
+  def attributionStateful(ds: Dataset[TransEvent],
+      convType: String): Dataset[Attribution] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[AttrState]) =>
+          var ch = state.getOption.map(_.channel)
+          val out = Seq.newBuilder[Attribution]
+          rows.toSeq.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+            if (r.etype == convType)
+              out += Attribution(user, ch.getOrElse("(none)"), r.tsUs)
+            else ch = Some(r.etype)
+          }
+          ch.foreach(c => state.update(AttrState(c)))
           out.result().iterator
       }
   }

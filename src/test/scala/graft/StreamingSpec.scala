@@ -268,6 +268,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStateful: credits equal the batch last-touch window across micro-batches") {
+    import graft.streaming.{TransEvent, Attribution}
+    val us = 1000000L
+    val b1 = Seq(
+      TransEvent(1L, 10 * us, 100L, "ad"),
+      TransEvent(1L, 20 * us, 101L, "purchase"),  // credits ad
+      TransEvent(2L, 10 * us, 102L, "purchase"))  // nothing before: (none)
+    val b2 = Seq(
+      TransEvent(1L, 30 * us, 103L, "purchase"),  // STILL ad, across batches
+      TransEvent(2L, 20 * us, 104L, "email"),
+      TransEvent(2L, 30 * us, 105L, "purchase"))  // credits email
+    val input = MemoryStream[TransEvent](spark)
+    val out = StreamingOps.attributionStateful(input.toDS(), "purchase")
+    val ckpt = Files.createTempDirectory("ckpt_attr").toString
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("attr_out").as[Attribution].collect()
+        .groupBy(_.channel).view.mapValues(_.length.toLong).toMap
+      val batch = graft.operators.EventAnalytics.lastTouchAttribution(
+          (b1 ++ b2).map(e =>
+            (e.user, new java.sql.Timestamp(e.tsUs / 1000), e.eid, e.etype))
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", "event_type", "purchase")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      streamed shouldBe batch
+      batch shouldBe Map("ad" -> 2L, "(none)" -> 1L, "email" -> 1L)
+    } finally q.stop()
+  }
+
   test("packShardsStateful matches batch packShards across micro-batches (streaming shard packing)") {
     import graft.streaming.{ShardDoc, ShardAssigned}
     val docs = Seq(
