@@ -2495,7 +2495,20 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
-        .orderBy("split"))
+        .orderBy("split")),
+
+    // Tokenizer integrity: every trained subword sequence must
+    // concatenate back to its word + '</w>' (0 violations) — a
+    // standing regression gate on the BPE merge fold.
+    "q136_bpe_integrity" -> ((s, dir) =>
+      operators.TextAnalysis.bpeVocabIntegrity(
+        Tables.documents(s, dir), "text", numMerges = 6)),
+
+    // RFM engagement segmentation: tercile cells by recency /
+    // frequency / exact-decimal monetary value.
+    "q137_rfm_segments" -> ((s, dir) =>
+      operators.EventAnalytics.rfmSegments(Tables.events(s, dir),
+        "user_id", "ts", "value"))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -5196,6 +5209,32 @@ object SparkEntry {
         |FROM s
         |GROUP BY 1
         |ORDER BY split""".stripMargin
-    }
+    },
+
+    // the twin replays the 6-round trainer (bpeRoundsCte) and checks
+    // the SAME concatenation property over its own vocabulary
+    "q136_bpe_integrity" ->
+      s"""WITH ${bpeRoundsCte(6)}
+        |SELECT COUNT(*) AS n_words,
+        |  CAST(SUM(len(s)) AS BIGINT) AS n_subwords,
+        |  CAST(MAX(len(s)) AS BIGINT) AS max_subwords,
+        |  CAST(SUM(CASE WHEN list_aggregate(s, 'string_agg', '')
+        |      <> w || '</w>' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM v6""".stripMargin,
+
+    "q137_rfm_segments" ->
+      """WITH u AS (SELECT user_id AS u, MAX(epoch_us(ts)) AS last_us,
+        |    COUNT(*) AS f, SUM(CAST(value AS DECIMAL(30,6))) AS m
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT MAX(last_us) AS max_us FROM u),
+        |t AS (SELECT
+        |    CAST(ntile(3) OVER (ORDER BY max_us - last_us ASC, u ASC)
+        |      AS BIGINT) AS r_t,
+        |    CAST(ntile(3) OVER (ORDER BY f DESC, u ASC) AS BIGINT) AS f_t,
+        |    CAST(ntile(3) OVER (ORDER BY m DESC, u ASC) AS BIGINT) AS m_t
+        |  FROM u CROSS JOIN mx)
+        |SELECT r_t, f_t, m_t, COUNT(*) AS n_users
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY r_t, f_t, m_t""".stripMargin
   )
 }

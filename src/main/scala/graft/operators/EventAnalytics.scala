@@ -545,6 +545,46 @@ object EventAnalytics {
       .orderBy("dow", "hod")
   }
 
+  /** RFM segmentation: every entity scored into terciles of Recency
+    * (µs since its last event, ascending — 1 is most recent),
+    * Frequency (event count, descending), and Monetary (exact DECIMAL
+    * value sum, descending — double summation would be
+    * order-dependent and break tercile edges across engines), then
+    * counted per (r, f, m) cell — the classic ≤27-segment engagement
+    * table. Tie order is pinned by (measure, entity), so the tercile
+    * CUTS, not just sizes, are engine-identical.
+    *
+    * Scale note: ntile is a total order over entities; this exact
+    * formulation is the audited contract (one entity-keyed aggregate,
+    * then windows over one row per entity). At extreme entity counts
+    * the same segmentation runs off percentile THRESHOLDS from an
+    * aggregate pass — the q110-style exact-contract-vs-scale-path
+    * split.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = events.groupBy(col(userCol).as("u"))
+      .agg(max(unix_micros(col(tsCol))).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(col(valueCol).cast("decimal(30,6)")).as("m"))
+    val mx = u.agg(max(col("last_us")).as("max_us"))
+    val scored = u.crossJoin(broadcast(mx))
+      .withColumn("r_us", col("max_us") - col("last_us"))
+      .withColumn("r_t",
+        ntile(3).over(Window.orderBy(col("r_us").asc, col("u").asc))
+          .cast("long"))
+      .withColumn("f_t",
+        ntile(3).over(Window.orderBy(col("f").desc, col("u").asc))
+          .cast("long"))
+      .withColumn("m_t",
+        ntile(3).over(Window.orderBy(col("m").desc, col("u").asc))
+          .cast("long"))
+    scored.groupBy("r_t", "f_t", "m_t")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_t", "f_t", "m_t")
+  }
+
   /** Cohort retention: each entity's cohort is its first activity day;
     * the cell (cohort_day, k) counts entities of that cohort active
     * exactly k days after it. Two keyed aggregates (first-day, then

@@ -874,6 +874,28 @@ object TextAnalysis {
       .orderBy(groupCol)
   }
 
+  /** Tokenizer-vocabulary integrity audit: after `numMerges` BPE
+    * rounds, every word's subword sequence must concatenate back to
+    * the word (+ the `</w>` end marker) — the losslessness property
+    * every decode path depends on. Emits one row: vocabulary size,
+    * total/max subwords per word, and the violation count (0 on a
+    * correct trainer — this query is a standing regression gate on
+    * the merge fold, hash-checked against the twin's replayed
+    * vocabulary).
+    */
+  def bpeVocabIntegrity(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val (_, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)
+    val out = vocab.agg(
+      count(lit(1)).as("n_words"),
+      sum(size(col("s")).cast("long")).as("n_subwords"),
+      max(size(col("s"))).cast("long").as("max_subwords"),
+      sum(when(concat_ws("", col("s")) =!=
+          concat(col("w"), lit("</w>")), lit(1L)).otherwise(lit(0L)))
+        .as("n_violations"))
+    Dedup.materializeAndRelease(out, vocab)
+  }
+
   /** Pairwise corpus drift: the Jensen–Shannon divergence (nats,
     * 0 ≤ JS ≤ ln 2) between every pair of per-`srcCol` unigram
     * distributions — the "did this crawl/source shift vocabulary"

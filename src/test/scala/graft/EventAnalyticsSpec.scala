@@ -246,6 +246,22 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq(0.75, 0.5, 0.25, 0.0, 0.0)         // conv_from_total
   }
 
+  test("rfmSegments: tercile cells with pinned tie order and exact monetary sums") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:01:40"), 10.0), (1L, ts("2024-01-01 00:01:00"), 10.0),
+      (1L, ts("2024-01-01 00:00:30"), 10.0),                       // last 100s, f3, m30
+      (2L, ts("2024-01-01 00:00:50"), 15.0), (2L, ts("2024-01-01 00:00:20"), 5.0),
+      (3L, ts("2024-01-01 00:00:10"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val cells = EventAnalytics.rfmSegments(events, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    cells shouldBe Map(
+      (1L, 1L, 1L) -> 1L,  // u1: most recent, most frequent, highest value
+      (2L, 2L, 2L) -> 1L,
+      (3L, 3L, 3L) -> 1L)
+  }
+
   test("funnel step deadline: late steps don't advance, equal edge included") {
     val events = Seq(
       // u1: click exactly AT the deadline edge (inclusive) -> advances

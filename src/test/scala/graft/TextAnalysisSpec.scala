@@ -424,6 +424,17 @@ class TextAnalysisSpec extends SparkSpec {
     jsEF shouldBe (0.5 * math.log(2.0)) +- 1e-9
   }
 
+  test("bpeVocabIntegrity: subword sequences concatenate back losslessly") {
+    // "ab ab b": merges learn (b,</w>) then (a,b</w>) -> ab=[ab</w>], b=[b</w>]
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeVocabIntegrity(docs, "text", numMerges = 2)
+      .collect().head
+    r.getLong(0) shouldBe 2L   // vocab: ab, b
+    r.getLong(1) shouldBe 2L   // one subword each after the merges
+    r.getLong(2) shouldBe 1L
+    r.getLong(3) shouldBe 0L   // losslessness
+  }
+
   test("lexicalDiversity: token mass, vocab, hapax, exact ratios") {
     val docs = Seq(
       (1L, "a a b", "A"), (2L, "x y z", "B"))
