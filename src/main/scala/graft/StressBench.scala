@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
-import graft.operators.{Catalog, Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Catalog, Curation, Dedup, EventAnalytics, Similarity, TextAnalysis}
 
 /** 100×-readiness stress harness as a DRIVER-RUNNABLE artifact: the
   * synthesized hostile corpora that previously lived as prose in
@@ -463,6 +463,33 @@ object StressBench {
       s""""clusters":${base.size},"ok":$ok}"""
   }
 
+  /** Interval sweep under 10× entity cloning: each cloned entity
+    * replays its base entity's exact session intervals, so every
+    * sweep prefix sum — and with it each day's peak concurrency —
+    * scales ×10 EXACTLY (equal-instant ties collapse into the same
+    * prefix multiset, and the day carry-in multiplies with the open
+    * sessions). Closed form, no tolerances. Also exercises the
+    * day-partitioned decomposition (carry + local run) at 10× the
+    * sweep volume.
+    */
+  private def concurrencyClone10x(s: SparkSession, sfDir: String): String = {
+    val ev = Tables.events(s, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val offset = ev.agg(max("user_id")).head().getLong(0) + 1
+    def peaks(in: DataFrame): Map[String, Long] =
+      EventAnalytics.peakConcurrency(in, "user_id", "ts", "event_id",
+          gapMicros = 30L * 60 * 1000000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (base, baseSecs) = time(peaks(ev))
+    val tenX = ev.withColumnRenamed("user_id", "doc_id")
+      .transform(clones(_, 10, offset))
+      .withColumnRenamed("doc_id", "user_id")
+    val (p10, secs10) = time(peaks(tenX))
+    val ok = p10 == base.map { case (d, p) => d -> (10 * p) }
+    s""""concurrency_clone10x":{"secs":${r3(secs10)},""" +
+      s""""base_secs":${r3(baseSecs)},"days":${base.size},"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -478,7 +505,8 @@ object StressBench {
       "manifest_clone10x" -> (() => manifestClone10x(spark, sfDir)),
       "centroid_clone10x" -> (() => centroidClone10x(spark, sfDir)),
       "bpe_clone10x" -> (() => bpeClone10x(spark, sfDir)),
-      "kmeans_clone10x" -> (() => kmeansClone10x(spark, sfDir)))
+      "kmeans_clone10x" -> (() => kmeansClone10x(spark, sfDir)),
+      "concurrency_clone10x" -> (() => concurrencyClone10x(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet
