@@ -2471,12 +2471,15 @@ object SparkEntry {
     // versioning audit.
     "q133_snapshot_diff" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // the added-doc id shift derives from the corpus (max+1) so it
+      // can never collide with a real id at any scale factor
+      val off = d.agg(max(col("doc_id"))).head().getLong(0) + 1
       val v2 = d.filter(col("doc_id") % 13 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
         .unionByName(d.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + lit(off)).as("doc_id"),
             concat(lit("new "), col("text")).as("text")))
       operators.Curation.snapshotDiff(d, v2, "doc_id", "text")
     }),
@@ -5166,7 +5169,8 @@ object SparkEntry {
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'new ' || text FROM documents
+        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+        |    'new ' || text FROM documents
         |  WHERE doc_id % 11 = 0),
         |b AS (SELECT doc_id,
         |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h

@@ -11,23 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Benchmark decontamination: drop every corpus document whose
-    * word n-gram Jaccard similarity to ANY document of the (small)
-    * contamination set reaches `t` — evaluation material must not leak
-    * into training data, and substring/exact matching misses light
-    * paraphrase, which shingle overlap catches.
-    *
-    * Shape: the corpus streams through ONCE; the contamination set
-    * (benchmark suites — thousands of docs, not billions) is reduced
-    * to a hashed-shingle posting list and the overlap count is a keyed
-    * join on the shingle hash, exactly like [[Dedup.verifyJaccard]]'s
-    * posting-list intersection — narrow (id, shingle) rows shuffle,
-    * never full texts. Overlaps are true Jaccard scores modulo 64-bit
-    * shingle-hash collisions (P ≈ sz²/2⁶⁵ per pair, the same
-    * qualification as the Dedup joins), so the filter has no false
-    * drops in practice; returns (kept corpus, dropped ids with their
-    * best-matching contaminant and score).
-    */
   /** Corpus snapshot diff — the dataset-versioning audit between two
     * versions of a document table: per status (`added`, `removed`,
     * `changed`, `unchanged` — membership by id, change by normalized
@@ -49,6 +32,23 @@ object Curation {
       .orderBy("status")
   }
 
+  /** Benchmark decontamination: drop every corpus document whose
+    * word n-gram Jaccard similarity to ANY document of the (small)
+    * contamination set reaches `t` — evaluation material must not leak
+    * into training data, and substring/exact matching misses light
+    * paraphrase, which shingle overlap catches.
+    *
+    * Shape: the corpus streams through ONCE; the contamination set
+    * (benchmark suites — thousands of docs, not billions) is reduced
+    * to a hashed-shingle posting list and the overlap count is a keyed
+    * join on the shingle hash, exactly like [[Dedup.verifyJaccard]]'s
+    * posting-list intersection — narrow (id, shingle) rows shuffle,
+    * never full texts. Overlaps are true Jaccard scores modulo 64-bit
+    * shingle-hash collisions (P ≈ sz²/2⁶⁵ per pair, the same
+    * qualification as the Dedup joins), so the filter has no false
+    * drops in practice; returns (kept corpus, dropped ids with their
+    * best-matching contaminant and score).
+    */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     contam: DataFrame, contamIdCol: String,
                     contamTextCol: String,
