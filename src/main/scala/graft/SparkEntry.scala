@@ -2511,7 +2511,23 @@ object SparkEntry {
     // frequency / exact-decimal monetary value.
     "q137_rfm_segments" -> ((s, dir) =>
       operators.EventAnalytics.rfmSegments(Tables.events(s, dir),
-        "user_id", "ts", "value"))
+        "user_id", "ts", "value")),
+
+    // Weekly conversion trend: funnel entries cohorted by the ISO week
+    // of their first step, with per-week completion rates.
+    "q138_conversion_trend" -> ((s, dir) => {
+      val f = operators.EventAnalytics.funnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      f.filter(col("t1").isNotNull)
+        .groupBy(date_format(date_trunc("week", col("t1")), "yyyy-MM-dd")
+          .as("week"))
+        .agg(count(lit(1)).as("n_entered"),
+          count(col("t3")).as("n_converted"))
+        .select(col("week"), col("n_entered"), col("n_converted"),
+          (col("n_converted").cast("double") / col("n_entered").cast("double"))
+            .as("conv_rate"))
+        .orderBy("week")
+    })
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -5239,6 +5255,25 @@ object SparkEntry {
         |  FROM u CROSS JOIN mx)
         |SELECT r_t, f_t, m_t, COUNT(*) AS n_users
         |FROM t GROUP BY 1, 2, 3
-        |ORDER BY r_t, f_t, m_t""".stripMargin
+        |ORDER BY r_t, f_t, m_t""".stripMargin,
+
+    // q108's chained-min funnel cohorted by ISO week of the first step
+    // (both engines truncate weeks to Monday)
+    "q138_conversion_trend" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT strftime(CAST(date_trunc('week', t1) AS DATE), '%Y-%m-%d')
+        |    AS week,
+        |  COUNT(*) AS n_entered, COUNT(t3) AS n_converted,
+        |  CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conv_rate
+        |FROM s1 LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1
+        |ORDER BY week""".stripMargin
   )
 }
