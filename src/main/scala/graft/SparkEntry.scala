@@ -2513,6 +2513,54 @@ object SparkEntry {
       operators.EventAnalytics.rfmSegments(Tables.events(s, dir),
         "user_id", "ts", "value")),
 
+    // TPC-H Q3-shape shipping priority: segment-filtered 3-table star
+    // join, exact-decimal revenue, deterministic top-10. Dims
+    // broadcast; only lineitem shuffles (on the join key).
+    "q139_shipping_priority" -> ((s, dir) => {
+      val cut = to_timestamp(lit("1998-06-01 00:00:00"))
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q7-shape nation-to-nation trade flow: 5-table star join
+    // (supplier and customer nations), exact-decimal revenue per flow
+    // cell. All dims broadcast; lineitem and orders shuffle once each.
+    "q140_nation_flow" -> ((s, dir) => {
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"))
+    }),
+
     // Weekly conversion trend: funnel entries cohorted by the ISO week
     // of their first step, with per-week completion rates.
     "q138_conversion_trend" -> ((s, dir) => {
@@ -5274,6 +5322,32 @@ object SparkEntry {
         |  CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conv_rate
         |FROM s1 LEFT JOIN s3 USING (user_id)
         |GROUP BY 1
-        |ORDER BY week""".stripMargin
+        |ORDER BY week""".stripMargin,
+
+    "q139_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q140_nation_flow" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  COUNT(*) AS n_items,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY supp_nation, cust_nation""".stripMargin
   )
 }
