@@ -2513,6 +2513,40 @@ object SparkEntry {
       operators.EventAnalytics.rfmSegments(Tables.events(s, dir),
         "user_id", "ts", "value")),
 
+    // TPC-H Q13-shape customer order-count distribution: left join so
+    // zero-order customers count, then the histogram of counts.
+    "q141_order_distribution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Brand revenue share over the part dimension: lineitem joined to
+    // the broadcast part dim, exact-decimal revenue, share against a
+    // 1-row total rider.
+    "q142_brand_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val joined = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val lineRev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val rev = joined.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum(lineRev).as("revenue"))
+      // the denominator is its own order-independent DECIMAL sum over
+      // the joined rows (summing the per-brand DOUBLES would be
+      // partition-order-dependent)
+      val total = joined.agg(dsum(lineRev).as("total_rev"))
+      rev.crossJoin(broadcast(total))
+        .select(col("p_brand"), col("n_items"), col("revenue"),
+          (col("revenue") / col("total_rev")).as("rev_share"))
+        .orderBy(col("p_brand"))
+    }),
+
     // TPC-H Q3-shape shipping priority: segment-filtered 3-table star
     // join, exact-decimal revenue, deterministic top-10. Dims
     // broadcast; only lineitem shuffles (on the join key).
@@ -5323,6 +5357,27 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s3 USING (user_id)
         |GROUP BY 1
         |ORDER BY week""".stripMargin,
+
+    "q141_order_distribution" ->
+      """WITH cc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM cc
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q142_brand_revenue" ->
+      s"""WITH j AS (SELECT p_brand, l_extendedprice, l_discount
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |rev AS (SELECT p_brand, COUNT(*) AS n_items,
+        |    ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |  FROM j GROUP BY 1),
+        |t AS (SELECT ${DSUM("l_extendedprice * (1.0 - l_discount)")}
+        |    AS total_rev FROM j)
+        |SELECT p_brand, n_items, revenue, revenue / total_rev AS rev_share
+        |FROM rev CROSS JOIN t
+        |ORDER BY p_brand""".stripMargin,
 
     "q139_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
