@@ -2547,6 +2547,31 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // TPC-H Q5-shape local-supplier volume: revenue where the
+    // customer's and supplier's nation coincide, rolled up through the
+    // region dimension (6-table star; all dims broadcast).
+    "q143_regional_volume" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val dims = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // TPC-H Q3-shape shipping priority: segment-filtered 3-table star
     // join, exact-decimal revenue, deterministic top-10. Dims
     // broadcast; only lineitem shuffles (on the join key).
@@ -5357,6 +5382,19 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s3 USING (user_id)
         |GROUP BY 1
         |ORDER BY week""".stripMargin,
+
+    "q143_regional_volume" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_items,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q141_order_distribution" ->
       """WITH cc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
