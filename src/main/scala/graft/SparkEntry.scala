@@ -2531,19 +2531,23 @@ object SparkEntry {
     // 1-row total rider.
     "q142_brand_revenue" -> ((s, dir) => {
       val p = Tables.part(s, dir).select("p_partkey", "p_brand")
-      val joined = Tables.lineitem(s, dir)
+      val lineRev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      // per-brand sums stay DECIMAL so the grand total can roll up
+      // from the ~|brands| brand rows exactly (order-independent) —
+      // one scan/join instead of a second full aggregate, and no
+      // partition-order-dependent double summation
+      val rev = Tables.lineitem(s, dir)
         .select("l_partkey", "l_extendedprice", "l_discount")
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      val lineRev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      val rev = joined.groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_items"), dsum(lineRev).as("revenue"))
-      // the denominator is its own order-independent DECIMAL sum over
-      // the joined rows (summing the per-brand DOUBLES would be
-      // partition-order-dependent)
-      val total = joined.agg(dsum(lineRev).as("total_rev"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(lineRev.cast("decimal(30,6)")).as("revd"))
+      val total = rev.agg(sum(col("revd")).as("totd"))
       rev.crossJoin(broadcast(total))
-        .select(col("p_brand"), col("n_items"), col("revenue"),
-          (col("revenue") / col("total_rev")).as("rev_share"))
+        .select(col("p_brand"), col("n_items"),
+          col("revd").cast("double").as("revenue"),
+          (col("revd").cast("double") / col("totd").cast("double"))
+            .as("rev_share"))
         .orderBy(col("p_brand"))
     }),
 
@@ -2573,8 +2577,9 @@ object SparkEntry {
     }),
 
     // TPC-H Q3-shape shipping priority: segment-filtered 3-table star
-    // join, exact-decimal revenue, deterministic top-10. Dims
-    // broadcast; only lineitem shuffles (on the join key).
+    // join, exact-decimal revenue, deterministic top-10. The customer
+    // dim broadcasts; lineitem and orders (both fact-sized) shuffle
+    // once each into the sort-merge join.
     "q139_shipping_priority" -> ((s, dir) => {
       val cut = to_timestamp(lit("1998-06-01 00:00:00"))
       val c = Tables.customer(s, dir)
@@ -5406,14 +5411,14 @@ object SparkEntry {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q142_brand_revenue" ->
-      s"""WITH j AS (SELECT p_brand, l_extendedprice, l_discount
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |rev AS (SELECT p_brand, COUNT(*) AS n_items,
-        |    ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
-        |  FROM j GROUP BY 1),
-        |t AS (SELECT ${DSUM("l_extendedprice * (1.0 - l_discount)")}
-        |    AS total_rev FROM j)
-        |SELECT p_brand, n_items, revenue, revenue / total_rev AS rev_share
+      """WITH rev AS (SELECT p_brand, COUNT(*) AS n_items,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,6))) AS revd
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(revd) AS totd FROM rev)
+        |SELECT p_brand, n_items, CAST(revd AS DOUBLE) AS revenue,
+        |  CAST(revd AS DOUBLE) / CAST(totd AS DOUBLE) AS rev_share
         |FROM rev CROSS JOIN t
         |ORDER BY p_brand""".stripMargin,
 
