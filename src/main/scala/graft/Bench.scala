@@ -29,6 +29,32 @@ object Bench {
     // separately), only all-pass failures are "failed" — r6's flat set
     // reported both a failure and a valid time for the same query
     var failCounts = Map.empty[String, Int].withDefaultValue(0)
+    // Host-load attribution (r9 verdict item 4: the driver read +31%
+    // over the builder's recorded total, uniformly — environment, not
+    // regression, but unprovable without data). One snapshot before
+    // each pass and one after the last: 1-min loadavg, cumulative cpu
+    // steal jiffies from /proc/stat (deltas between snapshots = steal
+    // during the pass), and the number of live JVMs (concurrent
+    // harnesses are the usual contention source on a shared host).
+    def hostSnapshot(): String = {
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val steal =
+        try {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          try {
+            val f = src.getLines().next().trim.split("\\s+")
+            if (f.length > 8) f(8).toLong else -1L
+          } finally src.close()
+        } catch { case _: Throwable => -1L }
+      val jvms = ProcessHandle.allProcesses()
+        .filter(p => p.info().command()
+          .map[java.lang.Boolean](_.contains("java")).orElse(false))
+        .count()
+      val l = "%.2f".formatLocal(java.util.Locale.ROOT, load)
+      s"""{"loadavg":$l,"steal_jiffies":$steal,"jvms":$jvms}"""
+    }
+    val hostSnaps = scala.collection.mutable.ArrayBuffer.empty[String]
     // optional args = query-name subset for local iteration; the driver
     // passes none and gets the full suite
     val selected =
@@ -70,7 +96,10 @@ object Bench {
     // the steady-state throughput number the baseline comparison wants,
     // with run-to-run jitter (GC pause, load spike) filtered out.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
-    val results = (1 to passes).map(_ => runPass())
+    val results = (1 to passes).map { _ =>
+        hostSnaps += hostSnapshot()
+        runPass()
+      }
       .reduce((a, b) => a.zip(b).map { case ((k, v1), (_, v2)) => k -> math.min(v1, v2) })
       // a query that failed EVERY pass has no real time — report 0 and
       // rely on the `failed` array (MaxValue would wreck the total)
@@ -88,15 +117,17 @@ object Bench {
     val failedJson = names(_ == passes) // no pass succeeded: time is 0.0
     val flakyJson = names(c => c > 0 && c < passes) // timed, but not clean
     val total = results.map(_._2).sum
+    hostSnaps += hostSnapshot() // post-run: catches load that built up DURING
+    val hostJson = hostSnaps.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"host":$hostJson}"""
     // At 87 queries the full line is ~2.6 kB — larger than the driver's
     // captured log tail, so it can never be recovered from stdout alone
     // (BENCH_r07/r08 both came back parsed:null). The full record lives
     // in bench_out.json; stdout gets the full line for humans plus a
     // guaranteed-short summary line LAST, sized to always fit the tail.
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"host":$hostJson,"detail":"bench_out.json"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     // stop BEFORE printing so the JSON lines are the LAST stdout lines —
     // the driver captures a bounded log tail and must find them there

@@ -26,7 +26,7 @@ import graft.operators.{Catalog, Curation, Dedup, EventAnalytics, Similarity, Te
   * Output: one JSON line (last stdout line, also stress_out.json) —
   * {"metric":"stress_total","value":secs,...,"stresses":{...}}.
   * SPARK_GRAFT_STRESS selects a comma-separated subset for local
-  * iteration; the driver default runs all five.
+  * iteration; the default runs every registered stress.
   */
 object StressBench {
 
@@ -496,6 +496,63 @@ object StressBench {
       s""""base_secs":${r3(baseSecs)},"days":${base.size},"ok":$ok}"""
   }
 
+  /** Funnel under one degenerate (bot-shaped) entity — the
+    * maxEventsPerEntity guard's envelope test. Corpus = the base
+    * events table plus a synthetic entity with 100× the MEDIAN
+    * per-entity activity, built all-"view" except a trailing
+    * click+purchase, so truncation is OBSERVABLE in the answer: the
+    * uncapped machine reaches depth 3 on the hot entity, a cap below
+    * its tail must read depth 1 (its first `cap` events are all
+    * views). The cap is sized above every real entity (max base
+    * activity + 1), so the closed form is exact:
+    * capped(base ∪ hot) = uncapped(base) ∪ {hot → depth 1} — asserted
+    * by two-way `except` on the non-hot rows plus both hot depths.
+    * The capped run's window pre-rank is the spillable path that
+    * keeps the hot key out of the collect_list buffer.
+    */
+  private def funnelHotEntity(s: SparkSession, sfDir: String): String = {
+    import graft.operators.EventAnalytics
+    val steps = Seq("view", "click", "purchase")
+    val ev = Tables.events(s, sfDir).select("user_id", "ts", "event_type")
+    val counts = ev.groupBy("user_id").count().persist()
+    val med = counts.agg(expr("percentile(count, 0.5)")).head().getDouble(0)
+    val maxAct = counts.agg(max("count")).head().getLong(0)
+    counts.unpersist(blocking = false)
+    // ≥ maxAct + 3 so cap = maxAct + 1 still leaves the click+purchase
+    // tail beyond the truncation point even on a tiny SF
+    val hotN = math.max((100.0 * med).toLong, maxAct + 3)
+    val cap = (maxAct + 1).toInt
+    val hotId = ev.agg(max("user_id")).head().getLong(0) + 1
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val hot = s.range(1, hotN + 1)
+      .select(lit(hotId).as("user_id"),
+        timestamp_micros(lit(maxUs) + col("id") * lit(1000000L)).as("ts"),
+        when(col("id") <= hotN - 2, "view")
+          .when(col("id") === hotN - 1, "click")
+          .otherwise("purchase").as("event_type"))
+    val corpus = ev.unionByName(hot)
+    val base = EventAnalytics.funnel(ev, "user_id", "ts", "event_type", steps)
+      .persist()
+    val ((cappedHot, uncappedHot, diffs), secs) = time {
+      val capped = EventAnalytics.funnel(corpus, "user_id", "ts",
+        "event_type", steps, maxEventsPerEntity = Some(cap)).persist()
+      val others = capped.filter(col("user_id") =!= hotId)
+      val d = others.except(base).count() + base.except(others).count()
+      val ch = capped.filter(col("user_id") === hotId)
+        .select("depth").head().getInt(0)
+      val uh = EventAnalytics.funnel(corpus, "user_id", "ts", "event_type",
+        steps).filter(col("user_id") === hotId)
+        .select("depth").head().getInt(0)
+      capped.unpersist(blocking = false)
+      (ch, uh, d)
+    }
+    base.unpersist(blocking = false)
+    val ok = cappedHot == 1 && uncappedHot == steps.size && diffs == 0L
+    s""""funnel_hot_entity":{"secs":${r3(secs)},"hot_events":$hotN,""" +
+      s""""cap":$cap,"capped_depth":$cappedHot,"uncapped_depth":$uncappedHot,""" +
+      s""""other_row_diffs":$diffs,"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -512,7 +569,8 @@ object StressBench {
       "centroid_clone10x" -> (() => centroidClone10x(spark, sfDir)),
       "bpe_clone10x" -> (() => bpeClone10x(spark, sfDir)),
       "kmeans_clone10x" -> (() => kmeansClone10x(spark, sfDir)),
-      "concurrency_clone10x" -> (() => concurrencyClone10x(spark, sfDir)))
+      "concurrency_clone10x" -> (() => concurrencyClone10x(spark, sfDir)),
+      "funnel_hot_entity" -> (() => funnelHotEntity(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet

@@ -26,11 +26,37 @@ object EventAnalytics {
     * same envelope as Sessionize. A 100 TB event table with millions
     * of entities spreads on the entity key; no step count multiplies
     * the shuffle volume.
+    *
+    * MEMORY CONTRACT: the per-entity `collect_list` buffer does NOT
+    * spill — one degenerate entity (a bot, a test account) with tens
+    * of millions of events is a single-task OOM. `maxEventsPerEntity`
+    * is the guard: when set, each entity's history is truncated to its
+    * EARLIEST `cap` events (deterministic (ts, type) order) through a
+    * window-ranked pre-filter — WindowExec's buffer spills to disk, so
+    * the rank pass survives the hot entity that the fold alone would
+    * not. Semantics under the cap are exact for every entity within it
+    * (the greedy machine only ever consumes earliest events); a capped
+    * entity is audited over its first `cap` events only — the right
+    * read for bot-shaped keys, whose funnel depth past millions of
+    * events is noise anyway. Size the cap from the q129 bot audit's
+    * activity distribution (e.g. 100× the p99 entity). Default None
+    * preserves the uncapped contract.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
-      maxStepGapUs: Option[Long] = None): DataFrame = {
+      maxStepGapUs: Option[Long] = None,
+      maxEventsPerEntity: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val src = maxEventsPerEntity match {
+      case None => events
+      case Some(cap) =>
+        require(cap > 0, s"maxEventsPerEntity must be positive: $cap")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol))
+          .orderBy(col(tsCol).asc, col(typeCol).asc)
+        events.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
     val stepsArr = array(steps.map(lit): _*)
     val evs = sort_array(collect_list(struct(col(tsCol).as("ts"),
       col(typeCol).as("et"))))
@@ -58,7 +84,7 @@ object EventAnalytics {
       when(size(col("__ts")) > i, element_at(col("__ts"), i + 1))
         .as(s"t${i + 1}")
     }
-    events.groupBy(col(userCol))
+    src.groupBy(col(userCol))
       .agg(folded.as("__ts"))
       .select(col(userCol) +: size(col("__ts")).as("depth") +: stepCols: _*)
       .orderBy(col(userCol))

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * serializes its own rows through one task, the same documented
   * trade-off as shard packing; sessions of different keys never
   * interact, so the operator scales with the key count, not the row
-  * count per key.
+  * count per key. WindowExec's per-partition buffer SPILLS to disk, so
+  * a degenerate hot key degrades to disk throughput rather than OOM —
+  * the envelope that separates this family from in-memory
+  * `collect_list` folds (see [[EventAnalytics.funnel]]'s
+  * `maxEventsPerEntity` guard for those).
   *
   * Determinism: rows are ordered by (ts, tieBreak…); pass a unique
   * tie-breaker (e.g. the event id) so equal timestamps order — and

@@ -49,19 +49,29 @@ object Similarity {
     * engines on non-identical vectors; the division n_agree/k is one
     * correctly-rounded IEEE op).
     *
-    * Scale shape: this EXACT variant broadcasts the (id, vec, label)
-    * corpus projection against a streaming probe scan — right whenever
-    * the projection fits a broadcast (n·dim·4 bytes; ~2.5 GB at 10M
-    * vectors × 64 dims). Past that, audit the IVF/LSH candidate sets
-    * instead ([[ivfTopK]]/[[lshTopK]]'s bucket joins): same per-row
-    * vote over approximate neighbors — the audit math is unchanged,
-    * only candidate generation swaps, exactly as search does.
+    * Scale shape: this EXACT variant broadcasts the (id, vec) corpus
+    * projection against a streaming probe scan — right whenever the
+    * projection fits a broadcast (n·dim·4 bytes; ~2.5 GB at 10M
+    * vectors × 64 dims). Past that, [[knnLabelAgreementApprox]] runs
+    * the SAME vote over [[knnNeighborsApprox]]'s LSH candidate sets —
+    * the audit math is unchanged, only candidate generation swaps,
+    * exactly as search does (q13 → q24); q144 recall-gates the swap.
     */
   def knnLabelAgreement(emb: DataFrame, idCol: String, vecCol: String,
-                        labelCol: String, k: Int): DataFrame = {
+                        labelCol: String, k: Int): DataFrame =
+    labelVote(knnNeighborsExact(emb, idCol, vecCol, k),
+      emb, idCol, labelCol, k)
+
+  /** All-rows exact kNN neighbor table — every row's k cosine-nearest
+    * OTHER rows, `(vec_id, rank, nbr_id, cos_sim)` with the q13 tie
+    * order `(cos_sim DESC, nbr_id ASC)`. The brute-force candidate
+    * generator behind [[knnLabelAgreement]], exposed so recall gates
+    * can compare it against [[knnNeighborsApprox]] row-for-row.
+    */
+  def knnNeighborsExact(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
-      col(labelCol).as("nbr_label"))
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
     // the probe side REPARTITIONS by id before meeting the broadcast:
     // a small parquet corpus arrives as ONE scan partition, which would
     // put the whole n² cosine product on a single task; hashing by
@@ -74,17 +84,101 @@ object Similarity {
     // product), which size-based rules cannot see. The post-join
     // projection keeps the two 64-float arrays out of the window sort.
     val probes = emb.select(col(idCol).as("vec_id"),
-        col(vecCol).as("query_vec"), col(labelCol).as("label"))
+        col(vecCol).as("query_vec"))
       .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions,
         col("vec_id"))
     val scored = probes.join(broadcast(corpus), col("nbr_id") =!= col("vec_id"))
       .withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
-      .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
-        col("cos_sim"))
+      .select(col("vec_id"), col("nbr_id"), col("cos_sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .select("vec_id", "rank", "nbr_id", "cos_sim")
+  }
+
+  /** All-rows APPROXIMATE kNN neighbor table via the [[lshTopK]]
+    * machinery with every row as a probe: the corpus is hyperplane-
+    * bucketed ONCE and self-joined on (table, bucket), candidates are
+    * exactly re-ranked, output shape matches [[knnNeighborsExact]].
+    * This is the past-broadcast-ceiling route the exact audit's
+    * scaladoc names: no n² product anywhere — candidate volume is the
+    * bucket-join output (corpus/2^planes expected per bucket per
+    * table), so the audit survives corpora where the (id, vec, label)
+    * projection no longer broadcasts. Query-side multiprobe (Hamming-1
+    * bucket flips) trades candidate volume for recall without touching
+    * the index — the same asymmetry as [[lshTopK]], though here the
+    * probe side is corpus-sized too, so it multiplies probe rows by
+    * (planesPerTable + 1).
+    */
+  def knnNeighborsApprox(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 8, planesPerTable: Int = 6, dim: Int = 64,
+      seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val planes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
+    val bucketed = emb
+      .select(col(idCol).as("id"), posexplode(bucketsCol(col(vecCol), planes)))
+      .toDF("id", "tbl", "bucket")
+    val probes =
+      if (!multiProbe) bucketed.select(col("tbl"), col("bucket"),
+        col("id").as("vec_id"))
+      else bucketed.select(col("id").as("vec_id"), col("tbl"),
+        hamming1Probes(col("bucket"), planesPerTable).as("bucket"))
+    // distinct on NARROW id pairs before vectors are joined back —
+    // the multi-table self-join surfaces each pair up to `tables`
+    // times (× probes under multiprobe), and a distinct carrying the
+    // embedding arrays would shuffle dim×8 bytes per duplicate
+    val cand = bucketed
+      .select(col("tbl"), col("bucket"), col("id").as("nbr_id"))
+      .join(probes, Seq("tbl", "bucket"))
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .select("vec_id", "nbr_id").distinct()
+      .join(emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+        "nbr_id")
+      .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("query_vec")),
+        "vec_id")
+    val scored = cand
+      .withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
+      .select(col("vec_id"), col("nbr_id"), col("cos_sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "nbr_id", "cos_sim")
+  }
+
+  /** [[knnLabelAgreement]] over LSH candidate sets — the NAMED
+    * past-broadcast-ceiling variant (VERDICT r9 item 6): identical
+    * vote math, only candidate generation swaps from the broadcast
+    * brute-force product to [[knnNeighborsApprox]]'s bucket self-join,
+    * exactly as search swaps q13 → q24. A row whose approximate
+    * neighborhood has fewer than k candidates votes over what it has
+    * (n_agree ≤ found ≤ k; agree_rate keeps the /k denominator so
+    * sparse neighborhoods read as low agreement, never inflated).
+    * Gate protocol: q144 compares both the neighbor sets and the vote
+    * rates against the exact audit with a recall floor, mirroring
+    * q24/q25.
+    */
+  def knnLabelAgreementApprox(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, tables: Int = 8, planesPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L,
+      multiProbe: Boolean = false): DataFrame =
+    labelVote(knnNeighborsApprox(emb, idCol, vecCol, k, tables,
+      planesPerTable, dim, seed, multiProbe), emb, idCol, labelCol, k)
+
+  /** The shared vote step of the label-agreement audits: join the
+    * (narrow, n·k-row) neighbor table back to the label column on both
+    * endpoints and count per-row agreement. Two keyed joins of scalar
+    * rows — the label lookup never rides through the ranking window.
+    */
+  private def labelVote(neighbors: DataFrame, emb: DataFrame, idCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val lab = emb.select(col(idCol), col(labelCol))
+    neighbors
+      .join(lab.select(col(idCol).as("vec_id"), col(labelCol).as("label")),
+        "vec_id")
+      .join(lab.select(col(idCol).as("nbr_id"), col(labelCol).as("nbr_label")),
+        "nbr_id")
       .groupBy(col("vec_id"), col("label"))
       .agg(sum(when(col("nbr_label") === col("label"), lit(1L))
         .otherwise(lit(0L))).as("n_agree"))

@@ -709,6 +709,21 @@ object TextAnalysis {
     merges
   }
 
+  /** Train `numMerges` BPE rounds and return the final vocabulary
+    * `(w, s, c)` — each distinct corpus word with its post-merge
+    * subword sequence and frequency: the pre-trained dictionary the
+    * `...With` variants ([[bpeEncodeWith]] / [[bpeFertilityWith]] /
+    * [[bpeVocabIntegrityWith]]) consume. Comes back PERSISTED; the
+    * caller owns the release (it is distinct-word-sized, not
+    * corpus-sized, so pinning it for a session of reports is cheap).
+    * This is the train-once-per-corpus seam: a release report, an
+    * encoder, and an integrity audit share ONE trainer run instead of
+    * each re-running the 6-round merge loop.
+    */
+  def bpeTrainedVocab(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame =
+    bpeTrainWithVocab(docs, textCol, numMerges)._2
+
   /** The trainer loop behind [[bpeTrain]]. Returns (merge table, final
     * vocabulary `(w, s, c)` — each distinct word with its post-merge
     * symbol sequence and corpus frequency). The vocabulary comes back
@@ -800,17 +815,26 @@ object TextAnalysis {
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       numMerges: Int, prefixLen: Int): DataFrame = {
     val (_, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)
+    Dedup.materializeAndRelease(
+      bpeEncodeWith(docs, idCol, textCol, vocab, prefixLen), vocab)
+  }
+
+  /** [[bpeEncode]] under a PRE-TRAINED vocabulary ([[bpeTrainedVocab]]'s
+    * `(w, s)` shape) — the train-once seam: no trainer run, no release
+    * of the caller's vocab.
+    */
+  def bpeEncodeWith(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, prefixLen: Int): DataFrame = {
     val words = docs.select(col(idCol),
         posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
-    val out = words.join(vocab.select("w", "s"), "w")
+    words.join(vocab.select("w", "s"), "w")
       .groupBy(idCol)
       .agg(sum(size(col("s"))).as("n_subwords"),
         array_join(slice(flatten(transform(
             array_sort(collect_list(struct(col("pos"), col("s")))),
             x => x.getField("s"))), 1, prefixLen), " ").as("prefix"))
       .orderBy(col(idCol))
-    Dedup.materializeAndRelease(out, vocab)
   }
 
   /** Tokenizer fertility audit: train `numMerges` BPE merges
@@ -829,11 +853,22 @@ object TextAnalysis {
   def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
       numMerges: Int): DataFrame = {
     val (_, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)
+    Dedup.materializeAndRelease(
+      bpeFertilityWith(docs, textCol, groupCol, vocab), vocab)
+  }
+
+  /** [[bpeFertility]] under a PRE-TRAINED vocabulary
+    * ([[bpeTrainedVocab]]) — the dataset-card/report path, where one
+    * trainer run serves every audit instead of each re-running the
+    * merge loop. Does not release the caller's vocab.
+    */
+  def bpeFertilityWith(docs: DataFrame, textCol: String, groupCol: String,
+      vocab: DataFrame): DataFrame = {
     val perGroup = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(groupCol, "w").agg(count(lit(1)).as("c"))
-    val out = perGroup
+    perGroup
       .join(vocab.select(col("w"), size(col("s")).cast("long").as("n_sub")), "w")
       .groupBy(groupCol)
       .agg(sum(col("c")).as("n_words"),
@@ -842,7 +877,6 @@ object TextAnalysis {
         hashSafeRound(col("n_subwords").cast("double")
           / col("n_words").cast("double"), 9).as("fertility"))
       .orderBy(col(groupCol))
-    Dedup.materializeAndRelease(out, vocab)
   }
 
   /** Lexical diversity per group: token mass, vocabulary size, hapax
@@ -886,15 +920,20 @@ object TextAnalysis {
   def bpeVocabIntegrity(docs: DataFrame, textCol: String,
       numMerges: Int): DataFrame = {
     val (_, vocab) = bpeTrainWithVocab(docs, textCol, numMerges)
-    val out = vocab.agg(
+    Dedup.materializeAndRelease(bpeVocabIntegrityWith(vocab), vocab)
+  }
+
+  /** [[bpeVocabIntegrity]] over a PRE-TRAINED vocabulary
+    * ([[bpeTrainedVocab]]); does not release the caller's vocab.
+    */
+  def bpeVocabIntegrityWith(vocab: DataFrame): DataFrame =
+    vocab.agg(
       count(lit(1)).as("n_words"),
       sum(size(col("s")).cast("long")).as("n_subwords"),
       max(size(col("s"))).cast("long").as("max_subwords"),
       sum(when(concat_ws("", col("s")) =!=
           concat(col("w"), lit("</w>")), lit(1L)).otherwise(lit(0L)))
         .as("n_violations"))
-    Dedup.materializeAndRelease(out, vocab)
-  }
 
   /** Pairwise corpus drift: the Jensen–Shannon divergence (nats,
     * 0 ≤ JS ≤ ln 2) between every pair of per-`srcCol` unigram

@@ -168,9 +168,16 @@ object StreamingOps {
     * late-arriving step-k event that predates an already-consumed
     * step-k match cannot rewind committed state). Works on batch
     * Datasets too (state spans the whole group).
+    *
+    * `maxStepGapUs` is the batch operator's step deadline (q130):
+    * advance only when the candidate lands within the window of the
+    * previous step. Greedy-first-match still equals chained
+    * min-within-window (the earliest qualifying event is inside the
+    * window iff any is), so batch/stream parity holds under the same
+    * arrival contract.
     */
-  def funnelStateful(ds: Dataset[FunnelEvent],
-      steps: Seq[String]): Dataset[FunnelProgress] = {
+  def funnelStateful(ds: Dataset[FunnelEvent], steps: Seq[String],
+      maxStepGapUs: Option[Long] = None): Dataset[FunnelProgress] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user)
@@ -181,7 +188,8 @@ object StreamingOps {
           val out = Seq.newBuilder[FunnelProgress]
           rows.toSeq.sortBy(r => (r.tsUs, r.etype)).foreach { r =>
             if (st.length < steps.size && r.etype == steps(st.length) &&
-                (st.isEmpty || r.tsUs > st.last)) {
+                (st.isEmpty || (r.tsUs > st.last &&
+                  maxStepGapUs.forall(gap => r.tsUs <= st.last + gap)))) {
               st = st :+ r.tsUs
               out += FunnelProgress(user, st.length, st)
             }

@@ -373,6 +373,36 @@ class EventAnalyticsSpec extends SparkSpec {
     rows("2024-01-02") shouldBe ((2L, 2L, 2L, 1.0))
   }
 
+  test("funnel maxEventsPerEntity: earliest-events truncation, non-binding cap is a no-op") {
+    val events = Seq(
+      // hot entity: 5 views, then the click+purchase tail
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "view"),
+      (1L, ts("2024-01-01 10:02:00"), "view"),
+      (1L, ts("2024-01-01 10:03:00"), "view"),
+      (1L, ts("2024-01-01 10:04:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:06:00"), "purchase"),
+      // normal entity: completes within any cap >= 3
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:01:00"), "click"),
+      (2L, ts("2024-01-01 10:02:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    def depths(cap: Option[Int]) =
+      EventAnalytics.funnel(events, "user_id", "ts", "event_type", steps,
+          maxEventsPerEntity = cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // cap 5: u1's first 5 events are all views -> truncated to depth 1;
+    // u2 (3 events) is untouched
+    depths(Some(5)) shouldBe Map(1L -> 1, 2L -> 3)
+    // cap 6: the click survives truncation, the purchase does not
+    depths(Some(6)) shouldBe Map(1L -> 2, 2L -> 3)
+    // cap above every entity's activity: identical to uncapped
+    depths(Some(100)) shouldBe depths(None)
+    depths(None) shouldBe Map(1L -> 3, 2L -> 3)
+  }
+
   test("sessionStats: gap splits, duration percentiles, bounce rate") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),

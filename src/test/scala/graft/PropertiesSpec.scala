@@ -12,16 +12,17 @@ import graft.sinks.ConfluentFraming
 class PropertiesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("SparkEntry contract: every oracle names a query; only q40 is rows-only") {
+  test("SparkEntry contract: every oracle names a query; every query has an oracle") {
     // the driver's correctness gate keys on these maps — an oracle
     // entry whose key doesn't match a query is silently dead, and a
-    // query without an oracle silently downgrades to rows-only. Pin
-    // the one intentional rows-only exception (q40: capped ⊆ exact is
-    // not SQL-expressible; DedupSpec pins the containment instead).
+    // query without an oracle silently downgrades to rows-only. As of
+    // r10 there are NO rows-only queries (q40 gates against the exact
+    // Jaccard twin — the dial is lossless on this corpus, and the gate
+    // pins it); a new query landing without a twin fails here first.
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     o.diff(q) shouldBe empty
-    q.diff(o) shouldBe Set("q40_jaccard_capped")
+    q.diff(o) shouldBe empty
   }
 
   test("BPE mergeFold property: distributed fold == reference fold on random sequences") {

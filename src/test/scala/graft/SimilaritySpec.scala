@@ -348,6 +348,76 @@ class SimilaritySpec extends SparkSpec {
       .toSeq shouldBe out.toSeq
   }
 
+  test("knnNeighborsApprox: dense ranks, exact cosines, pairs drawn from the exact all-pairs table") {
+    // k = n - 1: the exact table holds EVERY directed pair, so the
+    // approximate output must be a subset regardless of bucketing luck
+    val exact = Similarity.knnNeighborsExact(vecs, "vec_id", "embedding", 4)
+      .collect()
+    exact.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.sortBy(_.getLong(1)).map(_.getLong(1)).toSeq shouldBe
+        (1L to rs.length)
+    }
+    exact.groupBy(_.getLong(0)).foreach { case (_, rs) => rs.length shouldBe 4 }
+    val approx = Similarity.knnNeighborsApprox(vecs, "vec_id", "embedding", 4,
+        tables = 8, planesPerTable = 2, dim = 4, multiProbe = true)
+      .collect()
+    approx.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.sortBy(_.getLong(1)).map(_.getLong(1)).toSeq shouldBe
+        (1L to rs.length)
+    }
+    // exact re-rank: any reported cosine is the true cosine
+    approx.find(r => r.getLong(0) == 0L && r.getLong(2) == 1L)
+      .foreach(_.getDouble(3) shouldBe (0.9 / math.sqrt(0.82)) +- 1e-9)
+    val exactPairs = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    approx.map(r => (r.getLong(0), r.getLong(2))).toSet
+      .subsetOf(exactPairs) shouldBe true
+  }
+
+  test("knnLabelAgreementApprox equals the exact audit when probing recovers every neighbor") {
+    // planesPerTable = 1 + Hamming-1 multiprobe: every query probes
+    // BOTH buckets of every table, so the candidate set is complete
+    // and the approximate audit must equal the exact one bit for bit
+    val labeled = Seq(
+      (0L, Array(1f, 0f, 0f), "A"),
+      (1L, Array(0.99f, 0.01f, 0f), "A"),
+      (2L, Array(0.98f, 0.02f, 0f), "A"),
+      (3L, Array(0.97f, 0.03f, 0f), "B"),
+      (4L, Array(0f, 1f, 0f), "B"),
+      (5L, Array(0.01f, 0.99f, 0f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val exact = Similarity.knnLabelAgreement(labeled, "vec_id", "embedding",
+      "label", k = 3).collect().map(key).toSet
+    val approx = Similarity.knnLabelAgreementApprox(labeled, "vec_id",
+        "embedding", "label", k = 3, tables = 4, planesPerTable = 1, dim = 3,
+        multiProbe = true)
+      .collect().map(key).toSet
+    approx shouldBe exact
+    // the mislabeled x-cluster vector is flagged by the approx audit too
+    approx.find(_._1 == 3L).map(t => (t._3, t._4)) shouldBe Some((0L, 0.0))
+  }
+
+  test("knnLabelAgreementApprox: neighborhoods smaller than k keep the /k denominator") {
+    // n - 1 < k: even complete candidates give only 2 neighbors per
+    // row; the vote must report n_agree <= 2 with agree_rate still /k
+    val tiny = Seq(
+      (0L, Array(1f, 0f), "A"),
+      (1L, Array(0.99f, 0.01f), "A"),
+      (2L, Array(0.98f, 0.02f), "A")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreementApprox(tiny, "vec_id", "embedding",
+        "label", k = 5, tables = 4, planesPerTable = 1, dim = 2,
+        multiProbe = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    out.keySet shouldBe Set(0L, 1L, 2L)
+    out.values.foreach { case (agree, rate) =>
+      agree shouldBe 2L
+      rate shouldBe 0.4 +- 1e-15 // 2 agreeing neighbors over k = 5
+    }
+  }
+
   test("kmeans: a cluster that loses all members keeps its centroid") {
     // three identical points, k=2: both seeds coincide, every point
     // ties to cluster 0 (tie order), cluster 1 goes empty and must

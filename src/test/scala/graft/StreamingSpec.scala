@@ -204,6 +204,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStateful step deadline matches the batch q130 machine across micro-batches") {
+    import graft.streaming.{FunnelEvent, FunnelProgress}
+    val steps = Seq("view", "click", "purchase")
+    val us = 1000000L
+    val deadline = 15L * us
+    val b1 = Seq(
+      FunnelEvent(1L, 10 * us, "view"),
+      FunnelEvent(2L, 10 * us, "view"))
+    val b2 = Seq(
+      FunnelEvent(1L, 20 * us, "click"),     // within 10+15 -> advance
+      FunnelEvent(2L, 30 * us, "click"),     // past 10+15 -> frozen at 1
+      FunnelEvent(1L, 50 * us, "purchase"))  // past 20+15 -> frozen at 2
+    val input = MemoryStream[FunnelEvent](spark)
+    val out = StreamingOps.funnelStateful(input.toDS(), steps,
+      maxStepGapUs = Some(deadline))
+    val ckpt = Files.createTempDirectory("ckpt_funnel_dl").toString
+    val q = out.writeStream.format("memory").queryName("funnel_dl_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("funnel_dl_out").as[FunnelProgress].collect()
+        .groupBy(_.user).map { case (u, rows) =>
+          val last = rows.maxBy(_.depth)
+          u -> (last.depth, last.stepTsUs.toList)
+        }
+      val batch = graft.operators.EventAnalytics.funnel(
+          (b1 ++ b2).map(e =>
+              (e.user, new java.sql.Timestamp(e.tsUs / 1000), e.etype))
+            .toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps,
+          maxStepGapUs = Some(deadline))
+        .collect().map { r =>
+          val ts = (2 to 4).flatMap(i => Option(r.getTimestamp(i)))
+            .map(_.getTime * 1000L).toList
+          r.getLong(0) -> (r.getInt(1), ts)
+        }.toMap
+      streamed shouldBe batch.filter(_._2._1 > 0)
+      batch(1L)._1 shouldBe 2 // purchase missed its window
+      batch(2L)._1 shouldBe 1 // click missed its window
+    } finally q.stop()
+  }
+
   test("transitionsStateful: pair counts equal the batch transition matrix across micro-batches") {
     import graft.streaming.{TransEvent, Transition}
     val us = 1000000L
