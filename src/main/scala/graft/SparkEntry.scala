@@ -2679,18 +2679,21 @@ object SparkEntry {
     // check. MeasureQ144 (test scope) reproduces the cited numbers.
     "q144_knn_audit_approx" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // each neighbor table is ranked ONCE and persisted; the recall
+      // join and both vote tables derive from the same two frames
+      // (labelVote is the audits' public vote step), so the n² exact
+      // product and the LSH bucket join each run a single time
       val exactN = Similarity.knnNeighborsExact(emb, "vec_id", "embedding", 5)
+        .persist()
       val approxN = Similarity.knnNeighborsApprox(emb, "vec_id", "embedding",
-        5, tables = 16, multiProbe = true)
+        5, tables = 16, multiProbe = true).persist()
       val recall = exactN.select(col("vec_id"), col("nbr_id"))
         .join(approxN.select(col("vec_id"), col("nbr_id"), lit(1).as("hit")),
           Seq("vec_id", "nbr_id"), "left")
         .agg((count(col("hit")).cast("double") / count(lit(1))).as("recall"))
-      val exactA = Similarity.knnLabelAgreement(emb, "vec_id", "embedding",
-        "label", 5)
-      val approxA = Similarity.knnLabelAgreementApprox(emb, "vec_id",
-        "embedding", "label", 5, tables = 16, multiProbe = true)
-      exactA.select(col("vec_id"), col("agree_rate").as("er"))
+      val exactA = Similarity.labelVote(exactN, emb, "vec_id", "label", 5)
+      val approxA = Similarity.labelVote(approxN, emb, "vec_id", "label", 5)
+      val out = exactA.select(col("vec_id"), col("agree_rate").as("er"))
         .join(approxA.select(col("vec_id"), col("agree_rate").as("ar")),
           "vec_id")
         .agg(count(lit(1)).as("n_rows"),
@@ -2699,6 +2702,7 @@ object SparkEntry {
         .select(col("n_rows"),
           (col("recall") >= 0.8).as("recall_ok"),
           (col("mae") <= 0.1).as("vote_mae_ok"))
+      Dedup.materializeAndRelease(out, exactN, approxN)
     }),
 
     // TPC-H Q3-shape shipping priority: segment-filtered 3-table star

@@ -166,12 +166,16 @@ object Similarity {
     labelVote(knnNeighborsApprox(emb, idCol, vecCol, k, tables,
       planesPerTable, dim, seed, multiProbe), emb, idCol, labelCol, k)
 
-  /** The shared vote step of the label-agreement audits: join the
-    * (narrow, n·k-row) neighbor table back to the label column on both
-    * endpoints and count per-row agreement. Two keyed joins of scalar
-    * rows — the label lookup never rides through the ranking window.
+  /** The shared vote step of the label-agreement audits, public so a
+    * caller holding a neighbor table ([[knnNeighborsExact]] /
+    * [[knnNeighborsApprox]]) can vote WITHOUT recomputing candidates —
+    * q144 ranks each table once and derives both the recall join and
+    * the votes from the same two tables. Joins the (narrow, n·k-row)
+    * neighbor table back to the label column on both endpoints and
+    * counts per-row agreement; two keyed joins of scalar rows — the
+    * label lookup never rides through the ranking window.
     */
-  private def labelVote(neighbors: DataFrame, emb: DataFrame, idCol: String,
+  def labelVote(neighbors: DataFrame, emb: DataFrame, idCol: String,
       labelCol: String, k: Int): DataFrame = {
     val lab = emb.select(col(idCol), col(labelCol))
     neighbors
