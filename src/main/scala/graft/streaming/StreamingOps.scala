@@ -235,6 +235,15 @@ object StreamingOps {
     * order — the batch operator's window order — so the emitted gap
     * multiset equals the batch lag-gaps under event-ordered arrival
     * across batches. Works on batch Datasets too.
+    *
+    * MEMORY BOUND (shared by every `rows.toSeq.sortBy` stateful twin
+    * here): one key's rows WITHIN ONE MICRO-BATCH are materialized and
+    * sorted in executor memory — the envelope is the hottest key's
+    * per-batch arrival volume (trigger-bounded), NOT its all-time
+    * history (which lives in the state store as O(1) per key). Size
+    * triggers so hot-key-per-batch stays in task memory; a bot-shaped
+    * key needs the same upstream guard as the batch side
+    * ([[graft.operators.EventAnalytics.funnel]]'s maxEventsPerEntity).
     */
   def gapsStateful(ds: Dataset[TransEvent]): Dataset[EventGap] = {
     import ds.sparkSession.implicits._
