@@ -403,6 +403,30 @@ class EventAnalyticsSpec extends SparkSpec {
     depths(None) shouldBe Map(1L -> 3, 2L -> 3)
   }
 
+  test("funnel cap composes with the step deadline: truncate first, then window the machine") {
+    val events = Seq(
+      // u1: view, then a click 10 min later (outside a 5-min deadline)
+      // and a click 2 min later that the CAP cuts away — order of
+      // application matters: cap-then-deadline gives depth 1
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:02:00"), "other"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      // u2: in-cap click within the deadline -> depth 2
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:03:00"), "click"),
+      (2L, ts("2024-01-01 10:20:00"), "purchase")) // beyond cap 2
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"),
+        maxStepGapUs = Some(5L * 60 * 1000000),
+        maxEventsPerEntity = Some(2))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // u1's kept prefix = (view, other): the deadline never even sees
+    // the late click; u2's kept prefix = (view, click), click inside
+    // the 5-min window, purchase truncated
+    out shouldBe Map(1L -> 1, 2L -> 2)
+  }
+
   test("sessionStats: gap splits, duration percentiles, bounce rate") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),

@@ -395,6 +395,27 @@ class TextAnalysisSpec extends SparkSpec {
     rows should contain ((3L, 18L, "n ew est</w> n ew"))
   }
 
+  test("pre-trained-vocab variants equal the numMerges paths (the train-once seam)") {
+    // one trainer run feeding all three ...With consumers must produce
+    // exactly what each numMerges variant produces by retraining — the
+    // contract sharedBpeVocab (q103/q106/q107/q136) stands on
+    val vocab = TextAnalysis.bpeTrainedVocab(bpeToyCorpus, "text",
+      numMerges = 6)
+    TextAnalysis.bpeFertilityWith(bpeToyCorpus, "text", "doc_id", vocab)
+      .collect().toSeq shouldBe
+      TextAnalysis.bpeFertility(bpeToyCorpus, "text", "doc_id",
+        numMerges = 6).collect().toSeq
+    TextAnalysis.bpeEncodeWith(bpeToyCorpus, "doc_id", "text", vocab,
+        prefixLen = 5)
+      .collect().toSeq shouldBe
+      TextAnalysis.bpeEncode(bpeToyCorpus, "doc_id", "text",
+        numMerges = 6, prefixLen = 5).collect().toSeq
+    TextAnalysis.bpeVocabIntegrityWith(vocab).collect().toSeq shouldBe
+      TextAnalysis.bpeVocabIntegrity(bpeToyCorpus, "text",
+        numMerges = 6).collect().toSeq
+    vocab.unpersist()
+  }
+
   test("bpeTrain: stops early when the vocabulary is fully merged") {
     val merges = TextAnalysis.bpeTrain(
         Seq((1L, "ab")).toDF("doc_id", "text"), "text", numMerges = 10)
