@@ -118,6 +118,32 @@ object SparkEntry {
     * on this corpus, so the truncation path is exercised on most
     * entities, not just a hypothetical bot. */
   private val FunnelEntityCap = 40
+  /** q146 heavy-hitter threshold: items with count > n/k. 40 sits just
+    * above this corpus's 31-token uniform vocabulary (each ≈ n/31), so
+    * the exact filter binds — the rarest token falls out. */
+  private val HeavyHitterK = 40
+  /** q147 sorted-neighborhood parameters: window of 3 sorted records,
+    * block on the first 8 normalized chars, sort key 24 chars, keep
+    * pairs at ≥ 80% distinct-token Jaccard (integer-compared). */
+  private val SnmWindow = 3
+  private val SnmPrefixLen = 8
+  private val SnmKeyLen = 24
+  private val SnmMinJaccardPct = 80
+  /** q150 PageRank: 5 power iterations, damping 85/100 (the twin
+    * unrolls the same rounds — the BPE q102 unrolled-twin pattern). */
+  private val PageRankIters = 5
+  private val PageRankDampingPct = 85
+  /** q149 foreign-key edges, shared by the Spark call AND the
+    * generated DuckDB twin: (edge label, child, fk, parent, pk). */
+  private val RefAuditEdges: Seq[(String, String, String, String, String)] =
+    Seq(
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
   /** normalized text + distinct word 3-gram shingles, DuckDB side */
   private val SHINGLES_CTE =
     """tok AS (SELECT doc_id,
@@ -2397,6 +2423,61 @@ object SparkEntry {
         "user_id", "ts", "event_type",
         steps = Seq("view", "click", "purchase"),
         maxEventsPerEntity = Some(FunnelEntityCap))),
+
+    // EXACT heavy hitters (count > n/k) by the two-pass
+    // candidates-then-recount scheme over a native mergeable
+    // Misra-Gries aggregate: neither pass shuffles the token domain —
+    // the summary is a fixed-capacity buffer, the recount groups into
+    // ≤ capacity+1 buckets. The answer is exact (candidate superset
+    // guarantee + exact integer recount filter), so the twin is the
+    // plain HAVING-threshold SQL.
+    "q146_heavy_hitters" -> ((s, dir) =>
+      operators.Sketch.heavyHittersExact(
+        Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("tok")),
+        "tok", k = HeavyHitterK)),
+
+    // Sorted-neighborhood near-dup blocking (the deterministic,
+    // one-shuffle alternative to q12's MinHash-LSH for prefix-sharing
+    // duplicates): block on the normalized 8-char prefix, sort by the
+    // 24-char key, compare each record to its 2 successors with exact
+    // distinct-token Jaccard, integer-threshold at 80%.
+    "q147_sorted_neighborhood" -> ((s, dir) =>
+      operators.Dedup.sortedNeighborhood(Tables.documents(s, dir),
+        "doc_id", "text", windowSize = SnmWindow, prefixLen = SnmPrefixLen,
+        keyLen = SnmKeyLen, minJaccardPct = SnmMinJaccardPct)),
+
+    // Market-basket co-occurrence over q124's 30-minute sessions:
+    // support/confidence/lift per unordered event-type pair, pairs
+    // expanded INSIDE the per-session aggregate (no self-join).
+    "q148_cooccurrence_lift" -> ((s, dir) =>
+      operators.EventAnalytics.cooccurrenceLift(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id", SessionGapMicros)),
+
+    // Referential-integrity audit over the star schema's seven FK
+    // edges: child rows / null FKs / orphans / distinct orphan keys,
+    // one AQE-sized left join per edge (NO broadcast hints — customer
+    // and supplier grow with the corpus; the r9 scale-killer rule).
+    "q149_referential_audit" -> ((s, dir) => {
+      val t: Map[String, DataFrame] = Map(
+        "region" -> Tables.region(s, dir), "nation" -> Tables.nation(s, dir),
+        "customer" -> Tables.customer(s, dir),
+        "supplier" -> Tables.supplier(s, dir), "part" -> Tables.part(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir))
+      operators.Profile.referentialAudit(
+        RefAuditEdges.map { case (name, child, fk, parent, pk) =>
+          (name, t(child), fk, t(parent), pk) })
+    }),
+
+    // PageRank over the q111 transition graph in exact integer fixed
+    // point (5 unrolled iterations, damping 85/100): the corpus-sized
+    // work is ONE edge-count shuffle; iterations walk the
+    // vocabulary-sized node table. Twin replays the identical rounds.
+    "q150_transition_pagerank" -> ((s, dir) =>
+      operators.EventAnalytics.transitionPageRank(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id",
+        iters = PageRankIters, dampingPct = PageRankDampingPct)),
     // Rolling engagement: exact DAU + trailing-7-day WAU per day. The
     // (day, user) distinct projection fans out over the 7 window
     // anchors before ONE distinct-count aggregate — no per-window
@@ -2780,6 +2861,101 @@ object SparkEntry {
     * round's assignment (exact DECIMAL distances, (d2, cluster) tie
     * order) and integral-divide centroid update is unrolled as CTEs,
     * so the trainer is hash-gated end to end, not rows-only. */
+  /** q147 twin, generated from the SAME SnmWindow/SnmPrefixLen/
+    * SnmKeyLen/SnmMinJaccardPct constants as the Spark call (ADVICE r9
+    * rule): lead(j) per neighbor offset inside the (block, key, id)
+    * window, exact distinct-token Jaccard, integer threshold.
+    */
+  private def snmTwin: String = {
+    val leads = (1 until SnmWindow).map(j =>
+      s"  lead(doc_id, $j) OVER w AS id$j, lead(toks, $j) OVER w AS tk$j")
+      .mkString(",\n")
+    val branches = (1 until SnmWindow).map(j =>
+      s"""  SELECT doc_id AS a, id$j AS b,
+         |    len(list_intersect(toks, tk$j)) AS inter,
+         |    len(toks) + len(tk$j) - len(list_intersect(toks, tk$j))
+         |      AS union_sz
+         |  FROM l WHERE id$j IS NOT NULL""".stripMargin)
+      .mkString("\n  UNION ALL\n")
+    s"""WITH t AS (SELECT doc_id,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+       |  FROM documents),
+       |k AS (SELECT doc_id, substr(nt, 1, $SnmKeyLen) AS key,
+       |    substr(nt, 1, $SnmPrefixLen) AS blk,
+       |    list_distinct(string_split(nt, ' ')) AS toks
+       |  FROM t),
+       |l AS (SELECT doc_id, toks,
+       |$leads
+       |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY key, doc_id)),
+       |p AS (
+       |$branches)
+       |SELECT a, b, inter, union_sz,
+       |  round(CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE), 9) AS sim
+       |FROM p WHERE inter * 100 >= union_sz * $SnmMinJaccardPct
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** q149 twin, generated per-edge from the SAME RefAuditEdges list as
+    * the Spark call: one LEFT JOIN against the distinct parent keys,
+    * all four audit measures in one aggregate, edges UNION ALL'd.
+    */
+  private def refAuditTwin: String = {
+    val blocks = RefAuditEdges.map { case (name, child, fk, parent, pk) =>
+      s"""SELECT '$name' AS edge, COUNT(*) AS n_child,
+         |  CAST(SUM(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_fk,
+         |  CAST(SUM(CASE WHEN $fk IS NOT NULL AND p.__pk IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+         |  COUNT(DISTINCT CASE WHEN p.__pk IS NULL THEN $fk END)
+         |    AS n_orphan_keys
+         |FROM $child LEFT JOIN
+         |  (SELECT DISTINCT $pk AS __pk FROM $parent) p ON $fk = p.__pk"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$blocks
+       |) ORDER BY edge""".stripMargin
+  }
+
+  /** q150 twin: the identical integer-fixed-point power iterations as
+    * [[graft.operators.EventAnalytics.transitionPageRank]], unrolled
+    * (the kmeansTwin/BPE pattern) — pr and edge weights never leave
+    * int64 until the final display division.
+    */
+  private def pageRankTwin(iters: Int, dampingPct: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""r$r AS (SELECT nd.node,
+         |    CAST(1000000000000 * ${100 - dampingPct} // (100 * nn.n)
+         |      AS BIGINT)
+         |    + CAST($dampingPct * COALESCE(m.in_mass, 0) // 100 AS BIGINT)
+         |      AS pr
+         |  FROM nd CROSS JOIN nn LEFT JOIN (
+         |    SELECT ed.dst AS node,
+         |      CAST(SUM(rp.pr * ed.w // 1000000) AS BIGINT) AS in_mass
+         |    FROM ed JOIN r${r - 1} rp ON ed.src = rp.node GROUP BY 1) m
+         |    ON m.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nx AS (SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |ec AS (SELECT src, dst, COUNT(*) AS cnt FROM nx
+       |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |ot AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS "out" FROM ec
+       |  GROUP BY 1),
+       |ed AS (SELECT ec.src, ec.dst,
+       |    CAST(ec.cnt * 1000000 // ot."out" AS BIGINT) AS w
+       |  FROM ec JOIN ot ON ec.src = ot.src),
+       |nd AS (SELECT DISTINCT event_type AS node FROM events),
+       |nn AS (SELECT COUNT(*) AS n FROM nd),
+       |r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS pr
+       |  FROM nd CROSS JOIN nn),
+       |$rounds
+       |SELECT node, pr AS pr_fixed,
+       |  round(CAST(pr AS DOUBLE) / 1e12, 9) AS pr
+       |FROM r$iters ORDER BY pr_fixed DESC, node""".stripMargin
+  }
+
   private def kmeansTwin(k: Int, iters: Int): String = {
     def assignCte(r: String, c: String): String =
       s"""d$r AS (SELECT x.vec_id, c.cluster,
@@ -4977,6 +5153,58 @@ object SparkEntry {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q146_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split(lower(trim(
+        |    regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT w AS item, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 9) AS share
+        |FROM c, n WHERE cnt * $HeavyHitterK > n
+        |ORDER BY cnt DESC, item""".stripMargin,
+
+    "q147_sorted_neighborhood" -> snmTwin,
+
+    "q148_cooccurrence_lift" ->
+      s"""WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL $SessionGapMinutes MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(opens) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM o),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+        |ns AS (SELECT COUNT(*) AS n FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM st)),
+        |tc AS (SELECT event_type AS t, COUNT(*) AS n_t FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_ab
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+        |      AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ns.n AS DOUBLE), 9) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE), 9)
+        |    AS confidence,
+        |  round(CAST(n_ab * ns.n AS DOUBLE) /
+        |    CAST(ta.n_t * tb.n_t AS DOUBLE), 9) AS lift
+        |FROM pr CROSS JOIN ns
+        |  JOIN tc ta ON ta.t = pr.type_a
+        |  JOIN tc tb ON tb.t = pr.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q149_referential_audit" -> refAuditTwin,
+
+    "q150_transition_pagerank" -> pageRankTwin(PageRankIters,
+      PageRankDampingPct),
 
     "q109_cohort_retention" ->
       """WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d

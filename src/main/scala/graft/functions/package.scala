@@ -205,6 +205,16 @@ package object functions {
   def cosineSim(a: Column, b: Column): Column =
     toCol(graft.expressions.CosineSimilarity(toExpr(a), toExpr(b)))
 
+  /** Misra–Gries frequent-items summary aggregate
+    * ([[graft.expressions.MisraGriesAgg]]): at most `capacity`
+    * counters, mergeable, with the deterministic guarantee that every
+    * item of true frequency > n/(capacity+1) survives. Returns
+    * `array<struct<item, lb>>` sorted by (lb DESC, item ASC).
+    */
+  def misraGries(c: Column, capacity: Int): Column =
+    toCol(graft.expressions.MisraGriesAgg(toExpr(c), capacity)
+      .toAggregateExpression())
+
   // ------------------------------------------------------------ time
 
   /** Nanosecond-epoch long → microsecond TimestampType by truncation —

@@ -692,4 +692,77 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int): DataFrame =
     hammingPairs(simhash(docs, idCol, textCol), 64, maxHamming)
+
+  /** Sorted-neighborhood near-duplicate blocking (Hernández & Stolfo,
+    * SIGMOD 1995): sort records by a normalized sort key (the first
+    * `keyLen` chars of whitespace-normalized lowercase text), slide a
+    * window of `windowSize` records, and compare each record against
+    * its `windowSize - 1` successors with exact distinct-token
+    * Jaccard. The deterministic alternative to MinHash-LSH (q12) for
+    * corpora whose duplicates share prefixes: ONE shuffle, no
+    * banding, no probabilistic recall.
+    *
+    * The sort is BLOCKED on the first `prefixLen` chars so no global
+    * total order is needed: each block sorts independently
+    * (`Window.partitionBy(block)`), which is exactly how the method
+    * distributes — neighborhoods never straddle a block boundary
+    * because records that disagree in the first `prefixLen` chars
+    * also disagree in the sort key's first `prefixLen` chars, i.e.
+    * they sit far apart in the global sorted order anyway (the
+    * documented SNM trade: duplicates whose keys diverge in the first
+    * characters are invisible to ANY sort-key method; pair it with
+    * q12's LSH for prefix-divergent dups).
+    *
+    * Scale: one hash shuffle on the block prefix + a spillable
+    * window holding `windowSize` token arrays; output is ≤
+    * (windowSize-1)·n pairs. The Jaccard threshold compares in
+    * integer space (`inter·100 ≥ union·minJaccardPct`) — no float
+    * boundary to disagree across engines.
+    *
+    * Output: (a, b, inter, union_sz, sim) for qualifying pairs,
+    * ordered by (a, b); sim = round(inter/union, 9).
+    */
+  def sortedNeighborhood(docs: DataFrame, idCol: String, textCol: String,
+      windowSize: Int = 3, prefixLen: Int = 8, keyLen: Int = 24,
+      minJaccardPct: Int = 50): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2: $windowSize")
+    require(prefixLen >= 1 && keyLen >= prefixLen,
+      s"need 1 <= prefixLen <= keyLen: $prefixLen, $keyLen")
+    require(minJaccardPct >= 0 && minJaccardPct <= 100,
+      s"minJaccardPct out of range: $minJaccardPct")
+    val norm = normText(col(textCol))
+    val keyed = docs.select(
+      col(idCol).as("__id"),
+      substring(norm, 1, keyLen).as("__key"),
+      substring(norm, 1, prefixLen).as("__blk"),
+      array_distinct(tokens(col(textCol))).as("__toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk"))
+      .orderBy(col("__key").asc, col("__id").asc)
+    val withLeads = keyed.select(
+      col("__id") +: col("__toks") +:
+        (1 until windowSize).flatMap(j => Seq(
+          lead(col("__id"), j).over(w).as(s"__id$j"),
+          lead(col("__toks"), j).over(w).as(s"__tk$j"))): _*)
+    val pairs = (1 until windowSize).map { j =>
+      // two-step projection so array_intersect runs ONCE per pair
+      // (inter appears in both output columns; a one-step select
+      // duplicates the subtree after project collapse)
+      withLeads.filter(col(s"__id$j").isNotNull)
+        .select(
+          col("__id").as("a"), col(s"__id$j").as("b"),
+          size(array_intersect(col("__toks"), col(s"__tk$j"))).as("inter"),
+          (size(col("__toks")) + size(col(s"__tk$j"))).as("__sz_sum"))
+        .select(col("a"), col("b"), col("inter"),
+          (col("__sz_sum") - col("inter")).as("union_sz"))
+    }.reduce(_ unionAll _)
+    pairs
+      .filter(col("inter") * 100 >= col("union_sz") * minJaccardPct)
+      .select(col("a"), col("b"),
+        col("inter").cast("long").as("inter"),
+        col("union_sz").cast("long").as("union_sz"),
+        round(col("inter").cast("double") / col("union_sz").cast("double"), 9)
+          .as("sim"))
+      .orderBy(col("a").asc, col("b").asc)
+  }
 }

@@ -633,4 +633,129 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("n_active"))
       .orderBy(col("cohort_day"), col("k"))
   }
+
+  /** Session-level event-type co-occurrence with market-basket
+    * metrics: for every unordered type pair (a < b), the number of
+    * sessions containing BOTH, plus support = n_ab/n_sessions,
+    * confidence(a→b) = n_ab/n_a, and lift = n_ab·n / (n_a·n_b).
+    * Sessions come from [[Sessionize.assign]] under `gapMicros`.
+    *
+    * Scale shape: ONE entity-keyed shuffle builds sessions; distinct
+    * types per session are bounded by the type vocabulary, and the
+    * pair explode happens INSIDE the per-session aggregate (sorted
+    * distinct-type array → in-row combination expansion), so no
+    * self-join of the session-type table and no second large shuffle —
+    * the pair aggregate has ≤ |types|² keys and map-side-combines.
+    * The session count rides a broadcast 1-row frame.
+    *
+    * Arithmetic: lift's numerator/denominator products stay in int64
+    * (exact up to 9.2e18 — the documented gate: n_sessions·n_ab and
+    * n_a·n_b must stay below that, true for any corpus whose session
+    * count fits in 32 bits even with every session containing every
+    * pair) and pass through ONE correctly-rounded double division, so
+    * the hash gate holds across engines.
+    */
+  def cooccurrenceLift(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, gapMicros: Long): DataFrame = {
+    val sess = Sessionize.assign(
+        events.select(col(userCol), col(tsCol), col(tieCol), col(typeCol)),
+        Seq(userCol), tsCol, Seq(tieCol), gapMicros)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(sort_array(collect_set(col(typeCol))).as("types"))
+    // per-session pair expansion: (types[i], types[j]) for i < j —
+    // bounded by |vocabulary|² per row, no self-join
+    val pairCol = flatten(transform(col("types"), (a, i) =>
+      transform(slice(col("types"), i + lit(2), size(col("types"))),
+        b => struct(a.as("type_a"), b.as("type_b")))))
+    val pairCnt = sess.select(explode(pairCol).as("p"))
+      .select(col("p.type_a"), col("p.type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    val typeCnt = sess.select(explode(col("types")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val nSessions = sess.agg(count(lit(1)).as("n_sessions"))
+    pairCnt
+      .join(broadcast(typeCnt.select(col("t").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(typeCnt.select(col("t").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        graft.functions.hashSafeRound(col("n_ab").cast("double") /
+          col("n_sessions").cast("double"), 9).as("support"),
+        graft.functions.hashSafeRound(col("n_ab").cast("double") /
+          col("n_a").cast("double"), 9).as("confidence"),
+        graft.functions.hashSafeRound(
+          (col("n_ab") * col("n_sessions")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 9).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** PageRank over the first-order event-type transition graph (the
+    * [[transitionMatrix]] edges), run for a FIXED number of power
+    * iterations in exact integer fixed point so the result is
+    * bit-stable across engines and partitionings — the q121 k-means
+    * recipe applied to a graph walk:
+    *
+    *  - edge weight w(u→v) = ⌊cnt(u→v)·10⁶ / out(u)⌋  (int64);
+    *  - pr₀(v) = ⌊S/N⌋ with S = 10¹², N = |types|;
+    *  - prₖ₊₁(v) = ⌊S·(100−D)/(100·N)⌋ +
+    *               ⌊D·Σᵤ ⌊prₖ(u)·w(u→v)/10⁶⌋ / 100⌋, damping D = 85.
+    *
+    * Every product stays below 2^63 by construction (pr ≤ 10¹², w ≤
+    * 10⁶ after normalization — INDEPENDENT of corpus size, because
+    * weights are normalized per source before ever meeting pr), and
+    * integer sums commute, so no float enters until the final
+    * pr_fixed/10¹² display division. Dangling nodes (no out-edges)
+    * simply contribute nothing — their mass leaks, the standard
+    * simplified formulation, identically on both engines.
+    *
+    * Scale shape: the ONLY corpus-sized work is the edge-count
+    * aggregate (one keyed shuffle, |types|² output rows); the power
+    * iterations then walk a vocabulary-sized table with broadcast
+    * joins. N rides the plan as a broadcast 1-row frame — no driver
+    * collect.
+    *
+    * Output: (node, pr_fixed, pr) ordered by (pr_fixed DESC, node).
+    */
+  def transitionPageRank(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, iters: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct out of range: $dampingPct")
+    val S = 1000000000000L // 10^12 pr scale
+    val W = 1000000L       // 10^6 edge-weight scale
+    import graft.functions.intDiv
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val edgeCnt = events
+      .select(col(typeCol).as("src"), lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val outTot = edgeCnt.groupBy("src").agg(sum(col("cnt")).as("out"))
+    val edges = edgeCnt.join(outTot, "src")
+      .select(col("src"), col("dst"),
+        intDiv(col("cnt") * lit(W), col("out")).as("w"))
+    val nodes = events.select(col(typeCol).as("node")).distinct()
+    val nRider = nodes.agg(count(lit(1)).as("__n"))
+    val base = intDiv(lit(S * (100L - dampingPct)), lit(100L) * col("__n"))
+    var pr = nodes.crossJoin(broadcast(nRider))
+      .select(col("node"), intDiv(lit(S), col("__n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"),
+          intDiv(col("pr") * col("w"), lit(W)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nRider))
+        .select(col("node"),
+          (base + intDiv(lit(dampingPct.toLong) *
+            coalesce(col("in_mass"), lit(0L)), lit(100L))).as("pr"))
+    }
+    pr.select(col("node"), col("pr").as("pr_fixed"),
+        graft.functions.hashSafeRound(
+          col("pr").cast("double") / lit(1.0e12), 9).as("pr"))
+      .orderBy(col("pr_fixed").desc, col("node"))
+  }
 }

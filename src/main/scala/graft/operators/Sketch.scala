@@ -200,4 +200,57 @@ object Sketch {
       .select(groupCols.map(col) :+ col("n_buckets_set") :+
         col("__harm").as("harmonic_sum_scaled") :+ col("estimate"): _*)
   }
+
+  // ------------------------------------------- exact heavy hitters
+
+  /** EXACT heavy hitters — every item whose count strictly exceeds
+    * n/k — via the classic two-pass candidates-then-recount scheme:
+    *
+    *  1. one Misra–Gries summary pass ([[graft.functions.misraGries]],
+    *     `summaryCapacity >= k` counters) whose mergeable undercount
+    *     bound guarantees the candidate array is a SUPERSET of the
+    *     true heavy hitters;
+    *  2. one recount pass that groups the column into (candidate item
+    *     | residual-null) buckets — at most `summaryCapacity + 1`
+    *     groups, so map-side partial aggregation collapses each
+    *     partition to a handful of rows — and keeps candidates with
+    *     exact `cnt * k > n` (integer compare; no float threshold).
+    *
+    * The output is therefore EXACT and independent of Misra–Gries tie
+    * behavior/partitioning: false candidates fail the exact recount
+    * filter, and no true heavy hitter can be missing from the summary.
+    * Scale: neither pass shuffles the item domain — pass 1 moves
+    * fixed-size summaries, pass 2 moves ≤ capacity+1 partial rows per
+    * partition, where the naive `groupBy(item)` shuffles every
+    * distinct key of a 100 TB column. The candidate array rides a
+    * broadcast 1-row cross join (no driver collect).
+    *
+    * Output: (item, cnt, share) sorted by (cnt DESC, item ASC), with
+    * share = round(cnt/n, 9).
+    */
+  def heavyHittersExact(items: DataFrame, itemCol: String, k: Int,
+      summaryCapacity: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val cap = summaryCapacity.getOrElse(k)
+    require(cap >= k,
+      s"summaryCapacity $cap < k $k would void the superset guarantee")
+    val src = items.select(col(itemCol).as("__w"))
+      .where(col("__w").isNotNull)
+    val cands = src
+      .agg(graft.functions.misraGries(col("__w"), cap).as("mg"))
+      .select(transform(col("mg"), e => e.getField("item")).as("__cands"))
+    val counted = src
+      .crossJoin(broadcast(cands))
+      .groupBy(when(array_contains(col("__cands"), col("__w")), col("__w"))
+        .as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // ≤ capacity+1 rows total: a safe global frame
+    counted.withColumn("__n", sum(col("cnt")).over(w))
+      .filter(col("item").isNotNull && col("cnt") * lit(k.toLong) > col("__n"))
+      .select(col("item"), col("cnt"),
+        round(col("cnt").cast("double") / col("__n").cast("double"), 9)
+          .as("share"))
+      .orderBy(col("cnt").desc, col("item").asc)
+  }
 }

@@ -540,4 +540,59 @@ class DedupSpec extends SparkSpec {
     got(4) shouldBe ((5L, "m n o p q", 2L, 0L))
     got(5) shouldBe ((6L, "t u v w t u v w", 2L, 0L))
   }
+
+  // --------------------------------------- sorted-neighborhood blocking
+
+  test("sortedNeighborhood: prefix-sharing near-dups pair up with exact Jaccard; prefix-divergent dups are the documented miss") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // 4/6 Jaccard with doc 1
+      (3L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (4L, "omega psi chi phi"),             // unrelated block
+      (5L, "ALPHA   beta gamma delta epsilon") // normalizes to doc 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+        windowSize = 3, prefixLen = 8, keyLen = 24, minJaccardPct = 50)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sort key = normalized first 24 chars: docs 1,2,3,5 share block
+    // "alpha be"; within it, order by (key, id). Every adjacent/skip-1
+    // pair among the three exact-dups must appear with Jaccard 1.
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    pairs should contain((1L, 3L))
+    pairs should contain((1L, 5L))
+    pairs should contain((3L, 5L))
+    // the 4/6 = 66% pair survives the 50% threshold wherever the
+    // window reaches it (doc 2 sorts adjacent to the dup run)
+    got.filter(t => t._2 == 2L || t._1 == 2L).foreach { t =>
+      t._3 shouldBe 4L; t._4 shouldBe 6L
+    }
+    // doc 4 is in another block: never paired
+    got.exists(t => t._1 == 4L || t._2 == 4L) shouldBe false
+  }
+
+  test("sortedNeighborhood is partition-invariant and threshold is integer-exact") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"prefix shared text block ${"word " * (i % 4)}tail $i")
+    }.toDF("doc_id", "text")
+    val a = rowsOf(Dedup.sortedNeighborhood(docs, "doc_id", "text"))
+    val b = rowsOf(Dedup.sortedNeighborhood(docs.repartition(7), "doc_id", "text"))
+    a shouldBe b
+    // minJaccardPct = 100 keeps only inter == union (exact dup sets)
+    rowsOf(Dedup.sortedNeighborhood(docs, "doc_id", "text",
+      minJaccardPct = 100)).foreach { r =>
+      r(2) shouldBe r(3)
+    }
+  }
+
+  test("sortedNeighborhood rejects degenerate parameters") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.sortedNeighborhood(docs, "doc_id", "text", windowSize = 1)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.sortedNeighborhood(docs, "doc_id", "text",
+        prefixLen = 10, keyLen = 5)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.sortedNeighborhood(docs, "doc_id", "text", minJaccardPct = 101)
+  }
 }

@@ -443,4 +443,102 @@ class EventAnalyticsSpec extends SparkSpec {
     r.getDouble(4) shouldBe 4.0 / 3.0        // events per session
     r.getDouble(5) shouldBe 2.0 / 3.0        // bounce rate
   }
+
+  // ------------------------------------------- co-occurrence lift
+
+  test("cooccurrenceLift: hand-counted support/confidence/lift over gap sessions") {
+    val gap = 30L * 60L * 1000000L
+    // u1 session A: {view, click}; u1 session B (2h later): {view};
+    // u2 session C: {view, click, purchase}
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+      (1L, ts("2024-01-01 12:30:00"), 3L, "view"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 09:10:00"), 5L, "click"),
+      (2L, ts("2024-01-01 09:20:00"), 6L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.cooccurrenceLift(events,
+        "user_id", "ts", "event_type", "event_id", gap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // 3 sessions; n_view=3, n_click=2, n_purchase=1
+    // pairs: (click,view) in A,C => 2; (click,purchase) in C => 1;
+    //        (purchase,view) in C => 1
+    got.length shouldBe 3
+    val m = got.map(t => (t._1, t._2) -> t).toMap
+    val cv = m(("click", "view"))
+    cv._3 shouldBe 2L
+    cv._4 shouldBe 2.0 / 3.0 +- 1e-9           // support 2/3
+    cv._5 shouldBe 1.0 +- 1e-9                 // click => view always
+    cv._6 shouldBe (2.0 * 3) / (2 * 3) +- 1e-9 // lift 1
+    val cp = m(("click", "purchase"))
+    cp._3 shouldBe 1L
+    cp._6 shouldBe (1.0 * 3) / (2 * 1) +- 1e-9 // lift 1.5
+    val pv = m(("purchase", "view"))
+    pv._5 shouldBe 1.0 +- 1e-9                 // purchase => view
+    pv._6 shouldBe (1.0 * 3) / (1 * 3) +- 1e-9
+  }
+
+  test("cooccurrenceLift is partition-invariant") {
+    val gap = 30L * 60L * 1000000L
+    val events = (0 until 120).map { i =>
+      (i.toLong % 7, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        i.toLong, Seq("a", "b", "c", "d")(i % 4))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    rowsOf(EventAnalytics.cooccurrenceLift(events.repartition(5),
+      "user_id", "ts", "event_type", "event_id", gap)) shouldBe
+      rowsOf(EventAnalytics.cooccurrenceLift(events.coalesce(1),
+        "user_id", "ts", "event_type", "event_id", gap))
+  }
+
+  // ------------------------------------------- transition PageRank
+
+  test("transitionPageRank: symmetric 2-cycle is uniform; mass sums to ~1; sink of a biased graph ranks first") {
+    // a <-> b, perfectly symmetric: pr must be exactly equal
+    val sym = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "b"),
+      (1L, ts("2024-01-01 10:04:00"), 5L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val prSym = EventAnalytics.transitionPageRank(sym,
+        "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    prSym("a") shouldBe prSym("b")
+    // total fixed-point mass ≈ 10^12 (floor slack: a few units/round)
+    val total = prSym.values.sum
+    total should be <= 1000000000000L
+    total should be >= 1000000000000L - 1000L
+    // every timeline funnels b -> c; c only ever re-enters from itself
+    val biased = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "b"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "c"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "c"),
+      (2L, ts("2024-01-01 10:00:00"), 4L, "b"),
+      (2L, ts("2024-01-01 10:01:00"), 5L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val rows = EventAnalytics.transitionPageRank(biased,
+        "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.head._1 shouldBe "c" // ordered pr DESC: the sink leads
+  }
+
+  test("transitionPageRank is partition-invariant and validates parameters") {
+    val events = (0 until 200).map { i =>
+      (i.toLong % 9, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        i.toLong, Seq("a", "b", "c", "d", "e")(i % 5))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    rowsOf(EventAnalytics.transitionPageRank(events.repartition(6),
+      "user_id", "ts", "event_type", "event_id")) shouldBe
+      rowsOf(EventAnalytics.transitionPageRank(events.coalesce(1),
+        "user_id", "ts", "event_type", "event_id"))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.transitionPageRank(events, "user_id", "ts",
+        "event_type", "event_id", iters = 0)
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.transitionPageRank(events, "user_id", "ts",
+        "event_type", "event_id", dampingPct = 101)
+  }
 }

@@ -112,4 +112,32 @@ class ProfileSpec extends SparkSpec {
     r.head shouldBe ((0L, 1L, 1L, Some(0.0)))   // width 0 -> all in cell 0
     r.drop(1).forall(t => t._2 == 0L && t._3 == 0L) shouldBe true
   }
+
+  test("referentialAudit: planted nulls and orphans counted per edge; clean edge reports zeros") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(
+      Some(1L), Some(1L), Some(2L),          // valid
+      None, None,                            // null FKs
+      Some(9L), Some(9L), Some(7L)           // orphans: keys {9, 7}
+    ).toDF("fk")
+    val clean = Seq(Some(3L), Some(2L)).toDF("fk")
+    val got = Profile.referentialAudit(Seq(
+        ("bad->parent", child, "fk", parent, "pk"),
+        ("clean->parent", clean, "fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    got(0) shouldBe (("bad->parent", 8L, 2L, 3L, 2L))
+    got(1) shouldBe (("clean->parent", 2L, 0L, 0L, 0L))
+  }
+
+  test("referentialAudit: duplicate parent keys don't double-count children; empty edge list rejected") {
+    val parent = Seq(1L, 1L, 1L).toDF("pk") // dup PKs: distinct first
+    val child = Seq(1L, 1L, 2L).toDF("fk")
+    val r = Profile.referentialAudit(Seq(("e", child, "fk", parent, "pk")))
+      .collect().head
+    r.getLong(1) shouldBe 3L  // n_child unchanged by parent dups
+    r.getLong(3) shouldBe 1L  // one orphan row (fk=2)
+    an[IllegalArgumentException] should be thrownBy
+      Profile.referentialAudit(Seq.empty)
+  }
 }

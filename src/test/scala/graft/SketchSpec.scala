@@ -171,4 +171,67 @@ class SketchSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sketch.hllEstimate(keys.toDF("bucket"), 17)
   }
+
+  // ---------------------------------------- Misra-Gries heavy hitters
+
+  /** Zipf-ish stream: item_i appears 2^(9-i) times for i in 0..9 plus a
+    * long tail of 200 singletons — 1223 items, true counts known.
+    */
+  private def zipfStream = {
+    val heads = (0 until 10).flatMap(i => Seq.fill(1 << (9 - i))(s"h$i"))
+    val tail = (0 until 200).map(i => f"t$i%03d")
+    (heads ++ tail).toDF("w")
+  }
+  private val zipfN = (0 until 10).map(i => 1 << (9 - i)).sum + 200 // 1223
+
+  test("misra-gries: capacity below the domain still keeps every item over n/(cap+1), with the undercount bound") {
+    val cap = 8 // 1210 distinct items >> 8 counters
+    for (parts <- Seq(1, 3, 7)) {
+      val mg = zipfStream.repartition(parts)
+        .agg(graft.functions.misraGries(col("w"), cap).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item"), col("e.lb")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      mg.size should be <= cap
+      val trueCnt = (0 until 10).map(i => s"h$i" -> (1L << (9 - i))).toMap
+        .withDefaultValue(1L)
+      // guarantee: true freq > n/(cap+1) => present
+      trueCnt.filter(_._2 > zipfN / (cap + 1)).keys.foreach { k =>
+        withClue(s"parts=$parts item $k: ") { mg.contains(k) shouldBe true }
+      }
+      // bound: lb <= true <= lb + n/(cap+1)
+      mg.foreach { case (k, lb) =>
+        withClue(s"parts=$parts item $k: ") {
+          lb should be <= trueCnt(k)
+          trueCnt(k) should be <= lb + zipfN / (cap + 1) + 1
+        }
+      }
+    }
+  }
+
+  test("heavyHittersExact equals the brute-force groupBy answer and is partition-invariant") {
+    for (k <- Seq(4, 16, 64); parts <- Seq(1, 5)) {
+      val got = rowsOf(Sketch.heavyHittersExact(
+        zipfStream.repartition(parts), "w", k))
+      val n = zipfN.toLong
+      val brute = zipfStream.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > n)
+        .select(col("w").as("item"), col("cnt"),
+          round(col("cnt").cast("double") / n, 9).as("share"))
+        .orderBy(col("cnt").desc, col("item").asc)
+      withClue(s"k=$k parts=$parts: ") { got shouldBe rowsOf(brute) }
+    }
+  }
+
+  test("heavyHittersExact: extra summary capacity changes nothing; nulls are ignored; guards hold") {
+    val withNulls = zipfStream.unionAll(
+      Seq.fill(50)(null.asInstanceOf[String]).toDF("w"))
+    rowsOf(Sketch.heavyHittersExact(withNulls, "w", 8,
+      summaryCapacity = Some(64))) shouldBe
+      rowsOf(Sketch.heavyHittersExact(zipfStream, "w", 8))
+    an[IllegalArgumentException] should be thrownBy
+      Sketch.heavyHittersExact(zipfStream, "w", 8, summaryCapacity = Some(4))
+    an[IllegalArgumentException] should be thrownBy
+      Sketch.heavyHittersExact(zipfStream, "w", 0)
+  }
 }
