@@ -133,6 +133,13 @@ object SparkEntry {
     * unrolls the same rounds — the BPE q102 unrolled-twin pattern). */
   private val PageRankIters = 5
   private val PageRankDampingPct = 85
+  /** q151 signed random projection: 64-dim embeddings → 16 components,
+    * md5-derived ±1 matrix regenerated symbolically by the twin. */
+  private val SrpOutDims = 16
+  private val EmbeddingDims = 64
+  /** q152 context-window packing: bin capacity in whitespace tokens
+    * (≈5 docs/bin on this corpus's ~54-token documents). */
+  private val PackBinTokens = 256L
   /** q149 foreign-key edges, shared by the Spark call AND the
     * generated DuckDB twin: (edge label, child, fk, parent, pk). */
   private val RefAuditEdges: Seq[(String, String, String, String, String)] =
@@ -2478,6 +2485,26 @@ object SparkEntry {
       operators.EventAnalytics.transitionPageRank(Tables.events(s, dir),
         "user_id", "ts", "event_type", "event_id",
         iters = PageRankIters, dampingPct = PageRankDampingPct)),
+
+    // Deterministic ±1 random projection 64→16 in exact int64 fixed
+    // point: the sign matrix is an md5-derived plan literal, the
+    // projection a per-row codegen fold — zero shuffles, zero joins;
+    // the twin regenerates the same matrix symbolically in SQL.
+    "q151_random_projection" -> ((s, dir) =>
+      operators.Similarity.srpProject(Tables.embeddings(s, dir),
+        "vec_id", "embedding", outDims = SrpOutDims, dims = EmbeddingDims)),
+
+    // Context-window packing plan: per-source concatenation packing of
+    // documents into 256-token bins — one spillable per-shard window
+    // prefix sum, all-int64 bin arithmetic.
+    "q152_pack_plan" -> ((s, dir) => {
+      val withTok = Tables.documents(s, dir).select(col("source"),
+        col("doc_id"),
+        TextAnalysis.tokenCounts(col("text")).getField("n_whitespace")
+          .cast("long").as("n_tok"))
+      operators.Curation.packPlan(withTok, "source", "doc_id", "n_tok",
+        binTokens = PackBinTokens)
+    }),
     // Rolling engagement: exact DAU + trailing-7-day WAU per day. The
     // (day, user) distinct projection fans out over the 7 window
     // anchors before ONE distinct-count aggregate — no per-window
@@ -5205,6 +5232,43 @@ object SparkEntry {
 
     "q150_transition_pagerank" -> pageRankTwin(PageRankIters,
       PageRankDampingPct),
+
+    "q151_random_projection" ->
+      s"""WITH x0 AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    embedding FROM embeddings),
+        |x AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1e9 + 0.5)
+        |      AS BIGINT) AS xi
+        |  FROM x0),
+        |ks AS (SELECT CAST(unnest(range($SrpOutDims)) AS BIGINT) AS k),
+        |sg AS (SELECT ks.k, d.dim,
+        |    CASE WHEN substr(md5(CAST(ks.k AS VARCHAR) || ':' ||
+        |        CAST(d.dim AS VARCHAR)), 1, 1) >= '8'
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM ks CROSS JOIN (SELECT DISTINCT dim FROM x) d),
+        |p AS (SELECT x.vec_id, sg.k,
+        |    CAST(SUM(sg.s * x.xi) AS BIGINT) AS proj
+        |  FROM x JOIN sg USING (dim) GROUP BY 1, 2)
+        |SELECT vec_id, k, proj FROM p ORDER BY vec_id, k""".stripMargin,
+
+    "q152_pack_plan" ->
+      s"""WITH tok AS (SELECT source, doc_id,
+        |    CAST(len(string_split(lower(trim(
+        |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |o AS (SELECT source AS shard, doc_id, n_tok,
+        |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS start_tok
+        |  FROM tok)
+        |SELECT shard, doc_id, n_tok, start_tok,
+        |  start_tok // $PackBinTokens AS bin,
+        |  start_tok % $PackBinTokens AS bin_pos,
+        |  (start_tok + n_tok - 1) // $PackBinTokens
+        |    - start_tok // $PackBinTokens + 1 AS bins_spanned
+        |FROM o ORDER BY shard, doc_id""".stripMargin,
 
     "q109_cohort_retention" ->
       """WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d

@@ -809,4 +809,40 @@ object Curation {
       .withColumn("n_phones", regexp_count(afterIp, lit(PhoneRe)))
       .withColumn(textCol, regexp_replace(afterIp, PhoneRe, "<PHONE>"))
   }
+
+  /** Context-window packing plan: concatenation packing of each
+    * shard's documents (in deterministic `idCol` order) into
+    * fixed-size bins of `binTokens` tokens — the sequence-packing step
+    * of a pretraining pipeline, emitted as a PLAN (doc → bin/position
+    * assignment) rather than materialized token buffers. A document
+    * starts at the running token offset of its shard's stream;
+    * `bins_spanned` counts the context windows it straddles.
+    *
+    * Scale shape: packing is PER SHARD by construction (the realistic
+    * contract — shards are the unit a trainer consumes), so the only
+    * plan is one spillable window prefix-sum per shard key, never a
+    * global single-partition cumsum. All arithmetic is int64
+    * (offset // binTokens, offset % binTokens).
+    *
+    * Defined for n_tok ≥ 1 per document (the whitespace tokenizer
+    * emits ≥ 1 token for any text).
+    */
+  def packPlan(df: DataFrame, shardCol: String, idCol: String,
+      tokensCol: String, binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive: $binTokens")
+    import graft.functions.intDiv
+    // window over the RENAMED columns (the select below precedes it)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+        col(tokensCol).cast("long").as("n_tok"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("n_tok"), col("start_tok"),
+        intDiv(col("start_tok"), lit(binTokens)).as("bin"),
+        (col("start_tok") % binTokens).as("bin_pos"),
+        (intDiv(col("start_tok") + col("n_tok") - 1, lit(binTokens)) -
+          intDiv(col("start_tok"), lit(binTokens)) + 1).as("bins_spanned"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
 }

@@ -835,4 +835,48 @@ object Similarity {
       "left_anti")
     (kept, dropped)
   }
+
+  /** Deterministic signed random projection (the Achlioptas/SRP family
+    * with ±1 entries) from `dims` input dimensions to `outDims`
+    * components, in EXACT integer fixed point: the projection matrix
+    * entry sign(k, d) is derived from `md5("k:d")` (first hex char ≥
+    * '8' → +1, else −1) — a data-independent pseudo-random matrix BOTH
+    * engines can regenerate symbolically — and each component is
+    * Σ_d sign(k,d)·⌊v_d·10⁹ + 0.5⌋, an int64 sum of int64 terms
+    * (|xi| ≤ ~2·10⁹, so 64 dims stay ≤ ~1.4·10¹¹ — far under 2⁶³ and
+    * under the 2⁵³ double gate for any display math downstream).
+    *
+    * Scale shape: the sign matrix is an outDims×dims LITERAL baked
+    * into the plan (computed from constants at plan build — no data
+    * dependence, no driver collect), and the projection is a per-row
+    * codegen'd fold: ZERO shuffles, ZERO joins — the embedding table
+    * streams through map-side only. This is the dimensionality-
+    * reduction front half of scalable ANN recall (q24/q25 gate recall;
+    * this op is exactly reproducible, so it hash-gates directly).
+    *
+    * Output: (vec_id, k, proj) — one row per vector per component,
+    * ordered by (vec_id, k).
+    */
+  def srpProject(emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1: $outDims")
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    val signs: Seq[Seq[Long]] = (0 until outDims).map { k =>
+      (0 until dims).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$k:$d".getBytes("UTF-8"))
+        if (((hex(0) >> 4) & 0xf) >= 8) 1L else -1L
+      }
+    }
+    emb
+      .withColumn("__xi", transform(col(vecCol),
+        v => floor(v.cast("double") * lit(1e9) + lit(0.5)).cast("long")))
+      .withColumn("__proj", transform(typedLit(signs), row =>
+        aggregate(zip_with(row, col("__xi"), (s, x) => s * x),
+          lit(0L), (acc, e) => acc + e)))
+      .select(col(idCol).as("vec_id"),
+        posexplode(col("__proj")).as(Seq("k", "proj")))
+      .select(col("vec_id"), col("k").cast("long").as("k"), col("proj"))
+      .orderBy(col("vec_id"), col("k"))
+  }
 }

@@ -601,4 +601,32 @@ class CurationSpec extends SparkSpec {
     rows shouldBe Map(
       "added" -> 1L, "changed" -> 1L, "removed" -> 1L, "unchanged" -> 1L)
   }
+
+  test("packPlan: per-shard running offsets, straddle spans, independent shards") {
+    val docs = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 200L), ("s1", 3L, 30L),
+      ("s2", 7L, 300L), ("s2", 8L, 10L)
+    ).toDF("source", "doc_id", "n_tok")
+    val got = Curation.packPlan(docs, "source", "doc_id", "n_tok", 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (shard, doc, start, bin, bin_pos, spans)
+    got(0) shouldBe (("s1", 1L, 0L, 0L, 0L, 1L))     // 0..99 in bin 0
+    got(1) shouldBe (("s1", 2L, 100L, 0L, 100L, 2L)) // 100..299 straddles
+    got(2) shouldBe (("s1", 3L, 300L, 1L, 44L, 1L))  // 300..329 in bin 1
+    got(3) shouldBe (("s2", 7L, 0L, 0L, 0L, 2L))     // 0..299 straddles
+    got(4) shouldBe (("s2", 8L, 300L, 1L, 44L, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Curation.packPlan(docs, "source", "doc_id", "n_tok", 0L)
+  }
+
+  test("packPlan is partition-invariant") {
+    val docs = (0 until 200).map(i =>
+      (s"s${i % 3}", i.toLong, (i % 37 + 1).toLong))
+      .toDF("source", "doc_id", "n_tok")
+    rowsOf(Curation.packPlan(docs.repartition(7), "source", "doc_id",
+      "n_tok", 64L)) shouldBe
+      rowsOf(Curation.packPlan(docs.coalesce(1), "source", "doc_id",
+        "n_tok", 64L))
+  }
 }

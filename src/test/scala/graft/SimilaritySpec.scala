@@ -428,4 +428,36 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     out.toSeq shouldBe Seq((0L, 3L, 0.0), (1L, 0L, 0.0))
   }
+
+  test("srpProject: one-hot vectors read the md5 sign matrix exactly; zero vector projects to zero; partition-invariant") {
+    import spark.implicits._
+    val dims = 4
+    // vec d is one-hot at dimension d: proj(k) = sign(k, d) * 1e9
+    val emb = (0 until dims).map { d =>
+      (d.toLong, (0 until dims).map(i => if (i == d) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    def expectedSign(k: Int, d: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1L else -1L
+    }
+    val got = Similarity.srpProject(emb, "vec_id", "embedding",
+        outDims = 3, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.length shouldBe dims * 3
+    got.foreach { case (d, k, proj) =>
+      withClue(s"vec $d comp $k: ") {
+        proj shouldBe expectedSign(k.toInt, d.toInt) * 1000000000L
+      }
+    }
+    val zero = Seq((9L, Seq.fill(dims)(0.0f))).toDF("vec_id", "embedding")
+    Similarity.srpProject(zero, "vec_id", "embedding", 3, dims)
+      .collect().foreach(_.getLong(2) shouldBe 0L)
+    rowsOf(Similarity.srpProject(emb.repartition(3), "vec_id", "embedding",
+      3, dims)) shouldBe
+      rowsOf(Similarity.srpProject(emb.coalesce(1), "vec_id", "embedding",
+        3, dims))
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.srpProject(emb, "vec_id", "embedding", 0, dims)
+  }
 }
