@@ -553,6 +553,53 @@ object StressBench {
       s""""other_row_diffs":$diffs,"ok":$ok}"""
   }
 
+  /** Exact heavy hitters under clone + cardinality pressure: (a) on a
+    * 10× cloned token stream, the answer must be EXACTLY the 1× items
+    * with counts ×10 and identical round-9 shares (cnt/n is
+    * scale-free); (b) with a flood of n/10 DISTINCT junk singletons
+    * appended — ~27k distinct keys vs 40 Misra-Gries counters at
+    * sf0.1 — the two-pass answer must still equal a brute-force
+    * groupBy/HAVING plan computed independently on the same corpus
+    * (the superset guarantee is what's under stress: the summary
+    * CANNOT lose a true heavy hitter no matter how many singletons
+    * wash through the counters).
+    */
+  private def heavyHittersClone10x(s: SparkSession, sfDir: String): String = {
+    import graft.operators.Sketch
+    val k = 40
+    val base = Tables.documents(s, sfDir)
+      .select(explode(graft.functions.tokens(col("text"))).as("tok"))
+      .persist()
+    val baseN = base.count()
+    val one = Sketch.heavyHittersExact(base, "tok", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val cloned = base.withColumn("__k",
+        explode(array((0 until 10).map(lit): _*))).drop("__k").persist()
+    val junk = s.range(baseN / 10)
+      .select(concat(lit("junk_"), col("id")).as("tok"))
+    val flooded = cloned.unionByName(junk)
+    val ((tenOk, floodDiff, nFlood), secs) = time {
+      val ten = Sketch.heavyHittersExact(cloned, "tok", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val tok = ten.sortBy(_._1).sameElements(
+        one.map(t => (t._1, t._2 * 10L, t._3)).sortBy(_._1))
+      val hh = Sketch.heavyHittersExact(flooded, "tok", k)
+      val n = baseN * 10L + baseN / 10L
+      val brute = flooded.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > n)
+        .select(col("tok").as("item"), col("cnt"),
+          round(col("cnt").cast("double") / n, 9).as("share"))
+      val d = hh.except(brute).count() + brute.except(hh).count()
+      (tok, d, hh.count())
+    }
+    base.unpersist(blocking = false)
+    cloned.unpersist(blocking = false)
+    val ok = tenOk && floodDiff == 0L && nFlood > 0L
+    s""""heavy_hitters_clone10x":{"secs":${r3(secs)},"base_tokens":$baseN,""" +
+      s""""ten_matches_one_x10":$tenOk,"flood_vs_brute_diffs":$floodDiff,""" +
+      s""""flood_rows":$nFlood,"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -570,7 +617,8 @@ object StressBench {
       "bpe_clone10x" -> (() => bpeClone10x(spark, sfDir)),
       "kmeans_clone10x" -> (() => kmeansClone10x(spark, sfDir)),
       "concurrency_clone10x" -> (() => concurrencyClone10x(spark, sfDir)),
-      "funnel_hot_entity" -> (() => funnelHotEntity(spark, sfDir)))
+      "funnel_hot_entity" -> (() => funnelHotEntity(spark, sfDir)),
+      "heavy_hitters_clone10x" -> (() => heavyHittersClone10x(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet
