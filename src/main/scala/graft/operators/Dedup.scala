@@ -744,18 +744,23 @@ object Dedup {
         (1 until windowSize).flatMap(j => Seq(
           lead(col("__id"), j).over(w).as(s"__id$j"),
           lead(col("__toks"), j).over(w).as(s"__tk$j"))): _*)
-    val pairs = (1 until windowSize).map { j =>
-      // two-step projection so array_intersect runs ONCE per pair
-      // (inter appears in both output columns; a one-step select
-      // duplicates the subtree after project collapse)
-      withLeads.filter(col(s"__id$j").isNotNull)
-        .select(
-          col("__id").as("a"), col(s"__id$j").as("b"),
-          size(array_intersect(col("__toks"), col(s"__tk$j"))).as("inter"),
-          (size(col("__toks")) + size(col(s"__tk$j"))).as("__sz_sum"))
-        .select(col("a"), col("b"), col("inter"),
-          (col("__sz_sum") - col("inter")).as("union_sz"))
-    }.reduce(_ unionAll _)
+    // ONE window pass: the j neighbor slots ride as an in-row struct
+    // array and explode AFTER the window — a per-branch union would
+    // re-execute the scan+shuffle+sort once per offset (seen as 2x
+    // Exchanges in the plan audit). Two-step projection so
+    // array_intersect runs ONCE per pair (inter feeds both output
+    // columns; a one-step select duplicates the subtree).
+    val neighborSlots = array((1 until windowSize).map(j =>
+      struct(col(s"__id$j").as("b"), col(s"__tk$j").as("tkb"))): _*)
+    val pairs = withLeads
+      .select(col("__id").as("a"), col("__toks"),
+        explode(neighborSlots).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(col("a"), col("p.b").as("b"),
+        size(array_intersect(col("__toks"), col("p.tkb"))).as("inter"),
+        (size(col("__toks")) + size(col("p.tkb"))).as("__sz_sum"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("__sz_sum") - col("inter")).as("union_sz"))
     pairs
       .filter(col("inter") * 100 >= col("union_sz") * minJaccardPct)
       .select(col("a"), col("b"),
