@@ -2494,6 +2494,14 @@ object SparkEntry {
       operators.Similarity.srpProject(Tables.embeddings(s, dir),
         "vec_id", "embedding", outDims = SrpOutDims, dims = EmbeddingDims)),
 
+    // SRP sign-code bucket-load audit: q151's component signs packed
+    // into a 16-bit LSH code, histogrammed — the bucket-skew check a
+    // candidate join needs before it runs. Per-row code + one
+    // bounded-key aggregate.
+    "q153_srp_code_histogram" -> ((s, dir) =>
+      operators.Similarity.srpCodeHistogram(Tables.embeddings(s, dir),
+        "vec_id", "embedding", outDims = SrpOutDims, dims = EmbeddingDims)),
+
     // Context-window packing plan: per-source concatenation packing of
     // documents into 256-token bins — one spillable per-shard window
     // prefix sum, all-int64 bin arithmetic.
@@ -5250,6 +5258,34 @@ object SparkEntry {
         |    CAST(SUM(sg.s * x.xi) AS BIGINT) AS proj
         |  FROM x JOIN sg USING (dim) GROUP BY 1, 2)
         |SELECT vec_id, k, proj FROM p ORDER BY vec_id, k""".stripMargin,
+
+    "q153_srp_code_histogram" ->
+      s"""WITH x0 AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |    embedding FROM embeddings),
+        |x AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1e9 + 0.5)
+        |      AS BIGINT) AS xi
+        |  FROM x0),
+        |ks AS (SELECT CAST(unnest(range($SrpOutDims)) AS BIGINT) AS k),
+        |sg AS (SELECT ks.k, d.dim,
+        |    CASE WHEN substr(md5(CAST(ks.k AS VARCHAR) || ':' ||
+        |        CAST(d.dim AS VARCHAR)), 1, 1) >= '8'
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM ks CROSS JOIN (SELECT DISTINCT dim FROM x) d),
+        |p AS (SELECT x.vec_id, sg.k,
+        |    CAST(SUM(sg.s * x.xi) AS BIGINT) AS proj
+        |  FROM x JOIN sg USING (dim) GROUP BY 1, 2),
+        |cd AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN proj >= 0
+        |      THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS code
+        |  FROM p GROUP BY 1),
+        |h AS (SELECT code, COUNT(*) AS n FROM cd GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+        |SELECT code, n,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share
+        |FROM h CROSS JOIN t
+        |ORDER BY n DESC, code""".stripMargin,
 
     "q152_pack_plan" ->
       s"""WITH tok AS (SELECT source, doc_id,

@@ -879,4 +879,32 @@ object Similarity {
       .select(col("vec_id"), col("k").cast("long").as("k"), col("proj"))
       .orderBy(col("vec_id"), col("k"))
   }
+
+  /** Bucket-load audit for the SRP sign-code LSH table: pack the
+    * [[srpProject]] component signs into an `outDims`-bit code
+    * (bit k = proj_k ≥ 0) and histogram the codes — the skew check a
+    * bucketed ANN join needs BEFORE it runs (one overloaded bucket
+    * turns the candidate join quadratic; a healthy SRP table is
+    * near-uniform). 2^k goes through double `pow` (exact to 2⁵³ —
+    * outDims ≤ 52 by far) identically on both engines.
+    *
+    * Scale shape: per-row code computation (zero joins) + one
+    * ≤2^outDims-key aggregate; the share denominator rides the
+    * aggregate output through a tiny global window.
+    *
+    * Output: (code, n, share) ordered by (n DESC, code).
+    */
+  def srpCodeHistogram(emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int): DataFrame = {
+    val codes = srpProject(emb, idCol, vecCol, outDims, dims)
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") >= 0,
+        pow(lit(2.0), col("k").cast("double")).cast("long"))
+        .otherwise(lit(0L))).as("code"))
+    val w = Window.partitionBy() // ≤ 2^outDims rows after the agg
+    codes.groupBy(col("code")).agg(count(lit(1)).as("n"))
+      .withColumn("share", hashSafeRound(
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"), 9))
+      .orderBy(col("n").desc, col("code"))
+  }
 }

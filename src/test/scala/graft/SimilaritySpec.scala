@@ -460,4 +460,25 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Similarity.srpProject(emb, "vec_id", "embedding", 0, dims)
   }
+
+  test("srpCodeHistogram: identical vectors collapse to one bucket; shares sum to 1; codes bounded") {
+    import spark.implicits._
+    val dims = 4
+    val emb = (
+      (0 until 5).map(i => (i.toLong, Seq(1.0f, 2.0f, -1.0f, 0.5f))) ++
+      (5 until 8).map(i => (i.toLong, Seq(-3.0f, 1.0f, 2.0f, -2.0f)))
+    ).toDF("vec_id", "embedding")
+    val h = Similarity.srpCodeHistogram(emb, "vec_id", "embedding",
+        outDims = 6, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    h.map(_._2).sum shouldBe 8L
+    h.length should be <= 2 // two distinct vectors -> at most 2 codes
+    h.foreach { case (code, _, _) =>
+      code should be >= 0L
+      code should be < (1L << 6)
+    }
+    h.map(_._3).sum shouldBe 1.0 +- 1e-8
+    // ordered by load: first bucket is the 5-clone one
+    h.head._2 shouldBe 5L
+  }
 }
