@@ -2502,6 +2502,37 @@ object SparkEntry {
       operators.Similarity.srpCodeHistogram(Tables.embeddings(s, dir),
         "vec_id", "embedding", outDims = SrpOutDims, dims = EmbeddingDims)),
 
+    // Packing-efficiency audit over q152's plan: per source — bins
+    // used, tail padding, fill rate, boundary-straddling docs. The
+    // report read before choosing the context size; one per-shard
+    // aggregate over the plan's window output.
+    "q154_pack_efficiency" -> ((s, dir) => {
+      val withTok = Tables.documents(s, dir).select(col("source"),
+        col("doc_id"),
+        TextAnalysis.tokenCounts(col("text")).getField("n_whitespace")
+          .cast("long").as("n_tok"))
+      operators.Curation.packEfficiency(withTok, "source", "doc_id",
+        "n_tok", binTokens = PackBinTokens)
+    }),
+
+    // Dedup survivorship by source: per-source retention under global
+    // exact dedup PLUS the cross-source flow (docs whose canonical
+    // lives in a different source) — the mix-shift audit after q10.
+    // Corpus-linear: content-hash agg + one id-keyed join, no pairs.
+    "q155_dedup_survivorship" -> ((s, dir) =>
+      operators.Dedup.survivorship(Tables.documents(s, dir),
+        "doc_id", "text", "source")),
+
+    // Split mix-preservation audit: per (split, source), observed
+    // share within the split vs the source's corpus share, round-9
+    // absolute deviation — verifies q95's hash split kept the source
+    // mix on THIS corpus. Per-row md5 coin, one cell aggregate,
+    // broadcast totals.
+    "q156_split_balance" -> ((s, dir) =>
+      operators.Curation.splitBalance(Tables.documents(s, dir),
+        "doc_id", "source",
+        Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02))),
+
     // Context-window packing plan: per-source concatenation packing of
     // documents into 256-token bins — one spillable per-shard window
     // prefix sum, all-int64 bin arithmetic.
@@ -5286,6 +5317,91 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share
         |FROM h CROSS JOIN t
         |ORDER BY n DESC, code""".stripMargin,
+
+    "q154_pack_efficiency" ->
+      s"""WITH tok AS (SELECT source, doc_id,
+        |    CAST(len(string_split(lower(trim(
+        |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |o AS (SELECT source AS shard, doc_id, n_tok,
+        |    COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS start_tok
+        |  FROM tok),
+        |p AS (SELECT shard, n_tok,
+        |    (start_tok + n_tok - 1) // $PackBinTokens
+        |      - start_tok // $PackBinTokens + 1 AS bins_spanned
+        |  FROM o),
+        |a AS (SELECT shard, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+        |    CAST(SUM(CASE WHEN bins_spanned > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_straddling
+        |  FROM p GROUP BY 1),
+        |b AS (SELECT shard, n_docs, total_tok, n_straddling,
+        |    (total_tok - 1) // $PackBinTokens + 1 AS n_bins
+        |  FROM a)
+        |SELECT shard, n_docs, total_tok, n_straddling, n_bins,
+        |  n_bins * $PackBinTokens - total_tok AS pad_tok,
+        |  round(CAST(total_tok AS DOUBLE) /
+        |    CAST(n_bins * $PackBinTokens AS DOUBLE), 9) + 0.0 AS fill_rate,
+        |  round(CAST(n_straddling AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |    + 0.0 AS straddle_share
+        |FROM b ORDER BY shard""".stripMargin,
+
+    "q155_dedup_survivorship" ->
+      """WITH b AS (SELECT source AS grp, doc_id AS id,
+        |    sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      AS content_hash
+        |  FROM documents),
+        |c AS (SELECT content_hash, min(id) AS canonical_id
+        |  FROM b GROUP BY 1),
+        |j AS (SELECT b.grp, b.id, c.canonical_id, cg.grp AS canonical_grp
+        |  FROM b JOIN c USING (content_hash)
+        |  JOIN b cg ON cg.id = c.canonical_id),
+        |a AS (SELECT grp, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN id = canonical_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept,
+        |    CAST(SUM(CASE WHEN id <> canonical_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dropped,
+        |    CAST(SUM(CASE WHEN id <> canonical_id
+        |        AND grp <> canonical_grp THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_lost_cross_group
+        |  FROM j GROUP BY 1)
+        |SELECT grp, n_docs, n_kept, n_dropped, n_lost_cross_group,
+        |  round(CAST(n_dropped AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |    + 0.0 AS drop_share
+        |FROM a ORDER BY grp""".stripMargin,
+
+    "q156_split_balance" -> {
+      val t1 = graft.operators.Curation.rateThresholdHex(0.96)
+      val t2 = graft.operators.Curation.rateThresholdHex(0.98)
+      s"""WITH s AS (SELECT source AS grp,
+        |    substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) AS coin
+        |  FROM documents),
+        |a AS (SELECT CASE WHEN coin < '$t1' THEN 'train'
+        |             WHEN coin < '$t2' THEN 'val'
+        |             ELSE 'test' END AS split, grp FROM s),
+        |cell AS (SELECT split, grp, COUNT(*) AS n_docs
+        |  FROM a GROUP BY 1, 2),
+        |ps AS (SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total
+        |  FROM cell GROUP BY 1),
+        |pg AS (SELECT grp, CAST(SUM(n_docs) AS BIGINT) AS grp_total
+        |  FROM cell GROUP BY 1),
+        |ct AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS corpus_total
+        |  FROM cell),
+        |sh AS (SELECT cell.split, cell.grp, cell.n_docs,
+        |    round(CAST(cell.n_docs AS DOUBLE) /
+        |      CAST(ps.split_total AS DOUBLE), 9) + 0.0 AS obs_share,
+        |    round(CAST(pg.grp_total AS DOUBLE) /
+        |      CAST(ct.corpus_total AS DOUBLE), 9) + 0.0 AS exp_share
+        |  FROM cell JOIN ps USING (split) JOIN pg USING (grp)
+        |  CROSS JOIN ct)
+        |SELECT split, grp, n_docs, obs_share, exp_share,
+        |  round(abs(obs_share - exp_share), 9) + 0.0 AS abs_dev
+        |FROM sh ORDER BY split, grp""".stripMargin
+    },
 
     "q152_pack_plan" ->
       s"""WITH tok AS (SELECT source, doc_id,

@@ -845,4 +845,82 @@ object Curation {
           intDiv(col("start_tok"), lit(binTokens)) + 1).as("bins_spanned"))
       .orderBy(col("shard"), col("doc_id"))
   }
+
+  /** Packing-efficiency audit over [[packPlan]]: per shard, how well
+    * concatenation packing fills the fixed-size context windows — bins
+    * used (= ceil(total_tok / binTokens), exact in int64 as
+    * (total_tok − 1) // binTokens + 1, defined because every shard has
+    * ≥ 1 token), tail padding, fill rate, and how many documents
+    * straddle a window boundary (each straddle is a document a trainer
+    * sees split across contexts — the cost concatenation packing pays
+    * for zero padding waste). The one-page report read before choosing
+    * `binTokens`.
+    *
+    * Scale shape: [[packPlan]]'s per-shard window prefix sum, then ONE
+    * map-side-combinable per-shard aggregate; output is |shards| rows.
+    * All counts int64; the two shares are single int64→double
+    * divisions rounded to 9 dp (hash-safe).
+    */
+  def packEfficiency(df: DataFrame, shardCol: String, idCol: String,
+      tokensCol: String, binTokens: Long): DataFrame = {
+    import graft.functions.{hashSafeRound, intDiv}
+    packPlan(df, shardCol, idCol, tokensCol, binTokens)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        sum(when(col("bins_spanned") > 1, 1L).otherwise(0L))
+          .as("n_straddling"))
+      .withColumn("n_bins",
+        intDiv(col("total_tok") - 1, lit(binTokens)) + 1)
+      .withColumn("pad_tok",
+        col("n_bins") * binTokens - col("total_tok"))
+      .withColumn("fill_rate", hashSafeRound(
+        col("total_tok").cast("double") /
+          (col("n_bins") * binTokens).cast("double"), 9))
+      .withColumn("straddle_share", hashSafeRound(
+        col("n_straddling").cast("double") / col("n_docs").cast("double"),
+        9))
+      .orderBy(col("shard"))
+  }
+
+  /** Split mix-preservation audit over [[splitByHash]]: per
+    * (split, group), the group's observed share of the split's
+    * documents next to its share of the WHOLE corpus, with the round-9
+    * absolute deviation — the check that a hash split did not skew the
+    * source mix (it cannot systematically, the coin is independent of
+    * every column; this audit is how that claim is verified on a given
+    * corpus rather than assumed). Read before trusting a val/test
+    * split to represent the training distribution.
+    *
+    * Scale shape: split assignment is the per-row salted md5 coin
+    * (zero shuffle), then ONE (split, group) aggregate; the per-split
+    * and per-group totals ride as broadcast joins on the ≤
+    * |splits|·|groups| audit table. Shares are single int64→double
+    * divisions; the deviation is one IEEE subtraction of round-9
+    * terms, written identically in the twin.
+    */
+  def splitBalance(df: DataFrame, idCol: String, groupCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    import graft.functions.hashSafeRound
+    val assigned = splitByHash(df.select(col(idCol), col(groupCol)),
+      idCol, splits)
+    val cell = assigned.groupBy(col("split"), col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perSplit = cell.groupBy(col("split"))
+      .agg(sum(col("n_docs")).as("split_total"))
+    val perGrp = cell.groupBy(col("grp"))
+      .agg(sum(col("n_docs")).as("grp_total"))
+    val corpus = cell.agg(sum(col("n_docs")).as("corpus_total"))
+    cell.join(broadcast(perSplit), "split")
+      .join(broadcast(perGrp), "grp")
+      .crossJoin(broadcast(corpus))
+      .select(col("split"), col("grp"), col("n_docs"),
+        hashSafeRound(col("n_docs").cast("double") /
+          col("split_total").cast("double"), 9).as("obs_share"),
+        hashSafeRound(col("grp_total").cast("double") /
+          col("corpus_total").cast("double"), 9).as("exp_share"))
+      .withColumn("abs_dev", hashSafeRound(
+        abs(col("obs_share") - col("exp_share")), 9))
+      .orderBy(col("split"), col("grp"))
+  }
 }

@@ -54,6 +54,47 @@ object Dedup {
       .orderBy("size")
   }
 
+  /** Survivorship report of [[exact]] by a grouping column (source,
+    * domain, language …): per group — documents in, documents KEPT
+    * (the group owns the content group's canonical, i.e. the globally
+    * minimal id), documents dropped, and of the dropped how many lost
+    * to a canonical in a DIFFERENT group. The report data teams read
+    * after global dedup: per-source retention AND the cross-source
+    * flow (a source whose content systematically loses to another
+    * source's earlier copies shrinks in the training mix even though
+    * nothing "filtered" it).
+    *
+    * Scale shape: the same hash-keyed content aggregate as [[exact]],
+    * one id-keyed join to recover each canonical's group (a narrow
+    * (id, group) self-projection — equi-join, shuffle-partitioned on
+    * id), then ONE per-group aggregate. No pair explosion anywhere;
+    * everything is corpus-linear. drop_share is a single int64→double
+    * division rounded to 9 dp.
+    */
+  def survivorship(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val base = docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      sha2(normText(col(textCol)), 256).as("content_hash"))
+    val canon = base.groupBy(col("content_hash"))
+      .agg(min(col("id")).as("canonical_id"))
+    val canonGrp = base.select(col("id").as("canonical_id"),
+      col("grp").as("canonical_grp"))
+    base.join(canon, "content_hash")
+      .join(canonGrp, "canonical_id")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id") === col("canonical_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("id") =!= col("canonical_id"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("id") =!= col("canonical_id") &&
+            col("grp") =!= col("canonical_grp"), 1L).otherwise(0L))
+          .as("n_lost_cross_group"))
+      .withColumn("drop_share", hashSafeRound(
+        col("n_dropped").cast("double") / col("n_docs").cast("double"), 9))
+      .orderBy(col("grp"))
+  }
+
   /** Shingle table: (id, sh: array<string>, sz) with distinct word
     * n-grams of the normalized text.
     *

@@ -629,4 +629,49 @@ class CurationSpec extends SparkSpec {
       rowsOf(Curation.packPlan(docs.coalesce(1), "source", "doc_id",
         "n_tok", 64L))
   }
+
+  test("packEfficiency: hand-computed bins, padding, fill rate, straddles") {
+    val docs = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 200L), ("s1", 3L, 30L), // 330 tok
+      ("s2", 7L, 256L)                                     // exact fill
+    ).toDF("source", "doc_id", "n_tok")
+    val got = Curation.packEfficiency(docs, "source", "doc_id", "n_tok",
+        256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7)))
+    // s1: 330 tok -> 2 bins (512 slots), 182 pad; doc 2 straddles
+    got(0)._1 shouldBe "s1"
+    got(0)._2 shouldBe 3L           // n_docs
+    got(0)._3 shouldBe 330L         // total_tok
+    got(0)._4 shouldBe 1L           // n_straddling (doc 2)
+    got(0)._5 shouldBe 2L           // n_bins
+    got(0)._6 shouldBe 182L         // pad_tok
+    got(0)._7 shouldBe 330.0 / 512.0 +- 1e-9
+    got(0)._8 shouldBe 1.0 / 3.0 +- 1e-9
+    // s2: one exactly-full bin, zero pad, zero straddle
+    got(1) shouldBe (("s2", 1L, 256L, 0L, 1L, 0L, 1.0, 0.0))
+  }
+
+  test("splitBalance: shares per split vs corpus, deviations bounded") {
+    val docs = (0 until 600).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("doc_id", "source")
+    val rows = Curation.splitBalance(docs, "doc_id", "source",
+        Seq("train" -> 0.5, "val" -> 0.5))
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // every (split, grp) cell present, obs shares sum to 1 per split
+    rows.map(t => (t._2, t._1)).toSet shouldBe
+      Set("train" -> "a", "train" -> "b", "val" -> "a", "val" -> "b")
+    rows.groupBy(_._2).foreach { case (_, cells) =>
+      cells.map(_._4).sum shouldBe 1.0 +- 1e-8
+    }
+    // exp_share is the corpus mix (200 a / 400 b), same in both splits
+    rows.filter(_._1 == "a").foreach(_._5 shouldBe 200.0 / 600.0 +- 1e-9)
+    rows.filter(_._1 == "b").foreach(_._5 shouldBe 400.0 / 600.0 +- 1e-9)
+    // abs_dev = |obs - exp| recomputed
+    rows.foreach(t => t._6 shouldBe math.abs(t._4 - t._5) +- 1e-8)
+    // docs conserved across cells
+    rows.map(_._3).sum shouldBe 600L
+  }
 }

@@ -595,4 +595,35 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.sortedNeighborhood(docs, "doc_id", "text", minJaccardPct = 101)
   }
+
+  test("survivorship: per-group retention and cross-group losses") {
+    val docs = Seq(
+      (1L, "same text", "a"),  // canonical of the shared content
+      (2L, "same text", "b"),  // loses cross-group to 1
+      (3L, "same text", "a"),  // loses within-group to 1
+      (4L, "unique b", "b"),   // kept
+      (5L, "b dup", "b"),      // canonical
+      (6L, "b dup", "b")       // loses within-group to 5
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.survivorship(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    got(0) shouldBe (("a", 2L, 1L, 1L, 0L, 0.5))
+    got(1) shouldBe (("b", 4L, 2L, 2L, 1L, 0.5))
+    // conservation: kept + dropped = docs per group
+    got.foreach(t => t._3 + t._4 shouldBe t._2)
+  }
+
+  test("survivorship is partition-invariant and normalizes content") {
+    val docs = (0 until 90).map { i =>
+      (i.toLong, s"  Doc ${i % 30}  text\t", s"s${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val a = rowsOf(Dedup.survivorship(docs, "doc_id", "text", "source"))
+    val b = rowsOf(Dedup.survivorship(docs.repartition(11), "doc_id",
+      "text", "source"))
+    a shouldBe b
+    // 30 distinct contents; 90 docs -> 60 dropped across groups
+    a.map(_(3).asInstanceOf[Long]).sum shouldBe 60L
+    a.map(_(2).asInstanceOf[Long]).sum shouldBe 30L
+  }
 }
