@@ -140,6 +140,24 @@ object SparkEntry {
   /** q152 context-window packing: bin capacity in whitespace tokens
     * (≈5 docs/bin on this corpus's ~54-token documents). */
   private val PackBinTokens = 256L
+  /** q157 histogram-quantile audit: 8-token bins; p50/p90/p99 read
+    * from cumulative bin counts (±binWidth precision). */
+  private val TokQuantileBinTokens = 8L
+  private val TokQuantilePcts = Seq(50, 90, 99)
+  /** q158 language-ID stopword profiles (q20's two plus a perf third);
+    * the twin regenerates the same integer-count argmax, so the word
+    * lists are interpolated from HERE into both sides. */
+  private val LangIdProfiles = Seq(
+    "query" -> Seq("join", "filter", "group", "order", "sort", "query", "window"),
+    "data" -> Seq("data", "row", "column", "table", "value", "batch", "stream"),
+    "perf" -> Seq("fast", "slow", "big", "small", "hash", "merge", "vector"))
+  /** q160 rolling-active-HLL gate: 2^12 registers; ceiling on the worst
+    * per-day relative error vs the exact q110 answer (theoretical
+    * 1.04/√4096 ≈ 1.6%, and this corpus's per-window cardinalities sit
+    * in the near-exact linear-counting regime; the boolean gate ran
+    * green at sf0.001/0.01/0.1). */
+  private val WauHllP = 12
+  private val WauHllMaxRelErr = 0.05
   /** q149 foreign-key edges, shared by the Spark call AND the
     * generated DuckDB twin: (edge label, child, fk, parent, pk). */
   private val RefAuditEdges: Seq[(String, String, String, String, String)] =
@@ -2543,6 +2561,69 @@ object SparkEntry {
           .cast("long").as("n_tok"))
       operators.Curation.packPlan(withTok, "source", "doc_id", "n_tok",
         binTokens = PackBinTokens)
+    }),
+
+    // Histogram-quantile audit: per-source p50/p90/p99 token-count
+    // quantiles read from fixed 8-token bins — the MERGEABLE scale
+    // path for q104's exact percentile (whose agg buffer materializes
+    // every group value). Integer cross-multiply threshold, ±binWidth
+    // precision; the one shuffle moves (source, bin) counts, not rows.
+    "q157_binned_quantiles" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      operators.Profile.binnedQuantiles(tok, "source", "n_tok",
+        binWidth = TokQuantileBinTokens, pcts = TokQuantilePcts)
+    }),
+
+    // Language-ID audit: label × predicted confusion matrix under the
+    // stopword-profile voter (argmax of matched-token fractions, ties
+    // to profile order) plus the matched/total token mass per cell as
+    // int64 sums (one final division would be the rate — no float
+    // averaging crosses the gate). Per-row scoring, one bounded-key
+    // aggregate.
+    "q158_langid_confusion" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val matched = LangIdProfiles.map { case (lang, words) =>
+        size(filter(toks, t => t.isin(words.map(lit): _*)))
+          .cast("long").as(s"m_$lang") }
+      val base = Tables.documents(s, dir).select(
+        col("lang") +: size(toks).cast("long").as("n_tok") +:
+          TextAnalysis.langIdPredict(col("text"), LangIdProfiles).as("pred") +:
+          matched: _*)
+      val mPred = LangIdProfiles.map { case (lang, _) =>
+        when(col("pred") === lang, col(s"m_$lang")) }.reduce(coalesce(_, _))
+      base.groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(mPred).as("matched_tokens"),
+          sum(col("n_tok")).as("total_tokens"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    // Exact-decimal covariance matrix of the embedding dimensions
+    // (upper triangle) — PCA/whitening prep; cov(i,i) reproduces
+    // q116's variance bit-for-bit. One explode+aggregate pass,
+    // map-side combined to dims² rows per partition.
+    "q159_embedding_covariance" -> ((s, dir) =>
+      operators.Similarity.embeddingCovariance(
+        Tables.embeddings(s, dir), "embedding")),
+
+    // Rolling 7-day actives from mergeable per-day HLL registers,
+    // gated against the exact q110 answer: worst per-day relative
+    // error under WauHllMaxRelErr (the q144 boolean-floor pattern).
+    // The corpus is scanned once; fan-out/merge walks day × 2^p
+    // register rows where the exact op re-shuffles (day, user) pairs.
+    "q160_rolling_active_hll" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val exact =
+        operators.EventAnalytics.rollingActive(ev, "user_id", "ts", 7)
+      val approx = operators.EventAnalytics.rollingActiveHll(
+        ev, "user_id", "ts", 7, WauHllP)
+      exact.join(approx, Seq("day"))
+        .agg(count(lit(1)).as("n_days"),
+          max(abs(col("wau_est") - col("wau_7d").cast("double")) /
+            col("wau_7d").cast("double")).as("maxerr"))
+        .select(col("n_days"),
+          (col("maxerr") <= lit(WauHllMaxRelErr)).as("rel_err_ok"))
     }),
     // Rolling engagement: exact DAU + trailing-7-day WAU per day. The
     // (day, user) distinct projection fans out over the 7 window
@@ -5421,6 +5502,86 @@ object SparkEntry {
         |  (start_tok + n_tok - 1) // $PackBinTokens
         |    - start_tok // $PackBinTokens + 1 AS bins_spanned
         |FROM o ORDER BY shard, doc_id""".stripMargin,
+
+    "q157_binned_quantiles" ->
+      s"""WITH tok AS (SELECT source,
+        |    CAST(len(string_split(lower(trim(
+        |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |b AS (SELECT source, n_tok // $TokQuantileBinTokens AS bin,
+        |    COUNT(*) AS n
+        |  FROM tok GROUP BY 1, 2),
+        |c AS (SELECT source, bin,
+        |    CAST(SUM(n) OVER (PARTITION BY source ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM b),
+        |p AS (SELECT source, bin, pct FROM c
+        |  CROSS JOIN (SELECT unnest([${TokQuantilePcts.mkString(", ")}])
+        |    AS pct)
+        |  WHERE cum * 100 >= pct * total)
+        |SELECT source, CAST(pct AS INTEGER) AS pct, MIN(bin) AS q_bin,
+        |  MIN(bin) * $TokQuantileBinTokens AS q_lo,
+        |  (MIN(bin) + 1) * $TokQuantileBinTokens - 1 AS q_hi
+        |FROM p GROUP BY 1, 2 ORDER BY source, pct""".stripMargin,
+
+    "q158_langid_confusion" -> {
+      // the twin replays langIdPredict's left-fold argmax ("later
+      // profile wins only on STRICTLY greater score") on the integer
+      // matched counts — equivalent because every score shares the
+      // document's token-count denominator
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val Seq((n1, w1), (n2, w2), (n3, w3)) = LangIdProfiles
+      s"""WITH tok AS (SELECT lang,
+        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |m AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, t -> t IN (${inList(w1)}))) AS BIGINT) AS m1,
+        |    CAST(len(list_filter(toks, t -> t IN (${inList(w2)}))) AS BIGINT) AS m2,
+        |    CAST(len(list_filter(toks, t -> t IN (${inList(w3)}))) AS BIGINT) AS m3
+        |  FROM tok),
+        |p AS (SELECT lang, n_tok,
+        |    CASE WHEN m3 > (CASE WHEN m2 > m1 THEN m2 ELSE m1 END) THEN '$n3'
+        |         WHEN m2 > m1 THEN '$n2' ELSE '$n1' END AS pred,
+        |    CASE WHEN m3 > (CASE WHEN m2 > m1 THEN m2 ELSE m1 END) THEN m3
+        |         WHEN m2 > m1 THEN m2 ELSE m1 END AS m_pred
+        |  FROM m)
+        |SELECT lang, pred, COUNT(*) AS n_docs,
+        |  CAST(SUM(m_pred) AS BIGINT) AS matched_tokens,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
+    },
+
+    "q159_embedding_covariance" ->
+      """WITH d AS (SELECT unnest(range(len(
+        |    (SELECT embedding FROM embeddings LIMIT 1)))) AS k),
+        |pr AS (SELECT a.k AS i, b.k AS j FROM d a, d b WHERE b.k >= a.k),
+        |x AS (SELECT pr.i, pr.j,
+        |    CAST(floor(CAST(embedding[pr.i + 1] AS DOUBLE) * 1e9 + 0.5)
+        |      AS BIGINT) AS xi,
+        |    CAST(floor(CAST(embedding[pr.j + 1] AS DOUBLE) * 1e9 + 0.5)
+        |      AS BIGINT) AS xj
+        |  FROM embeddings, pr),
+        |agg AS (SELECT i, j, COUNT(*) AS n,
+        |    SUM(CAST(xi AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(xj AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(xi AS DECIMAL(38,0)) * xj) AS sxy
+        |  FROM x GROUP BY 1, 2),
+        |c AS (SELECT i, j, n,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS HUGEINT)
+        |      AS cov_num,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * n AS HUGEINT) AS nn
+        |  FROM agg)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+        |  CAST(CAST((cov_num + nn * 8000000000000000000) // nn
+        |      AS BIGINT) - 8000000000000000000 AS DOUBLE) / 1e18 AS cov
+        |FROM c ORDER BY i, j""".stripMargin,
+
+    "q160_rolling_active_hll" ->
+      """SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  CAST(TRUE AS BOOLEAN) AS rel_err_ok
+        |FROM events""".stripMargin,
 
     "q109_cohort_retention" ->
       """WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d

@@ -120,6 +120,44 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** The mergeable-sketch scale path [[rollingActive]]'s scaladoc
+    * promises: trailing-`windowDays` distinct entities per day from
+    * per-day HLL registers instead of re-counting (day, entity) pairs.
+    * The corpus is touched ONCE — [[Sketch.hllRegistersBy]] grouped by
+    * activity day — and everything after walks the register table
+    * (days × ≤2^p rows): each register fans out to its `windowDays`
+    * window anchors and merges by elementwise max (register
+    * set-algebra: the union's register is the pairwise max), then
+    * [[Sketch.hllEstimateBy]] reads one estimate per anchor. Where the
+    * exact operator shuffles every (day, entity) pair `windowDays`
+    * times — at 100 TB the entity domain itself is the shuffle — the
+    * register fan-out moves `windowDays` × 2^p fixed-size rows per
+    * day, and the SAME register table also serves DAU, MAU, or any
+    * other window by re-fanning, with no new corpus scan. Anchors are
+    * restricted to observed activity days, mirroring the exact
+    * contract. Output: (day, wau_est) — the estimate carries the
+    * standard ±1.04/√2^p relative error, audited against
+    * [[rollingActive]] by its gate query.
+    */
+  def rollingActiveHll(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int, p: Int): DataFrame = {
+    val du = events.select(to_date(col(tsCol)).as("d"), col(userCol).as("u"))
+    val regs = Sketch.hllRegistersBy(du, "u", Seq("d"), p)
+    val merged = regs
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("d"), col("bucket"), col("max_rho"))
+      .select(date_add(col("d"), col("off")).as("anchor"),
+        col("bucket"), col("max_rho"))
+      .groupBy(col("anchor"), col("bucket"))
+      .agg(max(col("max_rho")).cast("int").as("max_rho"))
+    val est = Sketch.hllEstimateBy(merged, Seq("anchor"), p)
+    val obs = du.select(col("d")).distinct()
+    est.join(obs, est("anchor") === obs("d"))
+      .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"),
+        col("estimate").as("wau_est"))
+      .orderBy(col("day"))
+  }
+
   /** Conversion statistics over [[funnel]]: entity counts, completion
     * rate, and the distribution of time-to-convert (first step → last
     * step) in seconds — exact interpolated percentiles over the

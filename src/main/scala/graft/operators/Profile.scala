@@ -176,6 +176,47 @@ object Profile {
       .orderBy("bucket")
   }
 
+  /** Mergeable binned-quantile audit — the 100 TB path for exact
+    * `percentile` (q104), whose aggregation buffer materializes every
+    * group value: quantiles are read off a fixed-width histogram
+    * instead. bin = value div binWidth (values must be non-negative —
+    * integral div agrees across engines there); per-(group, bin)
+    * counts aggregate with map-side combine, so the ONE shuffle moves
+    * a key domain of groups × occupied bins, not rows; the cumulative
+    * walk and the pct fan-out run over that bounded bin table. The
+    * reported quantile is the FIRST bin whose cumulative count reaches
+    * pct% of the group (integer cross-multiply `cum*100 >= pct*total`
+    * — no float threshold), so the true pct-quantile value lies in
+    * [q_lo, q_hi] exactly. Precision is ±binWidth by construction —
+    * the classic histogram-quantile trade — and bin-count tables merge
+    * across shards/days/snapshots by ADDING counts, where a percentile
+    * buffer cannot merge at all.
+    */
+  def binnedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Long, pcts: Seq[Int]): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be within [1,100]: $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("n"))
+    val cum = counts
+      .withColumn("cum",
+        sum(col("n")).over(Window.partitionBy("grp").orderBy("bin")))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy("grp")))
+    cum.select(col("grp"), col("bin"), col("cum"), col("total"),
+        explode(array(pcts.map(p => lit(p)): _*)).as("pct"))
+      .filter(col("cum") * 100L >= col("pct").cast("long") * col("total"))
+      .groupBy("grp", "pct")
+      .agg(min(col("bin")).as("q_bin"))
+      .select(col("grp").as(groupCol), col("pct"), col("q_bin"),
+        (col("q_bin") * binWidth).as("q_lo"),
+        ((col("q_bin") + 1L) * binWidth - 1L).as("q_hi"))
+      .orderBy(groupCol, "pct")
+  }
+
   /** Referential-integrity audit over a set of foreign-key edges
     * (child.fk → parent.pk): per edge, the child row count, the null-FK
     * count, the orphan count (non-null FK with no matching parent key)

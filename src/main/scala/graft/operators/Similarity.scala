@@ -375,6 +375,53 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Upper-triangle covariance matrix of the embedding dimensions in
+    * EXACT fixed-point arithmetic — the PCA/whitening prep step that
+    * generalizes [[dimensionStats]]'s per-dim variance to cross-dim
+    * structure (cov(i,i) IS that variance, same arithmetic, same
+    * quantization). Values quantize to nano-units (the q116 idiom),
+    * the per-pair sums Σx, Σy, Σxy accumulate in DECIMAL(38,0), and
+    * cov = (n·Σxy − Σx·Σy) div n² runs through ONE integral divide
+    * made engine-portable by the q97 offset trick: the dividend can be
+    * negative (Spark `div` truncates toward zero, DuckDB `//` floors),
+    * so it is shifted by n²·8·10¹⁸ — non-negative for any embedding
+    * values in (−2, 2) — divided, and shifted back.
+    *
+    * Scale shape: the pair fan-out is a per-row explode of
+    * dims·(dims+1)/2 terms that PARTIALLY AGGREGATES map-side to at
+    * most one row per (i, j) per partition, so the single shuffle
+    * moves O(partitions · dims²) fixed-width rows regardless of corpus
+    * size — no joins, no windows, no driver collect. Envelope:
+    * n ≤ ~5·10⁹ rows keeps n·Σxy inside DECIMAL(38,0) (the same bound
+    * class as [[dimensionStats]]'s n·s2); past it, shard the corpus
+    * and merge the (n, Σx, Σy, Σxy) partials — they are exactly
+    * mergeable by addition, unlike any float accumulation.
+    */
+  def embeddingCovariance(emb: DataFrame, vecCol: String): DataFrame = {
+    val offset = 8000000000000000000L // (2e9 nano-units)² × 2 headroom
+    val x = emb
+      .withColumn("__xi", transform(col(vecCol),
+        v => floor(v.cast("double") * lit(1e9) + lit(0.5)).cast("long")))
+      .select(posexplode(col("__xi")).as(Seq("i", "xi")), col("__xi"))
+      .select(col("i"), col("xi"),
+        posexplode(col("__xi")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+    val agg = x
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).as("sx"),
+        sum(col("xj").cast("decimal(38,0)")).as("sy"),
+        sum(col("xi").cast("decimal(38,0)") * col("xj")).as("sxy"))
+    val nn = col("n").cast("decimal(38,0)") * col("n")
+    val covNum = col("n").cast("decimal(38,0)") * col("sxy") -
+      col("sx") * col("sy")
+    val covNano2 =
+      graft.functions.intDiv(covNum + nn * lit(offset), nn) - lit(offset)
+    agg.select(col("i"), col("j"), col("n"),
+        (covNano2.cast("double") / lit(1e18)).as("cov"))
+      .orderBy("i", "j")
+  }
+
   /** Distributed k-means (Lloyd) over the embedding column in EXACT
     * fixed-point arithmetic — the trainer for the centroid tables the
     * IVF index ([[ivfTopK]]) and SemDeDup ([[semDedup]]) consume.

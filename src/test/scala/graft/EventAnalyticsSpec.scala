@@ -61,6 +61,35 @@ class EventAnalyticsSpec extends SparkSpec {
       "2024-01-04" -> ((1L, 2L)))
   }
 
+  test("rollingActiveHll: register-merged estimate tracks the exact window distinct") {
+    // 120 users on jan1, users 60..179 on jan2 (union 180), user 500
+    // alone on jan5 (its 3-day window reaches back to empty days)
+    val events = (
+      (0L until 120L).map(u => (u, ts("2024-01-01 10:00:00"))) ++
+      (60L until 180L).map(u => (u, ts("2024-01-02 10:00:00"))) ++
+      Seq((500L, ts("2024-01-05 10:00:00"))))
+      .toDF("user_id", "ts")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("view"))
+    val exact = EventAnalytics.rollingActive(events, "user_id", "ts",
+        windowDays = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val est = EventAnalytics.rollingActiveHll(events, "user_id", "ts",
+        windowDays = 3, p = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // same observed-day anchors as the exact contract
+    est.keySet shouldBe exact.keySet
+    // p=12 at these cardinalities sits in the linear-counting regime:
+    // every day within 2%
+    est.foreach { case (day, e) =>
+      math.abs(e - exact(day)) / exact(day).toDouble should be < 0.02
+    }
+    // registers are md5-derived: the estimate is deterministic
+    val again = EventAnalytics.rollingActiveHll(events, "user_id", "ts",
+        windowDays = 3, p = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    again shouldBe est
+  }
+
   test("transitionMatrix: per-user lead pairs, row-normalized, terminals dropped") {
     val events = Seq(
       (10L, 1L, ts("2024-01-01 10:00:00"), "a"),

@@ -86,6 +86,22 @@ class ProfileSpec extends SparkSpec {
     rows(1L) shouldBe ((0L, 0L, None))          // empty cell survives
   }
 
+  test("binnedQuantiles: first-bin-reaching-pct bracket, per group") {
+    val df = ((0L to 9L).map(("a", _)) :+ (("b", 7L))).toDF("g", "v")
+    val q = Profile.binnedQuantiles(df, "g", "v", binWidth = 2L,
+        pcts = Seq(50, 90, 99))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // group a: bins 0..4 each hold 2 of 10 rows; p50 is the first bin
+    // whose cum*100 >= 50*10 (bin 2 -> [4,5]), p90/p99 land in bin 4
+    q(("a", 50)) shouldBe ((2L, 4L, 5L))
+    q(("a", 90)) shouldBe ((4L, 8L, 9L))
+    q(("a", 99)) shouldBe ((4L, 8L, 9L))
+    // a single-row group answers every percentile from its own bin
+    Seq(50, 90, 99).foreach(p => q(("b", p)) shouldBe ((3L, 6L, 7L)))
+  }
+
   test("keySkew: top-k heavy keys, shares, skew factor, tie order") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") :+ "c")
       .map(Tuple1(_)).toDF("k")

@@ -329,6 +329,36 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getBoolean(4)).toSeq shouldBe Seq(true, true)
   }
 
+  test("embeddingCovariance: exact pair sums; diagonal = dimensionStats variance") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.5f)),
+      (2L, Array(1.0f, -0.5f)),
+      (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cov = Similarity.embeddingCovariance(emb, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    cov.keySet shouldBe Set((0L, 0L), (0L, 1L), (1L, 1L))
+    cov.values.foreach(_.getLong(2) shouldBe 3L)
+    cov((0L, 0L)).getDouble(3) shouldBe 0.0  // constant dim
+    cov((0L, 1L)).getDouble(3) shouldBe 0.0  // constant × anything
+    // the diagonal reproduces dimensionStats' fixed-point variance
+    val vars = Similarity.dimensionStats(emb, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    cov((1L, 1L)).getDouble(3) shouldBe vars(1L)
+
+    // negative covariance goes through the offset divide exactly:
+    // xi = ±5e8 anti-aligned, cov = -0.25 in nano² fixed point
+    val anti = Seq(
+      (1L, Array(0.5f, -0.5f)),
+      (2L, Array(-0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val c01 = Similarity.embeddingCovariance(anti, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    c01((0L, 1L)) shouldBe -0.25
+    c01((0L, 0L)) shouldBe 0.25
+  }
+
   test("kmeans: two blobs converge to exact centroids/SSE in two rounds") {
     // float-exact coordinates so the fixed-point walk is clean:
     // blob A = {0, 0.25, 0.5}, blob B = {10, 10.25, 10.5}; seeds are
