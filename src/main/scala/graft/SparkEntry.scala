@@ -158,6 +158,29 @@ object SparkEntry {
     * green at sf0.001/0.01/0.1). */
   private val WauHllP = 12
   private val WauHllMaxRelErr = 0.05
+  /** q161/q162 revenue window — Q1 1998 (inside this corpus's
+    * 1995–2001 shipdate range), interpolated into query AND twin. */
+  private val TpchQtrFrom = "1998-01-01 00:00:00"
+  private val TpchQtrTo = "1998-04-01 00:00:00"
+  /** q164 large-order total-quantity threshold: ~p99 of per-order
+    * quantity sums on this corpus (median ≈ 96, p99 ≈ 262), so the
+    * HAVING binds hard — 874 of ~30k orders survive at sf0.01. */
+  private val LargeOrderMinQty = 200
+  /** q165 disjunctive predicate bands (the TPC-H Q19 shape):
+    * (brand, sizeLo, sizeHi, qtyLo, qtyHi), OR-of-ANDs on both sides. */
+  private val DisjBands = Seq(
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30))
+  /** q166 dormancy cutoff: customers with NO order on/after this date
+    * (orderdate runs to 2001-08 here, so ≈2.5 y of silence). */
+  private val DormantCutoff = "1999-01-01 00:00:00"
+  /** q167 late-shipment gap: an order is "late" when any line ships
+    * more than this many days after the order date. */
+  private val LateShipDays = 60
+  /** q169 correlation audit columns (lineitem numeric measures). */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice",
+    "l_discount", "l_tax")
   /** q149 foreign-key edges, shared by the Spark call AND the
     * generated DuckDB twin: (edge label, child, fk, parent, pk). */
   private val RefAuditEdges: Seq[(String, String, String, String, String)] =
@@ -3000,7 +3023,170 @@ object SparkEntry {
           (col("n_converted").cast("double") / col("n_entered").cast("double"))
             .as("conv_rate"))
         .orderBy("week")
-    })
+    }),
+
+    // TPC-H Q14-shape promo revenue share: one quarter of lineitem
+    // against the part dim (genuinely fixed-rate catalog → broadcast
+    // hint stays, the r9 dim/fact rule), both revenue sums
+    // DECIMAL-exact, ONE final double division for the share. The
+    // shipdate range predicate pushes to the parquet scan.
+    "q161_promo_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_type")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit(TpchQtrFrom)) &&
+          col("l_shipdate") < to_timestamp(lit(TpchQtrTo)))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(when(col("p_type") === "PROMO", rev)).as("promo_revenue"),
+          dsum(rev).as("total_revenue"))
+        .select(col("n_items"), col("promo_revenue"), col("total_revenue"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_share_pct"))
+    }),
+
+    // TPC-H Q15-shape top supplier: per-supplier quarter revenue kept
+    // in exact DECIMAL so the argmax equality join cannot float-drift;
+    // the 1-row max is a broadcast rider, while the supplier join is
+    // AQE-sized (supplier grows linearly with the corpus — NO hint,
+    // the r9 scale rule). Lineitem aggregates in one shuffle.
+    "q162_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit(TpchQtrFrom)) &&
+          col("l_shipdate") < to_timestamp(lit(TpchQtrTo)))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,6)")).as("revd"))
+      val top = rev.agg(max(col("revd")).as("maxrev"))
+      rev.join(broadcast(top), col("revd") === col("maxrev"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("revd").cast("double").as("revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16-shape supplier diversity per part attribute: the
+    // supplier-part relation is DERIVED from lineitem (no partsupp
+    // table here), negative-balance suppliers anti-joined out (the
+    // exclusion list is a filtered cut of the linearly-growing
+    // supplier table — AQE-sized, no hint), part broadcast as the dim.
+    // COUNT(DISTINCT) partial-aggregates before its one shuffle.
+    "q163_supplier_part_counts" -> ((s, dir) => {
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand",
+        "p_type", "p_size")
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q18-shape large-volume orders: the quantity fold is ONE
+    // orderkey-keyed aggregate with an exact-decimal HAVING, and both
+    // downstream joins (orders fact, customer linear-growth) are left
+    // to AQE — the filtered big-order set is tiny at any SF, so AQE
+    // broadcasts it at runtime without an OOM-risking static hint.
+    "q164_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("sum_qtyd"))
+        .filter(col("sum_qtyd") > lit(LargeOrderMinQty))
+      big
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qtyd").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    }),
+
+    // TPC-H Q19-shape disjunctive-predicate revenue: OR-of-ANDs over
+    // (brand, size, quantity) bands — brand/size prune inside the
+    // broadcast part dim, the quantity disjunction stays a codegen
+    // filter on the probe side; both output aggregates are
+    // decimal-exact. Bands interpolate from DisjBands into query AND
+    // twin.
+    "q165_disjunctive_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      val cond = DisjBands.map { case (brand, szLo, szHi, qLo, qHi) =>
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      }.reduce(_ || _)
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    }),
+
+    // TPC-H Q22-shape dormant rich customers: above-mean balance
+    // WITHOUT division — c_acctbal·n > Σbal compares exact decimals
+    // against the 1-row broadcast rider — then an anti-join against
+    // the recently-active custkey set (a filtered cut of the orders
+    // fact: AQE-sized, no hint). Per-segment rollup.
+    "q166_dormant_customers" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .filter(col("c_acctbal") > 0)
+      val pos = cust.agg(
+        sum(col("c_acctbal").cast("decimal(30,6)")).as("sbal"),
+        count(lit(1)).as("npos"))
+      val active = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit(DormantCutoff)))
+        .select("o_custkey").distinct()
+      cust.crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast("decimal(30,6)") * col("npos") >
+          col("sbal"))
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q4-shape late-shipment priority census: a LEFT SEMI join
+    // on the orderkey equi-key with the 60-day lateness residual —
+    // orders and lineitem each shuffle once on the key, no hint on
+    // either fact, and the semi form short-circuits per probe row
+    // instead of materializing matches.
+    "q167_late_shipment_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr(s"INTERVAL $LateShipDays DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Chi-square independence audit of the documents lang × source
+    // contingency — full label cross including zero-observed cells,
+    // per-cell terms only (a chi² total would sum doubles in
+    // engine-dependent order; the dsum fold is the reader's one line).
+    "q168_contingency_chi2" -> ((s, dir) =>
+      operators.Profile.contingencyChi2(
+        Tables.documents(s, dir), "lang", "source")),
+
+    // Pairwise Pearson correlation over the lineitem numeric measures
+    // from ONE decimal-exact aggregate pass (Σx/Σx²/Σxy in
+    // DECIMAL(30,6), one final double formula per pair).
+    "q169_numeric_correlation" -> ((s, dir) =>
+      operators.Profile.correlationMatrix(
+        Tables.lineitem(s, dir), CorrCols))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -6224,6 +6410,135 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation nc ON c_nationkey = nc.n_nationkey
         |GROUP BY 1, 2
-        |ORDER BY supp_nation, cust_nation""".stripMargin
+        |ORDER BY supp_nation, cust_nation""".stripMargin,
+
+    "q161_promo_revenue" ->
+      s"""SELECT COUNT(*) AS n_items,
+        |  ${DSUM("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) END")} AS promo_revenue,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '$TpchQtrFrom'
+        |  AND l_shipdate < TIMESTAMP '$TpchQtrTo'""".stripMargin,
+
+    "q162_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+        |      AS revd
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '$TpchQtrFrom'
+        |    AND l_shipdate < TIMESTAMP '$TpchQtrTo'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(revd AS DOUBLE) AS revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revd = (SELECT MAX(revd) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q163_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q164_large_orders" ->
+      s"""WITH big AS (SELECT l_orderkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qtyd
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum_qtyd > $LargeOrderMinQty)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qtyd AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin,
+
+    "q165_disjunctive_revenue" -> {
+      val bands = DisjBands.map { case (brand, szLo, szHi, qLo, qHi) =>
+        s"""  (p_brand = '$brand' AND p_size BETWEEN $szLo AND $szHi
+           |    AND l_quantity BETWEEN $qLo AND $qHi)""".stripMargin
+      }.mkString("\n  OR\n")
+      s"""SELECT COUNT(*) AS n_items,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |$bands""".stripMargin
+    },
+
+    "q166_dormant_customers" ->
+      s"""WITH cust AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |    FROM customer WHERE c_acctbal > 0),
+        |  pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS sbal,
+        |      COUNT(*) AS npos FROM cust),
+        |  active AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '$DormantCutoff')
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  ${DSUM("c_acctbal")} AS total_bal
+        |FROM cust CROSS JOIN pos
+        |WHERE CAST(c_acctbal AS DECIMAL(30,6)) * npos > sbal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q167_late_shipment_priority" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL $LateShipDays DAY)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q168_contingency_chi2" ->
+      """WITH cell AS (SELECT lang, source, COUNT(*) AS obs
+        |    FROM documents GROUP BY 1, 2),
+        |  rm AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_margin
+        |    FROM cell GROUP BY 1),
+        |  cm AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_margin
+        |    FROM cell GROUP BY 1),
+        |  tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM cell)
+        |SELECT rm.lang, cm.source, COALESCE(obs, 0) AS obs,
+        |  row_margin, col_margin,
+        |  CAST(row_margin AS DOUBLE) * CAST(col_margin AS DOUBLE) /
+        |    CAST(total AS DOUBLE) AS expected,
+        |  POWER(CAST(COALESCE(obs, 0) AS DOUBLE) - expected, 2) / expected
+        |    AS chi2_term
+        |FROM rm CROSS JOIN cm
+        |LEFT JOIN cell ON cell.lang = rm.lang AND cell.source = cm.source
+        |CROSS JOIN tot
+        |ORDER BY rm.lang, cm.source""".stripMargin,
+
+    "q169_numeric_correlation" -> corrTwin("lineitem", CorrCols)
   )
+
+  /** q169 twin, generated from the SAME CorrCols list as the Spark
+    * call (ADVICE r9 rule): one aggregate CTE holding every
+    * DECIMAL(30,6)-exact Σx/Σx²/Σxy, then one UNION ALL row per pair
+    * applying the identical final double formula.
+    */
+  private def corrTwin(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val sums = cols.flatMap { c =>
+      Seq(s"${DSUM(c)} AS s_$c", s"${DSUM(s"$c*$c")} AS ss_$c")
+    } ++ pairs.map { case (x, y) =>
+      s"${DSUM(s"$x*$y")} AS sp_${x}_$y"
+    }
+    val rows = pairs.map { case (x, y) =>
+      s"""  SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |    (CAST(n AS DOUBLE) * sp_${x}_$y - s_$x * s_$y) /
+         |    sqrt((CAST(n AS DOUBLE) * ss_$x - s_$x * s_$x) *
+         |      (CAST(n AS DOUBLE) * ss_$y - s_$y * s_$y)) AS pearson_r
+         |  FROM s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH s AS (SELECT COUNT(*) AS n,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM $table)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY col_x, col_y""".stripMargin
+  }
 }

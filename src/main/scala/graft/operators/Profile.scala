@@ -250,4 +250,86 @@ object Profile {
           col("n_orphan"), col("n_orphan_keys"))
     }.reduce(_ unionAll _).orderBy(col("edge"))
   }
+
+  /** Chi-square independence audit between two categorical columns —
+    * the "is the label mix independent of the source?" check a corpus
+    * audit runs before trusting a stratified split. Emits the FULL
+    * label-domain cross (including zero-observed cells — they carry
+    * chi² mass too): per (a, b) cell the observed count, both margins,
+    * the expected count under independence, and the cell's chi² term.
+    *
+    * The verdict stays per-cell: a single chi² total would sum doubles
+    * in engine-dependent order; the per-cell terms are each ONE
+    * deterministic double formula over exact int64 margins (all under
+    * 2^53 at any realistic label-domain size), so the output is
+    * hash-stable and the analyst (or a dsum) folds the total.
+    *
+    * Scale shape: one (a, b)-keyed aggregate over the corpus (map-side
+    * combined), then margins/total/cross all derive from the
+    * label-domain-sized cell table — the crossJoin multiplies two
+    * bounded label domains, never corpus rows.
+    */
+  def contingencyChi2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cell = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("obs"))
+    val rm = cell.groupBy(col(aCol)).agg(sum(col("obs")).as("row_margin"))
+    val cm = cell.groupBy(col(bCol)).agg(sum(col("obs")).as("col_margin"))
+    val tot = cell.agg(sum(col("obs")).as("total"))
+    val expected = col("row_margin").cast("double") *
+      col("col_margin").cast("double") / col("total").cast("double")
+    rm.crossJoin(broadcast(cm))
+      .join(cell, Seq(aCol, bCol), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol),
+        coalesce(col("obs"), lit(0L)).as("obs"),
+        col("row_margin"), col("col_margin"),
+        expected.as("expected"),
+        (pow(coalesce(col("obs"), lit(0L)).cast("double") - expected, 2) /
+          expected).as("chi2_term"))
+      .orderBy(col(aCol), col(bCol))
+  }
+
+  /** Pairwise Pearson correlation over a set of numeric columns in ONE
+    * aggregate pass: every Σx, Σx², Σxy accumulates in DECIMAL(30,6)
+    * (the dsum discipline — double-summation order never crosses the
+    * gate), and each coefficient is one final double formula over
+    * those exact sums, `(nΣxy − ΣxΣy) / √((nΣx²−Σx²)(nΣy²−Σy²))`.
+    * Matches DuckDB's native `corr` to 6 dp on this corpus while
+    * staying bit-reproducible across partitionings.
+    *
+    * Scale shape: a single 1-row aggregate (k + k(k+1)/2 sums) over
+    * the corpus — no per-pair rescan, no shuffle beyond the final
+    * combine; the wide→long pair reshape happens on the 1-row result.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val dec = DecimalType(30, 6)
+    def dsumD(c: Column) = sum(c.cast(dec)).cast("double")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      count(lit(1)).cast("double").as("__n") +:
+      (cols.flatMap { c =>
+        Seq(dsumD(col(c)).as(s"__s_$c"),
+          dsumD(col(c) * col(c)).as(s"__ss_$c"))
+      } ++ pairs.map { case (x, y) =>
+        dsumD(col(x) * col(y)).as(s"__sp_${x}_$y")
+      })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (x, y) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col("__n").cast("long").as("n"),
+        ((col("__n") * col(s"__sp_${x}_$y") -
+          col(s"__s_$x") * col(s"__s_$y")) /
+          sqrt((col("__n") * col(s"__ss_$x") -
+            col(s"__s_$x") * col(s"__s_$x")) *
+            (col("__n") * col(s"__ss_$y") -
+              col(s"__s_$y") * col(s"__s_$y")))).as("pearson_r"))
+    }
+    one.select(explode(array(rows: _*)).as("__p"))
+      .select(col("__p.col_x"), col("__p.col_y"), col("__p.n"),
+        col("__p.pearson_r"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
 }

@@ -156,4 +156,51 @@ class ProfileSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Profile.referentialAudit(Seq.empty)
   }
+
+  test("contingencyChi2: full label cross incl. zero cells, margins, expected, terms") {
+    // 2×2 design with one EMPTY cell: (a1,b2) never observed.
+    // obs: (a1,b1)=3, (a2,b1)=1, (a2,b2)=2 → total 6
+    val df = (Seq.fill(3)(("a1", "b1")) ++ Seq(("a2", "b1")) ++
+      Seq.fill(2)(("a2", "b2"))).toDF("lab", "src")
+    val got = Profile.contingencyChi2(df, "lab", "src").collect()
+    got.length shouldBe 4 // 2 labels × 2 sources, zero cell included
+    val byCell = got.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val z = byCell(("a1", "b2"))
+    z.getAs[Long]("obs") shouldBe 0L
+    z.getAs[Long]("row_margin") shouldBe 3L
+    z.getAs[Long]("col_margin") shouldBe 2L
+    z.getAs[Double]("expected") shouldBe 1.0 // 3*2/6
+    z.getAs[Double]("chi2_term") shouldBe 1.0 // (0-1)²/1
+    val c = byCell(("a1", "b1"))
+    c.getAs[Long]("obs") shouldBe 3L
+    c.getAs[Double]("expected") shouldBe 2.0 // 3*4/6
+    c.getAs[Double]("chi2_term") shouldBe 0.5 // (3-2)²/2
+    // ordered by (lab, src)
+    got.map(r => (r.getString(0), r.getString(1))) shouldBe
+      got.map(r => (r.getString(0), r.getString(1))).sorted
+  }
+
+  test("correlationMatrix: exact ±1 on linear columns, 0 on orthogonal, n and pair set") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 1.0),
+      (2.0, 4.0, -2.0, -1.0),
+      (3.0, 6.0, -3.0, 1.0),
+      (4.0, 8.0, -4.0, -1.0))
+      .toDF("a", "b", "c", "d")
+    val got = Profile.correlationMatrix(df, Seq("a", "b", "c", "d"))
+      .collect()
+    got.length shouldBe 6
+    val m = got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("pearson_r")).toMap
+    got.foreach(_.getAs[Long]("n") shouldBe 4L)
+    m(("a", "b")) shouldBe 1.0 +- 1e-12   // b = 2a
+    m(("a", "c")) shouldBe -1.0 +- 1e-12  // c = -a
+    m(("b", "c")) shouldBe -1.0 +- 1e-12
+    // hand-checked: n=4 Σa=10 Σd=0 Σad=-2 Σa²=30 Σd²=4 →
+    // (4·-2 − 0)/√((120−100)(16−0)) = −8/√320 = −1/√5
+    m(("a", "d")) shouldBe -math.sqrt(1.0 / 5) +- 1e-12
+    // fewer than two columns rejected
+    an[IllegalArgumentException] should be thrownBy
+      Profile.correlationMatrix(df, Seq("a"))
+  }
 }
