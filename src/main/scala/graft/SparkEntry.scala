@@ -181,6 +181,10 @@ object SparkEntry {
   /** q169 correlation audit columns (lineitem numeric measures). */
   private val CorrCols = Seq("l_quantity", "l_extendedprice",
     "l_discount", "l_tax")
+  /** q170 bigram-PMI support floor: ~27 occurrences/bigram expected on
+    * this corpus's ~31-token uniform vocabulary, so 10 keeps the bulk
+    * while still cutting the rare-pair tail PMI is degenerate on. */
+  private val BigramPmiMinCount = 10L
   /** q149 foreign-key edges, shared by the Spark call AND the
     * generated DuckDB twin: (edge label, child, fk, parent, pk). */
   private val RefAuditEdges: Seq[(String, String, String, String, String)] =
@@ -3186,7 +3190,88 @@ object SparkEntry {
     // DECIMAL(30,6), one final double formula per pair).
     "q169_numeric_correlation" -> ((s, dir) =>
       operators.Profile.correlationMatrix(
-        Tables.lineitem(s, dir), CorrCols))
+        Tables.lineitem(s, dir), CorrCols)),
+
+    // Adjacent-bigram PMI collocations (Church & Hanks) — counts from
+    // two keyed one-pass aggregates, the coefficient ONE fixed double
+    // chain over exact int64 counts, support-filtered.
+    "q170_bigram_pmi" -> ((s, dir) =>
+      TextAnalysis.bigramPmi(Tables.documents(s, dir), "text",
+        minCount = BigramPmiMinCount)),
+
+    // Triangle census of the exact-Jaccard dup-pair graph
+    // (degree-ordered node-iterator, equi-joins only) — the
+    // cluster-density audit next to q38's components: triangles =
+    // tight template families, open wedges = chains the transitive
+    // closure glued.
+    "q171_dup_triangles" -> ((s, dir) => {
+      val pairs = Dedup.jaccardSimilarityJoin(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, t = 0.5)
+      val out = Dedup.triangleCount(pairs, "id_a", "id_b")
+      pairs.unpersist(blocking = false)
+      out
+    }),
+
+    // Co-located bucketed join: both fact sides written bucketBy the
+    // join key (external tables on a pid-namespaced tmp path, bucket
+    // metadata in the session catalog), so the orderkey join runs with
+    // ZERO Exchange on either side — the pre-shuffled layout a 100 TB
+    // fact×fact pipeline amortizes across every downstream join. The
+    // write cost is paid inside the query on purpose: this is the
+    // layout path's honest end-to-end price (q55/q64 discipline).
+    // ScaleSpec pins the no-shuffle plan property.
+    "q172_bucketed_join" -> ((s, dir) => {
+      val root = tmpRootCleanedOnExit("graft_q172_bucketed", dir)
+      // catalog is session-scoped (in-memory) — only PATHS can collide
+      // across processes, and the tmp root is pid-namespaced
+      Scale.writeBucketed(Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_q172_lineitem", "l_orderkey", 8, Some(s"$root/lineitem"))
+      Scale.writeBucketed(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority"),
+        "graft_q172_orders", "o_orderkey", 8, Some(s"$root/orders"))
+      s.table("graft_q172_lineitem")
+        .join(s.table("graft_q172_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Blocking-quality audit (the record-linkage pair-completeness /
+    // reduction-ratio protocol): q147's sorted-neighborhood run at
+    // threshold 0 IS the raw candidate generator, scored against the
+    // exact shingle-Jaccard truth (q11). One row: how many true pairs
+    // the blocking would catch, at what fraction of the n²/2 pair
+    // space — the report read before trusting any window/block
+    // parameter at 100×. All counts exact int64; the two rates are
+    // final double divisions.
+    "q173_blocking_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+          SnmWindow, SnmPrefixLen, SnmKeyLen, minJaccardPct = 0)
+        .select(least(col("a"), col("b")).as("pa"),
+          greatest(col("a"), col("b")).as("pb"))
+        .distinct().persist()
+      val truth = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+          n = 3, t = 0.5)
+        .select(col("id_a").as("pa"), col("id_b").as("pb")).persist()
+      val caught = truth.join(cand, Seq("pa", "pb"), "left_semi")
+      val out = docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_pairs"))))
+        .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+        .select(col("n_docs"), col("n_candidates"), col("n_true_pairs"),
+          col("n_caught"),
+          (col("n_caught").cast("double") /
+            col("n_true_pairs").cast("double")).as("pair_completeness"),
+          (col("n_candidates").cast("double") /
+            intDiv(col("n_docs") * (col("n_docs") - 1), lit(2L))
+              .cast("double")).as("candidate_fraction"))
+      Dedup.materializeAndRelease(out, cand, truth)
+    })
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -6510,7 +6595,95 @@ object SparkEntry {
         |CROSS JOIN tot
         |ORDER BY rm.lang, cm.source""".stripMargin,
 
-    "q169_numeric_correlation" -> corrTwin("lineitem", CorrCols)
+    "q169_numeric_correlation" -> corrTwin("lineitem", CorrCols),
+
+    "q170_bigram_pmi" ->
+      s"""WITH tok AS (SELECT string_split(lower(trim(
+        |    regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM tok),
+        |c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+        |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+        |bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> struct_pack(prev := toks[i+1], cur := toks[i+2]))) AS b
+        |  FROM tok WHERE len(toks) >= 2),
+        |c2 AS (SELECT b.prev AS prev, b.cur AS cur, COUNT(*) AS n_pair
+        |  FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM c2)
+        |SELECT prev, cur, n_pair,
+        |  round(ln(CAST(n_pair AS DOUBLE)) + 2 * ln(CAST(nu.n AS DOUBLE))
+        |    - ln(CAST(nb.n AS DOUBLE)) - ln(CAST(p.c AS DOUBLE))
+        |    - ln(CAST(q.c AS DOUBLE)), 9) AS pmi
+        |FROM c2 JOIN c1 p ON c2.prev = p.w JOIN c1 q ON c2.cur = q.w
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE n_pair >= $BigramPmiMinCount
+        |ORDER BY n_pair DESC, prev, cur""".stripMargin,
+
+    "q171_dup_triangles" ->
+      s"""WITH $SHINGLES_CTE,
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |nodes AS (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e),
+        |deg AS (SELECT v, COUNT(*) AS d FROM nodes GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |      THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |      THEN e.b ELSE e.a END AS dst
+        |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |wd AS (SELECT o1.dst AS wv, o2.dst AS ww FROM o o1 JOIN o o2
+        |  ON o1.src = o2.src AND o1.dst < o2.dst),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM
+        |  (SELECT least(wv, ww) AS a, greatest(wv, ww) AS b FROM wd) x
+        |  JOIN e USING (a, b))
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT COUNT(*) FROM wd) AS n_wedges, n_triangles
+        |FROM tri""".stripMargin,
+
+    "q172_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q173_blocking_audit" -> {
+      val leads = (1 until SnmWindow).map(j =>
+        s"lead(doc_id, $j) OVER w AS id$j").mkString(", ")
+      val branches = (1 until SnmWindow).map(j =>
+        s"  SELECT doc_id AS a, id$j AS b FROM l WHERE id$j IS NOT NULL")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $SHINGLES_CTE,
+        |truth AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |t AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |k AS (SELECT doc_id, substr(nt, 1, $SnmKeyLen) AS key,
+        |    substr(nt, 1, $SnmPrefixLen) AS blk FROM t),
+        |l AS (SELECT doc_id, $leads
+        |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY key, doc_id)),
+        |rawp AS (
+        |$branches),
+        |cand AS (SELECT DISTINCT least(a, b) AS pa, greatest(a, b) AS pb
+        |  FROM rawp),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+        |ntp AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
+        |cg AS (SELECT COUNT(*) AS n_caught
+        |  FROM truth JOIN cand USING (pa, pb))
+        |SELECT n_docs, n_candidates, n_true_pairs, n_caught,
+        |  CAST(n_caught AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+        |    AS pair_completeness,
+        |  CAST(n_candidates AS DOUBLE) /
+        |    CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE)
+        |    AS candidate_fraction
+        |FROM nd CROSS JOIN nc CROSS JOIN ntp CROSS JOIN cg""".stripMargin
+    }
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark

@@ -541,6 +541,54 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Triangle census of an undirected pair graph — the cluster-density
+    * diagnostic read next to [[connectedComponents]]: near-dup pairs
+    * that close into triangles indicate tight clusters (template
+    * families), open wedges indicate chains/stars (transitive-closure
+    * artifacts). Returns ONE row: (n_edges, n_wedges, n_triangles).
+    *
+    * Degree-ordered node-iterator (the MapReduce triangle-counting
+    * scheme of Suri & Vassilvitskii 2011): every edge is oriented from
+    * its lower (degree, id) endpoint to the higher, wedges form only
+    * at an edge's oriented source, and closure is checked with an
+    * EQUI semi-join against the canonical (min, max) edge set — no
+    * OR-condition join, so no BNLJ at any size. The orientation bounds
+    * per-node wedge fan-out by O(√|E|) regardless of raw degree skew
+    * (a hub's edges point INTO it), which is what makes the wedge join
+    * survive a power-law pair graph at scale. Each triangle is counted
+    * exactly once (its (deg, id)-smallest vertex owns it).
+    */
+  def triangleCount(pairs: DataFrame, aCol: String = "id_a",
+                    bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .persist()
+    val w = o.as("o1")
+      .join(o.as("o2"), col("o1.src") === col("o2.src") &&
+        col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("wv"), col("o2.dst").as("ww"))
+      .persist()
+    val closed = w.select(least(col("wv"), col("ww")).as("a"),
+        greatest(col("wv"), col("ww")).as("b"))
+      .join(e, Seq("a", "b"), "left_semi")
+    val out = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(w.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+    materializeAndRelease(out, e, o, w)
+  }
+
   /** Connected components over an undirected near-dup pair graph —
     * the canonicalization step that turns pairwise dedup output into
     * "keep one document per duplicate cluster": returns

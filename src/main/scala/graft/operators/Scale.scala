@@ -80,12 +80,17 @@ object Scale {
     * the same key.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    nBuckets: Int): Unit =
-    df.write.mode("overwrite")
+                    nBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    // external-table variant: bucket METADATA lives in the (session-
+    // scoped, in-memory) catalog either way — read back via
+    // spark.table(), never read.parquet(path), or the bucketing is
+    // invisible and the join shuffles again
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Bloom-pruned ANTI-join — [[bloomPrunedSemiJoin]]'s mirror and the
     * incremental-dedup shape: "keep fact rows whose key does NOT

@@ -401,14 +401,19 @@ object TextAnalysis {
     * joins are keyed on the token; N and V ride as broadcast 1-row
     * scalars. All rows are narrow (id, token) pairs.
     */
+  /** Adjacent (prev, cur) token pairs of a token array; empty (typed)
+    * for <2 tokens — the `sequence(a, b)` guard: a > b would yield a
+    * DESCENDING sequence, not an empty one.
+    */
+  private def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("prev"),
+          element_at(toks, i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+
   def stupidBackoffScore(docs: DataFrame, modelDocs: DataFrame,
                          idCol: String, textCol: String): DataFrame = {
-    def bigramsOf(toks: Column): Column =
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("prev"),
-            element_at(toks, i + 1).as("cur"))))
-        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
     val mtok = modelDocs.select(tokens(col(textCol)).as("__toks"))
       .filter(coalesce(size(col("__toks")) >= -1, lit(true)))
     val uni = mtok.select(explode(col("__toks")).as("w"))
@@ -457,6 +462,51 @@ object TextAnalysis {
         col("__s").cast("double").as("logprob_sum"),
         meanNano.as("nll_mean_nano"))
     Dedup.materializeAndRelease(out, uni, bi)
+  }
+
+  /** Pointwise mutual information of adjacent token bigrams — the
+    * collocation/phrase-detection statistic (Church & Hanks 1990) a
+    * tokenizer-vocabulary or phrase-mining pass reads first:
+    * PMI(x,y) = ln P(xy) − ln P(x) − ln P(y) with P(xy) = c₂/N_b and
+    * P(w) = c₁/N_u, kept support-filtered (c₂ ≥ minCount — PMI is
+    * degenerate on rare pairs).
+    *
+    * Determinism: counts are exact int64; the coefficient is ONE fixed
+    * chain of doubles over them — ln c₂ + 2·ln N_u − ln N_b − ln c₁x
+    * − ln c₁y, written in that association on both engines — and the
+    * result is round-9'd (the q66 ln idiom: JVM `Math.log` and libm
+    * `ln` differ by a few ulps on some inputs, so the raw chain is NOT
+    * bit-identical cross-engine; at 9 dp it is).
+    *
+    * Scale shape: unigram and bigram counts are each ONE keyed,
+    * map-side-combined aggregate over narrow rows; the c₁ joins are
+    * token-keyed (vocabulary-sized table — AQE broadcasts it when
+    * small, shuffles when not); N_u/N_b ride as broadcast 1-row
+    * scalars. Nothing rescans the corpus.
+    */
+  def bigramPmi(docs: DataFrame, textCol: String,
+                minCount: Long): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("__toks"))
+    val c1 = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+    val nu = c1.agg(sum(col("c1")).as("nu"))
+    val c2 = toks.select(explode(bigramsOf(col("__toks"))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("n_pair")).persist()
+    val nb = c2.agg(sum(col("n_pair")).as("nb"))
+    val pmi = log(col("n_pair").cast("double")) +
+      lit(2) * log(col("nu").cast("double")) -
+      log(col("nb").cast("double")) -
+      log(col("c1p").cast("double")) -
+      log(col("c1c").cast("double"))
+    val out = c2.filter(col("n_pair") >= minCount)
+      .join(c1.select(col("w").as("prev"), col("c1").as("c1p")), Seq("prev"))
+      .join(c1.select(col("w").as("cur"), col("c1").as("c1c")), Seq("cur"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("prev"), col("cur"), col("n_pair"),
+        graft.functions.hashSafeRound(pmi, 9).as("pmi"))
+      .orderBy(col("n_pair").desc, col("prev"), col("cur"))
+    Dedup.materializeAndRelease(out, c1, c2)
   }
 
   /** HTML → text extraction, the WET-generation step of a web

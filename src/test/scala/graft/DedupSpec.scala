@@ -626,4 +626,24 @@ class DedupSpec extends SparkSpec {
     a.map(_(3).asInstanceOf[Long]).sum shouldBe 60L
     a.map(_(2).asInstanceOf[Long]).sum shouldBe 30L
   }
+
+  test("triangleCount: triangle+pendant+path census; reversed/dup edges canonicalized") {
+    // triangle {1,2,3} + pendant 3-4 + path 5-6-7; (2,1) and a dup of
+    // (1,3) must collapse into the canonical edge set
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 3L),
+      (3L, 4L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val r = Dedup.triangleCount(edges, "id_a", "id_b").collect().head
+    r.getLong(0) shouldBe 6L // n_edges
+    r.getLong(1) shouldBe 1L // only src=1 fans out two oriented edges
+    r.getLong(2) shouldBe 1L
+  }
+
+  test("triangleCount: K4 counts every triangle exactly once") {
+    val k4 = (for { i <- 1 to 4; j <- 1 to 4 if i < j }
+      yield (i.toLong, j.toLong)).toDF("id_a", "id_b")
+    val r = Dedup.triangleCount(k4, "id_a", "id_b").collect().head
+    r.getLong(0) shouldBe 6L
+    r.getLong(1) shouldBe 4L // 3 wedges at src 1 + 1 at src 2, all closed
+    r.getLong(2) shouldBe 4L
+  }
 }

@@ -219,6 +219,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed external path: data lands under the path, join still shuffle-free") {
+    val root = java.nio.file.Files.createTempDirectory("bkt_ext").toString
+    val left = (1L to 100L).map(i => (i, s"l$i")).toDF("id", "lv")
+    val right = (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "rv")
+    Scale.writeBucketed(left, "bkt_ext_l", "id", 4, Some(s"$root/l"))
+    Scale.writeBucketed(right, "bkt_ext_r", "id", 4, Some(s"$root/r"))
+    try {
+      new java.io.File(s"$root/l").listFiles().count(
+        _.getName.endsWith(".parquet")) should be >= 4
+      val joined = spark.table("bkt_ext_l")
+        .join(spark.table("bkt_ext_r"), "id")
+      joined.count() shouldBe 100
+      joined.queryExecution.executedPlan.toString should not include
+        "Exchange hashpartitioning"
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_ext_l")
+      spark.sql("DROP TABLE IF EXISTS bkt_ext_r")
+    }
+  }
+
   test("bloomPrunedSemiJoin: exact output, and the bloom stage really prunes before the shuffle") {
     import spark.implicits._
     // 10k fact rows over 1k keys; key set = 1% of keys → sel ≈ 1%.

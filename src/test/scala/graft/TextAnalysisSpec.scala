@@ -468,4 +468,21 @@ class TextAnalysisSpec extends SparkSpec {
     rows("A") shouldBe ((3L, 2L, 1L, 2.0 / 3.0, 0.5))
     rows("B") shouldBe ((3L, 3L, 3L, 1.0, 1.0))
   }
+
+  test("bigramPmi: hand-checked coefficient, support filter, count-desc order") {
+    // unigrams a:3 b:3 c:1 (Nu=7); bigrams (a,b):3 (b,a):1 (b,c):1 (Nb=5)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val all = TextAnalysis.bigramPmi(docs, "text", minCount = 1L).collect()
+    all.map(r => (r.getString(0), r.getString(1), r.getLong(2))) shouldBe
+      Seq(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L))
+    val pmiAb = all.head.getDouble(3)
+    // ln 3 + 2 ln 7 − ln 5 − ln 3 − ln 3 = ln(147/45), round-9'd
+    pmiAb shouldBe (math.rint(math.log(147.0 / 45) * 1e9) / 1e9 +- 1e-9)
+    // support floor cuts the singleton pairs
+    TextAnalysis.bigramPmi(docs, "text", minCount = 2L)
+      .collect().map(_.getString(0)) shouldBe Array("a")
+    // partitioning-invariant (exact counts, fixed double chain)
+    TextAnalysis.bigramPmi(docs.repartition(7), "text", 1L)
+      .collect().map(_.getDouble(3)) shouldBe all.map(_.getDouble(3))
+  }
 }
