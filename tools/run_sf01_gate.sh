@@ -5,8 +5,8 @@
 # suite size and must not share cores with Bench/StressBench.
 set -u
 cd /root/repo
-OUT=/tmp/verify_sf01_r10
-ART=${1:-/root/repo/CHECK_SF01_145q.json}
+OUT=${2:-/tmp/verify_sf01_r10}
+ART=${1:-/root/repo/CHECK_SF01_173q.json}
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=32 java -Xmx96g \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
