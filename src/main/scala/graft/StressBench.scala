@@ -600,6 +600,47 @@ object StressBench {
       s""""flood_rows":$nFlood,"ok":$ok}"""
   }
 
+  /** Triangle census under 3× cloning — the whole cloned count is a
+    * CLOSED FORM of the 1× measurements. Cloning every doc 3× turns
+    * each signature-producing doc into a 3-clique (identical shingle
+    * sets → pairwise Jaccard 1.0) and every 1× pair (a, b) into the
+    * complete tripartite 3×3 cross edges, so:
+    *
+    *   E₃ = 3·n_sig + 9·E₁
+    *   T₃ = n_sig·C(3,3) + 18·E₁ + 27·T₁
+    *
+    * (per 1× edge: C(3,2)·3 = 9 two-from-a-one-from-b triangles, ×2
+    * directions; per 1× triangle: 3³ one-per-group choices). Wedge
+    * counts are orientation-dependent under the (degree, id) ordering
+    * and deliberately NOT asserted. Exercises the degree-ordered
+    * node-iterator exactly where it matters: the clone cliques are the
+    * hub-ish structure whose wedge fan-out the orientation bounds.
+    */
+  private def trianglesClone3x(s: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    val nSig = docs
+      .filter(size(graft.functions.tokens(col("text"))) >= 3).count()
+    val offset = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val corpus = clones(docs, 3, offset)
+    def census(d: DataFrame): (Long, Long) = {
+      val pairs = Dedup.jaccardSimilarityJoin(d, "doc_id", "text",
+        n = 3, t = 0.5)
+      val out = Dedup.triangleCount(pairs, "id_a", "id_b")
+      val r = out.head()
+      pairs.unpersist(blocking = false); out.unpersist(blocking = false)
+      (r.getLong(0), r.getLong(2))
+    }
+    val ((e1, t1), baseSecs) = time(census(docs))
+    val ((e3, t3), secs3) = time(census(corpus))
+    val expEdges = 3L * nSig + 9L * e1
+    val expTris = nSig + 18L * e1 + 27L * t1
+    val ok = e3 == expEdges && t3 == expTris
+    s""""triangles_clone3x":{"secs":${r3(secs3)},"base_secs":${r3(baseSecs)},""" +
+      s""""base_edges":$e1,"base_triangles":$t1,"edges":$e3,""" +
+      s""""expected_edges":$expEdges,"triangles":$t3,""" +
+      s""""expected_triangles":$expTris,"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -618,7 +659,8 @@ object StressBench {
       "kmeans_clone10x" -> (() => kmeansClone10x(spark, sfDir)),
       "concurrency_clone10x" -> (() => concurrencyClone10x(spark, sfDir)),
       "funnel_hot_entity" -> (() => funnelHotEntity(spark, sfDir)),
-      "heavy_hitters_clone10x" -> (() => heavyHittersClone10x(spark, sfDir)))
+      "heavy_hitters_clone10x" -> (() => heavyHittersClone10x(spark, sfDir)),
+      "triangles_clone3x" -> (() => trianglesClone3x(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet
