@@ -185,6 +185,13 @@ object SparkEntry {
     * this corpus's ~31-token uniform vocabulary, so 10 keeps the bulk
     * while still cutting the rare-pair tail PMI is degenerate on. */
   private val BigramPmiMinCount = 10L
+  /** q177 MAD multiplier: |x − median| > k·MAD flags the outlier
+    * (k=3 ≈ the robust analogue of a 2σ cut on normal data). */
+  private val MadK = 3.0
+  /** q179 trigram support floor: 5 event types → ≤125 patterns,
+    * ~80 expected occurrences each at sf0.01; 20 keeps the bulk and
+    * prunes only the genuinely rare tail. */
+  private val TrigramMinSupport = 20L
   /** q149 foreign-key edges, shared by the Spark call AND the
     * generated DuckDB twin: (edge label, child, fk, parent, pk). */
   private val RefAuditEdges: Seq[(String, String, String, String, String)] =
@@ -3271,7 +3278,42 @@ object SparkEntry {
             intDiv(col("n_docs") * (col("n_docs") - 1), lit(2L))
               .cast("double")).as("candidate_fraction"))
       Dedup.materializeAndRelease(out, cand, truth)
-    })
+    }),
+
+    // 2-D Pareto frontier of the documents corpus on (chars, distinct
+    // tokens) — the "longest docs with the richest vocabulary" skyline,
+    // computed via per-x max + running max over the distinct-x
+    // aggregate, NOT an n² dominance join.
+    "q174_pareto_frontier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("n_chars"),
+        size(array_distinct(tokens(col("text")))).cast("long")
+          .as("n_types"))
+      operators.Profile.paretoFrontier(docs, "doc_id", "n_chars",
+        "n_types")
+    }),
+
+    // CUSUM level-shift changepoint per event type: the day maximizing
+    // the |cumulative deviation from the series mean|, exact through
+    // the n_days-scaled int64 drift (one double division after the
+    // argmax). Complements q118's local spike z-scores.
+    "q175_cusum_changepoint" -> ((s, dir) =>
+      operators.EventAnalytics.cusumChangepoint(
+        Tables.events(s, dir), "ts", "event_type")),
+
+    // Median/MAD robust outlier audit of document lengths per source —
+    // exact interpolated medians (0.25-multiple rationals, no rounding
+    // needed), engine-exact k·MAD compare.
+    "q177_robust_outliers" -> ((s, dir) =>
+      operators.Profile.robustOutliers(
+        Tables.documents(s, dir), "source", "n_chars", MadK)),
+
+    // Frequent contiguous event-type trigrams with occurrence AND
+    // distinct-entity support — sequence mining one window pass deep,
+    // no per-position self-join.
+    "q179_event_trigrams" -> ((s, dir) =>
+      operators.EventAnalytics.eventTrigrams(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id", TrigramMinSupport))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -6683,7 +6725,75 @@ object SparkEntry {
         |    CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE)
         |    AS candidate_fraction
         |FROM nd CROSS JOIN nc CROSS JOIN ntp CROSS JOIN cg""".stripMargin
-    }
+    },
+
+    "q174_pareto_frontier" ->
+      """WITH p AS (SELECT doc_id, n_chars AS x,
+        |    CAST(len(list_distinct(string_split(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT)
+        |      AS y
+        |  FROM documents),
+        |g AS (SELECT x, max(y) AS maxy FROM p GROUP BY 1),
+        |c AS (SELECT x, maxy, max(maxy) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prevmax
+        |  FROM g)
+        |SELECT doc_id, x AS n_chars, y AS n_types
+        |FROM p JOIN c USING (x)
+        |WHERE y = maxy AND (prevmax IS NULL OR prevmax < y)
+        |ORDER BY n_chars DESC, doc_id""".stripMargin,
+
+    "q175_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, n,
+        |    ROW_NUMBER() OVER po AS t,
+        |    CAST(SUM(n) OVER po AS BIGINT) AS prefix,
+        |    COUNT(*) OVER pa AS n_days,
+        |    CAST(SUM(n) OVER pa AS BIGINT) AS total
+        |  FROM daily
+        |  WINDOW po AS (PARTITION BY event_type ORDER BY d),
+        |    pa AS (PARTITION BY event_type)),
+        |dr AS (SELECT *, n_days * prefix - t * total AS drift FROM w),
+        |pick AS (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY event_type ORDER BY abs(drift) DESC, d) AS rk
+        |  FROM dr)
+        |SELECT event_type, n_days, total AS total_events,
+        |  strftime(d, '%Y-%m-%d') AS cp_day, CAST(t AS INTEGER) AS cp_index,
+        |  CAST(drift AS BIGINT) AS cp_drift_scaled,
+        |  CAST(drift AS DOUBLE) / CAST(n_days AS DOUBLE) AS cp_drift
+        |FROM pick WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+
+    "q177_robust_outliers" ->
+      s"""WITH v AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents),
+        |m AS (SELECT g, quantile_cont(v, 0.5) AS med, COUNT(*) AS n
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT v.g, abs(v.v - m.med) AS ad FROM v JOIN m USING (g)),
+        |md AS (SELECT g, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT m.g AS source, m.n, m.med AS med, md.mad AS mad,
+        |  CAST(SUM(CASE WHEN d.ad > $MadK * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN d.ad > $MadK * md.mad THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(m.n AS DOUBLE) AS outlier_frac
+        |FROM d JOIN m USING (g) JOIN md USING (g)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1""".stripMargin,
+
+    "q179_event_trigrams" ->
+      s"""WITH t AS (SELECT user_id AS u, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT u) AS n_users
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) >= $TrigramMinSupport
+        |ORDER BY n_occurrences DESC, e1, e2, e3""".stripMargin
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark

@@ -796,4 +796,76 @@ object EventAnalytics {
           col("pr").cast("double") / lit(1.0e12), 9).as("pr"))
       .orderBy(col("pr_fixed").desc, col("node"))
   }
+
+  /** CUSUM changepoint scan over the per-type daily volume series —
+    * the "when did this stream's level shift" audit next to
+    * [[volumeAnomaly]]'s local spike z-scores: a spike moves one day's
+    * z, a level shift moves EVERY cumulative sum after the break, and
+    * the day maximizing |Σ_{d'≤d}(n_d' − mean)| is the classic CUSUM
+    * changepoint estimate. Kept exact end to end by scaling through
+    * the day count: drift_t = n_days·prefix_t − t·total is int64 (the
+    * n_days-scaled CUSUM), so the argmax and its tie rule (earliest
+    * day on equal |drift|) are engine-exact; the one double division
+    * (drift/n_days, the unscaled CUSUM value) happens after selection.
+    *
+    * Scale: the daily pre-aggregate is the only full-data shuffle
+    * (map-side combined on (type, day)); the windows run over
+    * |types|×|days| rows. A 100 TB event table with years of history is
+    * still ≤ thousands of rows per type after the pre-agg.
+    */
+  def cusumChangepoint(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val wAll = Window.partitionBy("event_type")
+    val drift = daily
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("prefix", sum(col("n")).over(wOrd))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("drift",
+        col("n_days") * col("prefix") - col("t") * col("total"))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("drift")).desc, col("d"))
+    drift.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_days"),
+        col("total").as("total_events"),
+        date_format(col("d"), "yyyy-MM-dd").as("cp_day"),
+        col("t").as("cp_index"),
+        col("drift").as("cp_drift_scaled"),
+        (col("drift").cast("double") / col("n_days").cast("double"))
+          .as("cp_drift"))
+      .orderBy("event_type")
+  }
+
+  /** Frequent contiguous event-type trigrams across entity timelines —
+    * the sequence-mining companion to [[transitionMatrix]]'s bigrams:
+    * support both as raw occurrences and as distinct entities, so a
+    * single looping bot can't promote its private pattern. One
+    * entity-keyed window pass (deterministic (ts, tie) order) emits
+    * each 3-window via two `lead`s — no self-join per position — then
+    * one bounded-key aggregate (≤|types|³ groups). Exact int64
+    * counts; `minSupport` prunes the tail before the ordered output.
+    */
+  def eventTrigrams(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, minSupport: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol).as("u"), col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(w).as("e2"),
+        lead(col(typeCol), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("u")).as("n_users"))
+      .filter(col("n_occurrences") >= minSupport)
+      .orderBy(col("n_occurrences").desc, col("e1"), col("e2"),
+        col("e3"))
+  }
 }

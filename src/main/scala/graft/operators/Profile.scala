@@ -332,4 +332,76 @@ object Profile {
         col("__p.pearson_r"))
       .orderBy(col("col_x"), col("col_y"))
   }
+
+  /** 2-D Pareto frontier (skyline, maximize both axes): the rows no
+    * other row strictly dominates — the "best length-for-quality
+    * tradeoff" selection a curation pipeline runs instead of a single
+    * weighted score. Strict dominance: a row survives iff no other row
+    * is ≥ on both axes and > on at least one (exact duplicates of a
+    * frontier point all survive).
+    *
+    * Computed WITHOUT the O(n²) pair join the definition suggests: a
+    * row is dominated iff (max y among strictly-greater x) ≥ its y, or
+    * a same-x row has strictly greater y. So: one groupBy(x) max(y)
+    * pass (map-side combined), one running-max window over the
+    * |distinct x| aggregate — single-partition but value-domain-sized,
+    * NOT data-sized — then one equi-join of the flags back to the
+    * data (AQE broadcasts the per-x table when the domain is small;
+    * no hint, so a genuinely large domain degrades to SMJ instead of
+    * OOM). Both axes must be integral (exact compares cross-engine).
+    */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.select(col(idCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+    val wPrev = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perX = p.groupBy("__x").agg(max(col("__y")).as("__maxy"))
+      .withColumn("__prevmax", max(col("__maxy")).over(wPrev))
+    p.join(perX, "__x")
+      .filter(col("__y") === col("__maxy") &&
+        (col("__prevmax").isNull || col("__prevmax") < col("__y")))
+      .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
+      .orderBy(col(xCol).desc, col(idCol))
+  }
+
+  /** Median/MAD robust outlier audit per group — the heavy-tail-safe
+    * replacement for mean/stddev z-scores (one whale shifts a mean;
+    * it cannot shift a median). Exact interpolated medians via
+    * `percentile` — on integral inputs the interpolation lands on
+    * 0.25-multiples, exact in binary floating point, so the
+    * `|x − med| > k·mad` compare is engine-exact without rounding
+    * (irrational-output round-9 rule does not apply: every value here
+    * is an exact rational).
+    *
+    * Scale: three group-keyed passes (median, MAD, outlier count) —
+    * the exact `percentile` buffers each group's values, so group
+    * cardinality is the memory envelope, same contract as the
+    * interpolated percentiles elsewhere in this file; at 100 TB swap
+    * both `percentile` calls for `percentile_approx` (same plan, mergeable
+    * sketch buffers) when ±ε on the cut is acceptable — the CONTRACT
+    * here is the exact audit.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double): DataFrame = {
+    val v = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"))
+    val med = v.groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("med"),
+        count(lit(1)).as("n"))
+    val dev = v.join(med, "g")
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = dev.groupBy("g")
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.join(mad, "g")
+      .groupBy(col("g"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("ad") > lit(k) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("g").as(groupCol), col("n"), col("med"), col("mad"),
+        col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n").cast("double"))
+          .as("outlier_frac"))
+      .orderBy(groupCol)
+  }
 }

@@ -570,4 +570,74 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.transitionPageRank(events, "user_id", "ts",
         "event_type", "event_id", dampingPct = 101)
   }
+
+  test("cusumChangepoint: level shift lands on the break day; exact scaled drift") {
+    // 6 days at 1/day then 6 days at 5/day: mean 3, the cumulative
+    // deviation bottoms out exactly on the last low day (day 6)
+    val rows = (1 to 6).flatMap(d => Seq.fill(1)(d)) ++
+      (7 to 12).flatMap(d => Seq.fill(5)(d))
+    val events = rows.zipWithIndex.map { case (d, i) =>
+      (1L, ts(f"2024-01-$d%02d 10:00:00"), i.toLong, "x")
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventAnalytics.cusumChangepoint(events, "ts", "event_type")
+      .collect()
+    r.length shouldBe 1
+    r.head.getAs[String]("cp_day") shouldBe "2024-01-06"
+    r.head.getAs[Long]("n_days") shouldBe 12L
+    r.head.getAs[Long]("total_events") shouldBe 36L
+    r.head.getAs[Int]("cp_index") shouldBe 6
+    // drift = n_days*prefix - t*total = 12*6 - 6*36 = -144
+    r.head.getAs[Long]("cp_drift_scaled") shouldBe -144L
+    r.head.getAs[Double]("cp_drift") shouldBe -12.0
+  }
+
+  test("cusumChangepoint: flat series ties break to the earliest day; partition-invariant") {
+    val events = (1 to 8).flatMap { d =>
+      Seq((1L, ts(f"2024-02-$d%02d 09:00:00"), d.toLong, "a"),
+        (1L, ts(f"2024-02-$d%02d 09:01:00"), 100L + d, "a"))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventAnalytics.cusumChangepoint(events, "ts", "event_type")
+      .collect()
+    r.head.getAs[String]("cp_day") shouldBe "2024-02-01"
+    r.head.getAs[Long]("cp_drift_scaled") shouldBe 0L
+    rowsOf(EventAnalytics.cusumChangepoint(events.repartition(5),
+      "ts", "event_type")) shouldBe
+      rowsOf(EventAnalytics.cusumChangepoint(events.coalesce(1),
+        "ts", "event_type"))
+  }
+
+  test("eventTrigrams: contiguous windows per entity, dual support, pruning") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "c"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "d"),
+      (2L, ts("2024-01-01 11:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 11:01:00"), 6L, "b"),
+      (2L, ts("2024-01-01 11:02:00"), 7L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val all = EventAnalytics.eventTrigrams(events, "user_id", "ts",
+        "event_type", "event_id", minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("n_users")))
+    all.toSeq shouldBe Seq(("a", "b", "c", 2L, 2L),
+      ("b", "c", "d", 1L, 1L))
+    // windows never cross entities: no (c,d,?) or (d,a,b) patterns
+    all.map(t => (t._1, t._2, t._3)) should not contain ("c", "d", "a")
+    EventAnalytics.eventTrigrams(events, "user_id", "ts",
+      "event_type", "event_id", minSupport = 2)
+      .collect().length shouldBe 1
+  }
+
+  test("eventTrigrams is partition-invariant") {
+    val events = (0 until 120).map { i =>
+      (i.toLong % 7, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        i.toLong, Seq("a", "b", "c")(i % 3))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    rowsOf(EventAnalytics.eventTrigrams(events.repartition(6),
+      "user_id", "ts", "event_type", "event_id", 1)) shouldBe
+      rowsOf(EventAnalytics.eventTrigrams(events.coalesce(1),
+        "user_id", "ts", "event_type", "event_id", 1))
+  }
 }

@@ -203,4 +203,60 @@ class ProfileSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Profile.correlationMatrix(df, Seq("a"))
   }
+
+  test("paretoFrontier: strict dominance, duplicate frontier points survive") {
+    val df = Seq(
+      (1L, 5L, 1L), (2L, 4L, 3L), (3L, 4L, 2L), (4L, 3L, 3L),
+      (5L, 2L, 5L), (6L, 5L, 1L))
+      .toDF("id", "x", "y")
+    val got = Profile.paretoFrontier(df, "id", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (5,1)×2 survive (nothing beats x=5), (4,3) beats (4,2) and
+    // dominates (3,3); (2,5) has the unmatched y
+    got.toSeq shouldBe Seq((1L, 5L, 1L), (6L, 5L, 1L), (2L, 4L, 3L),
+      (5L, 2L, 5L))
+  }
+
+  test("paretoFrontier is partition-invariant and monotone on the frontier") {
+    val df = (0 until 300).map(i =>
+      (i.toLong, (i % 17).toLong, ((i * 7) % 23).toLong))
+      .toDF("id", "x", "y")
+    val a = Profile.paretoFrontier(df.repartition(7), "id", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Profile.paretoFrontier(df.coalesce(1), "id", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    a.toSeq shouldBe b.toSeq
+    // frontier in x-desc order has strictly increasing y across
+    // distinct x (the skyline staircase)
+    val stairs = a.map(t => (t._2, t._3)).distinct
+    stairs.map(_._1).toSeq shouldBe
+      stairs.map(_._1).sorted(Ordering[Long].reverse).toSeq
+    stairs.map(_._2).toSeq shouldBe stairs.map(_._2).sorted.toSeq
+  }
+
+  test("robustOutliers: interpolated median/MAD, k*MAD cut, whale-proof") {
+    val df = ((1 to 9).map(v => ("s", v.toLong)) :+ ("s", 100L))
+      .toDF("source", "n_chars")
+    val r = Profile.robustOutliers(df, "source", "n_chars", 3.0)
+      .collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n") shouldBe 10L
+    r.head.getAs[Double]("med") shouldBe 5.5  // (5+6)/2
+    r.head.getAs[Double]("mad") shouldBe 2.5  // median of |x-5.5|
+    // only the 100 whale exceeds 5.5 + 3*2.5 = 13
+    r.head.getAs[Long]("n_outliers") shouldBe 1L
+    r.head.getAs[Double]("outlier_frac") shouldBe 0.1
+  }
+
+  test("robustOutliers: zero-MAD group flags every off-median row; partition-invariant") {
+    val df = (Seq.fill(5)(("a", 7L)) :+ ("a", 8L)) ++
+      (1 to 50).map(i => ("b", (i % 10).toLong))
+    val d = df.toDF("g", "v")
+    val byG = Profile.robustOutliers(d, "g", "v", 3.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // group a: med 7, mad 0 → any |x-7| > 0 is an outlier
+    byG("a").getAs[Long]("n_outliers") shouldBe 1L
+    rowsOf(Profile.robustOutliers(d.repartition(6), "g", "v", 3.0)) shouldBe
+      rowsOf(Profile.robustOutliers(d.coalesce(1), "g", "v", 3.0))
+  }
 }
