@@ -192,6 +192,24 @@ object SparkEntry {
     * ~80 expected occurrences each at sf0.01; 20 keeps the bulk and
     * prunes only the genuinely rare tail. */
   private val TrigramMinSupport = 20L
+  /** q178 systematic-sampling stride (chars of cumulative weight per
+    * pick): ~20 picks at sf0.01's ~500k total chars, ~200 at sf0.1. */
+  private val SampleStrideChars = 25000L
+  /** q176 rolling-correlation window (observed days) and value
+    * fixed-point unit (milli-units — int64-exact through the window
+    * sums at this corpus's daily value mass, see operator scaladoc). */
+  private val RollCorrDays = 7
+  private val RollCorrQuant = 1000L
+  /** q181 length-band width for the linkage agreement pattern:
+    * docs within the same 200-char band "agree" on length. */
+  private val LinkLenBandChars = 200L
+  /** q183 max autocorrelation lag (days): one week, so the weekly
+    * cycle lands exactly on the last lag. */
+  private val AcfMaxLag = 7
+  /** q186 market-share slice: customer region × part type, shared by
+    * the Spark call and the generated twin. */
+  private val MarketShareRegion = "ASIA"
+  private val MarketSharePartType = "PROMO"
   /** q149 foreign-key edges, shared by the Spark call AND the
     * generated DuckDB twin: (edge label, child, fk, parent, pk). */
   private val RefAuditEdges: Seq[(String, String, String, String, String)] =
@@ -3313,7 +3331,208 @@ object SparkEntry {
     // no per-position self-join.
     "q179_event_trigrams" -> ((s, dir) =>
       operators.EventAnalytics.eventTrigrams(Tables.events(s, dir),
-        "user_id", "ts", "event_type", "event_id", TrigramMinSupport))
+        "user_id", "ts", "event_type", "event_id", TrigramMinSupport)),
+
+    // Rolling 7-day volume↔value Pearson per event type — int64-gated
+    // (quantized value sums), one final double chain per window.
+    "q176_rolling_corr" -> ((s, dir) =>
+      operators.EventAnalytics.rollingCorrelation(
+        Tables.events(s, dir), "ts", "event_type", "value",
+        RollCorrDays, RollCorrQuant)),
+
+    // Deterministic weighted systematic sample of the corpus by
+    // char mass — two-phase distributed prefix sum, zero randomness,
+    // inclusion ∝ weight.
+    "q178_systematic_sample" -> ((s, dir) =>
+      operators.Curation.systematicSample(
+        Tables.documents(s, dir), "doc_id", "n_chars",
+        SampleStrideChars)),
+
+    // Per-node local clustering coefficient of the exact-Jaccard
+    // dup-pair graph — q171's census drilled to each node's
+    // neighborhood density.
+    "q180_local_clustering" -> ((s, dir) => {
+      val pairs = Dedup.jaccardSimilarityJoin(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, t = 0.5)
+      val out = Dedup.localClustering(pairs, "id_a", "id_b")
+      pairs.unpersist(blocking = false)
+      out
+    }),
+
+    // Record-linkage agreement-pattern audit (the Fellegi-Sunter
+    // pattern table with exact-Jaccard ground truth): SNM candidates
+    // scored by (lang, source, length-band) agreement bits; per
+    // pattern, pair count, true-dup count, and match rate — the table
+    // that says which blocking evidence actually predicts duplication.
+    "q181_linkage_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+          SnmWindow, SnmPrefixLen, SnmKeyLen, minJaccardPct = 0)
+        .select(least(col("a"), col("b")).as("pa"),
+          greatest(col("a"), col("b")).as("pb"))
+        .distinct()
+      val attrs = docs.select(col("doc_id"), col("lang"), col("source"),
+        intDiv(col("n_chars"), lit(LinkLenBandChars)).as("band"))
+      val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+        n = 3, t = 0.5)
+      val truth = pairs.select(col("id_a").as("pa"),
+        col("id_b").as("pb"), lit(1L).as("is_true"))
+      val out = cand
+        .join(attrs.select(col("doc_id").as("pa"), col("lang").as("la"),
+          col("source").as("sa"), col("band").as("ba")), "pa")
+        .join(attrs.select(col("doc_id").as("pb"), col("lang").as("lb"),
+          col("source").as("sb"), col("band").as("bb")), "pb")
+        .join(truth, Seq("pa", "pb"), "left")
+        .select((when(col("la") === col("lb"), 4L).otherwise(0L) +
+            when(col("sa") === col("sb"), 2L).otherwise(0L) +
+            when(col("ba") === col("bb"), 1L).otherwise(0L))
+            .as("agreement"),
+          coalesce(col("is_true"), lit(0L)).as("is_true"))
+        .groupBy("agreement")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("is_true")).as("n_true"))
+        .select(col("agreement"), col("n_pairs"), col("n_true"),
+          (col("n_true").cast("double") / col("n_pairs").cast("double"))
+            .as("match_rate"))
+        .orderBy(col("agreement").desc)
+      val res = Dedup.materializeAndRelease(out)
+      pairs.unpersist(blocking = false)
+      res
+    }),
+
+    // Power-user curve: entities by distinct-active-day count, with
+    // the ≥k cumulative the power-user threshold is read off.
+    "q182_power_user_curve" -> ((s, dir) =>
+      operators.EventAnalytics.powerUserCurve(Tables.events(s, dir),
+        "user_id", "ts")),
+
+    // Lag-1..7 autocorrelation of daily volume per event type —
+    // int64-exact moments, one rounded sqrt chain per (type, lag).
+    "q183_daily_acf" -> ((s, dir) =>
+      operators.EventAnalytics.dailyAutocorrelation(
+        Tables.events(s, dir), "ts", "event_type", AcfMaxLag)),
+
+    // Funnel step-to-step latency over q108's greedy-earliest machine:
+    // converting users, min/max (exact µs) and mean gap per step pair.
+    "q184_funnel_latency" -> ((s, dir) =>
+      operators.EventAnalytics.funnelStepLatency(Tables.events(s, dir),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"))),
+
+    // Session entry→exit matrix under the shared 30-min gap: the
+    // landing/bounce table, single-event diagonal broken out.
+    "q185_session_entry_exit" -> ((s, dir) =>
+      operators.EventAnalytics.sessionEntryExit(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id", SessionGapMicros)),
+
+    // TPC-H Q8-shape market share: per order-year, each supplier
+    // nation's share of ASIA-customer revenue in one part type.
+    // Nation/region/part are genuine fixed-cardinality dims
+    // (broadcast); supplier/customer/orders grow with the corpus — no
+    // hints, AQE sizes them (BHJ at bench SF, SMJ at 100×). Shares
+    // divide two exact decimal sums once, at |years|×|nations| rows.
+    "q186_market_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") === MarketSharePartType).select("p_partkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val supNat = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val custNatAsia = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === MarketShareRegion)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val rev = li
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNatAsia), col("c_nationkey") === col("cn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("nation"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,6)")).as("revd"))
+      val yearTot = rev.groupBy(col("o_year").as("yt"))
+        .agg(sum(col("revd")).as("totd"))
+      rev.join(broadcast(yearTot), col("o_year") === col("yt"))
+        .select(col("o_year").cast("long").as("o_year"), col("nation"),
+          col("revd").cast("double").as("revenue"),
+          (col("revd").cast("double") / col("totd").cast("double"))
+            .as("mkt_share"))
+        .orderBy("o_year", "nation")
+    }),
+
+    // TPC-H Q21-shape "supplier who held up the order": in orders
+    // with ≥2 suppliers, the UNIQUE supplier whose latest shipment is
+    // the order's latest. Two orderkey-keyed aggregates + one keyed
+    // join — never a per-step self-join of lineitem; supplier dim
+    // joins the tiny per-winner count table (AQE, no hint: supplier
+    // grows with the corpus).
+    "q187_waiting_suppliers" -> ((s, dir) => {
+      val g1 = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("sm"))
+      val g2 = g1.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("ns"), max(col("sm")).as("om"))
+        .filter(col("ns") >= 2)
+      val winners = g1
+        .join(g2, Seq("l_orderkey"))
+        .filter(col("sm") === col("om"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_at_max"), max(col("l_suppkey")).as("sk"))
+        .filter(col("n_at_max") === 1)
+        .groupBy(col("sk")).agg(count(lit(1)).as("n_held_orders"))
+      winners
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("sk") === col("s_suppkey"))
+        .select(col("s_name"), col("n_held_orders"))
+        .orderBy(col("n_held_orders").desc, col("s_name"))
+    }),
+
+    // TPC-H Q17-shape small-quantity revenue per brand: items under
+    // 20% of their part's average quantity, the avg compare
+    // division-free in exact int64 (5·q·n < Σq — quantities are
+    // integral, pinned by the twin's cast). Per-part stats are one
+    // partkey-keyed aggregate joined back to the fact (AQE; part dim
+    // broadcast for the brand label).
+    "q188_small_quantity_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("ql"),
+          col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("ql")).as("sq"))
+      li.join(stats, col("l_partkey") === col("pk"))
+        .filter(lit(5L) * col("ql") * col("n") < col("sq"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("p_brand")
+    }),
+
+    // Pairwise label-centroid cosine over the embedding corpus — the
+    // class-geometry audit, exact integer dot/norms, one rounded sqrt
+    // chain per label pair.
+    "q189_label_centroid_cosine" -> ((s, dir) =>
+      operators.Similarity.labelCentroidCosine(
+        Tables.embeddings(s, dir), "label", "embedding")),
+
+    // Degree assortativity of the exact-Jaccard dup-pair graph — one
+    // row; division of two exact decimal moments.
+    "q190_degree_assortativity" -> ((s, dir) => {
+      val pairs = Dedup.jaccardSimilarityJoin(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, t = 0.5)
+      val out = Dedup.degreeAssortativity(pairs, "id_a", "id_b")
+      pairs.unpersist(blocking = false)
+      out
+    })
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeans]]: the q102
@@ -6793,7 +7012,302 @@ object SparkEntry {
         |FROM t WHERE e3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |HAVING COUNT(*) >= $TrigramMinSupport
-        |ORDER BY n_occurrences DESC, e1, e2, e3""".stripMargin
+        |ORDER BY n_occurrences DESC, e1, e2, e3""".stripMargin,
+
+    "q176_rolling_corr" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS c,
+        |    CAST(SUM(CAST(floor(value * $RollCorrQuant) AS BIGINT))
+        |      AS BIGINT) AS vq
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d,
+        |    COUNT(*) OVER fr AS nw,
+        |    CAST(SUM(c) OVER fr AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) OVER fr AS BIGINT) AS scc,
+        |    CAST(SUM(vq) OVER fr AS BIGINT) AS sv,
+        |    CAST(SUM(vq * vq) OVER fr AS BIGINT) AS svv,
+        |    CAST(SUM(c * vq) OVER fr AS BIGINT) AS scv
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN ${RollCorrDays - 1} PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *, nw * scc - sc * sc AS var_c,
+        |    nw * svv - sv * sv AS var_v
+        |  FROM w WHERE nw = $RollCorrDays)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(nw * scv - sc * sv AS DOUBLE) /
+        |    sqrt(CAST(var_c AS DOUBLE) * CAST(var_v AS DOUBLE))
+        |    AS vol_value_r
+        |FROM f WHERE var_c > 0 AND var_v > 0
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q178_systematic_sample" ->
+      s"""WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum AS cum_weight,
+        |  cum // $SampleStrideChars AS pick_index
+        |FROM c
+        |WHERE cum // $SampleStrideChars >
+        |  (cum - n_chars) // $SampleStrideChars
+        |ORDER BY doc_id""".stripMargin,
+
+    "q180_local_clustering" ->
+      s"""WITH $SHINGLES_CTE,
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |nodes AS (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e),
+        |deg AS (SELECT v, COUNT(*) AS d FROM nodes GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |      THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |      THEN e.b ELSE e.a END AS dst
+        |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |tri AS (SELECT o1.src AS apex, o1.dst AS wv, o2.dst AS ww
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+        |  JOIN e ON e.a = least(o1.dst, o2.dst)
+        |    AND e.b = greatest(o1.dst, o2.dst)),
+        |tv AS (SELECT apex AS v FROM tri
+        |  UNION ALL SELECT wv FROM tri
+        |  UNION ALL SELECT ww FROM tri),
+        |tc AS (SELECT v, COUNT(*) AS t FROM tv GROUP BY 1)
+        |SELECT deg.v AS node, deg.d AS degree,
+        |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.d >= 2 THEN
+        |    (2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE)) /
+        |      CAST(deg.d * (deg.d - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS clustering_coeff
+        |FROM deg LEFT JOIN tc USING (v)
+        |ORDER BY node""".stripMargin,
+
+    "q181_linkage_agreement" -> {
+      val leads = (1 until SnmWindow).map(j =>
+        s"lead(doc_id, $j) OVER w AS id$j").mkString(", ")
+      val branches = (1 until SnmWindow).map(j =>
+        s"  SELECT doc_id AS a, id$j AS b FROM l WHERE id$j IS NOT NULL")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $SHINGLES_CTE,
+        |truth AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |t AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |k AS (SELECT doc_id, substr(nt, 1, $SnmKeyLen) AS key,
+        |    substr(nt, 1, $SnmPrefixLen) AS blk FROM t),
+        |l AS (SELECT doc_id, $leads
+        |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY key, doc_id)),
+        |rawp AS (
+        |$branches),
+        |cand AS (SELECT DISTINCT least(a, b) AS pa, greatest(a, b) AS pb
+        |  FROM rawp),
+        |attrs AS (SELECT doc_id, lang, source,
+        |    n_chars // $LinkLenBandChars AS band FROM documents),
+        |sc AS (SELECT
+        |    CAST(CASE WHEN aa.lang = ab.lang THEN 4 ELSE 0 END +
+        |      CASE WHEN aa.source = ab.source THEN 2 ELSE 0 END +
+        |      CASE WHEN aa.band = ab.band THEN 1 ELSE 0 END
+        |      AS BIGINT) AS agreement,
+        |    CASE WHEN tr.pa IS NOT NULL THEN 1 ELSE 0 END AS is_true
+        |  FROM cand JOIN attrs aa ON cand.pa = aa.doc_id
+        |  JOIN attrs ab ON cand.pb = ab.doc_id
+        |  LEFT JOIN truth tr ON tr.pa = cand.pa AND tr.pb = cand.pb)
+        |SELECT agreement, COUNT(*) AS n_pairs,
+        |  CAST(SUM(is_true) AS BIGINT) AS n_true,
+        |  CAST(SUM(is_true) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS match_rate
+        |FROM sc GROUP BY 1
+        |ORDER BY agreement DESC""".stripMargin
+    },
+
+    "q182_power_user_curve" ->
+      """WITH pu AS (SELECT user_id,
+        |    COUNT(DISTINCT CAST(ts AS DATE)) AS nd
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT nd AS n_active_days, COUNT(*) AS n_users
+        |  FROM pu GROUP BY 1)
+        |SELECT n_active_days, n_users,
+        |  CAST(SUM(n_users) OVER (ORDER BY n_active_days DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_users_at_least
+        |FROM h ORDER BY n_active_days""".stripMargin,
+
+    "q183_daily_acf" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |ls AS (SELECT CAST(unnest(range(1, ${AcfMaxLag + 1})) AS BIGINT)
+        |  AS lag),
+        |p AS (SELECT a.event_type, ls.lag, a.c AS x, b.c AS y
+        |  FROM daily a CROSS JOIN ls
+        |  JOIN daily b ON b.event_type = a.event_type
+        |    AND b.d = a.d - CAST(ls.lag AS INTEGER)),
+        |m AS (SELECT event_type, lag, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM p GROUP BY 1, 2),
+        |f AS (SELECT *, n_pairs * sxx - sx * sx AS var_x,
+        |    n_pairs * syy - sy * sy AS var_y
+        |  FROM m)
+        |SELECT event_type, lag, n_pairs,
+        |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 9)
+        |    + 0.0 AS acf
+        |FROM f WHERE n_pairs >= 2 AND var_x > 0 AND var_y > 0
+        |ORDER BY event_type, lag""".stripMargin,
+
+    "q184_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(1 AS INTEGER) AS step_seq, 'view' AS step_from,
+        |    'click' AS step_to, epoch_us(t2) - epoch_us(t1) AS gap_us
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER), 'click', 'purchase',
+        |    epoch_us(t3) - epoch_us(t2)
+        |  FROM s2 JOIN s3 USING (user_id))
+        |SELECT step_seq, step_from, step_to, COUNT(*) AS n_converted,
+        |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_gap_us
+        |FROM g GROUP BY 1, 2, 3 ORDER BY step_seq""".stripMargin,
+
+    "q185_session_entry_exit" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL $SessionGapMinutes MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(SUM(opens) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM o),
+        |fe AS (SELECT user_id, sid,
+        |    first_value(event_type) OVER ws AS entry_type,
+        |    last_value(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS exit_type,
+        |    COUNT(*) OVER (PARTITION BY user_id, sid) AS n
+        |  FROM s WINDOW ws AS (PARTITION BY user_id, sid
+        |    ORDER BY ts, event_id)),
+        |d AS (SELECT DISTINCT user_id, sid, entry_type, exit_type, n
+        |  FROM fe)
+        |SELECT entry_type, exit_type, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_single_event
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q186_market_share" ->
+      s"""WITH asia AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = '$MarketShareRegion'),
+        |rev AS (SELECT year(o_orderdate) AS o_year, n2.n_name AS nation,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,6))) AS revd
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |    AND p_type = '$MarketSharePartType'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN asia ON c_nationkey = asia.n_nationkey
+        |  GROUP BY 1, 2),
+        |yt AS (SELECT o_year, SUM(revd) AS totd FROM rev GROUP BY 1)
+        |SELECT CAST(rev.o_year AS BIGINT) AS o_year, nation,
+        |  CAST(revd AS DOUBLE) AS revenue,
+        |  CAST(revd AS DOUBLE) / CAST(totd AS DOUBLE) AS mkt_share
+        |FROM rev JOIN yt USING (o_year)
+        |ORDER BY o_year, nation""".stripMargin,
+
+    "q187_waiting_suppliers" ->
+      """WITH g1 AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sm
+        |  FROM lineitem GROUP BY 1, 2),
+        |g2 AS (SELECT l_orderkey, COUNT(*) AS ns, MAX(sm) AS om
+        |  FROM g1 GROUP BY 1),
+        |w AS (SELECT g1.l_orderkey, COUNT(*) AS n_at_max,
+        |    MAX(g1.l_suppkey) AS sk
+        |  FROM g1 JOIN g2 USING (l_orderkey)
+        |  WHERE g2.ns >= 2 AND g1.sm = g2.om
+        |  GROUP BY 1),
+        |c AS (SELECT sk, COUNT(*) AS n_held_orders FROM w
+        |  WHERE n_at_max = 1 GROUP BY 1)
+        |SELECT s_name, n_held_orders
+        |FROM c JOIN supplier ON sk = s_suppkey
+        |ORDER BY n_held_orders DESC, s_name""".stripMargin,
+
+    "q188_small_quantity_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS ql,
+        |    l_extendedprice FROM lineitem),
+        |st AS (SELECT l_partkey AS pk, COUNT(*) AS n,
+        |    CAST(SUM(ql) AS BIGINT) AS sq FROM li GROUP BY 1)
+        |SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM li JOIN st ON l_partkey = pk
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE 5 * ql * n < sq
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q189_label_centroid_cosine" ->
+      """WITH x0 AS (SELECT CAST(label AS BIGINT) AS lbl,
+        |    unnest(range(len(embedding))) AS dim, embedding
+        |  FROM embeddings),
+        |q AS (SELECT lbl, CAST(dim AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1e9 + 0.5)
+        |      AS BIGINT) AS xi
+        |  FROM x0),
+        |s AS (SELECT lbl, dim, CAST(SUM(xi) AS HUGEINT) AS s,
+        |    COUNT(*) AS n FROM q GROUP BY 1, 2),
+        |p AS (SELECT a.lbl AS label_a, b.lbl AS label_b,
+        |    MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+        |    SUM(a.s * b.s) AS dot, SUM(a.s * a.s) AS naa,
+        |    SUM(b.s * b.s) AS nbb
+        |  FROM s a JOIN s b ON a.dim = b.dim AND a.lbl <= b.lbl
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, n_a, n_b,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(naa AS DOUBLE)) * sqrt(CAST(nbb AS DOUBLE))), 9)
+        |    + 0.0 AS centroid_cos
+        |FROM p WHERE naa > 0 AND nbb > 0
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    "q190_degree_assortativity" ->
+      s"""WITH $SHINGLES_CTE,
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.5),
+        |deg AS (SELECT v, COUNT(*) AS d FROM
+        |  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY 1),
+        |st AS (SELECT a AS x, b AS y FROM e
+        |  UNION ALL SELECT b AS x, a AS y FROM e),
+        |dd AS (SELECT dx.d AS dx, dy.d AS dy FROM st
+        |  JOIN deg dx ON st.x = dx.v JOIN deg dy ON st.y = dy.v),
+        |m AS (SELECT COUNT(*) AS m, CAST(SUM(dx) AS HUGEINT) AS s,
+        |    CAST(SUM(dx * dy) AS HUGEINT) AS sxy,
+        |    CAST(SUM(dx * dx) AS HUGEINT) AS sxx
+        |  FROM dd)
+        |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN m * sxx - s * s > 0
+        |    THEN CAST(m * sxy - s * s AS DOUBLE) /
+        |      CAST(m * sxx - s * s AS DOUBLE)
+        |    ELSE NULL END AS assortativity
+        |FROM m""".stripMargin
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark

@@ -923,4 +923,53 @@ object Curation {
         abs(col("obs_share") - col("exp_share")), 9))
       .orderBy(col("split"), col("grp"))
   }
+
+  /** Deterministic weighted SYSTEMATIC sampling (the particle-filter /
+    * survey-sampling classic): lay the corpus out on a weight axis in
+    * id order and pick every row whose cumulative-weight interval
+    * crosses a `stride` boundary — inclusion probability ∝ weight,
+    * zero randomness, reproducible across engines because everything
+    * is int64 (weights, prefix sums, floor-division boundary test).
+    * A row heavier than `stride` crosses several boundaries but is
+    * emitted once (its `pick_index` is the last boundary crossed), so
+    * the sample size is ≤ total_weight/stride.
+    *
+    * Scale shape: the textbook formulation is one global running sum —
+    * a single-partition window, dead at 100 TB. Here the prefix sum is
+    * two-phase: per-bucket subtotals (`id/bucketWidth`) aggregate
+    * map-side, a running offset over the |buckets| subtotal table
+    * (tiny: domain/bucketWidth rows), then an id-ordered window WITHIN
+    * each bucket adds the broadcast offset — the same decomposition a
+    * distributed prefix-scan uses, so no task ever sees more than one
+    * bucket's rows. Requires non-negative ids and strictly positive
+    * integral weights.
+    */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+      stride: Long, bucketWidth: Long = 4096L): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(weightCol).cast("long").as("__w"))
+    val wB = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy(graft.functions.intDiv(col("__id"), lit(bucketWidth))
+        .as("__bkt"))
+      .agg(sum(col("__w")).as("__bw"))
+      .withColumn("__off", coalesce(sum(col("__bw")).over(wB), lit(0L)))
+      .select("__bkt", "__off")
+    val wIn = Window.partitionBy("__bkt").orderBy("__id")
+    base
+      .withColumn("__bkt", graft.functions.intDiv(col("__id"),
+        lit(bucketWidth)))
+      .join(offsets, "__bkt")
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(wIn))
+      .filter(graft.functions.intDiv(col("__cum"), lit(stride)) >
+        graft.functions.intDiv(col("__cum") - col("__w"), lit(stride)))
+      .select(col("__id").as(idCol), col("__w").as(weightCol),
+        col("__cum").as("cum_weight"),
+        graft.functions.intDiv(col("__cum"), lit(stride))
+          .as("pick_index"))
+      .orderBy(idCol)
+  }
 }

@@ -589,6 +589,104 @@ object Dedup {
     materializeAndRelease(out, e, o, w)
   }
 
+  /** Per-node local clustering coefficient over the undirected pair
+    * graph — [[triangleCount]]'s census drilled down to "how clique-ish
+    * is each node's neighborhood": coeff(v) = 2·T(v)/(d(v)·(d(v)−1)),
+    * with T(v) the triangles through v. Same degree-ordered
+    * node-iterator (equi-joins ONLY — the canonical-edge closure check,
+    * never an OR-of-equalities join): each triangle is found once at
+    * its lowest-degree apex, then credited to all three corners via an
+    * explode — so T(v) needs no second pass over the graph. Counts are
+    * exact int64; the coefficient is one final double division
+    * (engine-exact on ints). Degree-1 nodes report 0.0.
+    *
+    * Scale: identical envelope to [[triangleCount]] — the wedge join is
+    * keyed on the LOW-degree endpoint, the standard bound that keeps a
+    * hub from exploding the wedge table; output is |nodes| of the PAIR
+    * graph, orders of magnitude under the corpus.
+    */
+  def localClustering(pairs: DataFrame, aCol: String = "id_a",
+                      bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .persist()
+    val tri = o.as("o1")
+      .join(o.as("o2"), col("o1.src") === col("o2.src") &&
+        col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("apex"), col("o1.dst").as("wv"),
+        col("o2.dst").as("ww"))
+      .withColumn("a", least(col("wv"), col("ww")))
+      .withColumn("b", greatest(col("wv"), col("ww")))
+      .join(e, Seq("a", "b"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("apex"), col("wv"), col("ww"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val out = deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          (lit(2.0) * coalesce(col("t"), lit(0L)).cast("double")) /
+            (col("d") * (col("d") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy("node")
+    materializeAndRelease(out, e, o)
+  }
+
+  /** Degree assortativity of the undirected dup-pair graph (Newman's
+    * r): the Pearson correlation of endpoint degrees over all edge
+    * stubs — "do heavily-duplicated documents duplicate with other
+    * heavily-duplicated documents" (template farms read strongly
+    * positive; hub-and-spoke boilerplate strongly negative). Each
+    * undirected edge contributes BOTH orientations, which makes the
+    * two stub-degree marginals identical — so the Pearson collapses to
+    * (M·Σxy − S²)/(M·Σx² − S²), division of two EXACT integers (degree
+    * sums in DECIMAL(38,0); no sqrt at all), one IEEE divide at the
+    * end. Degenerate graphs (zero variance: all degrees equal, e.g. a
+    * perfect matching or one clique) report null.
+    *
+    * Scale: degrees are one keyed aggregate over edge stubs; the stub
+    * table joins degree twice on the node key; the result is ONE row.
+    */
+  def degreeAssortativity(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val stubs = e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+    val dd = stubs
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+    val agg = dd.agg(count(lit(1)).as("m"),
+      sum(col("dx").cast("decimal(38,0)")).as("s"),
+      sum((col("dx").cast("decimal(38,0)")) * col("dy")).as("sxy"),
+      sum((col("dx").cast("decimal(38,0)")) * col("dx")).as("sxx"))
+    val num = col("m").cast("decimal(38,0)") * col("sxy") -
+      col("s") * col("s")
+    val den = col("m").cast("decimal(38,0)") * col("sxx") -
+      col("s") * col("s")
+    val out = agg.select(
+      (col("m") / lit(2)).cast("long").as("n_edges"),
+      when(den > 0, num.cast("double") / den.cast("double"))
+        .as("assortativity"))
+    materializeAndRelease(out, e)
+  }
+
   /** Connected components over an undirected near-dup pair graph —
     * the canonicalization step that turns pairwise dedup output into
     * "keep one document per duplicate cluster": returns

@@ -842,6 +842,56 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** Rolling Pearson correlation between a type's daily event volume
+    * and its daily value total — the "does traffic move with spend"
+    * drift audit, windowed so a regime change shows up as the day the
+    * correlation breaks. Exactness protocol: daily value totals are
+    * floor-quantized to int64 `quantUnit`ths BEFORE summing (the int64
+    * gate — double sums would be order-dependent, decimal→double casts
+    * engine-dependent), so every window sum and variance numerator is
+    * exact integer arithmetic; the ONE double chain is the final
+    * num/sqrt(var_c·var_v), and int64→double conversion is
+    * round-to-nearest-even in both engines. Windows with fewer than
+    * `windowDays` observed days or a zero variance are dropped (no
+    * NaN/null divergence). Int64 headroom: needs
+    * windowDays·(Σwindow vq)² < 2^63 — at 1000× the daily value mass,
+    * coarsen `quantUnit` one decade per ~1.5 decades of growth.
+    *
+    * Scale: the daily pre-aggregate (map-side combined) is the only
+    * full-data shuffle; the rolling windows run over |types|×|days|
+    * rows.
+    */
+  def rollingCorrelation(events: DataFrame, tsCol: String,
+      typeCol: String, valueCol: String, windowDays: Int = 7,
+      quantUnit: Long = 1000L): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2: $windowDays")
+    require(quantUnit >= 1, s"quantUnit must be >= 1: $quantUnit")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("c"),
+        sum(floor(col(valueCol) * lit(quantUnit))).as("vq"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-(windowDays - 1), 0)
+    daily.select(col("event_type"), col("d"),
+        count(lit(1)).over(w).as("nw"),
+        sum(col("c")).over(w).as("sc"),
+        sum(col("c") * col("c")).over(w).as("scc"),
+        sum(col("vq")).over(w).as("sv"),
+        sum(col("vq") * col("vq")).over(w).as("svv"),
+        sum(col("c") * col("vq")).over(w).as("scv"))
+      .filter(col("nw") === windowDays)
+      .withColumn("var_c", col("nw") * col("scc") - col("sc") * col("sc"))
+      .withColumn("var_v", col("nw") * col("svv") - col("sv") * col("sv"))
+      .filter(col("var_c") > 0 && col("var_v") > 0)
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        ((col("nw") * col("scv") - col("sc") * col("sv")).cast("double") /
+          sqrt(col("var_c").cast("double") * col("var_v").cast("double")))
+          .as("vol_value_r"))
+      .orderBy("event_type", "day")
+  }
+
   /** Frequent contiguous event-type trigrams across entity timelines —
     * the sequence-mining companion to [[transitionMatrix]]'s bigrams:
     * support both as raw occurrences and as distinct entities, so a
@@ -867,5 +917,152 @@ object EventAnalytics {
       .filter(col("n_occurrences") >= minSupport)
       .orderBy(col("n_occurrences").desc, col("e1"), col("e2"),
         col("e3"))
+  }
+
+  /** Power-user curve: the distribution of per-entity engagement depth
+    * — how many entities were active on exactly `k` distinct calendar
+    * days, plus the from-the-top cumulative (`n_users_at_least`: how
+    * many were active on ≥ k days), the curve a "power user" threshold
+    * is read off. All counts exact int64.
+    *
+    * Scale: the (entity, day) distinct projection and the per-entity
+    * day count are each ONE entity-keyed shuffle; the histogram and
+    * its cumulative run over ≤ |calendar days| rows.
+    */
+  def powerUserCurve(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+      .groupBy("u").agg(count(lit(1)).as("n_active_days"))
+    val hist = perUser.groupBy("n_active_days")
+      .agg(count(lit(1)).as("n_users"))
+    // tiny table (≤ |days| rows): the single-partition cumulative
+    // window is deliberate, not a scale hazard
+    val wCum = Window.orderBy(col("n_active_days").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("n_users_at_least", sum(col("n_users")).over(wCum))
+      .orderBy("n_active_days")
+  }
+
+  /** Lag-k autocorrelation of the daily event-volume series per event
+    * type, k = 1..`maxLag` — the seasonality/persistence audit (a
+    * weekly cycle shows up as a lag-7 peak). Pairs are calendar-exact:
+    * (day d, day d−k) contributes only when BOTH days were observed
+    * (no zero-fill, no engine-dependent date densification). Daily
+    * counts are int64, so every moment (Σx, Σx², Σxy) is exact integer
+    * arithmetic; the ONE double chain per (type, lag) is the final
+    * Pearson over those ints — sqrt output, so [[graft.functions.hashSafeRound]]
+    * at 9. Windows with < 2 pairs or zero variance are dropped.
+    *
+    * Scale: the daily pre-aggregate (map-side combined) is the only
+    * full-data shuffle; the lag fan-out explodes |types|×|days| rows
+    * `maxLag` ways and equi-joins back on (type, day) — no self-join
+    * of the raw event table.
+    */
+  def dailyAutocorrelation(events: DataFrame, tsCol: String,
+      typeCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val cur = daily
+      .select(col("event_type"), col("d"), col("c").as("x"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("dp", expr("date_sub(d, lag)"))
+    val prev = daily.select(col("event_type"), col("d").as("dp"),
+      col("c").as("y"))
+    cur.join(prev, Seq("event_type", "dp"))
+      .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("var_x",
+        col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y",
+        col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n_pairs") >= 2 && col("var_x") > 0 && col("var_y") > 0)
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        graft.functions.hashSafeRound(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt(col("var_x").cast("double") * col("var_y").cast("double")),
+          9).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Per-step funnel latency: for each adjacent step pair of the
+    * greedy-earliest funnel ([[funnel]]'s exact semantics — this runs
+    * ON its output), the converting-entity count and the min / max /
+    * mean step-to-step gap. Gaps are exact int64 microseconds
+    * (timestamp subtraction); the ONE double per row is the mean
+    * (Σgap/n — int64→double then one IEEE divide, engine-exact).
+    *
+    * Scale: inherits [[funnel]]'s single entity-keyed shuffle; the
+    * latency fold explodes ≤ |steps|−1 rows per entity and aggregates
+    * into |steps|−1 output rows.
+    */
+  def funnelStepLatency(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelStepLatency needs at least two steps")
+    val f = funnel(events, userCol, tsCol, typeCol, steps)
+    val gaps = steps.indices.dropRight(1).map { i =>
+      struct(lit(i + 1).as("step_seq"),
+        lit(steps(i)).as("step_from"), lit(steps(i + 1)).as("step_to"),
+        (unix_micros(col(s"t${i + 2}")) - unix_micros(col(s"t${i + 1}")))
+          .as("gap_us"))
+    }
+    f.select(explode(array(gaps: _*)).as("g"))
+      .select(col("g.step_seq").as("step_seq"),
+        col("g.step_from").as("step_from"),
+        col("g.step_to").as("step_to"), col("g.gap_us").as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("step_seq", "step_from", "step_to")
+      .agg(count(lit(1)).as("n_converted"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_gap_us"))
+      .orderBy("step_seq")
+  }
+
+  /** Session entry→exit matrix: sessionize on `gapMicros` inactivity
+    * (the established (ts, tie) ordering), then count sessions per
+    * (first event type, last event type) cell, with the single-event
+    * diagonal broken out (`n_single_event`) — the landing/bounce table.
+    * All counts exact.
+    *
+    * Scale: one entity-keyed window pass to open sessions (spillable
+    * WindowExec state), one (entity, session) aggregate; output is
+    * ≤ |types|² rows.
+    */
+  def sessionEntryExit(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val sessioned = events
+      .withColumn("__opens",
+        when(lag(col(tsCol), 1).over(wOrd).isNull ||
+          unix_micros(col(tsCol)) -
+            unix_micros(lag(col(tsCol), 1).over(wOrd)) > gapMicros,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("__sid", sum(col("__opens")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    sessioned
+      .groupBy(col(userCol), col("__sid"))
+      .agg(min_by(col(typeCol), struct(col(tsCol), col(tieCol)))
+          .as("entry_type"),
+        max_by(col(typeCol), struct(col(tsCol), col(tieCol)))
+          .as("exit_type"),
+        count(lit(1)).as("__n"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L))
+          .as("n_single_event"))
+      .orderBy("entry_type", "exit_type")
   }
 }

@@ -954,4 +954,50 @@ object Similarity {
         col("n").cast("double") / sum(col("n")).over(w).cast("double"), 9))
       .orderBy(col("n").desc, col("code"))
   }
+
+  /** Pairwise cosine similarity between per-label centroid embeddings
+    * — the class-geometry audit ("which labels' clusters point the
+    * same way") read before trusting labels for splits or
+    * decontamination. Exactness: coordinates are quantized to nano
+    * units (the q159 idiom), per-(label, dim) sums are exact
+    * DECIMAL(38,0), and cosine(mean_a, mean_b) = cosine(sum_a, sum_b)
+    * (scale invariance — means are never materialized, no division
+    * until the end), so dot and norms are exact integer arithmetic;
+    * the ONE double chain per pair is dot/√(naa·nbb), a sqrt output →
+    * [[graft.functions.hashSafeRound]] at 9. Int64 headroom: per-dim
+    * sums ≤ n·2e9 → products fit DECIMAL(38,0)/HUGEINT up to ~1e8 rows
+    * per label; past that, coarsen the quantum.
+    *
+    * Scale: one explode pass over the corpus into (label, dim) keyed
+    * sums — |labels|·dims rows out — then an all-pairs join over that
+    * TINY table (|labels|² · dims intermediate, nothing corpus-sized).
+    */
+  def labelCentroidCosine(emb: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val sums = emb
+      .withColumn("__xi", transform(col(vecCol),
+        v => floor(v.cast("double") * lit(1e9) + lit(0.5)).cast("long")))
+      .select(col(labelCol).cast("long").as("lbl"),
+        posexplode(col("__xi")).as(Seq("dim", "xi")))
+      .groupBy("lbl", "dim")
+      .agg(sum(col("xi").cast("decimal(20,0)")).as("s"),
+        count(lit(1)).as("n"))
+    val a = sums.select(col("lbl").as("label_a"), col("dim"),
+      col("s").as("sa"), col("n").as("na"))
+    val b = sums.select(col("lbl").as("label_b"), col("dim"),
+      col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("naa"),
+        sum(col("sb") * col("sb")).as("nbb"))
+      .filter(col("naa") > 0 && col("nbb") > 0)
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        hashSafeRound(col("dot").cast("double") /
+          (sqrt(col("naa").cast("double")) *
+            sqrt(col("nbb").cast("double"))), 9).as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
 }

@@ -674,4 +674,41 @@ class CurationSpec extends SparkSpec {
     // docs conserved across cells
     rows.map(_._3).sum shouldBe 600L
   }
+
+  test("systematicSample: boundary crossings, heavy row picked once, inclusion ∝ weight") {
+    // weights 4,4,4,4 with stride 5: cum 4,8,12,16 → picks at
+    // boundaries 0? no — floor(cum/5) jumps: 0,1,2,3 vs prev -? ...
+    // hand-check: row picked iff floor(cum/5) > floor((cum-w)/5)
+    val df = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L))
+      .toDF("id", "w")
+    val got = Curation.systematicSample(df, "id", "w", stride = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // cum: 4(0>0 no), 8(1>0 pick), 12(2>1 pick), 16(3>2 pick)
+    got.toSeq shouldBe Seq((2L, 8L, 1L), (3L, 12L, 2L), (4L, 16L, 3L))
+    // a row heavier than the stride crosses several boundaries but is
+    // emitted once, carrying the LAST boundary index:
+    // cum 25 → floor(25/5)=5 vs floor(2/5)=0; row 3 (cum 27) no cross
+    val heavy = Seq((1L, 2L), (2L, 23L), (3L, 2L)).toDF("id", "w")
+    val h = Curation.systematicSample(heavy, "id", "w", stride = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    h.toSeq shouldBe Seq((2L, 5L))
+  }
+
+  test("systematicSample: bucket decomposition is invariant to width and partitioning") {
+    val df = (1L to 300L).map(i => (i, 1L + (i * 13) % 97))
+      .toDF("id", "w")
+    val base = Curation.systematicSample(df, "id", "w", 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    for (bw <- Seq(1L, 7L, 64L, 100000L)) {
+      Curation.systematicSample(df.repartition(6), "id", "w", 500L, bw)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .toSeq shouldBe base.toSeq
+    }
+    // sample mass: picks ≈ total/stride (±1 at the tail)
+    val total = (1L to 300L).map(i => 1L + (i * 13) % 97).sum
+    base.length.toLong should (be >= total / 500L - 1L and
+      be <= total / 500L + 1L)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.systematicSample(df, "id", "w", 0L)
+  }
 }

@@ -646,4 +646,60 @@ class DedupSpec extends SparkSpec {
     r.getLong(1) shouldBe 4L // 3 wedges at src 1 + 1 at src 2, all closed
     r.getLong(2) shouldBe 4L
   }
+
+  test("localClustering: triangle+pendant hand values; per-node sum = 3x census") {
+    // triangle 1-2-3 with pendant 4 off node 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val rows = Dedup.localClustering(edges, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    rows(1L) shouldBe ((3L, 1L, 2.0 * 1 / (3 * 2))) // 1/3
+    rows(2L) shouldBe ((2L, 1L, 1.0))
+    rows(3L) shouldBe ((2L, 1L, 1.0))
+    rows(4L) shouldBe ((1L, 0L, 0.0)) // degree-1: defined as 0
+    // triangle participation sums to 3 x the census count
+    val census = Dedup.triangleCount(edges, "id_a", "id_b")
+      .collect().head.getAs[Long]("n_triangles")
+    rows.values.map(_._2).sum shouldBe 3L * census
+  }
+
+  test("localClustering: K4 is fully clustered; partition-invariant") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val rows = Dedup.localClustering(k4, "id_a", "id_b").collect()
+    rows.foreach { r =>
+      r.getAs[Long]("degree") shouldBe 3L
+      r.getAs[Long]("n_triangles") shouldBe 3L
+      r.getAs[Double]("clustering_coeff") shouldBe 1.0
+    }
+    rowsOf(Dedup.localClustering(k4.repartition(5), "id_a", "id_b")) shouldBe
+      rowsOf(Dedup.localClustering(k4.coalesce(1), "id_a", "id_b"))
+  }
+
+  test("degreeAssortativity: star is -1, regular components are +1, constant-degree graph is null") {
+    // star K1,3: hub degree 3 against leaves of degree 1 → exactly -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val s = Dedup.degreeAssortativity(star, "id_a", "id_b").collect()
+    s.length shouldBe 1
+    s.head.getLong(0) shouldBe 3L
+    s.head.getDouble(1) shouldBe -1.0
+    // triangle + disjoint edge: every stub pairs equal degrees, but
+    // the degree marginal has variance → exactly +1
+    val mix = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val m = Dedup.degreeAssortativity(mix, "id_a", "id_b").collect()
+    m.head.getLong(0) shouldBe 4L
+    m.head.getDouble(1) shouldBe 1.0
+    // lone triangle: all degrees equal → zero variance → null
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val t = Dedup.degreeAssortativity(tri, "id_a", "id_b").collect()
+    t.head.isNullAt(1) shouldBe true
+    // duplicate/reversed pairs collapse; partition-invariant
+    val noisy = Seq((2L, 1L), (1L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    rowsOf(Dedup.degreeAssortativity(noisy.repartition(5),
+      "id_a", "id_b")) shouldBe
+      rowsOf(Dedup.degreeAssortativity(star, "id_a", "id_b"))
+  }
 }

@@ -630,6 +630,42 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().length shouldBe 1
   }
 
+  test("rollingCorrelation: perfect linear coupling reads exactly 1.0; short/flat windows dropped") {
+    // day d carries d events each valued 2.0 → vq = 2000·c, an exact
+    // linear map, so every full window must read r = 1.0 EXACTLY (the
+    // radicand is a perfect square; sqrt is correctly rounded)
+    val events = (1 to 14).flatMap { d =>
+      (1 to d).map(i =>
+        (1L, ts(f"2024-03-$d%02d 10:${i % 60}%02d:00"),
+          (d * 100 + i).toLong, "x", 2.0))
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val rows = EventAnalytics.rollingCorrelation(events, "ts",
+        "event_type", "value").collect()
+    rows.length shouldBe 8 // days 7..14 have full 7-day windows
+    rows.foreach(_.getAs[Double]("vol_value_r") shouldBe 1.0)
+    rows.map(_.getAs[String]("day")).min shouldBe "2024-03-07"
+    // a flat-count series has var_c = 0 → every window dropped
+    val flat = (1 to 10).map(d =>
+      (1L, ts(f"2024-03-$d%02d 09:00:00"), d.toLong, "y", d.toDouble))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    EventAnalytics.rollingCorrelation(flat, "ts", "event_type",
+      "value").collect() shouldBe empty
+  }
+
+  test("rollingCorrelation is partition-invariant and validates parameters") {
+    val events = (0 until 400).map { i =>
+      (i.toLong % 9, ts(f"2024-01-${1 + i % 20}%02d ${i % 24}%02d:00:00"),
+        i.toLong, Seq("a", "b")(i % 2), (i % 37).toDouble / 3.0)
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    rowsOf(EventAnalytics.rollingCorrelation(events.repartition(6),
+      "ts", "event_type", "value")) shouldBe
+      rowsOf(EventAnalytics.rollingCorrelation(events.coalesce(1),
+        "ts", "event_type", "value"))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.rollingCorrelation(events, "ts", "event_type",
+        "value", windowDays = 1)
+  }
+
   test("eventTrigrams is partition-invariant") {
     val events = (0 until 120).map { i =>
       (i.toLong % 7, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
@@ -639,5 +675,127 @@ class EventAnalyticsSpec extends SparkSpec {
       "user_id", "ts", "event_type", "event_id", 1)) shouldBe
       rowsOf(EventAnalytics.eventTrigrams(events.coalesce(1),
         "user_id", "ts", "event_type", "event_id", 1))
+  }
+
+  // ------------------------------------------------ power-user curve
+
+  test("powerUserCurve: day-count histogram and >=k cumulative") {
+    val events = Seq(
+      // u1 active 3 distinct days (two events on day 1 count once)
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      // u2, u3 active 1 day each
+      (2L, ts("2024-01-01 10:00:00")),
+      (3L, ts("2024-01-05 10:00:00")), (3L, ts("2024-01-05 23:00:00")))
+      .toDF("user_id", "ts")
+    val rows = rowsOf(
+      EventAnalytics.powerUserCurve(events, "user_id", "ts"))
+    rows shouldBe Seq(Seq(1L, 2L, 3L), Seq(3L, 1L, 1L))
+  }
+
+  // ------------------------------------------- daily autocorrelation
+
+  test("dailyAutocorrelation: linear daily series reads exactly 1.0; flat and short series dropped; gaps pair only observed days") {
+    // type "a": i events on day i (1..8) — x_t vs x_{t-k} is affine,
+    // so every lag's Pearson is EXACTLY 1.0 (integer moments cancel)
+    val lin = (1 to 8).flatMap { day =>
+      (0 until day).map(j =>
+        (ts(f"2024-01-$day%02d 0${j % 9}:00:00"), "a"))
+    }
+    // type "b": constant 2/day — zero variance, dropped entirely
+    val flat = (1 to 8).flatMap { day =>
+      Seq((ts(f"2024-01-$day%02d 10:00:00"), "b"),
+        (ts(f"2024-01-$day%02d 11:00:00"), "b"))
+    }
+    val events = (lin ++ flat).toDF("ts", "event_type")
+    val out = rowsOf(EventAnalytics.dailyAutocorrelation(
+      events, "ts", "event_type", maxLag = 3))
+    // lag k over days 1..8 has 8-k observed pairs; type "b" gone
+    out shouldBe Seq(
+      Seq("a", 1L, 7L, 1.0), Seq("a", 2L, 6L, 1.0), Seq("a", 3L, 5L, 1.0))
+  }
+
+  test("dailyAutocorrelation: calendar gap drops the missing pairs; partition-invariant") {
+    // type "a" on days 1,2,3 then 7,8 — lag 1 pairs: (2,1),(3,2),(8,7)
+    val events = Seq(1, 2, 3, 7, 8).flatMap { day =>
+      (0 to day).map(j => (ts(f"2024-01-$day%02d 0${j % 9}:10:00"), "a"))
+    }.toDF("ts", "event_type")
+    val out = EventAnalytics.dailyAutocorrelation(
+      events, "ts", "event_type", maxLag = 1).collect()
+    out.length shouldBe 1
+    out.head.getLong(2) shouldBe 3L // n_pairs
+    rowsOf(EventAnalytics.dailyAutocorrelation(
+      events.repartition(5), "ts", "event_type", 2)) shouldBe
+      rowsOf(EventAnalytics.dailyAutocorrelation(
+        events.coalesce(1), "ts", "event_type", 2))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.dailyAutocorrelation(events, "ts", "event_type", 0)
+  }
+
+  // ------------------------------------------- funnel step latency
+
+  test("funnelStepLatency: exact per-pair gaps over the greedy machine; non-converters excluded") {
+    val events = Seq(
+      // u1: view→click 60s, click→purchase 120s
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:03:00"), "purchase"),
+      // u2: view→click 180s, never purchases
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 09:03:00"), "click"),
+      // u3: purchase only — contributes nothing
+      (3L, ts("2024-01-01 10:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val rows = rowsOf(EventAnalytics.funnelStepLatency(events,
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase")))
+    rows shouldBe Seq(
+      Seq(1, "view", "click", 2L, 60000000L, 180000000L, 120000000.0),
+      Seq(2, "click", "purchase", 1L, 120000000L, 120000000L,
+        120000000.0))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.funnelStepLatency(events, "user_id", "ts",
+        "event_type", Seq("view"))
+  }
+
+  // ------------------------------------------- session entry/exit
+
+  test("sessionEntryExit: gap splits sessions, tie order by event_id, single-event diagonal") {
+    val gap = 30L * 60L * 1000000L
+    val events = Seq(
+      // u1 session 1: a ... b (entry a, exit b, 3 events)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:10:00"), 2L, "c"),
+      (1L, ts("2024-01-01 10:20:00"), 3L, "b"),
+      // u1 session 2 (>30 min later): single event c → bounce
+      (1L, ts("2024-01-01 12:00:00"), 4L, "c"),
+      // u2: two events at the SAME ts — event_id breaks the tie
+      (2L, ts("2024-01-01 10:00:00"), 6L, "z"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = rowsOf(EventAnalytics.sessionEntryExit(events,
+      "user_id", "ts", "event_type", "event_id", gap))
+    rows shouldBe Seq(
+      Seq("a", "b", 1L, 0L),
+      Seq("c", "c", 1L, 1L),
+      Seq("y", "z", 1L, 0L))
+  }
+
+  test("sessionEntryExit: exactly-gap boundary stays one session; partition-invariant") {
+    val gap = 30L * 60L * 1000000L
+    val boundary = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:30:00"), 2L, "b")) // exactly 30 min: same session
+      .toDF("user_id", "ts", "event_id", "event_type")
+    rowsOf(EventAnalytics.sessionEntryExit(boundary, "user_id", "ts",
+      "event_type", "event_id", gap)) shouldBe
+      Seq(Seq("a", "b", 1L, 0L))
+    val events = (0 until 150).map { i =>
+      (i.toLong % 7, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        i.toLong, Seq("a", "b", "c")(i % 3))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    rowsOf(EventAnalytics.sessionEntryExit(events.repartition(6),
+      "user_id", "ts", "event_type", "event_id", gap)) shouldBe
+      rowsOf(EventAnalytics.sessionEntryExit(events.coalesce(1),
+        "user_id", "ts", "event_type", "event_id", gap))
   }
 }

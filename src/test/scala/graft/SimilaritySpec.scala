@@ -511,4 +511,30 @@ class SimilaritySpec extends SparkSpec {
     // ordered by load: first bucket is the 5-clone one
     h.head._2 shouldBe 5L
   }
+
+  test("labelCentroidCosine: aligned labels read 1, opposed -1, orthogonal 0; diagonal is 1") {
+    val emb = Seq(
+      // label 0: two vectors along +x (different norms — centroid +x)
+      (0L, Array(0.5f, 0f), 0), (1L, Array(0.25f, 0f), 0),
+      // label 1: along -x
+      (2L, Array(-0.5f, 0f), 1),
+      // label 2: along +y
+      (3L, Array(0f, 0.5f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.labelCentroidCosine(emb, "label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    rows((0L, 0L))._3 shouldBe 1.0
+    rows((0L, 1L)) shouldBe ((2L, 1L, -1.0))
+    rows((0L, 2L))._3 shouldBe 0.0
+    rows((1L, 2L))._3 shouldBe 0.0
+    rows((2L, 2L))._3 shouldBe 1.0
+    rows.size shouldBe 6 // 3 labels -> upper triangle incl diagonal
+    // partition invariance (exact integer path)
+    rowsOf(Similarity.labelCentroidCosine(emb.repartition(5),
+      "label", "embedding")) shouldBe
+      rowsOf(Similarity.labelCentroidCosine(emb.coalesce(1),
+        "label", "embedding"))
+  }
 }
