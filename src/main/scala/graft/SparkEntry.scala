@@ -210,6 +210,10 @@ object SparkEntry {
     * the Spark call and the generated twin. */
   private val MarketShareRegion = "ASIA"
   private val MarketSharePartType = "PROMO"
+  /** q194 BFS rounds: 6 reaches every node of the sf0.01/sf0.1
+    * blocking graph's hub component (diameter check in DedupSpec);
+    * the twin unrolls the SAME count. */
+  private val BfsMaxDepth = 6
   /** q149 foreign-key edges, shared by the Spark call AND the
     * generated DuckDB twin: (edge label, child, fk, parent, pk). */
   private val RefAuditEdges: Seq[(String, String, String, String, String)] =
@@ -3532,6 +3536,107 @@ object SparkEntry {
       val out = Dedup.degreeAssortativity(pairs, "id_a", "id_b")
       pairs.unpersist(blocking = false)
       out
+    }),
+
+    // Repeat-purchase report per market segment: customers, repeaters,
+    // orders/customer, and the mean inter-order gap in days — the gap
+    // fold is one custkey-keyed window (exact int day diffs), the two
+    // means are one IEEE divide each at |segments| rows.
+    "q191_repeat_purchase" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val perCust = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("gap_days")).as("sum_gap"),
+          count(col("gap_days")).as("n_gaps"))
+      perCust
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+            .as("n_repeat_customers"),
+          sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_gap")).as("__sg"), sum(col("n_gaps")).as("__ng"))
+        .select(col("c_mktsegment"), col("n_customers"),
+          col("n_repeat_customers"), col("n_orders"),
+          (col("n_orders").cast("double") /
+            col("n_customers").cast("double")).as("orders_per_customer"),
+          (col("__sg").cast("double") / col("__ng").cast("double"))
+            .as("mean_gap_days"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Exact-dedup savings per source: removed docs (non-keepers of
+    // their content-hash group, keeper = min id — q10's contract) and
+    // the character mass they free, as corpus-share. Window-ranked
+    // keeper flag: one hash-keyed shuffle, no self-join.
+    "q192_exact_dedup_savings" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = sha2(lower(trim(regexp_replace(col("text"),
+        lit("\\s+"), lit(" ")))), 256)
+      val flagged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          h.as("__h"))
+        .withColumn("__keep", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy("__h")))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(!col("__keep"), col("n_chars")).otherwise(lit(0L)))
+            .as("chars_saved"))
+        .select(col("source"), col("n_docs"), col("n_removed"),
+          col("total_chars"), col("chars_saved"),
+          (col("chars_saved").cast("double") /
+            col("total_chars").cast("double")).as("share_saved"))
+        .orderBy("source")
+    }),
+
+    // Top-3 part brands by revenue within each supplier nation —
+    // the top-k-per-group window shape: revenue is one exact-decimal
+    // aggregate at |nations|×|brands| rows, the rank a window over
+    // that TINY table with a total (revenue DESC, brand) order, so
+    // ties are deterministic. Nation/part are genuine dims
+    // (broadcast); supplier joins unhinted.
+    "q193_top_brands_per_nation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .select("l_suppkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("nation"), col("p_brand"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,6)")).as("revd"))
+      val w = Window.partitionBy("nation")
+        .orderBy(col("revd").desc, col("p_brand").asc)
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("nation"), col("rnk").cast("long").as("rnk"),
+          col("p_brand"), col("revd").cast("double").as("revenue"))
+        .orderBy("nation", "rnk")
+    }),
+
+    // BFS levels over the SNM blocking-candidate graph from its
+    // max-degree hub — the reachability drill-down on the graph q173
+    // audits; exact min-distance levels, fixed BfsMaxDepth rounds.
+    "q194_blocking_graph_bfs" -> ((s, dir) => {
+      val cand = Dedup.sortedNeighborhood(Tables.documents(s, dir),
+        "doc_id", "text", SnmWindow, SnmPrefixLen, SnmKeyLen,
+        minJaccardPct = 0)
+      Dedup.bfsDistances(cand, "a", "b", BfsMaxDepth)
     })
   )
 
@@ -7307,7 +7412,102 @@ object SparkEntry {
         |    THEN CAST(m * sxy - s * s AS DOUBLE) /
         |      CAST(m * sxx - s * s AS DOUBLE)
         |    ELSE NULL END AS assortativity
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q191_repeat_purchase" ->
+      """WITH g AS (SELECT o_custkey,
+        |    CAST(datediff('day', LAG(o_orderdate) OVER w, o_orderdate)
+        |      AS BIGINT) AS gap_days
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)),
+        |pc AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(gap_days) AS BIGINT) AS sum_gap,
+        |    COUNT(gap_days) AS n_gaps
+        |  FROM g GROUP BY 1),
+        |seg AS (SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |    CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_repeat_customers,
+        |    CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |    CAST(SUM(sum_gap) AS BIGINT) AS sg,
+        |    CAST(SUM(n_gaps) AS BIGINT) AS ng
+        |  FROM pc JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT c_mktsegment, n_customers, n_repeat_customers, n_orders,
+        |  CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    AS orders_per_customer,
+        |  CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mean_gap_days
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+
+    "q192_exact_dedup_savings" ->
+      """WITH f AS (SELECT doc_id, source, n_chars,
+        |    doc_id = MIN(doc_id) OVER (PARTITION BY
+        |      sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    ) AS keep
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_saved,
+        |  CAST(SUM(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
+        |      AS DOUBLE) /
+        |    CAST(SUM(n_chars) AS DOUBLE) AS share_saved
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q193_top_brands_per_nation" ->
+      """WITH rev AS (SELECT n_name AS nation, p_brand,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,6))) AS revd
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT nation, p_brand, revd,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY revd DESC, p_brand) AS rnk
+        |  FROM rev)
+        |SELECT nation, CAST(rnk AS BIGINT) AS rnk, p_brand,
+        |  CAST(revd AS DOUBLE) AS revenue
+        |FROM r WHERE rnk <= 3
+        |ORDER BY nation, rnk""".stripMargin,
+
+    "q194_blocking_graph_bfs" -> {
+      val leads = (1 until SnmWindow).map(j =>
+        s"lead(doc_id, $j) OVER w AS id$j").mkString(", ")
+      val branches = (1 until SnmWindow).map(j =>
+        s"  SELECT doc_id AS a, id$j AS b FROM l WHERE id$j IS NOT NULL")
+        .mkString("\n  UNION ALL\n")
+      val rounds = (1 to BfsMaxDepth).map { k =>
+        s"""d$k AS (SELECT v, MIN(dist) AS dist FROM (
+           |  SELECT v, dist FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT adj.t AS v, ${k} AS dist
+           |  FROM d${k - 1} p JOIN adj ON p.v = adj.s
+           |  WHERE p.dist = ${k - 1}) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |k AS (SELECT doc_id, substr(nt, 1, $SnmKeyLen) AS key,
+        |    substr(nt, 1, $SnmPrefixLen) AS blk FROM t),
+        |l AS (SELECT doc_id, $leads
+        |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY key, doc_id)),
+        |rawp AS (
+        |$branches),
+        |e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM rawp WHERE a <> b),
+        |adj AS (SELECT a AS s, b AS t FROM e
+        |  UNION ALL SELECT b AS s, a AS t FROM e),
+        |seed AS (SELECT s AS v FROM adj GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, s LIMIT 1),
+        |d0 AS (SELECT v, 0 AS dist FROM seed),
+        |$rounds
+        |SELECT v AS node, CAST(dist AS BIGINT) AS distance
+        |FROM d$BfsMaxDepth ORDER BY node""".stripMargin
+    }
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark

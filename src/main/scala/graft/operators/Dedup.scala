@@ -687,6 +687,53 @@ object Dedup {
     materializeAndRelease(out, e)
   }
 
+  /** Multi-round BFS distances over an undirected pair graph from a
+    * deterministic seed (the max-degree node, ties to the smallest
+    * id): how much of the blocking/dup graph is reachable from its
+    * densest hub, and how fast — the "is this one giant blob or many
+    * islands" drill-down that complements [[connectedComponents]]'s
+    * census. Exactly `maxDepth` expansion rounds; a node keeps its
+    * MINIMUM distance (true BFS level), unreached nodes are absent.
+    * Deterministic end to end — no floats anywhere.
+    *
+    * Scale shape: per round, ONE equi-join of the previous round's
+    * frontier (nodes first settled that round) against the adjacency
+    * list keyed on the node, then a min-aggregate over settled ∪ new —
+    * the Pregel step. Rounds are materialized and released (the
+    * [[connectedComponents]] pattern) so plan depth stays constant in
+    * `maxDepth`; total work is O(Σ frontier-adjacent edges), never
+    * all-pairs.
+    */
+  def bfsDistances(pairs: DataFrame, aCol: String = "id_a",
+                   bCol: String = "id_b", maxDepth: Int = 6): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = e.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("t"))).persist()
+    val seed = adj.groupBy(col("s").as("v")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("v").asc).limit(1)
+      .select(col("v"), lit(0L).as("dist"))
+    var dist = seed.persist()
+    dist.count()
+    for (k <- 1 to maxDepth) {
+      val frontier = dist.filter(col("dist") === (k - 1))
+      val expanded = frontier
+        .join(adj, frontier("v") === adj("s"))
+        .select(col("t").as("v"), lit(k.toLong).as("dist"))
+      val next = dist.unionAll(expanded)
+        .groupBy("v").agg(min(col("dist")).as("dist")).persist()
+      next.count()
+      dist.unpersist(blocking = false)
+      dist = next
+    }
+    val out = dist.select(col("v").as("node"), col("dist").as("distance"))
+      .orderBy("node")
+    materializeAndRelease(out, adj, dist)
+  }
+
   /** Connected components over an undirected near-dup pair graph —
     * the canonicalization step that turns pairwise dedup output into
     * "keep one document per duplicate cluster": returns

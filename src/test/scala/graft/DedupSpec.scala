@@ -702,4 +702,29 @@ class DedupSpec extends SparkSpec {
       "id_a", "id_b")) shouldBe
       rowsOf(Dedup.degreeAssortativity(star, "id_a", "id_b"))
   }
+
+  test("bfsDistances: exact levels from the max-degree hub, min-distance on cycles, unreached and other components absent") {
+    // path 1-2-3-4-5 plus chord 1-3 (cycle: node 3 reachable at 1 via
+    // the chord, not 2 via the path), plus hub 2's extra leaves 6,7 so
+    // node 2 is the unique max-degree seed; disjoint edge (8,9) stays
+    // unreached
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (2L, 6L), (2L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val rows = rowsOf(Dedup.bfsDistances(edges, "id_a", "id_b",
+      maxDepth = 6))
+    rows shouldBe Seq(
+      Seq(1L, 1L), Seq(2L, 0L), Seq(3L, 1L), Seq(4L, 2L), Seq(5L, 3L),
+      Seq(6L, 1L), Seq(7L, 1L))
+    // maxDepth caps the frontier: depth 1 stops at the hub's neighbors
+    val shallow = rowsOf(Dedup.bfsDistances(edges, "id_a", "id_b",
+      maxDepth = 1))
+    shallow shouldBe Seq(
+      Seq(1L, 1L), Seq(2L, 0L), Seq(3L, 1L), Seq(6L, 1L), Seq(7L, 1L))
+    // partition invariance + validation
+    rowsOf(Dedup.bfsDistances(edges.repartition(5), "id_a", "id_b",
+      3)) shouldBe rowsOf(Dedup.bfsDistances(edges.coalesce(1),
+      "id_a", "id_b", 3))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.bfsDistances(edges, "id_a", "id_b", 0)
+  }
 }
