@@ -3637,6 +3637,40 @@ object SparkEntry {
         "doc_id", "text", SnmWindow, SnmPrefixLen, SnmKeyLen,
         minJaccardPct = 0)
       Dedup.bfsDistances(cand, "a", "b", BfsMaxDepth)
+    }),
+
+    // Next-state Gini impurity per source event type — q111's matrix
+    // condensed to "how predictable is the next step", exact integer
+    // moments (impurity, NOT entropy: entropy would sum ln terms in
+    // engine-dependent order — the q168 lesson).
+    "q195_transition_impurity" -> ((s, dir) =>
+      operators.EventAnalytics.transitionImpurity(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id")),
+
+    // Spend by funnel depth: the DEADLINE funnel (q130's machine —
+    // the uncapped one saturates at depth 3 on this corpus) joined to
+    // per-user value mass (milli-quantized int64, the q176 gate) —
+    // "do users who get further spend more". Two entity-keyed
+    // aggregates, one |depths|-row fold, divides at the end.
+    "q196_depth_value" -> ((s, dir) => {
+      val f = operators.EventAnalytics.funnel(Tables.events(s, dir),
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"),
+          maxStepGapUs = Some(FunnelDeadlineS * 1000000L))
+        .select(col("user_id"), col("depth"))
+      val v = Tables.events(s, dir)
+        .groupBy(col("user_id").as("u"))
+        .agg(sum(floor(col("value") * lit(RollCorrQuant))).as("vq"))
+      f.join(v, col("user_id") === col("u"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_users"), sum(col("vq")).as("__sv"))
+        .select(col("depth"), col("n_users"),
+          (col("__sv").cast("double") / lit(RollCorrQuant.toDouble))
+            .as("total_value"),
+          (col("__sv").cast("double") /
+            (col("n_users").cast("double") * lit(RollCorrQuant.toDouble)))
+            .as("mean_value_per_user"))
+        .orderBy("depth")
     })
   )
 
@@ -7507,7 +7541,58 @@ object SparkEntry {
         |$rounds
         |SELECT v AS node, CAST(dist AS BIGINT) AS distance
         |FROM d$BfsMaxDepth ORDER BY node""".stripMargin
-    }
+    },
+
+    "q195_transition_impurity" ->
+      """WITH p AS (SELECT event_type AS et,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS net
+        |  FROM events),
+        |c AS (SELECT et, net, COUNT(*) AS n FROM p
+        |  WHERE net IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT et AS event_type,
+        |    CAST(SUM(n) AS BIGINT) AS n_transitions,
+        |    COUNT(*) AS n_next_states,
+        |    CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ssq
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_transitions, n_next_states,
+        |  CAST(CAST(n_transitions AS HUGEINT) * n_transitions - ssq
+        |      AS DOUBLE) /
+        |    CAST(CAST(n_transitions AS HUGEINT) * n_transitions
+        |      AS DOUBLE) AS gini_impurity
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q196_depth_value" ->
+      s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL $FunnelDeadlineS SECOND
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL $FunnelDeadlineS SECOND
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |f AS (SELECT u.user_id,
+        |    CAST((t1 IS NOT NULL) AS INTEGER)
+        |      + CAST((t2 IS NOT NULL) AS INTEGER)
+        |      + CAST((t3 IS NOT NULL) AS INTEGER) AS depth
+        |  FROM u LEFT JOIN s1 USING (user_id)
+        |    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+        |v AS (SELECT user_id,
+        |    CAST(SUM(CAST(floor(value * $RollCorrQuant) AS BIGINT))
+        |      AS BIGINT) AS vq
+        |  FROM events GROUP BY 1)
+        |SELECT depth, COUNT(*) AS n_users,
+        |  CAST(SUM(vq) AS DOUBLE) / $RollCorrQuant.0 AS total_value,
+        |  CAST(SUM(vq) AS DOUBLE) /
+        |    (CAST(COUNT(*) AS DOUBLE) * $RollCorrQuant.0)
+        |    AS mean_value_per_user
+        |FROM f JOIN v USING (user_id)
+        |GROUP BY 1 ORDER BY depth""".stripMargin
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark

@@ -1029,6 +1029,40 @@ object EventAnalytics {
       .orderBy("step_seq")
   }
 
+  /** Next-state concentration of the [[transitionMatrix]] rows, as
+    * Gini impurity per source state: 1 − Σp² = (N² − Σn²)/N² — "after
+    * X, is the next step predictable or uniform". Impurity is chosen
+    * over Shannon entropy DELIBERATELY: entropy sums per-cell ln terms
+    * in engine-dependent double order (the q168 chi² lesson), while
+    * the impurity numerator and denominator are EXACT integer moments
+    * (DECIMAL(38,0) against 100-TB counts) with ONE IEEE divide at
+    * |types| rows. Terminal events (never followed) are absent.
+    *
+    * Scale: one entity-keyed window pass for the bigram counts, one
+    * |types|²-row aggregate above it.
+    */
+  def transitionImpurity(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(typeCol).as("et"), lead(col(typeCol), 1).over(w).as("net"))
+      .filter(col("net").isNotNull)
+      .groupBy("et", "net").agg(count(lit(1)).as("n"))
+      .groupBy(col("et").as("event_type"))
+      .agg(sum(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_next_states"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("__ssq"))
+      .select(col("event_type"), col("n_transitions"),
+        col("n_next_states"),
+        ((col("n_transitions").cast("decimal(38,0)") *
+            col("n_transitions") - col("__ssq")).cast("double") /
+          (col("n_transitions").cast("decimal(38,0)") *
+            col("n_transitions")).cast("double")).as("gini_impurity"))
+      .orderBy("event_type")
+  }
+
   /** Session entry→exit matrix: sessionize on `gapMicros` inactivity
     * (the established (ts, tie) ordering), then count sessions per
     * (first event type, last event type) cell, with the single-event

@@ -757,6 +757,41 @@ class EventAnalyticsSpec extends SparkSpec {
         "event_type", Seq("view"))
   }
 
+  // ------------------------------------------- transition impurity
+
+  test("transitionImpurity: hand-counted Gini per source state; pure source reads 0; terminal states absent") {
+    val events = Seq(
+      // u1: a→b, b→a, a→b ; u2: a→b, b→c
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "b"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 6L, "b"),
+      (2L, ts("2024-01-01 10:02:00"), 7L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = rowsOf(EventAnalytics.transitionImpurity(events,
+      "user_id", "ts", "event_type", "event_id"))
+    // a: 3 transitions, all →b → impurity 0
+    // b: 3 transitions, {a:1, c:1, (u1 ends after b)}: b→a once, b→c
+    //    once → N=2, ssq=2 → 1 - 2/4 = 0.5
+    // c is terminal: absent
+    rows shouldBe Seq(
+      Seq("a", 3L, 1L, 0.0),
+      Seq("b", 2L, 2L, 0.5))
+  }
+
+  test("transitionImpurity is partition-invariant") {
+    val events = (0 until 200).map { i =>
+      (i.toLong % 9, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        i.toLong, Seq("a", "b", "c", "d")(i % 4))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    rowsOf(EventAnalytics.transitionImpurity(events.repartition(6),
+      "user_id", "ts", "event_type", "event_id")) shouldBe
+      rowsOf(EventAnalytics.transitionImpurity(events.coalesce(1),
+        "user_id", "ts", "event_type", "event_id"))
+  }
+
   // ------------------------------------------- session entry/exit
 
   test("sessionEntryExit: gap splits sessions, tie order by event_id, single-event diagonal") {
