@@ -699,9 +699,12 @@ object Dedup {
     * Scale shape: per round, ONE equi-join of the previous round's
     * frontier (nodes first settled that round) against the adjacency
     * list keyed on the node, then a min-aggregate over settled ∪ new —
-    * the Pregel step. Rounds are materialized and released (the
-    * [[connectedComponents]] pattern) so plan depth stays constant in
-    * `maxDepth`; total work is O(Σ frontier-adjacent edges), never
+    * the Pregel step. Each round is cut with an eager
+    * `localCheckpoint` and the superseded round's blocks are freed
+    * immediately (the [[connectedComponents]] discipline) — a
+    * persist-only loop keeps the full lineage and the plan STRING
+    * doubles per round (the q121/q171 lineage-reprint pathology, but
+    * compounding); total work is O(Σ frontier-adjacent edges), never
     * all-pairs.
     */
   def bfsDistances(pairs: DataFrame, aCol: String = "id_a",
@@ -712,26 +715,29 @@ object Dedup {
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val adj = e.select(col("a").as("s"), col("b").as("t"))
-      .unionAll(e.select(col("b").as("s"), col("a").as("t"))).persist()
+      .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint(true)
     val seed = adj.groupBy(col("s").as("v")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("v").asc).limit(1)
       .select(col("v"), lit(0L).as("dist"))
-    var dist = seed.persist()
-    dist.count()
+    var dist = seed.localCheckpoint(true)
     for (k <- 1 to maxDepth) {
       val frontier = dist.filter(col("dist") === (k - 1))
       val expanded = frontier
         .join(adj, frontier("v") === adj("s"))
         .select(col("t").as("v"), lit(k.toLong).as("dist"))
       val next = dist.unionAll(expanded)
-        .groupBy("v").agg(min(col("dist")).as("dist")).persist()
-      next.count()
-      dist.unpersist(blocking = false)
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      Checkpoints.free(dist)
       dist = next
     }
     val out = dist.select(col("v").as("node"), col("dist").as("distance"))
       .orderBy("node")
-    materializeAndRelease(out, adj, dist)
+    val res = materializeAndRelease(out)
+    Checkpoints.free(adj)
+    Checkpoints.free(dist)
+    res
   }
 
   /** Connected components over an undirected near-dup pair graph —
