@@ -214,6 +214,9 @@ object SparkEntry {
     * blocking graph's hub component (diameter check in DedupSpec);
     * the twin unrolls the SAME count. */
   private val BfsMaxDepth = 6
+  /** q199 exact domain-compressed quantiles, shared by the Spark call
+    * and the generated twin's column list. */
+  private val DomainQuantilePcts = Seq(25, 50, 75, 90)
   /** q149 foreign-key edges, shared by the Spark call AND the
     * generated DuckDB twin: (edge label, child, fk, parent, pk). */
   private val RefAuditEdges: Seq[(String, String, String, String, String)] =
@@ -3671,6 +3674,76 @@ object SparkEntry {
             (col("n_users").cast("double") * lit(RollCorrQuant.toDouble)))
             .as("mean_value_per_user"))
         .orderBy("depth")
+    }),
+
+    // Fulfilment lead-time distribution: ship-minus-order day lag
+    // histogram per order priority — one orderkey-keyed fact×fact
+    // join (AQE, no hints), exact int day diffs, |priorities|×|lags|
+    // output.
+    "q197_shipping_lag_distribution" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lag_days"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority", "lag_days")),
+
+    // Discount-band economics: items, mean quantity (exact int64
+    // sums, one divide) and revenue per percent-of-discount band
+    // (round-half-up banding — the established float quant idiom, so
+    // 0.29 lands in band 29 on BOTH engines).
+    "q198_discount_bands" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(floor(col("l_discount") * lit(100) + lit(0.5))
+            .as("discount_pct"),
+          col("l_quantity").cast("long").as("ql"),
+          col("l_extendedprice"), col("l_discount"))
+        .groupBy("discount_pct")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("ql")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_quantity"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("discount_pct")),
+
+    // Exact document-length quantiles per language by domain
+    // compression — |distinct lengths| ≪ |docs|, so the (lang, length)
+    // dictionary aggregate + integer-threshold cumulative is exact at
+    // any scale (the third quantile leg next to q157's mergeable bins).
+    "q199_length_quantiles" -> ((s, dir) =>
+      operators.Profile.domainQuantiles(Tables.documents(s, dir),
+        "lang", "n_chars", DomainQuantilePcts)),
+
+    // Exact pairwise source vocabulary Jaccard — the corpus-mixing
+    // audit q69 estimates with HLL registers, here exact: the
+    // (source, token) distinct projection joins ITSELF on the token
+    // key (never all-pairs rows), sizes ride a broadcast-side join,
+    // one divide per source pair.
+    "q200_source_vocab_jaccard" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = tok.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = tok.select(col("source").as("source_a"), col("tok"))
+        .join(tok.select(col("source").as("source_b"), col("tok")),
+          Seq("tok"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("sz").as("na"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("sz").as("nb"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")).cast("double"))
+            .as("vocab_jaccard"))
+        .orderBy("source_a", "source_b")
     })
   )
 
@@ -7592,7 +7665,61 @@ object SparkEntry {
         |    (CAST(COUNT(*) AS DOUBLE) * $RollCorrQuant.0)
         |    AS mean_value_per_user
         |FROM f JOIN v USING (user_id)
-        |GROUP BY 1 ORDER BY depth""".stripMargin
+        |GROUP BY 1 ORDER BY depth""".stripMargin,
+
+    "q197_shipping_lag_distribution" ->
+      """SELECT o_orderpriority,
+        |  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+        |    AS lag_days,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q198_discount_bands" ->
+      """SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |    AS discount_pct,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS mean_quantity,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q199_length_quantiles" -> {
+      val qcols = DomainQuantilePcts.map(p =>
+        s"  MIN(CASE WHEN cum * 100 >= n * $p THEN v END) AS p$p")
+        .mkString(",\n")
+      s"""WITH c AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+        |    COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cu AS (SELECT g, v,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT g AS lang, MAX(n) AS n,
+        |$qcols
+        |FROM cu GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+
+    "q200_source_vocab_jaccard" ->
+      """WITH t0 AS (SELECT source, unnest(string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT source, tok FROM t0),
+        |sz AS (SELECT source, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS n_common
+        |  FROM tok a JOIN tok b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common,
+        |  CAST(n_common AS DOUBLE) /
+        |    CAST(na.sz + nb.sz - n_common AS DOUBLE) AS vocab_jaccard
+        |FROM i JOIN sz na ON i.source_a = na.source
+        |JOIN sz nb ON i.source_b = nb.source
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark

@@ -641,6 +641,48 @@ object StressBench {
       s""""expected_triangles":$expTris,"ok":$ok}"""
   }
 
+  /** Systematic sampling under 10× cloning — the sample size is a
+    * CLOSED FORM of the weight mass alone: with strictly positive
+    * integral weights the cumulative axis covers [1..W] in jumps, so
+    * exactly ⌊W/stride⌋ stride boundaries are crossed, each by exactly
+    * one row → |sample| = W // stride REGARDLESS of row layout, and
+    * the last boundary is always crossed (max pick_index = W//stride).
+    * Cloning the corpus 10× multiplies the mass: |sample₁₀| =
+    * (10·W) // stride. Any drift in the two-phase distributed prefix
+    * sum (bucket subtotals + running offset + in-bucket window) breaks
+    * these counts loudly. Also asserts every row heavier than the
+    * stride is picked (emitted once), vacuous on corpora without one.
+    */
+  private def systematicMass10x(s: SparkSession, sfDir: String): String = {
+    val stride = 25000L
+    val docs = Tables.documents(s, sfDir).select("doc_id", "n_chars")
+    val w1 = docs.agg(sum("n_chars")).head().getLong(0)
+    val offset = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val corpus = clones(docs, 10, offset)
+    def audit(d: DataFrame): (Long, Long, Long) = {
+      val out = Curation.systematicSample(d, "doc_id", "n_chars", stride)
+        .persist()
+      val n = out.count()
+      val maxIdx = out.agg(max("pick_index")).head().getLong(0)
+      val heavyMissed = d.filter(col("n_chars") >= stride)
+        .join(out.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .count()
+      out.unpersist(blocking = false)
+      (n, maxIdx, heavyMissed)
+    }
+    val ((n1, mi1, hm1), secs1) = time(audit(docs))
+    val ((n10, mi10, hm10), secs10) = time(audit(corpus))
+    val exp1 = w1 / stride
+    val exp10 = (10L * w1) / stride
+    val ok = n1 == exp1 && n10 == exp10 && mi1 == exp1 && mi10 == exp10 &&
+      hm1 == 0L && hm10 == 0L
+    s""""systematic_mass10x":{"secs":${r3(secs10)},""" +
+      s""""base_secs":${r3(secs1)},"total_weight":$w1,""" +
+      s""""picks":$n1,"expected_picks":$exp1,""" +
+      s""""picks_10x":$n10,"expected_picks_10x":$exp10,""" +
+      s""""heavy_missed":${hm1 + hm10},"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -660,7 +702,8 @@ object StressBench {
       "concurrency_clone10x" -> (() => concurrencyClone10x(spark, sfDir)),
       "funnel_hot_entity" -> (() => funnelHotEntity(spark, sfDir)),
       "heavy_hitters_clone10x" -> (() => heavyHittersClone10x(spark, sfDir)),
-      "triangles_clone3x" -> (() => trianglesClone3x(spark, sfDir)))
+      "triangles_clone3x" -> (() => trianglesClone3x(spark, sfDir)),
+      "systematic_mass10x" -> (() => systematicMass10x(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet

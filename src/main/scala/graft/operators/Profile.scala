@@ -404,4 +404,42 @@ object Profile {
           .as("outlier_frac"))
       .orderBy(groupCol)
   }
+
+  /** EXACT per-group quantiles by domain compression — the third leg
+    * of the quantile family: [[binnedQuantiles]] trades exactness for
+    * mergeable fixed-width bins; this one is exact WHEN the value
+    * domain compresses (|distinct values| per group ≪ rows — ages,
+    * lengths, counts, prices in cents): aggregate to (group, value)
+    * counts first, then read each requested percentile off the
+    * cumulative with the integer threshold `cum·100 ≥ n·p` (no float
+    * thresholds, no interpolation — the reported quantile is the
+    * SMALLEST attained value at or past the rank, DuckDB
+    * quantile_disc-compatible and engine-exact). Values must be
+    * integral (cast to long).
+    *
+    * Scale: ONE map-side-combinable aggregate over the corpus into the
+    * compressed (group, value) table; the cumulative window runs per
+    * group over |distinct values| rows — never over raw rows. If the
+    * domain does NOT compress, use [[binnedQuantiles]].
+    */
+  def domainQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]: $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("g")
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qCols = pcts.map(p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p$p"))
+    cum.groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"), qCols: _*)
+      .orderBy(groupCol)
+  }
 }

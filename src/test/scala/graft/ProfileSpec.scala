@@ -259,4 +259,24 @@ class ProfileSpec extends SparkSpec {
     rowsOf(Profile.robustOutliers(d.repartition(6), "g", "v", 3.0)) shouldBe
       rowsOf(Profile.robustOutliers(d.coalesce(1), "g", "v", 3.0))
   }
+
+  test("domainQuantiles: rank-threshold semantics on hand data, heavy duplication, validation") {
+    // group a: values 1..10 once each — p25 is the smallest v with
+    // cum*100 >= n*25, i.e. cum >= 2.5 → v=3; p50 → v=5; p90 → v=9
+    val a = (1 to 10).map(v => ("a", v.toLong))
+    // group b: 99 copies of 5 and one 100 — every low pct reads 5,
+    // p100 would read 100 (not requested); p90 stays 5
+    val b = Seq.fill(99)(("b", 5L)) :+ (("b", 100L))
+    val d = (a ++ b).toDF("g", "v")
+    val rows = rowsOf(Profile.domainQuantiles(d, "g", "v",
+      Seq(25, 50, 75, 90)))
+    rows shouldBe Seq(
+      Seq("a", 10L, 3L, 5L, 8L, 9L),
+      Seq("b", 100L, 5L, 5L, 5L, 5L))
+    rowsOf(Profile.domainQuantiles(d.repartition(6), "g", "v",
+      Seq(50))) shouldBe
+      rowsOf(Profile.domainQuantiles(d.coalesce(1), "g", "v", Seq(50)))
+    an[IllegalArgumentException] should be thrownBy
+      Profile.domainQuantiles(d, "g", "v", Seq(0))
+  }
 }
