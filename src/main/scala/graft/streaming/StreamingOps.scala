@@ -34,6 +34,13 @@ private[streaming] case class GapState(tsUs: Long)
 case class Attribution(user: Long, channel: String, tsUs: Long)
 private[streaming] case class AttrState(channel: String)
 
+/** Emitted row of the stateful streaming session entry/exit feed:
+  * one row per CLOSED session. */
+case class SessionSummary(user: Long, entryType: String,
+                          exitType: String, nEvents: Long)
+private[streaming] case class EntryExitState(entry: String, lastTs: Long,
+                                             lastType: String, n: Long)
+
 /** Structured-Streaming parity for the reference's stream processors.
   *
   * The defining computation (ref option_trade_aggs/main.py:203-230):
@@ -288,6 +295,49 @@ object StreamingOps {
             else ch = Some(r.etype)
           }
           ch.foreach(c => state.update(AttrState(c)))
+          out.result().iterator
+      }
+  }
+
+  /** STREAMING face of [[graft.operators.EventAnalytics
+    * .sessionEntryExit]]: the OPEN session per entity (entry type,
+    * last event time/type, event count) lives in the state store; a
+    * row arriving more than `gapMicros` after the session's last event
+    * CLOSES it — emitting its (entry, exit, n) summary — and opens the
+    * next, so a downstream count by (entry, exit) IS the landing/bounce
+    * matrix over closed sessions, maintained incrementally. Within a
+    * micro-batch rows fold in (tsUs, eid) order (the batch operator's
+    * window order). Streaming semantics: a session is emitted ONLY
+    * when a later event closes it — each entity's final, still-open
+    * session stays in state (the batch operator, seeing a finite
+    * input, reports it too; the parity spec accounts for exactly that
+    * difference). NoTimeout by design: an idle-timeout flush would
+    * emit sessions the batch twin can't deterministically reproduce.
+    * Works on batch Datasets too.
+    */
+  def entryExitStateful(ds: Dataset[TransEvent],
+      gapMicros: Long): Dataset[SessionSummary] = {
+    require(gapMicros > 0, s"gapMicros must be positive: $gapMicros")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[EntryExitState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[EntryExitState]) =>
+          var st = state.getOption
+          val out = Seq.newBuilder[SessionSummary]
+          rows.toSeq.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+            st match {
+              case Some(s) if r.tsUs - s.lastTs > gapMicros =>
+                out += SessionSummary(user, s.entry, s.lastType, s.n)
+                st = Some(EntryExitState(r.etype, r.tsUs, r.etype, 1L))
+              case Some(s) =>
+                st = Some(s.copy(lastTs = r.tsUs, lastType = r.etype,
+                  n = s.n + 1L))
+              case None =>
+                st = Some(EntryExitState(r.etype, r.tsUs, r.etype, 1L))
+            }
+          }
+          st.foreach(state.update)
           out.result().iterator
       }
   }

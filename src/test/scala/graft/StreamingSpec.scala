@@ -311,6 +311,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("entryExitStateful: closed sessions match the batch matrix minus each entity's final open session, across micro-batches") {
+    import graft.streaming.{TransEvent, SessionSummary}
+    val us = 1000000L
+    val gap = 60 * us
+    val b1 = Seq(
+      TransEvent(1L, 10 * us, 100L, "a"),
+      TransEvent(1L, 20 * us, 101L, "c"),
+      TransEvent(2L, 10 * us, 102L, "z")) // single event so far
+    val b2 = Seq(
+      TransEvent(1L, 30 * us, 103L, "b"),   // continues u1's session
+      TransEvent(1L, 300 * us, 104L, "c"),  // >60s: closes (a..b, n=3)
+      TransEvent(2L, 400 * us, 105L, "y"))  // >60s: closes (z,z,1) bounce
+    val input = MemoryStream[TransEvent](spark)
+    val out = StreamingOps.entryExitStateful(input.toDS(), gap)
+    val ckpt = Files.createTempDirectory("ckpt_ee").toString
+    val q = out.writeStream.format("memory").queryName("ee_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("ee_out").as[SessionSummary].collect()
+        .map(s => (s.user, s.entryType, s.exitType, s.nEvents))
+        .sorted.toSeq
+      streamed shouldBe Seq(
+        (1L, "a", "b", 3L), (2L, "z", "z", 1L))
+      // batch parity: the batch matrix over the same events counts the
+      // SAME closed sessions plus exactly one final open session per
+      // entity (u1: c alone; u2: y alone)
+      val batch = graft.operators.EventAnalytics.sessionEntryExit(
+          (b1 ++ b2).map(e =>
+            (e.user, new java.sql.Timestamp(e.tsUs / 1000), e.eid, e.etype))
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_type", "event_id", gap)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      batch shouldBe Set(
+        ("a", "b", 1L, 0L),  // the streamed closed session
+        ("z", "z", 1L, 1L),  // the streamed bounce
+        ("c", "c", 1L, 1L),  // u1's final open session (batch-only)
+        ("y", "y", 1L, 1L))  // u2's final open session (batch-only)
+    } finally q.stop()
+  }
+
   test("attributionStateful: credits equal the batch last-touch window across micro-batches") {
     import graft.streaming.{TransEvent, Attribution}
     val us = 1000000L
