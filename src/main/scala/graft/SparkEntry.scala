@@ -3744,6 +3744,77 @@ object SparkEntry {
             (col("na") + col("nb") - col("n_common")).cast("double"))
             .as("vocab_jaccard"))
         .orderBy("source_a", "source_b")
+    }),
+
+    // Conversion by spend band: users bucketed by the BIT LENGTH of
+    // their milli-quantized value mass (log2-ish bands from pure
+    // integer string length — bin() agrees char-for-char across
+    // engines; no log() float anywhere), each band's mean deadline-
+    // funnel depth and purchase-conversion rate. "Do high spenders
+    // convert more", with every moment exact until the two divides.
+    "q201_value_band_conversion" -> ((s, dir) => {
+      val f = operators.EventAnalytics.funnel(Tables.events(s, dir),
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"),
+          maxStepGapUs = Some(FunnelDeadlineS * 1000000L))
+        .select(col("user_id"), col("depth"))
+      val v = Tables.events(s, dir)
+        .groupBy(col("user_id").as("u"))
+        .agg(sum(floor(col("value") * lit(RollCorrQuant))).as("vq"))
+        .select(col("u"),
+          when(col("vq") > 0, length(bin(col("vq"))).cast("long"))
+            .otherwise(0L).as("value_band"))
+      f.join(v, col("user_id") === col("u"))
+        .groupBy(col("value_band"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("depth").cast("long")).as("__sd"),
+          sum(when(col("depth") === 3, 1L).otherwise(0L)).as("__nc"))
+        .select(col("value_band"), col("n_users"),
+          (col("__sd").cast("double") / col("n_users").cast("double"))
+            .as("mean_depth"),
+          (col("__nc").cast("double") / col("n_users").cast("double"))
+            .as("conversion_rate"))
+        .orderBy("value_band")
+    }),
+
+    // Daily new-vs-returning actives: each day's distinct users split
+    // by whether it is their first-ever day — growth accounting from
+    // two entity-keyed aggregates, exact counts, one divide.
+    "q202_new_vs_returning" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id").as("u"), to_date(col("ts")).as("d"))
+        .distinct()
+      val first = days.groupBy("u").agg(min(col("d")).as("fd"))
+      days.join(first, Seq("u"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("d") === col("fd"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          ((col("n_active") - col("n_new")).cast("double") /
+            col("n_active").cast("double")).as("returning_share"))
+        .orderBy("day")
+    }),
+
+    // Exact inter-order gap quantiles per market segment — q191's gap
+    // machinery through the q199 domain-compressed quantile operator
+    // (day gaps compress hard: |distinct| ≪ |orders|).
+    "q203_order_gap_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long"))
+        .filter(col("gap_days").isNotNull)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+      operators.Profile.domainQuantiles(gaps, "c_mktsegment", "gap_days",
+        DomainQuantilePcts)
     })
   )
 
@@ -7719,7 +7790,82 @@ object SparkEntry {
         |    CAST(na.sz + nb.sz - n_common AS DOUBLE) AS vocab_jaccard
         |FROM i JOIN sz na ON i.source_a = na.source
         |JOIN sz nb ON i.source_b = nb.source
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q201_value_band_conversion" ->
+      s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL $FunnelDeadlineS SECOND
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL $FunnelDeadlineS SECOND
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |f AS (SELECT u.user_id,
+        |    CAST((t1 IS NOT NULL) AS INTEGER)
+        |      + CAST((t2 IS NOT NULL) AS INTEGER)
+        |      + CAST((t3 IS NOT NULL) AS INTEGER) AS depth
+        |  FROM u LEFT JOIN s1 USING (user_id)
+        |    LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+        |v AS (SELECT user_id,
+        |    CAST(SUM(CAST(floor(value * $RollCorrQuant) AS BIGINT))
+        |      AS BIGINT) AS vq
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT user_id,
+        |    CASE WHEN vq > 0 THEN length(bin(vq)) ELSE 0 END
+        |      AS value_band
+        |  FROM v)
+        |SELECT value_band, COUNT(*) AS n_users,
+        |  CAST(SUM(depth) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_depth,
+        |  CAST(SUM(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+        |FROM f JOIN b USING (user_id)
+        |GROUP BY 1 ORDER BY value_band""".stripMargin,
+
+    "q202_new_vs_returning" ->
+      """WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE)
+        |    AS d FROM events),
+        |fd AS (SELECT u, MIN(d) AS fd FROM days GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, COUNT(*) AS n_active,
+        |  CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(COUNT(*) - SUM(CASE WHEN d = fd THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning,
+        |  CAST(COUNT(*) - SUM(CASE WHEN d = fd THEN 1 ELSE 0 END)
+        |      AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS returning_share
+        |FROM days JOIN fd USING (u)
+        |GROUP BY d ORDER BY day""".stripMargin,
+
+    "q203_order_gap_quantiles" -> {
+      val qcols = DomainQuantilePcts.map(p =>
+        s"  MIN(CASE WHEN cum * 100 >= n * $p THEN v END) AS p$p")
+        .mkString(",\n")
+      s"""WITH g AS (SELECT o_custkey,
+        |    CAST(datediff('day', LAG(o_orderdate) OVER w, o_orderdate)
+        |      AS BIGINT) AS gap_days
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)),
+        |j AS (SELECT c_mktsegment AS g, gap_days AS v0 FROM g
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE gap_days IS NOT NULL),
+        |c AS (SELECT g, v0 AS v, COUNT(*) AS c FROM j GROUP BY 1, 2),
+        |cu AS (SELECT g, v,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT g AS c_mktsegment, MAX(n) AS n,
+        |$qcols
+        |FROM cu GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+    }
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark
