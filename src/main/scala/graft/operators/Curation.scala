@@ -941,8 +941,14 @@ object Curation {
     * (tiny: domain/bucketWidth rows), then an id-ordered window WITHIN
     * each bucket adds the broadcast offset — the same decomposition a
     * distributed prefix-scan uses, so no task ever sees more than one
-    * bucket's rows. Requires non-negative ids and strictly positive
-    * integral weights.
+    * bucket's rows. Requires non-negative UNIQUE ids and strictly
+    * positive integral weights: ids are the deterministic walk order,
+    * so a duplicated id would make "this row's cumulative weight"
+    * ill-defined (the in-bucket window is pinned to a ROWS frame so
+    * even then each row gets a distinct running value, but WHICH
+    * duplicate crosses a boundary would be partition-order dependent
+    * — uniqueness is the caller's contract, enforced upstream by the
+    * id columns used here being primary keys).
     */
   def systematicSample(df: DataFrame, idCol: String, weightCol: String,
       stride: Long, bucketWidth: Long = 4096L): DataFrame = {
@@ -959,6 +965,7 @@ object Curation {
       .withColumn("__off", coalesce(sum(col("__bw")).over(wB), lit(0L)))
       .select("__bkt", "__off")
     val wIn = Window.partitionBy("__bkt").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, 0)
     base
       .withColumn("__bkt", graft.functions.intDiv(col("__id"),
         lit(bucketWidth)))

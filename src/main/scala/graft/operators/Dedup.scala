@@ -944,14 +944,18 @@ object Dedup {
     *
     * The sort is BLOCKED on the first `prefixLen` chars so no global
     * total order is needed: each block sorts independently
-    * (`Window.partitionBy(block)`), which is exactly how the method
-    * distributes — neighborhoods never straddle a block boundary
-    * because records that disagree in the first `prefixLen` chars
-    * also disagree in the sort key's first `prefixLen` chars, i.e.
-    * they sit far apart in the global sorted order anyway (the
-    * documented SNM trade: duplicates whose keys diverge in the first
-    * characters are invisible to ANY sort-key method; pair it with
-    * q12's LSH for prefix-divergent dups).
+    * (`Window.partitionBy(block)`), which is how the method
+    * distributes. The recall trade is TWO-fold versus classic
+    * globally-sorted SNM: (a) duplicates whose keys diverge in the
+    * first characters are invisible to ANY sort-key method, and (b)
+    * pairs that are adjacent in the global order but straddle a block
+    * boundary (e.g. keys `aaaz…` / `aaba…` — they differ inside the
+    * first `prefixLen` chars yet sort next to each other) land in
+    * different blocks and are never compared — an ADDITIONAL loss
+    * this blocked variant accepts for the shuffle-free sort. Both
+    * classes are prefix-divergent, so pair it with q12's LSH for
+    * recall on them; q173's audit measures the completeness actually
+    * achieved.
     *
     * Scale: one hash shuffle on the block prefix + a spillable
     * window holding `windowSize` token arrays; output is ≤

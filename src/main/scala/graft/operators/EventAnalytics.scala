@@ -853,9 +853,11 @@ object EventAnalytics {
     * num/sqrt(var_c·var_v), and int64→double conversion is
     * round-to-nearest-even in both engines. Windows with fewer than
     * `windowDays` observed days or a zero variance are dropped (no
-    * NaN/null divergence). Int64 headroom: needs
-    * windowDays·(Σwindow vq)² < 2^63 — at 1000× the daily value mass,
-    * coarsen `quantUnit` one decade per ~1.5 decades of growth.
+    * NaN/null divergence). Headroom: first-order window sums (sc, sv)
+    * stay int64 (bounded by total daily mass); every SECOND-order
+    * moment (scc, svv, scv) and the n·Σ − Σ² variance products run in
+    * DECIMAL(38,0), so no quantUnit coarsening is needed until the
+    * squared window mass approaches 10³⁸.
     *
     * Scale: the daily pre-aggregate (map-side combined) is the only
     * full-data shuffle; the rolling windows run over |types|×|days|
@@ -873,20 +875,27 @@ object EventAnalytics {
         sum(floor(col(valueCol) * lit(quantUnit))).as("vq"))
     val w = Window.partitionBy("event_type").orderBy("d")
       .rowsBetween(-(windowDays - 1), 0)
+    // Second-order moments in DECIMAL(38,0) (the transitionImpurity /
+    // dailyAutocorrelation discipline): c·c wraps int64 at daily
+    // volumes ~3e9 and vq·vq far earlier at fine quantUnit — the
+    // decimal path keeps the moments exact at any scale.
     daily.select(col("event_type"), col("d"),
         count(lit(1)).over(w).as("nw"),
         sum(col("c")).over(w).as("sc"),
-        sum(col("c") * col("c")).over(w).as("scc"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).over(w).as("scc"),
         sum(col("vq")).over(w).as("sv"),
-        sum(col("vq") * col("vq")).over(w).as("svv"),
-        sum(col("c") * col("vq")).over(w).as("scv"))
+        sum(col("vq").cast("decimal(38,0)") * col("vq")).over(w).as("svv"),
+        sum(col("c").cast("decimal(38,0)") * col("vq")).over(w).as("scv"))
       .filter(col("nw") === windowDays)
-      .withColumn("var_c", col("nw") * col("scc") - col("sc") * col("sc"))
-      .withColumn("var_v", col("nw") * col("svv") - col("sv") * col("sv"))
+      .withColumn("var_c", col("nw").cast("decimal(38,0)") * col("scc") -
+        col("sc").cast("decimal(38,0)") * col("sc"))
+      .withColumn("var_v", col("nw").cast("decimal(38,0)") * col("svv") -
+        col("sv").cast("decimal(38,0)") * col("sv"))
       .filter(col("var_c") > 0 && col("var_v") > 0)
       .select(col("event_type"),
         date_format(col("d"), "yyyy-MM-dd").as("day"),
-        ((col("nw") * col("scv") - col("sc") * col("sv")).cast("double") /
+        ((col("nw").cast("decimal(38,0)") * col("scv") -
+          col("sc").cast("decimal(38,0)") * col("sv")).cast("double") /
           sqrt(col("var_c").cast("double") * col("var_v").cast("double")))
           .as("vol_value_r"))
       .orderBy("event_type", "day")
@@ -951,10 +960,14 @@ object EventAnalytics {
     * weekly cycle shows up as a lag-7 peak). Pairs are calendar-exact:
     * (day d, day d−k) contributes only when BOTH days were observed
     * (no zero-fill, no engine-dependent date densification). Daily
-    * counts are int64, so every moment (Σx, Σx², Σxy) is exact integer
-    * arithmetic; the ONE double chain per (type, lag) is the final
-    * Pearson over those ints — sqrt output, so [[graft.functions.hashSafeRound]]
-    * at 9. Windows with < 2 pairs or zero variance are dropped.
+    * counts are int64; every second-order moment (Σx², Σxy, and the
+    * n·Σx² − (Σx)² variance products) is accumulated in DECIMAL(38,0)
+    * — the [[transitionImpurity]] discipline against 100-TB counts: a
+    * daily volume of ~5e7 over a decade gives Σx² ≈ 9e18, past int64 —
+    * so the moments stay exact at any scale. The ONE double chain per
+    * (type, lag) is the final Pearson over those exact decimals — sqrt
+    * output, so [[graft.functions.hashSafeRound]] at 9. Windows with
+    * < 2 pairs or zero variance are dropped.
     *
     * Scale: the daily pre-aggregate (map-side combined) is the only
     * full-data shuffle; the lag fan-out explodes |types|×|days| rows
@@ -977,17 +990,20 @@ object EventAnalytics {
       .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
       .withColumn("var_x",
-        col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+        col("n_pairs").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx"))
       .withColumn("var_y",
-        col("n_pairs") * col("syy") - col("sy") * col("sy"))
+        col("n_pairs").cast("decimal(38,0)") * col("syy") -
+          col("sy").cast("decimal(38,0)") * col("sy"))
       .filter(col("n_pairs") >= 2 && col("var_x") > 0 && col("var_y") > 0)
       .select(col("event_type"), col("lag"), col("n_pairs"),
         graft.functions.hashSafeRound(
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+          (col("n_pairs").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy"))
             .cast("double") /
             sqrt(col("var_x").cast("double") * col("var_y").cast("double")),
           9).as("acf"))

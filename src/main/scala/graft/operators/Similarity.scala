@@ -392,10 +392,12 @@ object Similarity {
     * most one row per (i, j) per partition, so the single shuffle
     * moves O(partitions · dims²) fixed-width rows regardless of corpus
     * size — no joins, no windows, no driver collect. Envelope:
-    * n ≤ ~5·10⁹ rows keeps n·Σxy inside DECIMAL(38,0) (the same bound
-    * class as [[dimensionStats]]'s n·s2); past it, shard the corpus
-    * and merge the (n, Σx, Σy, Σxy) partials — they are exactly
-    * mergeable by addition, unlike any float accumulation.
+    * n ≤ ~3·10⁹ rows — the BINDING term is the offset shift n²·8·10¹⁸
+    * (n² · offset exceeds DECIMAL(38,0) at n ≈ 3.5·10⁹), tighter than
+    * the n·Σxy bound (~5·10⁹, the [[dimensionStats]] n·s2 class);
+    * past it, shard the corpus and merge the (n, Σx, Σy, Σxy)
+    * partials — they are exactly mergeable by addition, unlike any
+    * float accumulation.
     */
   def embeddingCovariance(emb: DataFrame, vecCol: String): DataFrame = {
     val offset = 8000000000000000000L // (2e9 nano-units)² × 2 headroom
@@ -974,6 +976,16 @@ object Similarity {
     */
   def labelCentroidCosine(emb: DataFrame, labelCol: String,
       vecCol: String): DataFrame = {
+    // Labels MUST be integral: the long cast below is what makes the
+    // label a stable join/group key across engines, and a silent
+    // string→null cast would collapse every row into one null
+    // centroid. Fail loudly instead (knnLabelAgreement next door
+    // accepts arbitrary label types; this operator does not).
+    val lblType = emb.schema(labelCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(lblType.typeName),
+      s"labelCentroidCosine needs an integral label column; " +
+        s"'$labelCol' is ${lblType.typeName}")
     val sums = emb
       .withColumn("__xi", transform(col(vecCol),
         v => floor(v.cast("double") * lit(1e9) + lit(0.5)).cast("long")))
