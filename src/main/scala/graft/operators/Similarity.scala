@@ -67,9 +67,22 @@ object Similarity {
     * order `(cos_sim DESC, nbr_id ASC)`. The brute-force candidate
     * generator behind [[knnLabelAgreement]], exposed so recall gates
     * can compare it against [[knnNeighborsApprox]] row-for-row.
+    *
+    * `probeCoin = Some((salt, hexThreshold))` restricts the PROBE side
+    * to rows whose md5 coin `substr(md5(salt#id), 1, 8) < hexThreshold`
+    * lands under the threshold (the q73 selection idiom —
+    * deterministic, engine-reproducible, no RNG state). This is the
+    * route that lets the recall-audit PROTOCOL itself survive 100×:
+    * the full-exact audit (q144) is corpus² and exists only at gate
+    * scale, while the sampled audit's exact side is sample×corpus —
+    * each sampled probe still ranks against the ENTIRE corpus, so its
+    * neighbor rows are identical to the full run's rows for that
+    * probe (per-probe ranking is independent of other probes), and
+    * recall estimated on the sample is unbiased for the corpus.
     */
   def knnNeighborsExact(emb: DataFrame, idCol: String, vecCol: String,
-                        k: Int): DataFrame = {
+                        k: Int,
+                        probeCoin: Option[(String, String)] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
     // the probe side REPARTITIONS by id before meeting the broadcast:
@@ -83,7 +96,13 @@ object Similarity {
     // partition — but the DOWNSTREAM cost is n× per row (the broadcast
     // product), which size-based rules cannot see. The post-join
     // projection keeps the two 64-float arrays out of the window sort.
-    val probes = emb.select(col(idCol).as("vec_id"),
+    val probeBase = probeCoin match {
+      case Some((salt, hex)) => emb.filter(
+        substring(md5(concat(lit(s"$salt#"), col(idCol).cast("string"))),
+          1, 8) < lit(hex))
+      case None => emb
+    }
+    val probes = probeBase.select(col(idCol).as("vec_id"),
         col(vecCol).as("query_vec"))
       .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions,
         col("vec_id"))
@@ -113,16 +132,27 @@ object Similarity {
     */
   def knnNeighborsApprox(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 8, planesPerTable: Int = 6, dim: Int = 64,
-      seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
+      seed: Long = 42L, multiProbe: Boolean = false,
+      probeCoin: Option[(String, String)] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val planes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
     val bucketed = emb
       .select(col(idCol).as("id"), posexplode(bucketsCol(col(vecCol), planes)))
       .toDF("id", "tbl", "bucket")
+    // probeCoin (see knnNeighborsExact): the INDEX side stays the full
+    // corpus — a sampled probe must still meet every bucket-mate — and
+    // only the probe side thins, so candidate volume scales with the
+    // sample while the index build stays one pass over the corpus.
+    val probeSide = probeCoin match {
+      case Some((salt, hex)) => bucketed.filter(
+        substring(md5(concat(lit(s"$salt#"), col("id").cast("string"))),
+          1, 8) < lit(hex))
+      case None => bucketed
+    }
     val probes =
-      if (!multiProbe) bucketed.select(col("tbl"), col("bucket"),
+      if (!multiProbe) probeSide.select(col("tbl"), col("bucket"),
         col("id").as("vec_id"))
-      else bucketed.select(col("id").as("vec_id"), col("tbl"),
+      else probeSide.select(col("id").as("vec_id"), col("tbl"),
         hamming1Probes(col("bucket"), planesPerTable).as("bucket"))
     // distinct on NARROW id pairs before vectors are joined back —
     // the multi-table self-join surfaces each pair up to `tables`

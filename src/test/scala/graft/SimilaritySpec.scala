@@ -403,6 +403,36 @@ class SimilaritySpec extends SparkSpec {
       .subsetOf(exactPairs) shouldBe true
   }
 
+  test("probeCoin: sampled neighbor tables equal the full tables filtered to the sampled probes") {
+    // the unbiasedness property the sampled-recall audit (q206) rests
+    // on: each probe's ranking is independent of other probes, so
+    // restricting the PROBE side must reproduce the full run's rows
+    // for the sampled ids EXACTLY — and the index side must stay full
+    // (a sampled probe still meets every corpus row / bucket-mate)
+    val coin = Some(("knnrecall", "30000000")) // ids 1,2,3 of 0-4
+    def sampledIds = vecs.filter(
+      substring(md5(concat(lit("knnrecall#"), $"vec_id".cast("string"))),
+        1, 8) < lit("30000000")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ids = sampledIds
+    ids should not be empty
+    ids.size should be < 5
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val fullE = Similarity.knnNeighborsExact(vecs, "vec_id", "embedding", 4)
+      .collect().filter(r => ids(r.getLong(0))).map(key).toSet
+    val sampE = Similarity.knnNeighborsExact(vecs, "vec_id", "embedding", 4,
+      probeCoin = coin).collect().map(key).toSet
+    sampE shouldBe fullE
+    val fullA = Similarity.knnNeighborsApprox(vecs, "vec_id", "embedding", 4,
+        tables = 8, planesPerTable = 2, dim = 4, multiProbe = true)
+      .collect().filter(r => ids(r.getLong(0))).map(key).toSet
+    val sampA = Similarity.knnNeighborsApprox(vecs, "vec_id", "embedding", 4,
+        tables = 8, planesPerTable = 2, dim = 4, multiProbe = true,
+        probeCoin = coin).collect().map(key).toSet
+    sampA shouldBe fullA
+  }
+
   test("knnLabelAgreementApprox equals the exact audit when probing recovers every neighbor") {
     // planesPerTable = 1 + Hamming-1 multiprobe: every query probes
     // BOTH buckets of every table, so the candidate set is complete
