@@ -135,6 +135,26 @@ object StreamingOps {
           sha2(graft.functions.normText(col(textCol)), 256)),
       tsCol, grace, Seq("content_key"))
 
+  /** One key's micro-batch group, sorted IN PLACE in a single array —
+    * the shared group-fold step of every stateful twin below. `rows`
+    * is a single-pass iterator and each fold needs (tsUs, tie) order,
+    * so the group must land in memory once; this allocates exactly ONE
+    * array (no toSeq → sorted-copy chain). Memory contract: the
+    * envelope is the hottest key's PER-MICRO-BATCH arrival volume —
+    * trigger-bounded, never all-time history (state stays O(1) per
+    * key) — and for the gap/transition-class twins the OUTPUT is
+    * itself group-sized, so O(group) working memory is the floor of
+    * ANY formulation, incremental or not. A bot-shaped key needs the
+    * same upstream guard as the batch side
+    * ([[graft.operators.EventAnalytics.funnel]]'s maxEventsPerEntity).
+    */
+  private def sortedGroup[T, K](rows: Iterator[T])(key: T => K)(
+      implicit ct: scala.reflect.ClassTag[T], ord: Ordering[K]): Array[T] = {
+    val arr = rows.toArray
+    arr.sortInPlaceBy(key)
+    arr
+  }
+
   /** W1/W2 as a STREAMING stateful operator: per-key previous-value
     * percent gap and inter-arrival staleness, carried across
     * micro-batches in the state store — the MarketDataMonitor's
@@ -150,7 +170,7 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key, rows, state: GroupState[LagState]) =>
           var st = state.getOption
-          val out = rows.toSeq.sortBy(r => (r.tsUs, r.value)).map { r =>
+          val out = sortedGroup(rows)(r => (r.tsUs, r.value)).map { r =>
             val m = LagMetrics(key, r.tsUs, r.value,
               st.flatMap(s =>
                 if (s.lastValue == 0.0) None
@@ -193,7 +213,7 @@ object StreamingOps {
         (user, rows, state: GroupState[FunnelState]) =>
           var st = state.getOption.map(_.stepTs).getOrElse(Seq.empty)
           val out = Seq.newBuilder[FunnelProgress]
-          rows.toSeq.sortBy(r => (r.tsUs, r.etype)).foreach { r =>
+          sortedGroup(rows)(r => (r.tsUs, r.etype)).foreach { r =>
             if (st.length < steps.size && r.etype == steps(st.length) &&
                 (st.isEmpty || (r.tsUs > st.last &&
                   maxStepGapUs.forall(gap => r.tsUs <= st.last + gap)))) {
@@ -224,7 +244,7 @@ object StreamingOps {
         (user, rows, state: GroupState[TransState]) =>
           var st = state.getOption
           val out = Seq.newBuilder[Transition]
-          rows.toSeq.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+          sortedGroup(rows)(r => (r.tsUs, r.eid)).foreach { r =>
             st.foreach(p => out += Transition(user, p.etype, r.etype, r.tsUs))
             st = Some(TransState(r.tsUs, r.eid, r.etype))
           }
@@ -243,14 +263,9 @@ object StreamingOps {
     * multiset equals the batch lag-gaps under event-ordered arrival
     * across batches. Works on batch Datasets too.
     *
-    * MEMORY BOUND (shared by every `rows.toSeq.sortBy` stateful twin
-    * here): one key's rows WITHIN ONE MICRO-BATCH are materialized and
-    * sorted in executor memory — the envelope is the hottest key's
-    * per-batch arrival volume (trigger-bounded), NOT its all-time
-    * history (which lives in the state store as O(1) per key). Size
-    * triggers so hot-key-per-batch stays in task memory; a bot-shaped
-    * key needs the same upstream guard as the batch side
-    * ([[graft.operators.EventAnalytics.funnel]]'s maxEventsPerEntity).
+    * MEMORY BOUND: see [[sortedGroup]] — one array per (key, batch),
+    * envelope = the hottest key's per-batch arrival volume. Size
+    * triggers so hot-key-per-batch stays in task memory.
     */
   def gapsStateful(ds: Dataset[TransEvent]): Dataset[EventGap] = {
     import ds.sparkSession.implicits._
@@ -260,7 +275,7 @@ object StreamingOps {
         case ((user, etype), rows, state: GroupState[GapState]) =>
           var last = state.getOption.map(_.tsUs)
           val out = Seq.newBuilder[EventGap]
-          rows.toSeq.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+          sortedGroup(rows)(r => (r.tsUs, r.eid)).foreach { r =>
             last.foreach(l => out += EventGap(user, etype, r.tsUs - l))
             last = Some(r.tsUs)
           }
@@ -289,7 +304,7 @@ object StreamingOps {
         (user, rows, state: GroupState[AttrState]) =>
           var ch = state.getOption.map(_.channel)
           val out = Seq.newBuilder[Attribution]
-          rows.toSeq.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+          sortedGroup(rows)(r => (r.tsUs, r.eid)).foreach { r =>
             if (r.etype == convType)
               out += Attribution(user, ch.getOrElse("(none)"), r.tsUs)
             else ch = Some(r.etype)
@@ -325,7 +340,7 @@ object StreamingOps {
         (user, rows, state: GroupState[EntryExitState]) =>
           var st = state.getOption
           val out = Seq.newBuilder[SessionSummary]
-          rows.toSeq.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+          sortedGroup(rows)(r => (r.tsUs, r.eid)).foreach { r =>
             st match {
               case Some(s) if r.tsUs - s.lastTs > gapMicros =>
                 out += SessionSummary(user, s.entry, s.lastType, s.n)
@@ -360,7 +375,7 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, rows, state: GroupState[ShardState]) =>
           var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
-          val out = rows.toSeq.sortBy(_.docId).map { d =>
+          val out = sortedGroup(rows)(_.docId).map { d =>
             val shard = cum / budget
             cum += d.nTok
             ShardAssigned(d.source, d.docId, d.nTok, shard)
@@ -389,7 +404,7 @@ object StreamingOps {
       override def handleInputRows(key: String, rows: Iterator[LagPoint],
                                    timerValues: TimerValues): Iterator[LagMetrics] = {
         var st = if (state.exists()) Some(state.get()) else None
-        val out = rows.toSeq.sortBy(r => (r.tsUs, r.value)).map { r =>
+        val out = sortedGroup(rows)(r => (r.tsUs, r.value)).map { r =>
           val m = LagMetrics(key, r.tsUs, r.value,
             st.flatMap(s =>
               if (s.lastValue == 0.0) None

@@ -1,21 +1,31 @@
 #!/bin/bash
-# One-run full sf0.1 gate (VERDICT r9 item 3): Verify dump at sf0.1,
-# then the DuckDB oracle compare over every query, written as a single
-# artifact. Launch DETACHED (nohup) — the check phase runs ~3h at this
-# suite size and must not share cores with Bench/StressBench.
+# One-run full sf0.1 gate, RESUMABLE (VERDICT r10 item 1): Verify dump
+# at sf0.1, then the parallel DuckDB oracle compare (check_parallel.py)
+# with per-query JSONL progress — a killed run keeps its prefix and a
+# relaunch skips completed queries. Launch DETACHED (nohup); kill it
+# before any Bench record (DuckDB contends for every core).
+#
+# Artifact lineage: CHECK_SF01_100q/129q/145q/173q.json are historical
+# prefixes of the growing suite; each full-suite artifact supersedes
+# the previous. The current target is CHECK_SF01_206q.json.
 set -u
 cd /root/repo
-OUT=${2:-/tmp/verify_sf01_r10}
-ART=${1:-/root/repo/CHECK_SF01_173q.json}
-rm -rf "$OUT"
-SPARK_GRAFT_CPUS=32 java -Xmx96g \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify /root/testdata/sf0.1 "$OUT" > /tmp/sf01_dump.log 2>&1
-if grep -q "\[verify\].*failed" /tmp/sf01_dump.log; then
-  echo "DUMP FAILURES:" >&2
-  grep "\[verify\].*failed" /tmp/sf01_dump.log >&2
+ART=${1:-/root/repo/CHECK_SF01_206q.json}
+OUT=${2:-/tmp/verify_sf01_r11}
+WORKERS=${3:-6}
+THREADS=${4:-5}
+# Reuse an existing dump (resume case: the Spark phase is cheap but
+# re-dumping would orphan the progress JSONL's row counts).
+if [ ! -f "$OUT/oracle_sql.json" ]; then
+  rm -rf "$OUT"
+  SPARK_GRAFT_CPUS=32 java -Xmx96g \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Verify /root/testdata/sf0.1 "$OUT" > /tmp/sf01_dump.log 2>&1
+  if grep -q "\[verify\].*failed" /tmp/sf01_dump.log; then
+    echo "DUMP FAILURES:" >&2
+    grep "\[verify\].*failed" /tmp/sf01_dump.log >&2
+  fi
 fi
-python3 tools/check.py /root/testdata/sf0.1 "$OUT" \
-  > "$ART.tmp" 2>/tmp/sf01_check.err \
-  && mv "$ART.tmp" "$ART"
+python3 tools/check_parallel.py /root/testdata/sf0.1 "$OUT" "$ART" \
+  --workers "$WORKERS" --threads "$THREADS" 2>/tmp/sf01_check.err
 tail -1 "$ART" 2>/dev/null
