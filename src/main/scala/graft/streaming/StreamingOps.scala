@@ -357,6 +357,65 @@ object StreamingOps {
       }
   }
 
+  /** [[entryExitStateful]] with an EVENT-TIME TIMEOUT flush (VERDICT
+    * r10 item 7) — the variant that completes the face: an idle
+    * entity's open session no longer waits forever for a successor
+    * event; when the WATERMARK passes `lastTs + gapMicros`, the state
+    * times out and the session is emitted as closed, exactly as a
+    * successor arriving after the gap would have closed it. Parity
+    * contract (watermark-relative, pinned by StreamingSpec): once the
+    * watermark has advanced past every entity's `lastTs + gapMicros`,
+    * the emitted session multiset equals the FULL batch
+    * [[graft.operators.EventAnalytics.sessionEntryExit]] matrix —
+    * including each entity's final session, which the NoTimeout
+    * variant deliberately withholds. Holds under the same arrival
+    * contract as every stateful twin here (event-ordered across
+    * batches, no late data beyond `grace`); a timed-out entity's later
+    * events open a FRESH session, which is the batch semantics too
+    * (their gap to the flushed session necessarily exceeds
+    * `gapMicros`, because the watermark only advances with event
+    * time). State stays O(1) per entity; the timeout registration is
+    * re-armed once per (key, batch) on the latest event.
+    */
+  def entryExitStatefulTimeout(ds: Dataset[TransEvent], gapMicros: Long,
+      grace: String = "0 seconds"): Dataset[SessionSummary] = {
+    require(gapMicros > 0, s"gapMicros must be positive: $gapMicros")
+    import ds.sparkSession.implicits._
+    ds.withColumn("__et", timestamp_micros(col("tsUs")))
+      .withWatermark("__et", grace)
+      .as[TransEvent]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[EntryExitState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[EntryExitState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(user, s.entry, s.lastType, s.n))
+          } else {
+            var st = state.getOption
+            val out = Seq.newBuilder[SessionSummary]
+            sortedGroup(rows)(r => (r.tsUs, r.eid)).foreach { r =>
+              st match {
+                case Some(s) if r.tsUs - s.lastTs > gapMicros =>
+                  out += SessionSummary(user, s.entry, s.lastType, s.n)
+                  st = Some(EntryExitState(r.etype, r.tsUs, r.etype, 1L))
+                case Some(s) =>
+                  st = Some(s.copy(lastTs = r.tsUs, lastType = r.etype,
+                    n = s.n + 1L))
+                case None =>
+                  st = Some(EntryExitState(r.etype, r.tsUs, r.etype, 1L))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + gapMicros) / 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** STREAMING twin of [[graft.operators.Curation.packShards]]: the
     * per-source cumulative token count lives in the state store, so
     * shard assignment continues seamlessly across micro-batches — the

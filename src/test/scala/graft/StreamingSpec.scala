@@ -355,6 +355,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("entryExitStatefulTimeout: the watermark flushes idle sessions to full batch parity") {
+    // the event-time-timeout face (VERDICT r10 item 7): u1 and u2 get
+    // NO successor events — under NoTimeout their sessions would stay
+    // in state forever; here the watermark (advanced by a far-future
+    // horizon entity) times them out and emits them closed, matching
+    // the batch matrix's final sessions
+    import graft.streaming.{TransEvent, SessionSummary}
+    val us = 1000000L
+    val gap = 60 * us
+    val b1 = Seq(
+      TransEvent(1L, 10 * us, 100L, "a"),
+      TransEvent(1L, 20 * us, 101L, "c"),
+      TransEvent(2L, 10 * us, 102L, "z"))
+    val b2 = Seq(TransEvent(3L, 500 * us, 103L, "w"))  // horizon: wm→500s
+    val b3 = Seq(TransEvent(3L, 501 * us, 104L, "w"))  // trigger: fires 80s/70s timeouts
+    val input = MemoryStream[TransEvent](spark)
+    val out = StreamingOps.entryExitStatefulTimeout(input.toDS(), gap)
+    val ckpt = Files.createTempDirectory("ckpt_eet").toString
+    val q = out.writeStream.format("memory").queryName("eet_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      // nothing closed yet: no successor gaps, watermark still 0
+      spark.table("eet_out").count() shouldBe 0L
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.table("eet_out").as[SessionSummary].collect()
+        .map(s => (s.user, s.entryType, s.exitType, s.nEvents))
+        .sorted.toSeq
+      streamed shouldBe Seq((1L, "a", "c", 2L), (2L, "z", "z", 1L))
+      // watermark-relative parity: the batch matrix over u1/u2's
+      // events counts exactly the flushed sessions (they ARE the
+      // final sessions batch reports); only the horizon entity's
+      // still-open session separates stream from batch
+      val batch = graft.operators.EventAnalytics.sessionEntryExit(
+          b1.map(e =>
+            (e.user, new java.sql.Timestamp(e.tsUs / 1000), e.eid, e.etype))
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_type", "event_id", gap)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      batch shouldBe Set(("a", "c", 1L, 0L), ("z", "z", 1L, 1L))
+    } finally q.stop()
+  }
+
   test("attributionStateful: credits equal the batch last-touch window across micro-batches") {
     import graft.streaming.{TransEvent, Attribution}
     val us = 1000000L
