@@ -271,10 +271,38 @@ object SparkEntry {
     * in-window quantity (the availqty > ½·yearqty analogue with
     * capacity DERIVED from lineitem history; no partsupp table here).
     * Shared by the Spark call and the twin. */
+  /** Shared FY-1998 window for the year-scoped TPC-H shapes
+    * (q205/q207/q208/q211) — inside this corpus's 1995–2001 range. */
+  private val TpchYearFrom = "1998-01-01 00:00:00"
+  private val TpchYearTo = "1999-01-01 00:00:00"
   private val Q20PartPrefix = "small"
-  private val Q20YearFrom = "1998-01-01 00:00:00"
-  private val Q20YearTo = "1999-01-01 00:00:00"
+  private val Q20YearFrom = TpchYearFrom
+  private val Q20YearTo = TpchYearTo
   private val Q20CapacityMult = 2
+  /** q207 (TPC-H Q6 shape) forecast-revenue band: discounts in
+    * [0.05, 0.07] and quantity below 24, FY1998. The discount bounds
+    * compare the SAME parquet doubles against the same literals in
+    * both engines — no arithmetic before the compare, so no float
+    * divergence surface. */
+  private val Q6DiscLo = 0.05
+  private val Q6DiscHi = 0.07
+  private val Q6MaxQty = 24
+  /** q208 (TPC-H Q9 shape): the part-name substring cut and the
+    * retail-cost factor standing in for ps_supplycost (no partsupp
+    * table — cost is derived from the part dim, q163/q205 precedent). */
+  private val Q9NamePattern = "red"
+  /** q210 (TPC-H Q11 shape) importance floor: parts holding more than
+    * 1/Q11FracDen of the nation's total shipped quantity. Filter is
+    * the division-free exact-decimal compare qv·den > total (q166). */
+  private val Q11Nation = "NATION_7"
+  private val Q11FracDen = 1000
+  /** q211 (TPC-H Q12 shape) lag banding: ship−order day lag, 30-day
+    * integer bands (intDiv — exact in both engines). */
+  private val Q12BandDays = 30
+  /** q212 (TPC-H Q2 shape) part cut: small PROMO parts; the
+    * min-acctbal supplier stands in for min supplycost. */
+  private val Q2PartType = "PROMO"
+  private val Q2MaxSize = 5
   /** q206 sampled-recall audit (VERDICT r10 item 4): the md5-coin
     * (salt, 8-hex-digit threshold) selecting ~1/8 of rows as recall
     * probes — 63 of 500 at sf0.01, 255 of 2000 at sf0.1. Shared by
@@ -3918,6 +3946,155 @@ object SparkEntry {
           col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q6-shape forecast revenue: the pure scan-filter-aggregate
+    // plan — no join at all; the discount/quantity band and the year
+    // cut must all PUSH DOWN to the parquet scan, and the single
+    // decimal-exact sum partial-aggregates map-side to one row per
+    // partition. The simplest plan in the suite, present precisely so
+    // the gate covers the no-shuffle degenerate shape.
+    "q207_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit(TpchYearFrom)) &&
+          col("l_shipdate") < to_timestamp(lit(TpchYearTo)) &&
+          col("l_discount") >= Q6DiscLo && col("l_discount") <= Q6DiscHi &&
+          col("l_quantity") < Q6MaxQty)
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * col("l_discount"))
+            .as("revenue"))),
+
+    // TPC-H Q9-shape product profit by nation and year: name-pattern
+    // part cut (broadcast dim), supplier→nation for the grouping
+    // (nation broadcast, supplier left to AQE), profit = revenue minus
+    // a retail-derived cost (no partsupp table — q205 precedent). The
+    // per-row amount is ONE fixed IEEE product chain evaluated in the
+    // same order by both engines, then decimal-exact summed.
+    "q208_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_name").contains(Q9NamePattern))
+        .select("p_partkey", "p_retailprice")
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount", "l_quantity")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("l_quantity") * col("p_retailprice") * lit(0.1))
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q10-shape returned-item losses: customers ranked by the
+    // revenue of their 'R'-flagged lines against quarter-window
+    // orders — fact×fact join left to AQE, customer join on the
+    // SHRUNKEN aggregate side, nation broadcast. Deterministic top-20
+    // (revenue desc, then custkey).
+    "q209_returned_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit(TpchQtrFrom)) &&
+          col("o_orderdate") < to_timestamp(lit(TpchQtrTo)))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      rev.join(Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q11-shape important inventory: per-part shipped-quantity
+    // mass from ONE nation's suppliers, kept when it exceeds
+    // 1/Q11FracDen of that nation's total — the HAVING-vs-global-
+    // scalar shape. The filter is the division-free exact-decimal
+    // compare qv·den > total against a 1-row broadcast rider (the
+    // q166 above-mean discipline); the double `value` column is
+    // display-only, AFTER the exact filter decided membership.
+    "q210_important_parts" -> ((s, dir) => {
+      val natSup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === Q11Nation).select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val qv = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey",
+          "l_quantity")
+        .join(natSup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("qvd"))
+      val total = qv.agg(sum(col("qvd")).as("totald"))
+      qv.crossJoin(broadcast(total))
+        .filter(col("qvd") * lit(Q11FracDen) > col("totald"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("qvd").cast("double").as("value"))
+        .orderBy(col("value").desc, col("p_partkey").asc)
+    }),
+
+    // TPC-H Q12-shape shipping-lag priority audit: per 30-day
+    // ship-after-order lag band, how many lines belong to critical
+    // (URGENT/HIGH) orders vs the rest — the conditional-count split
+    // over a fact×fact join. Lag bands are exact integer day
+    // arithmetic (datediff → intDiv); counts exact int64.
+    "q211_lag_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate",
+        "o_orderpriority")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit(TpchYearFrom)) &&
+          col("l_shipdate") < to_timestamp(lit(TpchYearTo)))
+        .select("l_orderkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(intDiv(datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("long"), lit(Q12BandDays.toLong)).as("lag_band"),
+          col("o_orderpriority"))
+        .groupBy("lag_band")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+        .orderBy("lag_band")
+    }),
+
+    // TPC-H Q2-shape minimum-cost supplier per part: Q2's correlated
+    // MIN-subquery expressed as the SCALABLE window form — distinct
+    // (part, supplier) pairs derived from lineitem (no partsupp),
+    // supplier attributes joined once, then ONE row_number window per
+    // part keyed on (acctbal asc, suppkey asc) picks the cheapest
+    // deterministically. No correlated re-scan per part, no self-join.
+    "q212_min_cost_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pcut = Tables.part(s, dir)
+        .filter(col("p_type") === Q2PartType && col("p_size") <= Q2MaxSize)
+        .select("p_partkey", "p_brand", "p_size")
+      val ps = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(pcut), col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "p_brand", "p_size", "l_suppkey").distinct()
+      val w = Window.partitionBy("p_partkey")
+        .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+      ps.join(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_name", "s_acctbal"),
+          col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey").asc)
     }),
 
     // Sampled-recall ANN audit (VERDICT r10 item 4) — the protocol
@@ -8038,7 +8215,84 @@ object SparkEntry {
         |  CAST(TRUE AS BOOLEAN) AS vote_mae_ok
         |FROM embeddings
         |WHERE substr(md5('$KnnSampleSalt#' || CAST(vec_id AS VARCHAR)),
-        |  1, 8) < '$KnnSampleHex'""".stripMargin
+        |  1, 8) < '$KnnSampleHex'""".stripMargin,
+
+    "q207_forecast_revenue" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  ${DSUM("l_extendedprice * l_discount")} AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '$TpchYearFrom'
+        |  AND l_shipdate < TIMESTAMP '$TpchYearTo'
+        |  AND l_discount >= $Q6DiscLo AND l_discount <= $Q6DiscHi
+        |  AND l_quantity < $Q6MaxQty""".stripMargin,
+
+    "q208_product_profit" ->
+      s"""SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  ${DSUM("l_extendedprice * (1.0 - l_discount) - " +
+          "l_quantity * p_retailprice * 0.1")} AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%$Q9NamePattern%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q209_returned_revenue" ->
+      s"""WITH rev AS (SELECT o_custkey,
+        |    ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '$TpchQtrFrom'
+        |    AND o_orderdate < TIMESTAMP '$TpchQtrTo'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q210_important_parts" ->
+      s"""WITH qv AS (SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qvd
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = '$Q11Nation')
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, CAST(qvd AS DOUBLE) AS value
+        |FROM qv
+        |WHERE qvd * $Q11FracDen > (SELECT SUM(qvd) FROM qv)
+        |ORDER BY value DESC, p_partkey ASC""".stripMargin,
+
+    "q211_lag_priority" ->
+      s"""SELECT datediff('day', o_orderdate, l_shipdate) // $Q12BandDays
+        |    AS lag_band,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '$TpchYearFrom'
+        |  AND l_shipdate < TIMESTAMP '$TpchYearTo'
+        |GROUP BY 1
+        |ORDER BY lag_band""".stripMargin,
+
+    "q212_min_cost_supplier" ->
+      s"""WITH ps AS (SELECT DISTINCT p_partkey, p_brand, p_size,
+        |    l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = '$Q2PartType' AND p_size <= $Q2MaxSize),
+        |r AS (SELECT p_partkey, p_brand, p_size, s_suppkey, s_name,
+        |    s_acctbal,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY s_acctbal ASC, s_suppkey ASC) AS rk
+        |  FROM ps JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, s_acctbal
+        |FROM r WHERE rk = 1
+        |ORDER BY s_acctbal DESC, p_partkey ASC""".stripMargin
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark
