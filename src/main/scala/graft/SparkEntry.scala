@@ -4097,6 +4097,28 @@ object SparkEntry {
         .orderBy(col("s_acctbal").desc, col("p_partkey").asc)
     }),
 
+    // Two-step transition reachability: M² of the bigram counts —
+    // "what follows X two clicks later, through ANY middle step". The
+    // |types|²-row matrix self-joins on the middle type (nothing
+    // corpus-sized); path products fold in DECIMAL(38,0).
+    "q213_two_step_transitions" -> ((s, dir) =>
+      operators.EventAnalytics.twoStepTransitions(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id")),
+
+    // Hour-of-day activity profile per event type — the diurnal-shape
+    // audit; exact cell counts, one int64/int64 divide per share.
+    "q214_hourly_profile" -> ((s, dir) =>
+      operators.EventAnalytics.hourlyActivityProfile(Tables.events(s, dir),
+        "ts", "event_type")),
+
+    // Effective dimensionality (participation ratio over per-dim
+    // variances) of the embedding corpus — "how much of the 64-dim
+    // space is actually used"; exact milli-quantized moments, one
+    // double chain, round-9.
+    "q215_effective_dims" -> ((s, dir) =>
+      operators.Similarity.effectiveDimensionality(
+        Tables.embeddings(s, dir), "embedding")),
+
     // Sampled-recall ANN audit (VERDICT r10 item 4) — the protocol
     // that SURVIVES 100×, next to q144's full-exact gate which by
     // design cannot: probes are a deterministic md5-coin sample
@@ -8292,7 +8314,53 @@ object SparkEntry {
         |  FROM ps JOIN supplier ON l_suppkey = s_suppkey)
         |SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, s_acctbal
         |FROM r WHERE rk = 1
-        |ORDER BY s_acctbal DESC, p_partkey ASC""".stripMargin
+        |ORDER BY s_acctbal DESC, p_partkey ASC""".stripMargin,
+
+    "q213_two_step_transitions" ->
+      """WITH p AS (SELECT et, net, COUNT(*) AS n FROM (
+        |    SELECT event_type AS et,
+        |      LEAD(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS net
+        |    FROM events)
+        |  WHERE net IS NOT NULL GROUP BY 1, 2)
+        |SELECT a.et AS et_from, b.net AS et_to,
+        |  CAST(SUM(a.n * b.n) AS BIGINT) AS n_paths
+        |FROM p a JOIN p b ON a.net = b.et
+        |GROUP BY 1, 2
+        |ORDER BY et_from, et_to""".stripMargin,
+
+    "q214_hourly_profile" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(hour(ts) AS BIGINT) AS hour_of_day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_of_day, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+        |FROM c ORDER BY event_type, hour_of_day""".stripMargin,
+
+    "q215_effective_dims" ->
+      """WITH d AS (SELECT unnest(range(len(
+        |    (SELECT embedding FROM embeddings LIMIT 1)))) AS k),
+        |x AS (SELECT d.k,
+        |    CAST(floor(CAST(embedding[d.k + 1] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings, d),
+        |agg AS (SELECT k, COUNT(*) AS n,
+        |    SUM(CAST(xi AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(xi AS DECIMAL(38,0)) * xi) AS sxx
+        |  FROM x GROUP BY 1),
+        |v AS (SELECT n,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS HUGEINT)
+        |      AS var_num
+        |  FROM agg),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |    MAX(n) AS n_rows,
+        |    SUM(var_num) AS s1, SUM(var_num * var_num) AS s2
+        |  FROM v)
+        |SELECT n_rows, n_dims,
+        |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+        |    CAST(s2 AS DOUBLE), 9) + 0.0 AS pr_effective_dims
+        |FROM s WHERE s2 > 0""".stripMargin
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark

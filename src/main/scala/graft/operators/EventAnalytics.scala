@@ -215,6 +215,63 @@ object EventAnalytics {
       .orderBy(col("et"), col("net"))
   }
 
+  /** Two-step transition reachability — the composed (M²) companion
+    * to [[transitionMatrix]]: `n_paths(a, c)` counts the ordered
+    * event pairs reachable through ANY middle type in exactly two
+    * consecutive steps, i.e. Σ_b n(a,b)·n(b,c) over the bigram
+    * counts. The matrix-product formulation runs RELATIONALLY: the
+    * (≤ |types|²-row) bigram table self-joins on the middle type —
+    * never a timeline self-join, never anything corpus-sized — so the
+    * expensive part stays the one entity-keyed window pass the bigram
+    * extraction already pays. Path products accumulate in
+    * DECIMAL(38,0) (two 100-TB-scale counts multiply past int64 —
+    * the second-order-moment rule); the output count is cast to
+    * int64 for the gate (documented envelope: Σ n·n′ < 2⁶³ at any
+    * realistic |types|; keep the decimal internally past that).
+    */
+  def twoStepTransitions(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(typeCol).as("et"), lead(col(typeCol), 1).over(w).as("net"))
+      .filter(col("net").isNotNull)
+      .groupBy("et", "net").agg(count(lit(1)).as("n"))
+    val a = pairs.select(col("et").as("et_from"), col("net").as("mid"),
+      col("n").as("n1"))
+    val b = pairs.select(col("et").as("mid"), col("net").as("et_to"),
+      col("n").as("n2"))
+    a.join(b, "mid")
+      .groupBy("et_from", "et_to")
+      .agg(sum(col("n1").cast("decimal(38,0)") * col("n2"))
+        .cast("long").as("n_paths"))
+      .orderBy("et_from", "et_to")
+  }
+
+  /** Hour-of-day activity profile per event type: exact int64 counts
+    * per (type, hour) cell plus each cell's share of its type's total
+    * — the diurnal-shape audit (bot traffic is flat, human traffic
+    * has a day curve). The share is ONE int64/int64 IEEE divide per
+    * cell (engine-exact). One map-side-combined aggregate over the
+    * corpus into ≤ |types|·24 rows; the per-type total rides a window
+    * over that tiny table.
+    */
+  def hourlyActivityProfile(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events
+      .groupBy(col(typeCol).as("event_type"),
+        hour(col(tsCol)).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy("event_type")
+    cells
+      .select(col("event_type"), col("hour_of_day"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(wt).cast("double")).as("share"))
+      .orderBy("event_type", "hour_of_day")
+  }
+
   /** Top event paths: the most common ordered `n`-step event-type
     * sequences across entity timelines (the second-order companion to
     * [[transitionMatrix]]). One window pass chains `n-1` leads per

@@ -1004,6 +1004,55 @@ object Similarity {
     * sums — |labels|·dims rows out — then an all-pairs join over that
     * TINY table (|labels|² · dims intermediate, nothing corpus-sized).
     */
+  /** Effective dimensionality of the embedding cloud — the
+    * participation ratio PR = (Σ_d λ_d)² / Σ_d λ_d² over the PER-DIM
+    * variances (the diagonal of [[embeddingCovariance]]; full-PCA PR
+    * would use eigenvalues, the diagonal is the standard cheap proxy):
+    * PR ≈ 1 when one dimension carries all the variance, ≈ dims when
+    * variance is isotropic — the "how much of this 64-dim space is
+    * actually used" audit read before choosing an index or a
+    * projection. Exactness: coordinates quantize to MILLI units
+    * (coarser than the nano idiom ON PURPOSE — the per-dim variance
+    * numerator n·Σx²−(Σx)² must stay small enough that its square is
+    * exactly representable through the decimal path), moments and
+    * variance numerators accumulate in DECIMAL(38,0), and PR is
+    * scale-invariant in the numerator (var_num = n²·var, the n⁴ and
+    * quantum factors cancel), so nothing divides until the ONE double
+    * chain S1²/S2 at the end — an irrational-class output, rounded
+    * via [[graft.functions.hashSafeRound]] at 9 (PR ≤ dims, so a
+    * 1-ulp decimal→double conversion difference sits ~1e-14 absolute,
+    * far under the gate).
+    *
+    * Scale: one explode pass into (dim)-keyed exact moments — dims
+    * rows out — then a dims-row aggregate. No pairs, no windows over
+    * data, no collect.
+    */
+  def effectiveDimensionality(emb: DataFrame, vecCol: String,
+      quantUnit: Long = 1000L): DataFrame = {
+    require(quantUnit >= 1, s"quantUnit must be >= 1: $quantUnit")
+    val perDim = emb
+      .withColumn("__xi", transform(col(vecCol),
+        v => floor(v.cast("double") * lit(quantUnit.toDouble) + lit(0.5))
+          .cast("long")))
+      .select(posexplode(col("__xi")).as(Seq("dim", "xi")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).as("sx"),
+        sum(col("xi").cast("decimal(38,0)") * col("xi")).as("sxx"))
+      .select(col("n"),
+        (col("n").cast("decimal(38,0)") * col("sxx") -
+          col("sx") * col("sx")).as("var_num"))
+    perDim
+      .agg(count(lit(1)).as("n_dims"), max(col("n")).as("n_rows"),
+        sum(col("var_num")).as("s1"),
+        sum(col("var_num") * col("var_num")).as("s2"))
+      .filter(col("s2") > 0)
+      .select(col("n_rows"), col("n_dims"),
+        hashSafeRound(
+          (col("s1").cast("double") * col("s1").cast("double")) /
+            col("s2").cast("double"), 9).as("pr_effective_dims"))
+  }
+
   def labelCentroidCosine(emb: DataFrame, labelCol: String,
       vecCol: String): DataFrame = {
     // Labels MUST be integral: the long cast below is what makes the

@@ -109,6 +109,42 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0)))
   }
 
+  test("twoStepTransitions: M-squared of the bigram counts through any middle type") {
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (11L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (12L, 1L, ts("2024-01-01 10:02:00"), "c"),   // u1: a->b, b->c
+      (13L, 2L, ts("2024-01-01 10:00:00"), "a"),
+      (14L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (15L, 2L, ts("2024-01-01 10:02:00"), "d"))   // u2: a->b, b->d
+      .toDF("event_id", "user_id", "ts", "event_type")
+    // bigrams: (a,b)=2, (b,c)=1, (b,d)=1 → two-step: a→c = 2·1,
+    // a→d = 2·1 (both through b); no other composable pair
+    val rows = graft.operators.EventAnalytics.twoStepTransitions(events,
+        "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    rows shouldBe Map(("a", "c") -> 2L, ("a", "d") -> 2L)
+  }
+
+  test("hourlyActivityProfile: exact cells, shares sum to 1 per type") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00"), "a"),
+      (2L, ts("2024-01-01 10:55:00"), "a"),
+      (3L, ts("2024-01-01 11:05:00"), "a"),
+      (4L, ts("2024-01-02 10:30:00"), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val rows = graft.operators.EventAnalytics.hourlyActivityProfile(events,
+        "ts", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    rows shouldBe Map(
+      ("a", 10L) -> ((2L, 2.0 / 3.0)),
+      ("a", 11L) -> ((1L, 1.0 / 3.0)),
+      ("b", 10L) -> ((1L, 1.0)))
+  }
+
   test("conversionStats: rate and exact duration percentiles over converters") {
     val events = Seq(
       // u1 converts in 100s, u2 in 200s, u3 stalls at depth 1

@@ -403,6 +403,23 @@ class SimilaritySpec extends SparkSpec {
       .subsetOf(exactPairs) shouldBe true
   }
 
+  test("effectiveDimensionality: PR is 1 on a one-axis cloud, exactly 2 on an isotropic 2-axis cloud") {
+    val oneAxis = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.effectiveDimensionality(oneAxis, "embedding")
+      .collect().head
+    (r1.getLong(0), r1.getLong(1), r1.getDouble(2)) shouldBe ((2L, 2L, 1.0))
+    val isotropic = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(-1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.effectiveDimensionality(isotropic, "embedding")
+      .collect().head
+    // both dims carry identical variance → (2v)²/(2v²) = 2, exactly
+    (r2.getLong(0), r2.getLong(1), r2.getDouble(2)) shouldBe ((4L, 2L, 2.0))
+  }
+
   test("probeCoin: sampled neighbor tables equal the full tables filtered to the sampled probes") {
     // the unbiasedness property the sampled-recall audit (q206) rests
     // on: each probe's ranking is independent of other probes, so
