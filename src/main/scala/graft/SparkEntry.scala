@@ -303,6 +303,10 @@ object SparkEntry {
     * min-acctbal supplier stands in for min supplycost. */
   private val Q2PartType = "PROMO"
   private val Q2MaxSize = 5
+  /** q216 supplier-SLA report: only suppliers with at least this many
+    * shipped lines are rated (a rate over a handful of lines is
+    * noise, not an SLA signal). Shares q167's LateShipDays. */
+  private val SlaMinLines = 20L
   /** q206 sampled-recall audit (VERDICT r10 item 4): the md5-coin
     * (salt, 8-hex-digit threshold) selecting ~1/8 of rows as recall
     * probes — 63 of 500 at sf0.01, 255 of 2000 at sf0.1. Shared by
@@ -4118,6 +4122,41 @@ object SparkEntry {
     "q215_effective_dims" -> ((s, dir) =>
       operators.Similarity.effectiveDimensionality(
         Tables.embeddings(s, dir), "embedding")),
+
+    // Supplier delivery-SLA report: per-supplier late-line rate
+    // (ship more than LateShipDays days after order — exact integer
+    // day diff, q167's lateness definition), floored at SlaMinLines
+    // shipped lines. Fact×fact join left to AQE; the supplier name
+    // joins onto the |suppliers|-row aggregate, not the fact table.
+    "q216_supplier_sla" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+      val rated = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) >
+              lit(LateShipDays),
+            lit(1L)).otherwise(lit(0L))).as("n_late"))
+        .filter(col("n_lines") >= SlaMinLines)
+      rated
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_lines"),
+          col("n_late"),
+          (col("n_late").cast("double") / col("n_lines").cast("double"))
+            .as("late_rate"))
+        .orderBy(col("late_rate").desc, col("s_suppkey").asc)
+    }),
+
+    // Session co-occurrence lift per event-type pair — the
+    // market-basket audit on the session dimension (which behaviors
+    // attract within one visit), exact session counts, one rounded
+    // divide per |types|² cell.
+    "q217_session_lift" -> ((s, dir) =>
+      operators.EventAnalytics.sessionCooccurrenceLift(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        "event_id", SessionGapMicros)),
 
     // Sampled-recall ANN audit (VERDICT r10 item 4) — the protocol
     // that SURVIVES 100×, next to q144's full-exact gate which by
@@ -8360,7 +8399,54 @@ object SparkEntry {
         |SELECT n_rows, n_dims,
         |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
         |    CAST(s2 AS DOUBLE), 9) + 0.0 AS pr_effective_dims
-        |FROM s WHERE s2 > 0""".stripMargin
+        |FROM s WHERE s2 > 0""".stripMargin,
+
+    "q216_supplier_sla" ->
+      s"""WITH rated AS (SELECT l_suppkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+        |        > $LateShipDays
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1
+        |  HAVING COUNT(*) >= $SlaMinLines)
+        |SELECT s_suppkey, s_name, n_lines, n_late,
+        |  CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS late_rate
+        |FROM rated JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY late_rate DESC, s_suppkey ASC""".stripMargin,
+
+    "q217_session_lift" ->
+      s"""WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL $SessionGapMinutes MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(opens) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM o),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM st)),
+        |na AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_seq = b.session_seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  round(CAST(n_ab * n_sessions AS DOUBLE) /
+        |    CAST(na1.n_t * na2.n_t AS DOUBLE), 9) + 0.0 AS lift
+        |FROM pr
+        |CROSS JOIN ns
+        |JOIN na na1 ON pr.type_a = na1.event_type
+        |JOIN na na2 ON pr.type_b = na2.event_type
+        |ORDER BY type_a, type_b""".stripMargin
   )
 
   /** q169 twin, generated from the SAME CorrCols list as the Spark

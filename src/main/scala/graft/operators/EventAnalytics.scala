@@ -272,6 +272,52 @@ object EventAnalytics {
       .orderBy("event_type", "hour_of_day")
   }
 
+  /** Session-level co-occurrence lift per unordered event-type pair:
+    * lift(a,b) = P(a,b together in a session) / (P(a)·P(b)) =
+    * n_ab·N / (n_a·n_b) over [[Sessionize.assign]]'s sessions — the
+    * market-basket audit on the session dimension (lift > 1: the
+    * types attract; < 1: they repel), next to [[transitionMatrix]]'s
+    * ORDER-sensitive adjacency and q170's token-level PMI. All four
+    * counts are exact int64 session counts; the session self-join
+    * keys on the (entity, session) pair whose per-session distinct
+    * type set is ≤ |types| rows, so the pair fan-out is bounded at
+    * |types|²/2 per session — never corpus×corpus. The single double
+    * chain per pair divides two int64 products; rounded at 9 (the
+    * PMI precedent) so the gate is immune to ulp-level int64→double
+    * effects past 2⁵³ at extreme session counts (int64 headroom:
+    * n_ab·N < 2⁶³ needs N < 3·10⁹ sessions; shard time windows past
+    * that).
+    */
+  def sessionCooccurrenceLift(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, tieCol: String,
+      gapMicros: Long): DataFrame = {
+    val sess = Sessionize.assign(
+      events.select(col(userCol), col(tsCol), col(tieCol), col(typeCol)),
+      Seq(userCol), tsCol, Seq(tieCol), gapMicros)
+    val st = sess.select(col(userCol).as("u"), col("session_seq"),
+      col(typeCol).as("t")).distinct()
+    val total = st.select("u", "session_seq").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val na = st.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val pairs = st.select(col("u"), col("session_seq"), col("t").as("ta"))
+      .join(st.select(col("u"), col("session_seq"), col("t").as("tb")),
+        Seq("u", "session_seq"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(na.select(col("t").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(na.select(col("t").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        graft.functions.hashSafeRound(
+          (col("n_ab") * col("n_sessions")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 9).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Top event paths: the most common ordered `n`-step event-type
     * sequences across entity timelines (the second-order companion to
     * [[transitionMatrix]]). One window pass chains `n-1` leads per

@@ -145,6 +145,28 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", 10L) -> ((1L, 1.0)))
   }
 
+  test("sessionCooccurrenceLift: exact session counts, unordered pairs, lift against independence") {
+    val gap = 30L * 60L * 1000000L
+    val events = Seq(
+      // u1 session 1: {a, b}; u1 session 2 (2h later): {a};
+      // u2 session 1: {b, c} — N=3, n_a=2, n_b=2, n_c=1
+      (10L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (11L, 1L, ts("2024-01-01 10:05:00"), "b"),
+      (12L, 1L, ts("2024-01-01 10:06:00"), "a"), // dup type, same session
+      (13L, 1L, ts("2024-01-01 13:00:00"), "a"),
+      (14L, 2L, ts("2024-01-01 10:00:00"), "b"),
+      (15L, 2L, ts("2024-01-01 10:10:00"), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val rows = graft.operators.EventAnalytics.sessionCooccurrenceLift(
+        events, "user_id", "ts", "event_type", "event_id", gap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    rows shouldBe Map(
+      ("a", "b") -> ((1L, 0.75)),  // 1·3/(2·2)
+      ("b", "c") -> ((1L, 1.5)))   // 1·3/(2·1)
+  }
+
   test("conversionStats: rate and exact duration percentiles over converters") {
     val events = Seq(
       // u1 converts in 100s, u2 in 200s, u3 stalls at depth 1

@@ -7,10 +7,10 @@
 #
 # Artifact lineage: CHECK_SF01_100q/129q/145q/173q.json are historical
 # prefixes of the growing suite; each full-suite artifact supersedes
-# the previous. The current artifact is CHECK_SF01_215q.json (intra-round prefixes at 206 and 212 superseded and removed).
+# the previous. The current artifact is CHECK_SF01_217q.json (intra-round prefixes at 206/212/215 superseded and removed).
 set -u
 cd /root/repo
-ART=${1:-/root/repo/CHECK_SF01_215q.json}
+ART=${1:-/root/repo/CHECK_SF01_217q.json}
 OUT=${2:-/tmp/verify_sf01_r11}
 WORKERS=${3:-6}
 THREADS=${4:-5}
