@@ -683,6 +683,276 @@ object StressBench {
       s""""heavy_missed":${hm1 + hm10},"ok":$ok}"""
   }
 
+  /** AQE skew stress for the UN-HINTED fact×fact relational family
+    * (VERDICT r11 item 1 — the q140/q204/q209/q211/q216 shape): the
+    * engine leaves the lineitem⋈orders join to AQE on purpose (the
+    * 100× story is "AQE degrades BHJ→SMJ and splits skew"), so this
+    * stress proves the skew-split actually engages under a power-law
+    * join key and does not change the answer. Corpus: the sf lineitem
+    * table plus `copies−1` clones of the single busiest orderkey's
+    * lines — orderkey IS the join key, so after the join shuffle every
+    * clone hashes to ONE reducer partition: exactly the byte skew the
+    * splitter must see. Both runs execute the q216 SLA aggregate
+    * (late-line counts per supplier, 60-day lateness) over the skewed
+    * corpus with broadcast disabled (at 100 TB neither fact side
+    * broadcasts — SMJ is the honest physical shape) under the
+    * demo-scale skew thresholds of the semdedup_skew_aqe precedent.
+    * Assertions: the run with skew-join ON must contain a skew=true
+    * join and the OFF run must not; both runs' full per-supplier
+    * results must be identical (the split must be semantically
+    * invisible); and both must equal the closed form
+    * base + (copies−1)·hot derived from two independent unskewed
+    * aggregates of the same inputs.
+    */
+  private def factJoinSkewAqe(s: SparkSession, sfDir: String): String = {
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACT_COPIES",
+      "4000").toInt
+    val li = Tables.lineitem(s, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(s, sfDir).select("o_orderkey", "o_orderdate")
+    // the busiest orderkey, deterministic tiebreak
+    val hotKey = li.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc, col("l_orderkey")).head().getLong(0)
+    val hotLines = li.filter(col("l_orderkey") === hotKey)
+    // Clones keep the hot ORDERKEY (the join/skew key) but jitter the
+    // shipdate by a sub-second µs offset: identical rows would lz4 to
+    // almost nothing in the shuffle blocks and the BYTE-based skew
+    // detector would never fire (measured: 4000 identical clones read
+    // as a "small" partition) — real skew is many DISTINCT rows per
+    // key, so the stress must ship incompressible bytes. The jitter
+    // never crosses a date boundary (asserted below), so the
+    // datediff-based lateness — and the closed form — are unchanged.
+    val clones = hotLines
+      .crossJoin(s.range(copies - 1).select(col("id").as("__k")))
+      .withColumn("__js", expr("l_shipdate + make_dt_interval(0, 0, 0, " +
+        "CAST(pmod(xxhash64(__k), 999999) AS DOUBLE) / 1000000.0)"))
+    val crossed = clones
+      .filter(to_date(col("__js")) =!= to_date(col("l_shipdate"))).count()
+    require(crossed == 0,
+      s"shipdate jitter crossed a date boundary on $crossed clones")
+    val skewed = li.unionByName(clones
+      .withColumn("l_shipdate", col("__js")).drop("__js", "__k"))
+
+    // q216's aggregate shape (lateness = exact integer day diff > 60,
+    // SparkEntry.LateShipDays); no SlaMinLines floor — the stress wants
+    // every supplier row in the closed-form compare
+    def sla(lines: org.apache.spark.sql.DataFrame) = lines
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > lit(60),
+          lit(1L)).otherwise(lit(0L))).as("n_late"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+
+    // closed form from two independent UNSKEWED aggregates
+    val base = collectMap(sla(li))
+    val hot = collectMap(sla(hotLines))
+    val expected = (base.keySet ++ hot.keySet).map { k =>
+      val (bl, bd) = base.getOrElse(k, (0L, 0L))
+      val (hl, hd) = hot.getOrElse(k, (0L, 0L))
+      k -> (bl + (copies - 1L) * hl, bd + (copies - 1L) * hd)
+    }.toMap
+
+    val demoConfs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = (demoConfs.keys ++
+      Seq("spark.sql.adaptive.skewJoin.enabled")).map { k =>
+      k -> s.conf.getOption(k)
+    }.toMap
+
+    def run(skewOn: Boolean): (Map[Long, (Long, Long)], Double, Boolean) = {
+      demoConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      val plans = ArrayBuffer.empty[String]
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      s.listenerManager.register(listener)
+      try {
+        val (result, secs) = time(collectMap(sla(skewed)))
+        // same async-listener quiesce wait as semdedupSkewAqe: events
+        // post after the action returns; wait for the stream to settle
+        // (or the expected skew marker to land), bounded at 10 s
+        val deadline = System.currentTimeMillis + 10000
+        var last = -1
+        var stableTicks = 0
+        while (System.currentTimeMillis < deadline && stableTicks < 5 &&
+          !(skewOn && plans.synchronized(plans.exists(_.contains("skew=true"))))) {
+          val c = plans.synchronized(plans.length)
+          if (c == last && c > 0) stableTicks += 1
+          else { stableTicks = 0; last = c }
+          Thread.sleep(100)
+        }
+        val sawSkew =
+          plans.synchronized { plans.exists(_.contains("skew=true")) }
+        if (skewOn && !sawSkew &&
+            sys.env.contains("SPARK_GRAFT_STRESS_DEBUG"))
+          plans.synchronized(plans.foreach(p =>
+            System.err.println(s"[stress-debug] captured plan:\n$p")))
+        (result, secs, sawSkew)
+      } finally {
+        s.listenerManager.unregister(listener)
+        saved.foreach { case (k, vOpt) =>
+          vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+        }
+      }
+    }
+
+    val (resOff, secsOff, skewOff) = run(skewOn = false)
+    val (resOn, secsOn, skewOn) = run(skewOn = true)
+    val ok = resOn == resOff && resOn == expected && skewOn && !skewOff
+    s""""fact_join_skew_aqe":{"hot_orderkey":$hotKey,"copies":$copies,""" +
+      s""""skewed_rows":${expected.valuesIterator.map(_._1).sum},""" +
+      s""""suppliers":${expected.size},""" +
+      s""""secs_skew_off":${r3(secsOff)},"secs_skew_on":${r3(secsOn)},""" +
+      s""""results_match_off":${resOff == expected},""" +
+      s""""results_match_on":${resOn == expected},""" +
+      s""""skew_split_seen_off":$skewOff,"skew_split_seen_on":$skewOn,""" +
+      s""""ok":$ok}"""
+  }
+
+  /** Deterministic netpbm raster payload: P5 (grayscale) for even
+    * seeds, P6 (RGB) for odd, pixel(x, y, c) = (x + y + seed + c) mod
+    * 256 — every pixel is a driver-computable closed form, so the
+    * distributed decode/resize can be asserted EXACTLY.
+    */
+  private def syntheticNetpbm(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val p6 = (seed % 2) == 1
+    val channels = if (p6) 3 else 1
+    val header = s"P${if (p6) 6 else 5}\n# stress raster $seed\n$w $h\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * channels)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < channels) {
+          out(i) = ((x + y + seed + c) % 256).toByte
+          i += 1; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Multimodal decode/resize under clone pressure (VERDICT r11 item
+    * 5 — the one spec-only family gains an adversarial gate): a
+    * deterministic gradient raster corpus (closed-form pixels, P5 and
+    * P6 mixed), cloned 10× by seed reuse, pushed through the REAL
+    * [[graft.operators.Multimodal]] netpbm decode and the
+    * nearest-neighbor resize on the real `mapPartitions` plumbing.
+    * Assertions, all exact: (a) total decoded pixel sum over the 10×
+    * corpus equals 10 × the driver-computed closed form of the base
+    * corpus; (b) every image reports the exact (w, h, channels) it
+    * was generated with; (c) the 16×12 thumbnails' total pixel sum
+    * equals 10 × the closed form under the resize index map
+    * sx=⌊x·W/W'⌋ (integer arithmetic, no sampling tolerance); (d) the
+    * 8-bin histogram features of [[Multimodal.netpbmDecoder]] sum to
+    * 1 within one float ulp per bin on every image.
+    */
+  private def netpbmClone10x(s: SparkSession): String = {
+    import graft.operators.Multimodal
+    val nBase = sys.env.getOrElse("SPARK_GRAFT_STRESS_RASTERS", "400").toInt
+    val (w, h, tw, th) = (64, 48, 16, 12)
+    import s.implicits._
+    val corpus = s.range(10L * nBase)
+      .select(col("id"), (col("id") % nBase).as("seed"))
+      .as[(Long, Long)]
+      .map { case (id, seed) => (id, syntheticNetpbm(seed, w, h)) }
+      .toDF("id", "payload")
+
+    // driver closed forms over the BASE seeds: a (width × height)
+    // sample of the (w × h) source under the resize index map
+    // sx=⌊x·w/width⌋ (identity when width == w)
+    def pixelSum(seed: Long, width: Int, height: Int): Long = {
+      val channels = if (seed % 2 == 1) 3 else 1
+      var sum = 0L
+      var y = 0
+      while (y < height) {
+        val sy = (y.toLong * h / height).toInt
+        var x = 0
+        while (x < width) {
+          val sx = (x.toLong * w / width).toInt
+          var c = 0
+          while (c < channels) { sum += (sx + sy + seed + c) % 256; c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+    val expFull = (0L until nBase).map(pixelSum(_, w, h)).sum * 10L
+    val expThumb = (0L until nBase).map(pixelSum(_, tw, th)).sum * 10L
+
+    val ((gotFull, badMeta, badHist, gotThumb, badThumbMeta), secs) = time {
+      val decoded = Multimodal.decodePartitionsAs(corpus, "id", "payload") {
+        (id, p) =>
+          val img = Multimodal.netpbmRasterDecoder(id, p)
+          var sum = 0L
+          img.pixels.foreach(b => sum += (b & 0xff))
+          val meta = Multimodal.netpbmDecoder(id, p)
+          val histSum = meta.features.map(_.toDouble).sum
+          (img.width, img.height, img.channels, sum,
+            math.abs(histSum - 1.0) <= 1e-6)
+      }.toDF("w", "h", "c", "pix_sum", "hist_ok").persist()
+      val full = decoded.agg(sum(col("pix_sum"))).head().getLong(0)
+      val badM = decoded.filter(!(col("w") === w && col("h") === h &&
+        (col("c") === 1 || col("c") === 3))).count()
+      val badH = decoded.filter(!col("hist_ok")).count()
+      decoded.unpersist(blocking = false)
+      val thumbs = Multimodal.resizeNetpbm(corpus, "id", "payload", tw, th)
+        .map(img => (img.width, img.height,
+          img.pixels.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("w", "h", "pix_sum").persist()
+      val thumbSum = thumbs.agg(sum(col("pix_sum"))).head().getLong(0)
+      val badT = thumbs.filter(!(col("w") === tw && col("h") === th)).count()
+      thumbs.unpersist(blocking = false)
+      (full, badM, badH, thumbSum, badT)
+    }
+    val ok = gotFull == expFull && gotThumb == expThumb &&
+      badMeta == 0L && badHist == 0L && badThumbMeta == 0L
+    s""""netpbm_clone10x":{"secs":${r3(secs)},"images":${10 * nBase},""" +
+      s""""pixel_sum":$gotFull,"expected_pixel_sum":$expFull,""" +
+      s""""thumb_sum":$gotThumb,"expected_thumb_sum":$expThumb,""" +
+      s""""bad_meta":${badMeta + badThumbMeta},"bad_hist":$badHist,""" +
+      s""""ok":$ok}"""
+  }
+
+  /** The q144 full-exact kNN recall audit, stress-hosted (VERDICT r11
+    * item 3): q206's sampled protocol is the bench-resident audit that
+    * survives 100×; the corpus² exact side runs HERE at gate scale —
+    * same query, same gates (recall floor, vote-MAE ceiling,
+    * all-rows join completeness) — so the suite carries one price per
+    * protocol and the full-exact evidence is still re-run every round.
+    */
+  private def knnExactFull(s: SparkSession, sfDir: String): String = {
+    val nEmb = Tables.embeddings(s, sfDir).count()
+    val (row, secs) = time {
+      SparkEntry.queries("q144_knn_audit_approx")(s, sfDir).head()
+    }
+    val nRows = row.getLong(0)
+    val recallOk = row.getBoolean(1)
+    val maeOk = row.getBoolean(2)
+    val ok = nRows == nEmb && recallOk && maeOk
+    s""""knn_exact_full":{"secs":${r3(secs)},"n_rows":$nRows,""" +
+      s""""n_embeddings":$nEmb,"recall_ok":$recallOk,""" +
+      s""""vote_mae_ok":$maeOk,"ok":$ok}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -703,7 +973,10 @@ object StressBench {
       "funnel_hot_entity" -> (() => funnelHotEntity(spark, sfDir)),
       "heavy_hitters_clone10x" -> (() => heavyHittersClone10x(spark, sfDir)),
       "triangles_clone3x" -> (() => trianglesClone3x(spark, sfDir)),
-      "systematic_mass10x" -> (() => systematicMass10x(spark, sfDir)))
+      "systematic_mass10x" -> (() => systematicMass10x(spark, sfDir)),
+      "fact_join_skew_aqe" -> (() => factJoinSkewAqe(spark, sfDir)),
+      "netpbm_clone10x" -> (() => netpbmClone10x(spark)),
+      "knn_exact_full" -> (() => knnExactFull(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).toSet

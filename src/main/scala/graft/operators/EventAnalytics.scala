@@ -284,9 +284,9 @@ object EventAnalytics {
     * |types|²/2 per session — never corpus×corpus. The single double
     * chain per pair divides two int64 products; rounded at 9 (the
     * PMI precedent) so the gate is immune to ulp-level int64→double
-    * effects past 2⁵³ at extreme session counts (int64 headroom:
-    * n_ab·N < 2⁶³ needs N < 3·10⁹ sessions; shard time windows past
-    * that).
+    * effects past 2⁵³ at extreme session counts; the count products
+    * multiply through DECIMAL(38,0), so past N ≈ 3·10⁹ sessions they
+    * stay exact instead of wrapping int64.
     */
   def sessionCooccurrenceLift(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, tieCol: String,
@@ -312,9 +312,16 @@ object EventAnalytics {
         col("n_t").as("n_b"))), "type_b")
       .crossJoin(broadcast(total))
       .select(col("type_a"), col("type_b"), col("n_ab"),
+        // dsum discipline (ADVICE r11): one DECIMAL(38,0) operand per
+        // product, so past the int64 envelope the multiply degrades to
+        // an exact decimal instead of a silently-wrapped int64 (values
+        // at gate scale sit far below 2⁵³, so the double conversion —
+        // and the hash — are unchanged)
         graft.functions.hashSafeRound(
-          (col("n_ab") * col("n_sessions")).cast("double") /
-            (col("n_a") * col("n_b")).cast("double"), 9).as("lift"))
+          (col("n_ab").cast("decimal(38,0)") * col("n_sessions"))
+            .cast("double") /
+            (col("n_a").cast("decimal(38,0)") * col("n_b"))
+              .cast("double"), 9).as("lift"))
       .orderBy("type_a", "type_b")
   }
 

@@ -1042,15 +1042,33 @@ object Similarity {
       .select(col("n"),
         (col("n").cast("decimal(38,0)") * col("sxx") -
           col("sx") * col("sx")).as("var_num"))
+    // Binding row-count envelope (ADVICE r11): the squared term below
+    // is var_num² with var_num = n²·Var[x]·quantUnit² ≤ n²·B² for
+    // per-dim bound B = quantUnit·max|x|; DECIMAL(38,0) holds it while
+    // n²·B ≤ ~10¹⁹, i.e. n ≲ 3·10⁶ rows for unit-scale embeddings at
+    // the default milli quantum (looser when per-dim variance ≪ B²).
+    // Past that, COARSEN quantUnit — PR is quantization-invariant up
+    // to the quantization error, and every factor of 10 off the
+    // quantum buys 10× in n. In non-ANSI Spark an overflowed product
+    // would become NULL and sum() would silently SKIP the dimension
+    // (silent-wrong, where the DuckDB twin's HUGEINT errors loudly) —
+    // so overflow is counted per-row and the operator FAILS LOUDLY
+    // instead of returning a PR over a subset of dimensions.
+    val sq = col("var_num") * col("var_num")
     perDim
       .agg(count(lit(1)).as("n_dims"), max(col("n")).as("n_rows"),
         sum(col("var_num")).as("s1"),
-        sum(col("var_num") * col("var_num")).as("s2"))
+        sum(sq).as("s2"),
+        sum(when(sq.isNull, lit(1L)).otherwise(lit(0L))).as("n_overflow"))
       .filter(col("s2") > 0)
       .select(col("n_rows"), col("n_dims"),
-        hashSafeRound(
-          (col("s1").cast("double") * col("s1").cast("double")) /
-            col("s2").cast("double"), 9).as("pr_effective_dims"))
+        when(col("n_overflow") > 0 || col("s1").isNull,
+          raise_error(concat(lit("effectiveDimensionality: DECIMAL(38,0) " +
+            "overflow on var_num² in "), col("n_overflow").cast("string"),
+            lit(" dims — coarsen quantUnit (see scaladoc envelope)"))))
+          .otherwise(hashSafeRound(
+            (col("s1").cast("double") * col("s1").cast("double")) /
+              col("s2").cast("double"), 9)).as("pr_effective_dims"))
   }
 
   def labelCentroidCosine(emb: DataFrame, labelCol: String,

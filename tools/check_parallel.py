@@ -21,7 +21,7 @@ Usage:
   python3 tools/check_parallel.py <sfDir> <verifyOutDir> <artifact>
       [--workers N] [--threads T] [--only q1 q2 ...]
 """
-import sys, json, glob, os, argparse, multiprocessing as mp
+import sys, json, glob, os, argparse, hashlib, multiprocessing as mp
 
 # DuckDB-side cost class, from observed sf0.1 runs: all-pairs /
 # recursive twins run minutes-to-an-hour; everything else runs seconds.
@@ -109,6 +109,23 @@ def _check_one(name):
         return name, {"ok": False, "err": f"worker: {e}"}, time.time() - t0
 
 
+def _oracle_md5(oracles, name):
+    """Fingerprint of the twin SQL a verdict was computed against."""
+    if name not in oracles:
+        return "rows-only"
+    return hashlib.md5(oracles[name].encode()).hexdigest()
+
+
+def _dump_stamp(out_dir, name):
+    """Fingerprint of the Spark dump a verdict was computed against:
+    newest mtime (ns) across the query's parquet files — Verify
+    re-dumping a query bumps it."""
+    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not files:
+        return 0
+    return max(os.stat(f).st_mtime_ns for f in files)
+
+
 def schedule(names):
     """Heavy-prefix queries first (in HEAVY_FIRST order), rest sorted."""
     def bucket(n):
@@ -134,8 +151,16 @@ def main():
     if args.only:
         names = [n for n in names if n in set(args.only)]
 
+    with open(os.path.join(args.out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    # Staleness invalidation (ADVICE r11): a progress line is only
+    # trusted if BOTH fingerprints it was computed against still match
+    # — the twin SQL (oracle_md5) and the Spark dump (dump_mtime_ns).
+    # Editing a twin or re-dumping a query invalidates exactly that
+    # query's verdict; lines from the pre-stamp format are stale.
     progress_path = os.path.join(args.out_dir, "check_progress.jsonl")
-    done = {}
+    done, seen = {}, set()
     if os.path.exists(progress_path):
         with open(progress_path) as f:
             for line in f:
@@ -144,13 +169,23 @@ def main():
                     continue
                 try:
                     rec = json.loads(line)
-                    done[rec["name"]] = rec["entry"]
+                    n = rec["name"]
+                    seen.add(n)
+                    # later lines supersede earlier ones (the append-only
+                    # log keeps superseded verdicts for audit)
+                    if (rec.get("oracle_md5") == _oracle_md5(oracles, n)
+                            and rec.get("dump_mtime_ns")
+                            == _dump_stamp(args.out_dir, n)):
+                        done[n] = rec["entry"]
+                    else:
+                        done.pop(n, None)
                 except Exception:
                     continue  # torn final line from a killed run
+    stale = len(seen - set(done))
     todo = schedule([n for n in names if n not in done])
-    print(f"[gate] {len(names)} queries, {len(done)} already done, "
-          f"{len(todo)} to run on {args.workers} workers x "
-          f"{args.threads} threads", flush=True)
+    print(f"[gate] {len(names)} queries, {len(done)} already done "
+          f"({stale} stale invalidated), {len(todo)} to run on "
+          f"{args.workers} workers x {args.threads} threads", flush=True)
 
     if todo:
         with open(progress_path, "a") as prog, \
@@ -161,6 +196,8 @@ def main():
                 done[name] = entry
                 prog.write(json.dumps(
                     {"name": name, "secs": round(secs, 1),
+                     "oracle_md5": _oracle_md5(oracles, name),
+                     "dump_mtime_ns": _dump_stamp(args.out_dir, name),
                      "entry": entry}, default=str) + "\n")
                 prog.flush()
                 os.fsync(prog.fileno())

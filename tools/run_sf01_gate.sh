@@ -7,11 +7,19 @@
 #
 # Artifact lineage: CHECK_SF01_100q/129q/145q/173q.json are historical
 # prefixes of the growing suite; each full-suite artifact supersedes
-# the previous. The current artifact is CHECK_SF01_217q.json (intra-round prefixes at 206/212/215 superseded and removed).
+# the previous. The current artifact is CHECK_SF01_217q_r12.json.
+#
+# Staleness (ADVICE r11): check_parallel.py stamps every progress line
+# with the twin SQL's md5 AND the query dump's newest parquet mtime —
+# a resumed run auto-invalidates exactly the queries whose twin or
+# dump changed. The one remaining manual step: if SPARK-side code
+# changed, re-dump the affected queries (run Verify with a subset into
+# the same outDir) BEFORE resuming, or the stale dump itself — not the
+# verdict — is what gets re-checked.
 set -u
 cd /root/repo
-ART=${1:-/root/repo/CHECK_SF01_217q.json}
-OUT=${2:-/tmp/verify_sf01_r11}
+ART=${1:-/root/repo/CHECK_SF01_217q_r12.json}
+OUT=${2:-/tmp/verify_sf01_r12}
 WORKERS=${3:-6}
 THREADS=${4:-5}
 # Reuse an existing dump (resume case: the Spark phase is cheap but
