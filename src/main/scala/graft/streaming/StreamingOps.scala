@@ -409,7 +409,19 @@ object StreamingOps {
             }
             st.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.lastTs + gapMicros) / 1000L)
+              // a single micro-batch can span MORE event time than the
+              // gap (hot backfill batches), leaving the desired flush
+              // time already behind the current watermark — Spark
+              // rejects that registration. Clamp forward one ms: the
+              // overdue timeout fires at the next micro-batch, which is
+              // exactly when the watermark contract says the session is
+              // closable anyway (the watermark has passed lastTs+gap).
+              // (Try: batch execution has no watermark to read; there
+              // timeouts never fire and the raw registration is fine.)
+              val wm = scala.util.Try(state.getCurrentWatermarkMs())
+                .getOrElse(-1L)
+              state.setTimeoutTimestamp(
+                math.max((s.lastTs + gapMicros) / 1000L, wm + 1L))
             }
             out.result().iterator
           }

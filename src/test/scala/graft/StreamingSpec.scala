@@ -401,6 +401,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("entryExitStatefulTimeout: overdue timeouts clamp forward when a batch outruns the gap") {
+    // a single micro-batch spanning MORE event time than the gap (hot
+    // backfill) leaves open sessions whose desired flush time is
+    // already BEHIND the post-batch watermark — Spark rejects such a
+    // registration outright, so the operator clamps it one ms past the
+    // current watermark and the overdue session flushes on the next
+    // trigger. Pre-clamp this scenario threw
+    // FLATMAPGROUPSWITHSTATE_USER_FUNCTION_ERROR (found by the
+    // StreamBench hot-key face run).
+    import graft.streaming.{TransEvent, SessionSummary}
+    val us = 1000000L
+    val gap = 60 * us
+    val b1 = Seq(
+      TransEvent(1L, 10 * us, 100L, "a"),
+      TransEvent(1L, 20 * us, 101L, "b"),
+      TransEvent(1L, 200 * us, 102L, "c"),  // in-batch close of (a,b)
+      TransEvent(9L, 500 * us, 103L, "w"))  // same-batch horizon: wm→500s
+    val b2 = Seq(TransEvent(9L, 501 * us, 104L, "w")) // fires the overdue flush
+    val input = MemoryStream[TransEvent](spark)
+    val out = StreamingOps.entryExitStatefulTimeout(input.toDS(), gap)
+    val ckpt = Files.createTempDirectory("ckpt_eet2").toString
+    val q = out.writeStream.format("memory").queryName("eet2_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      // the in-batch gap closed (a,b); u1's (c) session was open with
+      // desired timeout 260s, far behind the 500s watermark — the
+      // clamped registration must not throw, and the engine's no-data
+      // timeout batch (watermark advanced) flushes the overdue session
+      // within the same processAllAvailable
+      spark.table("eet2_out").as[SessionSummary].collect()
+        .map(s => (s.user, s.entryType, s.exitType, s.nEvents))
+        .sorted.toSeq shouldBe Seq((1L, "a", "b", 2L), (1L, "c", "c", 1L))
+      // a further trigger must not re-emit or duplicate anything
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("eet2_out").as[SessionSummary].collect()
+        .map(s => (s.user, s.entryType, s.exitType, s.nEvents))
+        .sorted.toSeq
+      streamed shouldBe Seq((1L, "a", "b", 2L), (1L, "c", "c", 1L))
+    } finally q.stop()
+  }
+
   test("attributionStateful: credits equal the batch last-touch window across micro-batches") {
     import graft.streaming.{TransEvent, Attribution}
     val us = 1000000L
