@@ -3939,13 +3939,25 @@ object SparkEntry {
     // orders both grow linearly → no broadcast hint, AQE decides;
     // count(o_orderkey) ignores the outer join's nulls by definition.
     "q204_order_count_distribution" -> ((s, dir) => {
+      // 100× shape note (r12): the naive Q13 form outer-joins the RAW
+      // orders fact onto customer — but AQE's OptimizeSkewedJoin can
+      // only split the PRESERVED side of an outer join, so a
+      // power-law custkey (one whale customer with millions of
+      // orders) serializes on one reducer with no runtime escape.
+      // This form pre-aggregates orders per custkey FIRST — partial
+      // (map-side) aggregation absorbs any key skew before the
+      // shuffle — and outer-joins the ≤|customers|-row count table,
+      // where both sides carry ONE row per key and skew cannot
+      // exist. Same result: count per customer, 0 for order-less
+      // customers. (custkey_skew_aqe stresses the inner sub-shape;
+      // the outer-join non-splittability is why this query does not
+      // lean on AQE.)
       val ords = Tables.orders(s, dir)
         .filter(col("o_orderpriority") =!= Q13ExcludedPriority)
-        .select("o_orderkey", "o_custkey")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
       Tables.customer(s, dir).select("c_custkey")
         .join(ords, col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
         .groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)

@@ -820,6 +820,139 @@ object StressBench {
       s""""ok":$ok}"""
   }
 
+  /** Second face of the fact×fact skew family (VERDICT r11 item 1
+    * named the q204/q209/q216 shapes): a power-law CUSTKEY on the
+    * orders⋈customer join — the q209 (TPC-H Q10) sub-shape, INNER, so
+    * AQE's skew split applies to the fat orders side. One hot
+    * customer owns `copies−1` cloned orders whose orderkeys are
+    * xxhash-scrambled (COUNT semantics don't need them unique, and
+    * random 64-bit keys make the shuffle bytes incompressible — the
+    * fact_join_skew_aqe lesson). Closed form: per-customer order
+    * counts = base, plus (copies−1)·hotOrders on the hot key.
+    *
+    * Two deliberate non-goals, both structural lessons the engine's
+    * queries already encode: (a) the OUTER q204 (Q13) shape is not
+    * stressed — OptimizeSkewedJoin can only split the PRESERVED side
+    * of an outer join, so right-side custkey skew has no AQE escape
+    * there, which is exactly why q204 pre-aggregates orders per
+    * custkey before its outer join; (b) the aggregate here rolls up
+    * by MARKET SEGMENT, not by the join key — when the downstream
+    * aggregate reuses the join partitioning, AQE declines the split
+    * (it would force an extra shuffle; forceOptimizeSkewedJoin
+    * exists but is not the default), which is why engine queries
+    * that aggregate ON the join key pre-aggregate before joining
+    * instead of leaning on the splitter. The fat-join-then-
+    * different-key rollup stressed here is the shape where AQE is
+    * the escape, and it must engage.
+    */
+  private def custkeySkewAqe(s: SparkSession, sfDir: String): String = {
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_CUST_COPIES",
+      "8000").toInt
+    val o = Tables.orders(s, sfDir).select("o_custkey", "o_orderkey")
+    val c = Tables.customer(s, sfDir).select("c_custkey", "c_mktsegment")
+    val hotKey = o.groupBy("o_custkey").count()
+      .orderBy(col("count").desc, col("o_custkey")).head().getLong(0)
+    val hotOrders = o.filter(col("o_custkey") === hotKey)
+    // clone orderkeys are offset-unique (key + (k+1)·keyOffset): the
+    // aggregate SUMS them (exact decimal), which (a) keeps the
+    // orderkey column alive through column pruning so the join
+    // shuffle ships varied bytes — a constant-custkey-only row
+    // compresses to nothing and the byte-based detector never fires
+    // (the fact_join_skew_aqe lesson, repeated by the pruner) — and
+    // (b) stays driver-computable in closed form.
+    val keyOffset =
+      o.agg(max("o_orderkey")).head().getLong(0) + 1L
+    val skewed = o.unionByName(
+      hotOrders.crossJoin(s.range(copies - 1).select(col("id").as("__k")))
+        .withColumn("o_orderkey",
+          col("o_orderkey") + (col("__k") + lit(1L)) * lit(keyOffset))
+        .drop("__k"))
+
+    def counts(ords: org.apache.spark.sql.DataFrame) = ords
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey").cast("decimal(38,0)")).as("sum_keys"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))).toMap
+
+    val base = collectMap(counts(o))
+    val hotSeg = c.filter(col("c_custkey") === hotKey)
+      .head().getString(1)
+    val hotAgg = hotOrders.agg(count(lit(1)),
+      sum(col("o_orderkey").cast("decimal(38,0)"))).head()
+    val nHot = hotAgg.getLong(0)
+    val hotSum = BigInt(hotAgg.getDecimal(1).toBigInteger)
+    // Σ_clones key = (copies−1)·hotSum + nHot·keyOffset·Σ_{j=1}^{copies−1} j
+    val cloneSum = hotSum * (copies - 1) +
+      BigInt(nHot) * BigInt(keyOffset) *
+        (BigInt(copies - 1) * BigInt(copies) / 2)
+    val (bn, bs) = base.getOrElse(hotSeg, (0L, BigInt(0)))
+    val expected = base +
+      (hotSeg -> (bn + (copies - 1L) * nHot, bs + cloneSum))
+
+    val demoConfs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = (demoConfs.keys ++
+      Seq("spark.sql.adaptive.skewJoin.enabled")).map { k =>
+      k -> s.conf.getOption(k)
+    }.toMap
+
+    def run(skewOn: Boolean): (Map[String, (Long, BigInt)], Double, Boolean) = {
+      demoConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      val plans = ArrayBuffer.empty[String]
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      s.listenerManager.register(listener)
+      try {
+        val (result, secs) = time(collectMap(counts(skewed)))
+        val deadline = System.currentTimeMillis + 10000
+        var last = -1
+        var stableTicks = 0
+        while (System.currentTimeMillis < deadline && stableTicks < 5 &&
+          !(skewOn && plans.synchronized(plans.exists(_.contains("skew=true"))))) {
+          val cc = plans.synchronized(plans.length)
+          if (cc == last && cc > 0) stableTicks += 1
+          else { stableTicks = 0; last = cc }
+          Thread.sleep(100)
+        }
+        val sawSkew =
+          plans.synchronized { plans.exists(_.contains("skew=true")) }
+        if (skewOn && !sawSkew &&
+            sys.env.contains("SPARK_GRAFT_STRESS_DEBUG"))
+          plans.synchronized(plans.foreach(p =>
+            System.err.println(s"[stress-debug] captured plan:\n$p")))
+        (result, secs, sawSkew)
+      } finally {
+        s.listenerManager.unregister(listener)
+        saved.foreach { case (k, vOpt) =>
+          vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+        }
+      }
+    }
+
+    val (resOff, secsOff, skewOff) = run(skewOn = false)
+    val (resOn, secsOn, skewOn) = run(skewOn = true)
+    val ok = resOn == resOff && resOn == expected && skewOn && !skewOff
+    s""""custkey_skew_aqe":{"hot_custkey":$hotKey,"copies":$copies,""" +
+      s""""hot_orders":$nHot,"customers":${expected.size},""" +
+      s""""secs_skew_off":${r3(secsOff)},"secs_skew_on":${r3(secsOn)},""" +
+      s""""results_match_off":${resOff == expected},""" +
+      s""""results_match_on":${resOn == expected},""" +
+      s""""skew_split_seen_off":$skewOff,"skew_split_seen_on":$skewOn,""" +
+      s""""ok":$ok}"""
+  }
+
   /** Deterministic netpbm raster payload: P5 (grayscale) for even
     * seeds, P6 (RGB) for odd, pixel(x, y, c) = (x + y + seed + c) mod
     * 256 — every pixel is a driver-computable closed form, so the
@@ -975,6 +1108,7 @@ object StressBench {
       "triangles_clone3x" -> (() => trianglesClone3x(spark, sfDir)),
       "systematic_mass10x" -> (() => systematicMass10x(spark, sfDir)),
       "fact_join_skew_aqe" -> (() => factJoinSkewAqe(spark, sfDir)),
+      "custkey_skew_aqe" -> (() => custkeySkewAqe(spark, sfDir)),
       "netpbm_clone10x" -> (() => netpbmClone10x(spark)),
       "knn_exact_full" -> (() => knnExactFull(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
