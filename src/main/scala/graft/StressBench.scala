@@ -683,6 +683,72 @@ object StressBench {
       s""""heavy_missed":${hm1 + hm10},"ok":$ok}"""
   }
 
+  /** Two-run AQE skew probe shared by the fact×fact skew faces:
+    * executes `action` with AQE skew-join OFF then ON under the
+    * demo-scale skew thresholds of the semdedup_skew_aqe precedent,
+    * broadcast disabled (at 100 TB neither side of these joins
+    * broadcasts — SMJ is the honest physical shape), capturing every
+    * executed plan to report whether a skew=true join actually ran.
+    * Session confs are restored after each run. Returns
+    * ((resultOff, secsOff, sawSkewOff), (resultOn, secsOn, sawSkewOn)).
+    */
+  private def skewProbe[T](s: SparkSession)(action: => T)
+      : ((T, Double, Boolean), (T, Double, Boolean)) = {
+    val demoConfs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = (demoConfs.keys ++
+      Seq("spark.sql.adaptive.skewJoin.enabled")).map { k =>
+      k -> s.conf.getOption(k)
+    }.toMap
+
+    def run(skewOn: Boolean): (T, Double, Boolean) = {
+      demoConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      val plans = ArrayBuffer.empty[String]
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      s.listenerManager.register(listener)
+      try {
+        val (result, secs) = time(action)
+        // listener events post asynchronously after the action
+        // returns; wait for the stream to settle (or the expected
+        // skew marker to land), bounded at 10 s
+        val deadline = System.currentTimeMillis + 10000
+        var last = -1
+        var stableTicks = 0
+        while (System.currentTimeMillis < deadline && stableTicks < 5 &&
+          !(skewOn && plans.synchronized(plans.exists(_.contains("skew=true"))))) {
+          val c = plans.synchronized(plans.length)
+          if (c == last && c > 0) stableTicks += 1
+          else { stableTicks = 0; last = c }
+          Thread.sleep(100)
+        }
+        val sawSkew =
+          plans.synchronized { plans.exists(_.contains("skew=true")) }
+        if (skewOn && !sawSkew &&
+            sys.env.contains("SPARK_GRAFT_STRESS_DEBUG"))
+          plans.synchronized(plans.foreach(p =>
+            System.err.println(s"[stress-debug] captured plan:\n$p")))
+        (result, secs, sawSkew)
+      } finally {
+        s.listenerManager.unregister(listener)
+        saved.foreach { case (k, vOpt) =>
+          vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+        }
+      }
+    }
+
+    (run(skewOn = false), run(skewOn = true))
+  }
+
   /** AQE skew stress for the UN-HINTED fact×fact relational family
     * (VERDICT r11 item 1 — the q140/q204/q209/q211/q216 shape): the
     * engine leaves the lineitem⋈orders join to AQE on purpose (the
@@ -755,60 +821,8 @@ object StressBench {
       k -> (bl + (copies - 1L) * hl, bd + (copies - 1L) * hd)
     }.toMap
 
-    val demoConfs = Map(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
-    val saved = (demoConfs.keys ++
-      Seq("spark.sql.adaptive.skewJoin.enabled")).map { k =>
-      k -> s.conf.getOption(k)
-    }.toMap
-
-    def run(skewOn: Boolean): (Map[Long, (Long, Long)], Double, Boolean) = {
-      demoConfs.foreach { case (k, v) => s.conf.set(k, v) }
-      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
-      val plans = ArrayBuffer.empty[String]
-      val listener = new QueryExecutionListener {
-        override def onSuccess(funcName: String, qe: QueryExecution,
-                               durationNs: Long): Unit =
-          plans.synchronized { plans += qe.executedPlan.toString }
-        override def onFailure(funcName: String, qe: QueryExecution,
-                               exception: Exception): Unit = ()
-      }
-      s.listenerManager.register(listener)
-      try {
-        val (result, secs) = time(collectMap(sla(skewed)))
-        // same async-listener quiesce wait as semdedupSkewAqe: events
-        // post after the action returns; wait for the stream to settle
-        // (or the expected skew marker to land), bounded at 10 s
-        val deadline = System.currentTimeMillis + 10000
-        var last = -1
-        var stableTicks = 0
-        while (System.currentTimeMillis < deadline && stableTicks < 5 &&
-          !(skewOn && plans.synchronized(plans.exists(_.contains("skew=true"))))) {
-          val c = plans.synchronized(plans.length)
-          if (c == last && c > 0) stableTicks += 1
-          else { stableTicks = 0; last = c }
-          Thread.sleep(100)
-        }
-        val sawSkew =
-          plans.synchronized { plans.exists(_.contains("skew=true")) }
-        if (skewOn && !sawSkew &&
-            sys.env.contains("SPARK_GRAFT_STRESS_DEBUG"))
-          plans.synchronized(plans.foreach(p =>
-            System.err.println(s"[stress-debug] captured plan:\n$p")))
-        (result, secs, sawSkew)
-      } finally {
-        s.listenerManager.unregister(listener)
-        saved.foreach { case (k, vOpt) =>
-          vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
-        }
-      }
-    }
-
-    val (resOff, secsOff, skewOff) = run(skewOn = false)
-    val (resOn, secsOn, skewOn) = run(skewOn = true)
+    val ((resOff, secsOff, skewOff), (resOn, secsOn, skewOn)) =
+      skewProbe(s)(collectMap(sla(skewed)))
     val ok = resOn == resOff && resOn == expected && skewOn && !skewOff
     s""""fact_join_skew_aqe":{"hot_orderkey":$hotKey,"copies":$copies,""" +
       s""""skewed_rows":${expected.valuesIterator.map(_._1).sum},""" +
@@ -892,60 +906,80 @@ object StressBench {
     val expected = base +
       (hotSeg -> (bn + (copies - 1L) * nHot, bs + cloneSum))
 
-    val demoConfs = Map(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
-    val saved = (demoConfs.keys ++
-      Seq("spark.sql.adaptive.skewJoin.enabled")).map { k =>
-      k -> s.conf.getOption(k)
-    }.toMap
-
-    def run(skewOn: Boolean): (Map[String, (Long, BigInt)], Double, Boolean) = {
-      demoConfs.foreach { case (k, v) => s.conf.set(k, v) }
-      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
-      val plans = ArrayBuffer.empty[String]
-      val listener = new QueryExecutionListener {
-        override def onSuccess(funcName: String, qe: QueryExecution,
-                               durationNs: Long): Unit =
-          plans.synchronized { plans += qe.executedPlan.toString }
-        override def onFailure(funcName: String, qe: QueryExecution,
-                               exception: Exception): Unit = ()
-      }
-      s.listenerManager.register(listener)
-      try {
-        val (result, secs) = time(collectMap(counts(skewed)))
-        val deadline = System.currentTimeMillis + 10000
-        var last = -1
-        var stableTicks = 0
-        while (System.currentTimeMillis < deadline && stableTicks < 5 &&
-          !(skewOn && plans.synchronized(plans.exists(_.contains("skew=true"))))) {
-          val cc = plans.synchronized(plans.length)
-          if (cc == last && cc > 0) stableTicks += 1
-          else { stableTicks = 0; last = cc }
-          Thread.sleep(100)
-        }
-        val sawSkew =
-          plans.synchronized { plans.exists(_.contains("skew=true")) }
-        if (skewOn && !sawSkew &&
-            sys.env.contains("SPARK_GRAFT_STRESS_DEBUG"))
-          plans.synchronized(plans.foreach(p =>
-            System.err.println(s"[stress-debug] captured plan:\n$p")))
-        (result, secs, sawSkew)
-      } finally {
-        s.listenerManager.unregister(listener)
-        saved.foreach { case (k, vOpt) =>
-          vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
-        }
-      }
-    }
-
-    val (resOff, secsOff, skewOff) = run(skewOn = false)
-    val (resOn, secsOn, skewOn) = run(skewOn = true)
+    val ((resOff, secsOff, skewOff), (resOn, secsOn, skewOn)) =
+      skewProbe(s)(collectMap(counts(skewed)))
     val ok = resOn == resOff && resOn == expected && skewOn && !skewOff
     s""""custkey_skew_aqe":{"hot_custkey":$hotKey,"copies":$copies,""" +
       s""""hot_orders":$nHot,"customers":${expected.size},""" +
+      s""""secs_skew_off":${r3(secsOff)},"secs_skew_on":${r3(secsOn)},""" +
+      s""""results_match_off":${resOff == expected},""" +
+      s""""results_match_on":${resOn == expected},""" +
+      s""""skew_split_seen_off":$skewOff,"skew_split_seen_on":$skewOn,""" +
+      s""""ok":$ok}"""
+  }
+
+  /** Third face of the fact×fact skew family: a power-law SUPPKEY on
+    * the lineitem⋈supplier join — the q208 (TPC-H Q9) sub-shape, the
+    * one named family member the first two faces left uncovered. The
+    * supplier table is LINEAR-GROWTH (10k rows per SF), so at 100 TB
+    * it does NOT broadcast: the join shuffles the full lineitem fact
+    * on suppkey, and one whale supplier serializes a reducer unless
+    * AQE's splitter engages. The rollup key is the NATION (25 values
+    * ≠ the join key) — the fat-join-then-different-key shape where
+    * the splitter is the legitimate escape. Both column-level lessons
+    * from custkey_skew_aqe apply verbatim: the aggregate SUMS the
+    * orderkey column (exact decimal) so column pruning leaves varied,
+    * incompressible shuffle bytes for the byte-based detector, and
+    * clone orderkeys are offset-unique so Σ keys has a
+    * driver-computable closed form. Assertions: skew=true present
+    * with skew-join ON and absent OFF, per-nation results identical
+    * across both runs, and both equal the closed form
+    * base + (copies−1)·hot over counts AND exact key sums.
+    */
+  private def suppkeySkewAqe(s: SparkSession, sfDir: String): String = {
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_SUPP_COPIES",
+      "1000").toInt
+    val li = Tables.lineitem(s, sfDir).select("l_suppkey", "l_orderkey")
+    val supp = Tables.supplier(s, sfDir).select("s_suppkey", "s_nationkey")
+    val hotKey = li.groupBy("l_suppkey").count()
+      .orderBy(col("count").desc, col("l_suppkey")).head().getLong(0)
+    val hotLines = li.filter(col("l_suppkey") === hotKey)
+    val keyOffset = li.agg(max("l_orderkey")).head().getLong(0) + 1L
+    val skewed = li.unionByName(
+      hotLines.crossJoin(s.range(copies - 1).select(col("id").as("__k")))
+        .withColumn("l_orderkey",
+          col("l_orderkey") + (col("__k") + lit(1L)) * lit(keyOffset))
+        .drop("__k"))
+
+    def rollup(lines: DataFrame) = lines
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_orderkey").cast("decimal(38,0)")).as("sum_keys"))
+    def collectMap(df: DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))).toMap
+
+    val base = collectMap(rollup(li))
+    val hotNation = supp.filter(col("s_suppkey") === hotKey)
+      .head().getInt(1)
+    val hotAgg = hotLines.agg(count(lit(1)),
+      sum(col("l_orderkey").cast("decimal(38,0)"))).head()
+    val nHot = hotAgg.getLong(0)
+    val hotSum = BigInt(hotAgg.getDecimal(1).toBigInteger)
+    // Σ_clones key = (copies−1)·hotSum + nHot·keyOffset·Σ_{j=1}^{copies−1} j
+    val cloneSum = hotSum * (copies - 1) +
+      BigInt(nHot) * BigInt(keyOffset) *
+        (BigInt(copies - 1) * BigInt(copies) / 2)
+    val (bn, bs) = base.getOrElse(hotNation, (0L, BigInt(0)))
+    val expected = base +
+      (hotNation -> (bn + (copies - 1L) * nHot, bs + cloneSum))
+
+    val ((resOff, secsOff, skewOff), (resOn, secsOn, skewOn)) =
+      skewProbe(s)(collectMap(rollup(skewed)))
+    val ok = resOn == resOff && resOn == expected && skewOn && !skewOff
+    s""""suppkey_skew_aqe":{"hot_suppkey":$hotKey,"copies":$copies,""" +
+      s""""hot_lines":$nHot,"nations":${expected.size},""" +
       s""""secs_skew_off":${r3(secsOff)},"secs_skew_on":${r3(secsOn)},""" +
       s""""results_match_off":${resOff == expected},""" +
       s""""results_match_on":${resOn == expected},""" +
@@ -1109,6 +1143,7 @@ object StressBench {
       "systematic_mass10x" -> (() => systematicMass10x(spark, sfDir)),
       "fact_join_skew_aqe" -> (() => factJoinSkewAqe(spark, sfDir)),
       "custkey_skew_aqe" -> (() => custkeySkewAqe(spark, sfDir)),
+      "suppkey_skew_aqe" -> (() => suppkeySkewAqe(spark, sfDir)),
       "netpbm_clone10x" -> (() => netpbmClone10x(spark)),
       "knn_exact_full" -> (() => knnExactFull(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
