@@ -386,8 +386,21 @@ object Curation {
                         sampleCap: Long,
                         rates: Map[String, Double]): DataFrame = {
     val scored = TextAnalysis.unigramLogProb(docs, idCol, textCol)
-    // scored is persisted+materialized by unigramLogProb, so the two
-    // driver-side counts below are cache reads, not corpus passes
+    Dedup.materializeAndRelease(
+      perplexityBucketsWith(scored, sampleCap, rates), scored)
+  }
+
+  /** [[perplexityBuckets]] under PRE-COMPUTED LM scores
+    * ([[TextAnalysis.unigramLogProb]]'s output, which the caller owns
+    * and releases) — the consumer half of the score-once split: the
+    * bucketing/sampling never needed the corpus, only the score table,
+    * so a pipeline that materializes the LM score column runs the
+    * CCNet split straight off it. `scored` must carry
+    * (id, nll_mean_nano) and must be materialized (pinned or
+    * persisted) — the two driver-side counts below re-read it.
+    */
+  def perplexityBucketsWith(scored: DataFrame, sampleCap: Long,
+                            rates: Map[String, Double]): DataFrame = {
     val n = scored.count()
     val stride = math.max(1L, (n + sampleCap - 1) / sampleCap)
     val sample = scored.filter(col("id") % stride === 0)
@@ -406,9 +419,7 @@ object Curation {
           .when(col("nll_mean_nano") <= col("__t2"), "middle")
           .otherwise("tail"))
       .drop("__t1", "__t2")
-    Dedup.materializeAndRelease(
-      sampleStratified(bucketed, "id", "bucket", rates, defaultRate = 1.0),
-      scored)
+    sampleStratified(bucketed, "id", "bucket", rates, defaultRate = 1.0)
   }
 
   /** Token-budget shard packing: within each group (source/domain),

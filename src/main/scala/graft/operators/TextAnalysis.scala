@@ -671,11 +671,25 @@ object TextAnalysis {
   def corpusManifest(docs: DataFrame, idCol: String, textCol: String,
                      groupCols: Seq[String]): DataFrame = {
     val scored = unigramLogProb(docs, idCol, textCol)
+    Dedup.materializeAndRelease(
+      corpusManifestWith(docs, idCol, textCol, groupCols, scored), scored)
+  }
+
+  /** [[corpusManifest]] under PRE-COMPUTED LM scores ([[unigramLogProb]]'s
+    * output, which the caller owns and releases) — the report half of
+    * the score-once-report-many split: a pipeline that materializes the
+    * corpus LM score column runs every card/manifest off that table
+    * instead of retraining the LM per report. `scored` must carry
+    * (id, ntok, nll_mean_nano) for exactly the rows of `docs`.
+    */
+  def corpusManifestWith(docs: DataFrame, idCol: String, textCol: String,
+                         groupCols: Seq[String],
+                         scored: DataFrame): DataFrame = {
     val base = docs.select((Seq(col(idCol)) ++ groupCols.map(col) :+
         sha2(normText(col(textCol)), 256).as("__nt")): _*)
       .join(scored.select(col("id").as(idCol), col("ntok"),
         col("nll_mean_nano")), idCol)
-    val out = base.groupBy(groupCols.map(col): _*)
+    base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok")).as("total_tokens"),
         countDistinct(col("__nt")).as("n_unique"),
@@ -686,7 +700,6 @@ object TextAnalysis {
             org.apache.spark.sql.GraftColumnBridge.expression(
               count(lit(1))))).as("mean_nll_nano"))
       .orderBy(groupCols.map(col): _*)
-    Dedup.materializeAndRelease(out, scored)
   }
 
   /** Corpus word frequencies — the word-level dictionary every BPE-style
