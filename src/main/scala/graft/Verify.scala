@@ -32,6 +32,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Bench's per-query cache discipline (it was missing here): each
+      // query's materializeAndRelease leaves its RESULT persisted, so
+      // a full 217-query dump accumulated every result in the cache
+      // and the tail of the run executed under the whole suite's heap
+      // pressure. Session seams survive this — they are pinned
+      // localCheckpoint blocks, not CacheManager entries.
+      spark.sqlContext.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
