@@ -179,6 +179,18 @@ class CurationSpec extends SparkSpec {
       rates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 0.0))
       .collect().map(_.getLong(0)).toSet
     thinned shouldBe (1L to 6L).toSet
+    // the score-once split: perplexityBucketsWith under a caller-owned
+    // pre-scored table returns row-for-row what the one-shot entry
+    // point returns (the seam consumers' equivalence, pinned at unit
+    // scale; the oracle gates pin it at corpus scale)
+    val scored = operators.TextAnalysis
+      .unigramLogProb(docs, "doc_id", "text")
+    val viaWith = Curation.perplexityBucketsWith(scored,
+        sampleCap = 1000L,
+        rates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0))
+      .select("id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    viaWith shouldBe all
   }
 
   test("plan shapes: sampleStratified adds NO shuffle; packShards adds exactly one (the per-group window)") {

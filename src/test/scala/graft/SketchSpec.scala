@@ -164,6 +164,19 @@ class SketchSpec extends SparkSpec {
     grouped shouldBe expected
   }
 
+  test("hllRegistersBy is duplicate-insensitive: registers over the distinct table equal registers over the raw stream") {
+    // the sharedSourceVocab seam's load-bearing equivalence: q69 reads
+    // its HLL registers off the distinct (source, tok) table instead
+    // of the raw token stream, which is only sound because max(rho)
+    // per bucket cannot change under value duplication
+    val raw = (1 to 400).map(i => (s"g${i % 2}", s"k${i % 37}")).toDF("g", "k")
+    val regs = Sketch.hllRegistersBy(raw, "k", Seq("g"), p = 7)
+      .as[(String, Int, Int)].collect().toSet
+    val regsDistinct = Sketch.hllRegistersBy(raw.distinct(), "k", Seq("g"), p = 7)
+      .as[(String, Int, Int)].collect().toSet
+    regsDistinct shouldBe regs
+  }
+
   test("hll rejects out-of-range precision") {
     val keys = Seq("a").toDF("k")
     an[IllegalArgumentException] should be thrownBy

@@ -186,6 +186,28 @@ class TextAnalysisSpec extends SparkSpec {
     nll(0) should be < nll(1) // lower nll = more corpus-typical
   }
 
+  test("corpusManifest and corpusManifestWith agree: the score-once split changes nothing") {
+    // the sharedLmScores seam's equivalence at unit scale (the oracle
+    // gates pin it at corpus scale): a manifest computed off a
+    // caller-owned pre-scored table is row-for-row the one-shot result
+    val docs = Seq(
+      (1L, "s0", "a a b"), (2L, "s0", "b"),
+      (3L, "s1", "a a b"), (4L, "s1", "c c a b")).toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"source", $"n_docs", $"total_tokens", $"n_unique", $"mean_nll_nano")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val oneShot = rows(TextAnalysis.corpusManifest(
+      docs, "doc_id", "text", groupCols = Seq("source")))
+    val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    val viaWith = rows(TextAnalysis.corpusManifestWith(
+      docs, "doc_id", "text", groupCols = Seq("source"), scored = scored))
+    viaWith shouldBe oneShot
+    // and the dedup audit inside it sees through duplicated text:
+    // s0 has two distinct texts, s1 has two distinct texts, but doc 3
+    // duplicates doc 1's normalized content only within its own group
+    oneShot.map(r => (r._1, r._4)) shouldBe Seq(("s0", 2L), ("s1", 2L))
+  }
+
   test("zipfCurve and heapsGrowth: hand-computed ranks and cumulative growth") {
     val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
     val z = TextAnalysis.zipfCurve(docs, "text", k = 2)
