@@ -184,6 +184,25 @@ object StreamBench {
           StreamingOps.attributionStateful(ds, "purchase").toDF()
         case "entry_exit_timeout" =>
           StreamingOps.entryExitStatefulTimeout(ds, faceGapUs).toDF()
+        case "dedup_watermark" =>
+          // exactly-once-effect content dedup: every 4 consecutive
+          // events share a content key (integer DIV — `/` on longs is
+          // DOUBLE division and would make every key unique), so the
+          // within-watermark guarantee collapses each quadruple and
+          // out_rows has the exact closed form nf/4, asserted below.
+          // The grace deliberately covers the whole 200 s topic span:
+          // FileStreamSource's pickup order is not time order (mtime
+          // ties across the range-partitioned files — observed 25%
+          // late-dropped under a 10 s grace, breaking the closed
+          // form), and the face's job is throughput + the
+          // exactly-once closed form; watermark EVICTION mechanics
+          // are pinned by StreamingSpec's dedup spec. State is
+          // key-count-bounded (nf/4), 4x below input.
+          StreamingOps.dedupWithinWatermark(
+            ds.toDF()
+              .withColumn("ts", timestamp_micros(col("tsUs")))
+              .withColumn("ckey", expr("eid DIV 4")),
+            "ts", "600 seconds", Seq("ckey"))
       }
       val q = StreamingOps.sink(outDf, "parquet", Some(out), ckpt,
         trigger = Trigger.AvailableNow()).start()
@@ -200,6 +219,10 @@ object StreamBench {
       val stateRows = progress.flatMap(_.stateOperators)
         .map(_.numRowsTotal).foldLeft(0L)(math.max)
       val outRows = spark.read.schema(outDf.schema).parquet(out).count()
+      // the dedup face's correctness gate rides inside the bench: the
+      // closed form holds on any batching (see the face's comment)
+      require(face != "dedup_watermark" || outRows == nf / 4,
+        s"dedup_watermark out_rows=$outRows, expected ${nf / 4}")
       (inputRows, secs, stateRows, outRows)
     }
 
@@ -215,7 +238,8 @@ object StreamBench {
     }
 
     val faceNames =
-      Seq("transitions", "gaps", "attribution", "entry_exit_timeout")
+      Seq("transitions", "gaps", "attribution", "entry_exit_timeout",
+        "dedup_watermark")
     val facesFrag = faceNames.map { face =>
       // RocksDB (still set from the e2e section) first, then the
       // default provider restored for the hdfs leg
