@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Resumable, parallel DuckDB oracle gate (VERDICT r10 item 1).
 
-Same compare semantics as tools/check.py, restructured so the multi-hour
+Same compare semantics as tools/check.py, restructured so the (formerly multi-hour, now ~11-minute: blocked twins + per-query clearCache) full
 sf0.1 run survives being killed:
 
   - every completed query appends ONE JSONL line (fsync'd) to
