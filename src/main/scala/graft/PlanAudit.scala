@@ -1,31 +1,82 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Exec-mode plan audit: runs named SparkEntry queries to completion
-  * (noop sink — AQE finalizes every stage), then reports the
-  * AQE-FINALIZED physical plan's operator census as one JSON line per
-  * query. This is the scale-readiness gate the round logs cite: a
-  * CartesianProduct or an un-broadcast small-side join in the final
-  * plan is a 100× scale-killer regardless of local wall time, and
-  * only the POST-execution plan shows what AQE actually picked
-  * (explain() before execution shows isFinalPlan=false placeholders).
+  * (noop-equivalent RDD materialization — AQE finalizes every stage),
+  * then reports the AQE-FINALIZED physical plan's operator census as
+  * one JSON line per query. This is the scale-readiness gate the
+  * round logs cite: a CartesianProduct or an un-broadcast small-side
+  * join in the final plan is a 100× scale-killer regardless of local
+  * wall time, and only the POST-execution plan shows what AQE
+  * actually picked (explain() before execution shows
+  * isFinalPlan=false placeholders).
   *
   * Usage: graft.PlanAudit <sfDir> [queryName...]
   *   (no names = the full suite; heavy — prefer a subset)
   *
-  * Counts are substring censuses over the formatted final plan — the
-  * same thing a human greps out of .explain("formatted"), made
-  * machine-checkable. BNLJ/cartesian hits are NOT asserted here
-  * (some queries carry documented 1-row broadcast riders); the reader
+  * Counts come from WALKING the executed-plan tree, descending into
+  * every AdaptiveSparkPlanExec's FINAL plan and into expression
+  * subqueries — NOT from a substring census of the printed plan: the
+  * printed form emits the '== Initial Plan ==' subtree next to the
+  * final one, so a string census sums final+initial and can report a
+  * scale-killer that exists only in the DISCARDED initial plan
+  * (observed: pre-fix artifact rows systematically doubled on
+  * unchanged plans). BNLJ/cartesian hits are NOT asserted here (some
+  * queries carry documented 1-row broadcast riders); the reader
   * compares against the round log's declared rider counts.
   */
 object PlanAudit {
+
+  /** Per-class node counts over the FINALIZED tree: every
+    * AdaptiveSparkPlanExec contributes its executedPlan (the final
+    * plan), never its initial one; expression subqueries (scalar /
+    * IN-subquery plans) are walked too.
+    */
+  private[graft] def census(root: SparkPlan): Map[String, Int] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Unit = {
+      if (!seen.add(p)) return // reused subtrees count once
+      val q = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      if (!(q eq p) && !seen.add(q)) return
+      counts(q.getClass.getSimpleName) += 1
+      q.subqueries.foreach(walk)
+      q.children.foreach(walk)
+      // query stages are LeafExecNodes holding their materialized
+      // plan OUTSIDE `children` — descend explicitly or an AQE plan's
+      // census would see only the stage wrappers
+      q match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)
+        // queries whose builders persist their result (the
+        // materializeAndRelease discipline) execute as a cache scan —
+        // the real operator tree lives in the relation's cached plan
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(im.relation.cachedPlan)
+        case _ => ()
+      }
+    }
+    walk(root)
+    counts.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftConf.localSession(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    val unknown = names.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "a typo here would otherwise produce a silently truncated audit")
     val selected = SparkEntry.queries
       .filter { case (k, _) => names.isEmpty || names(k) }
       .toSeq.sortBy(_._1)
@@ -36,22 +87,26 @@ object PlanAudit {
         // wrap the logical plan in a new QueryExecution and leave
         // df.queryExecution un-finalized — observed: isFinalPlan=false
         // on every query whose builder runs no driver-side action).
-        df.queryExecution.toRdd.count()
-        val plan = df.queryExecution.executedPlan.toString
-        def n(tok: String) = {
-          var c = 0; var i = plan.indexOf(tok)
-          while (i >= 0) { c += 1; i = plan.indexOf(tok, i + tok.length) }
-          c
-        }
-        val finalized = n("isFinalPlan=true") > 0 || n("AdaptiveSparkPlan") == 0
-        println(s"""{"q":"$name","final":$finalized,""" +
-          s""""exchange":${n("Exchange")},"bhj":${n("BroadcastHashJoin")},""" +
-          s""""smj":${n("SortMergeJoin")},"bnlj":${n("BroadcastNestedLoopJoin")},""" +
-          s""""cartesian":${n("CartesianProduct")},""" +
-          // simple-string plans mark codegen stages "*(k) Op", not the
-          // word WholeStageCodegen — DISTINCT stage ids = span count
-          s""""codegen_spans":${"""\*\((\d+)\)""".r
-            .findAllMatchIn(plan).map(_.group(1)).toSet.size}}""")
+        val rows = df.queryExecution.toRdd.count()
+        val root = df.queryExecution.executedPlan
+        val finalized = root.collect {
+          case a: AdaptiveSparkPlanExec => a
+        }.forall(_.toString.linesIterator.next().contains("isFinalPlan=true"))
+        val c = census(root)
+        if (sys.env.contains("SPARK_GRAFT_PLAN_DEBUG"))
+          System.err.println(s"[plan-debug] $name ${c.toSeq.sortBy(_._1)}")
+        def n(names: String*) = names.map(c.getOrElse(_, 0)).sum
+        // rows matters for reading the census: a 0-row result at tiny
+        // SF lets AQE empty-relation-propagate the whole tree, so its
+        // census legitimately shows no joins — audit at a SF where
+        // the query returns rows to see the real join picks
+        println(s"""{"q":"$name","final":$finalized,"rows":$rows,""" +
+          s""""exchange":${n("ShuffleExchangeExec", "BroadcastExchangeExec")},""" +
+          s""""bhj":${n("BroadcastHashJoinExec")},""" +
+          s""""smj":${n("SortMergeJoinExec")},""" +
+          s""""bnlj":${n("BroadcastNestedLoopJoinExec")},""" +
+          s""""cartesian":${n("CartesianProductExec")},""" +
+          s""""codegen_spans":${n("WholeStageCodegenExec")}}""")
       } catch { case e: Throwable =>
         println(s"""{"q":"$name","error":"${e.getClass.getSimpleName}"}""")
       } finally {

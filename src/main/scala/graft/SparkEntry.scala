@@ -78,26 +78,44 @@ object SparkEntry {
     * distinct-word-sized (not corpus-sized), so pinning it for the
     * session is cheap at any SF.
     */
-  private val bpeVocabCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
-  private def sharedBpeVocab(s: SparkSession, dir: String,
-      numMerges: Int = 6): DataFrame = {
-    val perSession = bpeVocabCache.synchronized {
-      var m = bpeVocabCache.get(s)
+  /** One-per-(session, key) memo shared by ALL the build-once seams
+    * below: weakly session-keyed (a stopped session's pinned blocks
+    * are collectable), TrieMap-keyed within a session. The caveats
+    * live here ONCE for every seam: TrieMap.getOrElseUpdate may
+    * evaluate the builder twice under CONCURRENT first access (the
+    * loser's pinned checkpoint blocks would leak for the session
+    * lifetime), and localCheckpoint is not fault-tolerant to executor
+    * loss (ADVICE r11) — both accepted by design for the
+    * single-threaded local harness; if concurrent query execution is
+    * ever enabled, wrap the compute in a per-key synchronized block
+    * and move to reliable checkpoint().
+    */
+  private def perSessionMemo[K](
+      cache: java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[K, DataFrame]],
+      s: SparkSession, key: K)(build: => DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(s)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        bpeVocabCache.put(s, m)
+        m = scala.collection.concurrent.TrieMap.empty[K, DataFrame]
+        cache.put(s, m)
       }
       m
     }
-    perSession.getOrElseUpdate((dir, numMerges), {
+    perSession.getOrElseUpdate(key, build)
+  }
+
+  private val bpeVocabCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
+  private def sharedBpeVocab(s: SparkSession, dir: String,
+      numMerges: Int = 6): DataFrame =
+    perSessionMemo(bpeVocabCache, s, (dir, numMerges)) {
       val v = TextAnalysis.bpeTrainedVocab(
         Tables.documents(s, dir), "text", numMerges)
       val pinned = v.localCheckpoint(true)
       v.unpersist(blocking = false)
       pinned
-    })
-  }
+    }
 
   /** Session-scoped exact-Jaccard dup-pair graph share (VERDICT r10
     * item 2 — the [[sharedBpeVocab]] train-once discipline applied to
@@ -122,30 +140,15 @@ object SparkEntry {
   private val dupPairsCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, Int, Int), DataFrame]]()
   private def sharedDupPairs(s: SparkSession, dir: String,
-      n: Int = 3, tPct: Int = 50): DataFrame = {
-    val perSession = dupPairsCache.synchronized {
-      var m = dupPairsCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        dupPairsCache.put(s, m)
-      }
-      m
-    }
-    // TrieMap.getOrElseUpdate may evaluate the builder twice under
-    // CONCURRENT first access (the loser's pinned checkpoint blocks
-    // would leak for the session lifetime), and localCheckpoint is not
-    // fault-tolerant to executor loss (ADVICE r11). Both are accepted
-    // by design for the single-threaded local harness; if concurrent
-    // query execution is ever enabled, wrap this compute in a per-key
-    // synchronized block and move to reliable checkpoint().
-    perSession.getOrElseUpdate((dir, n, tPct), {
+      n: Int = 3, tPct: Int = 50): DataFrame =
+    // concurrency/fault caveats: see perSessionMemo
+    perSessionMemo(dupPairsCache, s, (dir, n, tPct)) {
       val p = Dedup.jaccardSimilarityJoin(Tables.documents(s, dir),
         "doc_id", "text", n = n, t = tPct / 100.0)
       val pinned = p.localCheckpoint(true)
       p.unpersist(blocking = false)
       pinned
-    })
-  }
+    }
 
   /** Session-scoped MinHash-LSH near-dup pair graph share — the
     * [[sharedDupPairs]] build-once discipline applied to the BANDED
@@ -162,28 +165,19 @@ object SparkEntry {
     * seams (Bench clears the CacheManager between queries; the pair
     * table is orders of magnitude below the corpus, so pinning is
     * cheap at any SF), and carries the same accepted TrieMap /
-    * localCheckpoint caveats documented at [[sharedDupPairs]].
+    * localCheckpoint caveats documented at [[perSessionMemo]].
     */
   private val lshPairsCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Int), DataFrame]]()
   private def sharedLshPairs(s: SparkSession, dir: String, n: Int = 3,
-      tPct: Int = 50, bands: Int = 72, rows: Int = 2): DataFrame = {
-    val perSession = lshPairsCache.synchronized {
-      var m = lshPairsCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        lshPairsCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((dir, n, tPct, bands, rows), {
+      tPct: Int = 50, bands: Int = 72, rows: Int = 2): DataFrame =
+    perSessionMemo(lshPairsCache, s, (dir, n, tPct, bands, rows)) {
       val p = Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         n = n, t = tPct / 100.0, bands = bands, rows = rows)
       val pinned = p.localCheckpoint(true)
       p.unpersist(blocking = false)
       pinned
-    })
-  }
+    }
 
   /** Session-scoped SEMANTIC near-dup pair graph share — the third
     * seam of the build-once family: q81 (semantic clusters) and q84
@@ -194,21 +188,13 @@ object SparkEntry {
     * canonical join) live. q74 stays a live run on purpose: it GATES
     * the semDedup operator end-to-end (assignment → pairs → drop
     * manifest), so its benchmark keeps paying the cosine-join cost.
-    * Same localCheckpoint pinning and caveats as [[sharedDupPairs]].
+    * Same localCheckpoint pinning and caveats as [[perSessionMemo]].
     */
   private val semPairsCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
   private def sharedSemPairs(s: SparkSession, dir: String,
-      tPct: Int = 40): DataFrame = {
-    val perSession = semPairsCache.synchronized {
-      var m = semPairsCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        semPairsCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((dir, tPct), {
+      tPct: Int = 40): DataFrame =
+    perSessionMemo(semPairsCache, s, (dir, tPct)) {
       val emb = Tables.embeddings(s, dir)
       val cents = emb.filter(col("vec_id") < 32)
       val p = operators.Similarity.semDedupPairs(
@@ -217,8 +203,7 @@ object SparkEntry {
       val pinned = p.localCheckpoint(true)
       p.unpersist(blocking = false)
       pinned
-    })
-  }
+    }
 
   /** Session-scoped DSIR importance-weight table share — the
     * [[sharedBpeVocab]] train-once discipline applied to the hashed
@@ -236,24 +221,15 @@ object SparkEntry {
   private val dsirWeightsCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
   private def sharedDsirWeights(s: SparkSession, dir: String,
-      buckets: Int = 1024): DataFrame = {
-    val perSession = dsirWeightsCache.synchronized {
-      var m = dsirWeightsCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        dsirWeightsCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((dir, buckets), {
+      buckets: Int = 1024): DataFrame =
+    perSessionMemo(dsirWeightsCache, s, (dir, buckets)) {
       val w = operators.Curation.importanceWeights(
         Tables.documents(s, dir), "doc_id", "text",
         col("source") === "src0", buckets = buckets)
       val pinned = w.localCheckpoint(true)
       w.unpersist(blocking = false)
       pinned
-    })
-  }
+    }
 
   /** Session-scoped linear-quality score share — the train-once seam
     * for the fastText-style gate: q87 (per-doc keep flags) and q92
@@ -269,16 +245,8 @@ object SparkEntry {
   private val qualityScoreCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
   private def sharedQualityScores(s: SparkSession, dir: String,
-      buckets: Int = 512): DataFrame = {
-    val perSession = qualityScoreCache.synchronized {
-      var m = qualityScoreCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        qualityScoreCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((dir, buckets), {
+      buckets: Int = 512): DataFrame =
+    perSessionMemo(qualityScoreCache, s, (dir, buckets)) {
       val docs = Tables.documents(s, dir)
       val model = TextAnalysis.trainLinearQuality(
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
@@ -288,8 +256,7 @@ object SparkEntry {
       val pinned = scored.localCheckpoint(true)
       scored.unpersist(blocking = false)
       pinned
-    })
-  }
+    }
 
   /** Session-scoped corpus-LM score share — the score-once seam for
     * the unigram LM: q88 (CCNet perplexity buckets), q90 (corpus
@@ -304,27 +271,18 @@ object SparkEntry {
     * on purpose: it GATES `unigramLogProb` itself, so its benchmark
     * keeps paying the LM cost. The pinned table is corpus-rowed but 4
     * narrow columns (id, ntok, logprob_sum, nll_mean_nano); same
-    * localCheckpoint pinning and TrieMap caveats as [[sharedDupPairs]].
+    * localCheckpoint pinning and TrieMap caveats as [[perSessionMemo]].
     */
   private val lmScoresCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, DataFrame]]()
-  private def sharedLmScores(s: SparkSession, dir: String): DataFrame = {
-    val perSession = lmScoresCache.synchronized {
-      var m = lmScoresCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        lmScoresCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
+  private def sharedLmScores(s: SparkSession, dir: String): DataFrame =
+    perSessionMemo(lmScoresCache, s, dir) {
       val scored = TextAnalysis.unigramLogProb(
         Tables.documents(s, dir), "doc_id", "text")
       val pinned = scored.localCheckpoint(true)
       scored.unpersist(blocking = false)
       pinned
-    })
-  }
+    }
 
   /** Session-scoped per-source VOCABULARY share — the distinct
     * (source, token) table both cross-source vocabulary audits read:
@@ -339,29 +297,20 @@ object SparkEntry {
     * values — so q69's sketch side consumes the seam unchanged (its
     * hash gate pins that equivalence). Tokenization itself stays live
     * all over the bench (q65/q85/q86/q146 tokenize the corpus
-    * in-query); same pinning and caveats as [[sharedDupPairs]].
+    * in-query); same pinning and caveats as [[perSessionMemo]].
     */
   private val sourceVocabCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, DataFrame]]()
-  private def sharedSourceVocab(s: SparkSession, dir: String): DataFrame = {
-    val perSession = sourceVocabCache.synchronized {
-      var m = sourceVocabCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        sourceVocabCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
-      // v is never persisted (unlike the operator-built seams), so
-      // there is nothing to unpersist after the checkpoint pin
+  private def sharedSourceVocab(s: SparkSession, dir: String): DataFrame =
+    perSessionMemo(sourceVocabCache, s, dir) {
+      // never persisted (unlike the operator-built seams), so there
+      // is nothing to unpersist after the checkpoint pin
       Tables.documents(s, dir)
         .select(col("source"),
           explode(graft.functions.tokens(col("text"))).as("tok"))
         .distinct()
         .localCheckpoint(true)
-    })
-  }
+    }
 
   private def DSUM(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(30,6))) AS DOUBLE)"
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"

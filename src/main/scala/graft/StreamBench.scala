@@ -154,6 +154,11 @@ object StreamBench {
     // row count from the final progress (the per-key O(1) contract:
     // state rows ≈ live keys, never input rows).
     val nf = sys.env.getOrElse("SPARK_GRAFT_STREAM_FACE_ROWS", "200000").toLong
+    // the dedup face's closed form (out_rows == nf/4) assumes whole
+    // quadruples; reject a knob value that would break the in-bench
+    // assertion instead of aborting mid-run
+    require(nf % 4 == 0,
+      s"SPARK_GRAFT_STREAM_FACE_ROWS must be divisible by 4: $nf")
     val faceGapUs = 1000000L // 1 s session gap: cold entities churn
     val faceTopic = s"$dir/face_topic"
     spark.range(nf).select(
@@ -190,7 +195,9 @@ object StreamBench {
           // DOUBLE division and would make every key unique), so the
           // within-watermark guarantee collapses each quadruple and
           // out_rows has the exact closed form nf/4, asserted below.
-          // The grace deliberately covers the whole 200 s topic span:
+          // The grace deliberately covers the whole topic span
+          // (nf ms of event time + slack, SCALED with the row knob —
+          // a fixed grace would silently re-break past span > grace):
           // FileStreamSource's pickup order is not time order (mtime
           // ties across the range-partitioned files — observed 25%
           // late-dropped under a 10 s grace, breaking the closed
@@ -202,7 +209,7 @@ object StreamBench {
             ds.toDF()
               .withColumn("ts", timestamp_micros(col("tsUs")))
               .withColumn("ckey", expr("eid DIV 4")),
-            "ts", "600 seconds", Seq("ckey"))
+            "ts", s"${nf / 1000 + 60} seconds", Seq("ckey"))
       }
       val q = StreamingOps.sink(outDf, "parquet", Some(out), ckpt,
         trigger = Trigger.AvailableNow()).start()

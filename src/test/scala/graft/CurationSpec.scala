@@ -191,6 +191,9 @@ class CurationSpec extends SparkSpec {
       .select("id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     viaWith shouldBe all
+    // direct unigramLogProb callers own the persisted score table —
+    // release it or it leaks into the shared-session suite cache
+    scored.unpersist(blocking = false)
   }
 
   test("plan shapes: sampleStratified adds NO shuffle; packShards adds exactly one (the per-group window)") {

@@ -202,6 +202,9 @@ class TextAnalysisSpec extends SparkSpec {
     val viaWith = rows(TextAnalysis.corpusManifestWith(
       docs, "doc_id", "text", groupCols = Seq("source"), scored = scored))
     viaWith shouldBe oneShot
+    // direct unigramLogProb callers own the persisted score table —
+    // release it or it leaks into the shared-session suite cache
+    scored.unpersist(blocking = false)
     // and the dedup audit inside it sees through duplicated text:
     // s0 has two distinct texts, s1 has two distinct texts, but doc 3
     // duplicates doc 1's normalized content only within its own group
