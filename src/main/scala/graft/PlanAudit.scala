@@ -32,17 +32,28 @@ object PlanAudit {
   /** Per-class node counts over the FINALIZED tree: every
     * AdaptiveSparkPlanExec contributes its executedPlan (the final
     * plan), never its initial one; expression subqueries (scalar /
-    * IN-subquery plans) are walked too.
+    * IN-subquery plans) are walked too. The second element is the
+    * finalized flag, derived from the SAME adaptive nodes the walk
+    * visits (ADVICE r12): a `root.collect` traverses only `children`,
+    * so an un-finalized adaptive plan nested inside a cached
+    * relation's plan or an expression subquery — exactly the trees
+    * this walk deliberately descends — could never flip a
+    * collect-based flag to false, letting it read true vacuously.
     */
-  private[graft] def census(root: SparkPlan): Map[String, Int] = {
+  private[graft] def censusWithFinal(
+      root: SparkPlan): (Map[String, Int], Boolean) = {
     val counts = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
+    var allFinal = true
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Unit = {
       if (!seen.add(p)) return // reused subtrees count once
       val q = p match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case a: AdaptiveSparkPlanExec =>
+          if (!a.toString.linesIterator.next().contains("isFinalPlan=true"))
+            allFinal = false
+          a.executedPlan
         case other => other
       }
       if (!(q eq p) && !seen.add(q)) return
@@ -64,8 +75,11 @@ object PlanAudit {
       }
     }
     walk(root)
-    counts.toMap
+    (counts.toMap, allFinal)
   }
+
+  private[graft] def census(root: SparkPlan): Map[String, Int] =
+    censusWithFinal(root)._1
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -89,10 +103,7 @@ object PlanAudit {
         // on every query whose builder runs no driver-side action).
         val rows = df.queryExecution.toRdd.count()
         val root = df.queryExecution.executedPlan
-        val finalized = root.collect {
-          case a: AdaptiveSparkPlanExec => a
-        }.forall(_.toString.linesIterator.next().contains("isFinalPlan=true"))
-        val c = census(root)
+        val (c, finalized) = censusWithFinal(root)
         if (sys.env.contains("SPARK_GRAFT_PLAN_DEBUG"))
           System.err.println(s"[plan-debug] $name ${c.toSeq.sortBy(_._1)}")
         def n(names: String*) = names.map(c.getOrElse(_, 0)).sum

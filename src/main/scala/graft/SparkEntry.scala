@@ -70,51 +70,101 @@ object SparkEntry {
     * purpose: they GATE the trainer itself (pair stats + the unrolled
     * 6-round twin), so their benchmark must keep paying training cost.
     *
-    * The cached frame is `localCheckpoint`ed: Bench clears the
+    * The cached frame is pinned via [[pinSeam]]: Bench clears the
     * CacheManager between queries (a persist would silently fall back
-    * to retraining), while checkpoint blocks live until this strong
-    * reference is dropped — and the map is WEAKLY keyed by session so
-    * a stopped session's blocks are collectable. The table is
-    * distinct-word-sized (not corpus-sized), so pinning it for the
-    * session is cheap at any SF.
+    * to retraining), while checkpoint blocks live until the memo
+    * entry is dropped at context stop (see [[perSessionMemo]] for the
+    * lifetime contract). The table is distinct-word-sized (not
+    * corpus-sized), so pinning it for the session is cheap at any SF.
     */
+  /** Exactly-once holder for a seam build: racing first callers may
+    * both allocate a box, but only the TrieMap winner's `lazy val` is
+    * ever forced, and lazy-val initialization is itself synchronized —
+    * so the expensive build (and its pinned checkpoint blocks) happens
+    * once per key no matter how many queries race the seam.
+    */
+  private[graft] final class SeamBox(build0: => DataFrame) {
+    lazy val df: DataFrame = build0
+  }
+
   /** One-per-(session, key) memo shared by ALL the build-once seams
-    * below: weakly session-keyed (a stopped session's pinned blocks
-    * are collectable), TrieMap-keyed within a session. The caveats
-    * live here ONCE for every seam: TrieMap.getOrElseUpdate may
-    * evaluate the builder twice under CONCURRENT first access (the
-    * loser's pinned checkpoint blocks would leak for the session
-    * lifetime), and localCheckpoint is not fault-tolerant to executor
-    * loss (ADVICE r11) — both accepted by design for the
-    * single-threaded local harness; if concurrent query execution is
-    * ever enabled, wrap the compute in a per-key synchronized block
-    * and move to reliable checkpoint().
+    * below: session-keyed, TrieMap-keyed within a session, with each
+    * value a [[SeamBox]] so concurrent first access builds EXACTLY
+    * once (VERDICT r12 item 2 — the old getOrElseUpdate-of-DataFrame
+    * could double-build and leak the loser's pinned blocks).
+    *
+    * Entry lifetime (ADVICE r12): a seam DataFrame strongly references
+    * its SparkSession, so the WeakHashMap key alone can never be
+    * collected while its entry lives — the weak map only bounds the
+    * damage if the listener registration itself fails. Lifetime is
+    * therefore managed explicitly: the first touch of a (cache,
+    * session) pair registers an application-end listener that drops
+    * the entry when the SparkContext stops — the same moment the
+    * pinned blocks die — so a JVM cycling many sessions does not
+    * accumulate dead entries.
+    *
+    * Fault tolerance of the pins themselves lives in [[pinSeam]]
+    * (localCheckpoint locally, reliable checkpoint under the knob).
     */
-  private def perSessionMemo[K](
+  private[graft] def perSessionMemo[K](
       cache: java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[K, DataFrame]],
+        scala.collection.concurrent.TrieMap[K, SeamBox]],
       s: SparkSession, key: K)(build: => DataFrame): DataFrame = {
     val perSession = cache.synchronized {
       var m = cache.get(s)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[K, DataFrame]
+        m = scala.collection.concurrent.TrieMap.empty[K, SeamBox]
         cache.put(s, m)
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit =
+              cache.synchronized { cache.remove(s); () }
+          })
       }
       m
     }
-    perSession.getOrElseUpdate(key, build)
+    perSession.getOrElseUpdate(key, new SeamBox(build)).df
+  }
+
+  /** Pin a seam intermediate for the session, then release the source
+    * frame's own persistence (a no-op when the builder never
+    * persisted), so call sites don't repeat the release dance.
+    *
+    * Default mode is eager `localCheckpoint` — right for the
+    * single-JVM harness, but local-checkpoint blocks die with their
+    * executor. The `spark.graft.seam.checkpoint=reliable` knob
+    * (VERDICT r12 item 3) routes through eager reliable
+    * `checkpoint()` against `spark.graft.seam.checkpoint.dir` (or a
+    * checkpoint dir the deployment already configured on the
+    * context), so a cluster running with routine executor churn keeps
+    * its seams: the checkpoint lives in shared storage and a lost
+    * executor's partitions are re-read, not recomputed-from-nothing.
+    */
+  private[graft] def pinSeam(s: SparkSession, df: DataFrame): DataFrame = {
+    val pinned =
+      s.conf.get("spark.graft.seam.checkpoint", "local") match {
+        case "local" => df.localCheckpoint(true)
+        case "reliable" =>
+          if (s.sparkContext.getCheckpointDir.isEmpty)
+            s.sparkContext.setCheckpointDir(
+              s.conf.get("spark.graft.seam.checkpoint.dir"))
+          df.checkpoint(true)
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.seam.checkpoint must be local|reliable, got: $other")
+      }
+    df.unpersist(blocking = false)
+    pinned
   }
 
   private val bpeVocabCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
+    scala.collection.concurrent.TrieMap[(String, Int), SeamBox]]()
   private def sharedBpeVocab(s: SparkSession, dir: String,
       numMerges: Int = 6): DataFrame =
     perSessionMemo(bpeVocabCache, s, (dir, numMerges)) {
-      val v = TextAnalysis.bpeTrainedVocab(
-        Tables.documents(s, dir), "text", numMerges)
-      val pinned = v.localCheckpoint(true)
-      v.unpersist(blocking = false)
-      pinned
+      pinSeam(s, TextAnalysis.bpeTrainedVocab(
+        Tables.documents(s, dir), "text", numMerges))
     }
 
   /** Session-scoped exact-Jaccard dup-pair graph share (VERDICT r10
@@ -130,7 +180,7 @@ object SparkEntry {
     * `jaccardSimilarityJoin` itself (and q40 gates the capped dial),
     * so their benchmarks keep paying the join cost.
     *
-    * Pinned via `localCheckpoint(true)` for the same reason as the
+    * Pinned via [[pinSeam]] for the same reason as the
     * BPE vocab: Bench clears the CacheManager between queries (a
     * persist would silently fall back to rebuilding the graph), while
     * checkpoint blocks survive until this weakly-session-keyed strong
@@ -138,16 +188,13 @@ object SparkEntry {
     * magnitude below the corpus), so pinning it is cheap at any SF.
     */
   private val dupPairsCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int, Int), DataFrame]]()
+    scala.collection.concurrent.TrieMap[(String, Int, Int), SeamBox]]()
   private def sharedDupPairs(s: SparkSession, dir: String,
       n: Int = 3, tPct: Int = 50): DataFrame =
-    // concurrency/fault caveats: see perSessionMemo
+    // lifetime/fault-tolerance contract: see perSessionMemo / pinSeam
     perSessionMemo(dupPairsCache, s, (dir, n, tPct)) {
-      val p = Dedup.jaccardSimilarityJoin(Tables.documents(s, dir),
-        "doc_id", "text", n = n, t = tPct / 100.0)
-      val pinned = p.localCheckpoint(true)
-      p.unpersist(blocking = false)
-      pinned
+      pinSeam(s, Dedup.jaccardSimilarityJoin(Tables.documents(s, dir),
+        "doc_id", "text", n = n, t = tPct / 100.0))
     }
 
   /** Session-scoped MinHash-LSH near-dup pair graph share — the
@@ -161,22 +208,19 @@ object SparkEntry {
     * leakage reports alike). q12 stays a live run on purpose: it
     * GATES `minhashLsh` itself (at the 32×2 dial), so its benchmark
     * keeps paying the banded-join cost. Pinned via
-    * `localCheckpoint(true)` for the same reasons as the other two
+    * [[pinSeam]] for the same reasons as the other two
     * seams (Bench clears the CacheManager between queries; the pair
     * table is orders of magnitude below the corpus, so pinning is
-    * cheap at any SF), and carries the same accepted TrieMap /
-    * localCheckpoint caveats documented at [[perSessionMemo]].
+    * cheap at any SF), and carries the same memo/pin-lifetime
+    * contract documented at [[perSessionMemo]]/[[pinSeam]].
     */
   private val lshPairsCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Int), DataFrame]]()
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Int), SeamBox]]()
   private def sharedLshPairs(s: SparkSession, dir: String, n: Int = 3,
       tPct: Int = 50, bands: Int = 72, rows: Int = 2): DataFrame =
     perSessionMemo(lshPairsCache, s, (dir, n, tPct, bands, rows)) {
-      val p = Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
-        n = n, t = tPct / 100.0, bands = bands, rows = rows)
-      val pinned = p.localCheckpoint(true)
-      p.unpersist(blocking = false)
-      pinned
+      pinSeam(s, Dedup.minhashLsh(Tables.documents(s, dir), "doc_id",
+        "text", n = n, t = tPct / 100.0, bands = bands, rows = rows))
     }
 
   /** Session-scoped SEMANTIC near-dup pair graph share — the third
@@ -188,21 +232,18 @@ object SparkEntry {
     * canonical join) live. q74 stays a live run on purpose: it GATES
     * the semDedup operator end-to-end (assignment → pairs → drop
     * manifest), so its benchmark keeps paying the cosine-join cost.
-    * Same localCheckpoint pinning and caveats as [[perSessionMemo]].
+    * Same [[pinSeam]] pinning and [[perSessionMemo]] lifetime contract.
     */
   private val semPairsCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
+    scala.collection.concurrent.TrieMap[(String, Int), SeamBox]]()
   private def sharedSemPairs(s: SparkSession, dir: String,
       tPct: Int = 40): DataFrame =
     perSessionMemo(semPairsCache, s, (dir, tPct)) {
       val emb = Tables.embeddings(s, dir)
       val cents = emb.filter(col("vec_id") < 32)
-      val p = operators.Similarity.semDedupPairs(
+      pinSeam(s, operators.Similarity.semDedupPairs(
         emb, "vec_id", "embedding", cents, "vec_id", "embedding",
-        t = tPct / 100.0)
-      val pinned = p.localCheckpoint(true)
-      p.unpersist(blocking = false)
-      pinned
+        t = tPct / 100.0))
     }
 
   /** Session-scoped DSIR importance-weight table share — the
@@ -219,16 +260,13 @@ object SparkEntry {
     * once for the same reason this seam pins it.
     */
   private val dsirWeightsCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
+    scala.collection.concurrent.TrieMap[(String, Int), SeamBox]]()
   private def sharedDsirWeights(s: SparkSession, dir: String,
       buckets: Int = 1024): DataFrame =
     perSessionMemo(dsirWeightsCache, s, (dir, buckets)) {
-      val w = operators.Curation.importanceWeights(
+      pinSeam(s, operators.Curation.importanceWeights(
         Tables.documents(s, dir), "doc_id", "text",
-        col("source") === "src0", buckets = buckets)
-      val pinned = w.localCheckpoint(true)
-      w.unpersist(blocking = false)
-      pinned
+        col("source") === "src0", buckets = buckets))
     }
 
   /** Session-scoped linear-quality score share — the train-once seam
@@ -243,7 +281,7 @@ object SparkEntry {
     * corpus-rowed but 3 narrow columns (id, nfeat, score).
     */
   private val qualityScoreCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
+    scala.collection.concurrent.TrieMap[(String, Int), SeamBox]]()
   private def sharedQualityScores(s: SparkSession, dir: String,
       buckets: Int = 512): DataFrame =
     perSessionMemo(qualityScoreCache, s, (dir, buckets)) {
@@ -251,11 +289,8 @@ object SparkEntry {
       val model = TextAnalysis.trainLinearQuality(
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
         isPositive = col("source") === "src0", buckets = buckets)
-      val scored = TextAnalysis.scoreLinearQuality(
-        docs, "doc_id", "text", model, buckets = buckets)
-      val pinned = scored.localCheckpoint(true)
-      scored.unpersist(blocking = false)
-      pinned
+      pinSeam(s, TextAnalysis.scoreLinearQuality(
+        docs, "doc_id", "text", model, buckets = buckets))
     }
 
   /** Session-scoped corpus-LM score share — the score-once seam for
@@ -271,17 +306,14 @@ object SparkEntry {
     * on purpose: it GATES `unigramLogProb` itself, so its benchmark
     * keeps paying the LM cost. The pinned table is corpus-rowed but 4
     * narrow columns (id, ntok, logprob_sum, nll_mean_nano); same
-    * localCheckpoint pinning and TrieMap caveats as [[perSessionMemo]].
+    * [[pinSeam]] pinning and [[perSessionMemo]] lifetime contract.
     */
   private val lmScoresCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    scala.collection.concurrent.TrieMap[String, SeamBox]]()
   private def sharedLmScores(s: SparkSession, dir: String): DataFrame =
     perSessionMemo(lmScoresCache, s, dir) {
-      val scored = TextAnalysis.unigramLogProb(
-        Tables.documents(s, dir), "doc_id", "text")
-      val pinned = scored.localCheckpoint(true)
-      scored.unpersist(blocking = false)
-      pinned
+      pinSeam(s, TextAnalysis.unigramLogProb(
+        Tables.documents(s, dir), "doc_id", "text"))
     }
 
   /** Session-scoped per-source VOCABULARY share — the distinct
@@ -297,19 +329,16 @@ object SparkEntry {
     * values — so q69's sketch side consumes the seam unchanged (its
     * hash gate pins that equivalence). Tokenization itself stays live
     * all over the bench (q65/q85/q86/q146 tokenize the corpus
-    * in-query); same pinning and caveats as [[perSessionMemo]].
+    * in-query); same [[pinSeam]] pinning and memo lifetime contract.
     */
   private val sourceVocabCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    scala.collection.concurrent.TrieMap[String, SeamBox]]()
   private def sharedSourceVocab(s: SparkSession, dir: String): DataFrame =
     perSessionMemo(sourceVocabCache, s, dir) {
-      // never persisted (unlike the operator-built seams), so there
-      // is nothing to unpersist after the checkpoint pin
-      Tables.documents(s, dir)
+      pinSeam(s, Tables.documents(s, dir)
         .select(col("source"),
           explode(graft.functions.tokens(col("text"))).as("tok"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
     }
 
   private def DSUM(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(30,6))) AS DOUBLE)"
