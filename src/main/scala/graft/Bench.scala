@@ -7,15 +7,97 @@ import java.nio.file.{Files, Paths}
   * sink — every row is produced, nothing is collected to the driver),
   * and prints one machine-parseable JSON line. The same line is also
   * written to bench_out.json so log noise can never eat it.
+  *
+  * The record is SELF-ATTRIBUTING (VERDICT r12 item 1: the r12 driver
+  * record read 1.08× while solo re-timings proved 0.79× — the
+  * inflation was in-suite/host noise, and nothing in the record let a
+  * reader see that without a judge re-run). Three instruments make an
+  * outlier explainable from the record alone:
+  *
+  *  - per-query `passes`: ALL pass times, not just the min — a query
+  *    whose passes read [16.1, 16.0] regressed; [13.3, 3.6] hit a
+  *    transient (GC storm, load burst, codegen compile) on pass 1.
+  *  - per-query `gc_ms` / `codegen_compiles` per pass: executor GC
+  *    millis (summed task jvmGCTime) and Janino compilations during
+  *    the query — the two dominant in-suite inflators. A slow pass
+  *    with gc_ms ≈ its excess is heap pressure; with a compile burst
+  *    it is cache eviction; with neither it is the host.
+  *  - `steal_pre`: a pre-run steal-jiffy sample over
+  *    SPARK_GRAFT_STEAL_SECS seconds (default 120, the SURVEY §18
+  *    clean-host protocol, automated; 0 skips for local iteration) —
+  *    this host's steal arrives in 10-60 min waves, so per-pass
+  *    deltas alone can look clean while the suite ran inside a wave.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    def stealJiffies(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          if (f.length > 8) f(8).toLong else -1L
+        } finally src.close()
+      } catch { case _: Throwable => -1L }
+
+    // Pre-run steal sample BEFORE the session spins up (an idle JVM —
+    // any steal observed here is the host's, not ours). Records both
+    // the window and the delta so the reader can rate-compare runs.
+    val stealSecs =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_STEAL_SECS", "120").toInt)
+    val stealPre =
+      if (stealSecs == 0) """{"secs":0,"jiffies":-1}"""
+      else {
+        val s0 = stealJiffies()
+        Thread.sleep(stealSecs * 1000L)
+        val d = stealJiffies() - s0
+        s"""{"secs":$stealSecs,"jiffies":$d}"""
+      }
+
     // the shared harness session (GraftConf) so the bench runs the
     // same optimizer configuration as Verify and the specs
     val spark = GraftConf.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
+
+    // ---- per-query GC attribution: one listener accumulating task
+    // jvmGCTime; snapshot deltas around each query. The listener bus
+    // is async, so the post-query snapshot flushes it first (via the
+    // bytecode-public LiveListenerBus.waitUntilEmpty — private[spark]
+    // in source, hence reflection; best-effort: on any failure the
+    // delta still lands, attributed to whichever query the late
+    // events trail into).
+    val gcAccum = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) { gcAccum.addAndGet(m.jvmGCTime); () }
+        }
+      })
+    val flushListenerBus: () => Unit =
+      try {
+        val busM = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = busM.invoke(spark.sparkContext)
+        val waitM = bus.getClass.getMethod("waitUntilEmpty")
+        () => { try { waitM.invoke(bus); () } catch { case _: Throwable => () } }
+      } catch { case _: Throwable => () => () }
+
+    // Janino compilation counter (Spark's global CodegenMetrics — the
+    // object is private[spark], so reflection again; -1 everywhere if
+    // the internals moved, never a crash)
+    val codegenCount: () => Long =
+      try {
+        val cls = Class.forName(
+          "org.apache.spark.metrics.source.CodegenMetrics$")
+        val mod = cls.getField("MODULE$").get(null)
+        val hist = cls.getMethod("METRIC_COMPILATION_TIME").invoke(mod)
+          .asInstanceOf[com.codahale.metrics.Histogram]
+        () => hist.getCount
+      } catch { case _: Throwable => () => -1L }
+
     // Warmup: run the flagship once untimed so JVM/codegen/session setup
     // is not attributed to the first timed query (r2's q01 showed 17 s of
     // suite warmup vs ~3 s steady-state).
@@ -39,14 +121,7 @@ object Bench {
     def hostSnapshot(): String = {
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      val steal =
-        try {
-          val src = scala.io.Source.fromFile("/proc/stat")
-          try {
-            val f = src.getLines().next().trim.split("\\s+")
-            if (f.length > 8) f(8).toLong else -1L
-          } finally src.close()
-        } catch { case _: Throwable => -1L }
+      val steal = stealJiffies()
       // FOREIGN JVMs only (VERDICT r11 nit: the old count included the
       // bench's own sbt parent, so a demonstrably quiet host read
       // jvms=2 and needed prose attribution) — exclude this process,
@@ -80,8 +155,23 @@ object Bench {
       if (args.isEmpty)
         SparkEntry.queries.filter { case (k, _) => !benchExcluded(k) }
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    def runPass(): Seq[(String, Double)] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val order = selected.keys.toSeq.sorted
+    // per-query, per-pass instrument arrays (a failed pass records
+    // elapsed -1.0 — self-documenting in the detail, excluded from min)
+    val passTimes = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Double]]
+    val passGc = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    val passCodegen = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    def buf[T](m: scala.collection.mutable.Map[String,
+        scala.collection.mutable.ArrayBuffer[T]], k: String) =
+      m.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty[T])
+    def runPass(): Unit =
+      order.foreach { name =>
+        val fn = selected(name)
+        flushListenerBus()
+        val gc0 = gcAccum.get(); val cg0 = codegenCount()
         val t0 = System.nanoTime()
         var ok = true
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -90,11 +180,12 @@ object Bench {
           failCounts += name -> (failCounts(name) + 1)
           ok = false
         }
-        // a failed attempt's (short) elapsed must not win the
-        // cross-pass min — a query that fails fast in one pass and
-        // succeeds in another would otherwise report the failure's time
-        val elapsed =
-          if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        flushListenerBus()
+        buf(passTimes, name) += (if (ok) elapsed else -1.0)
+        buf(passGc, name) += gcAccum.get() - gc0
+        val cg1 = codegenCount()
+        buf(passCodegen, name) += (if (cg0 < 0 || cg1 < 0) -1L else cg1 - cg0)
         // drop this query's persisted tables so later queries aren't
         // timed under the accumulated heap pressure of the whole suite
         // (observed 4x run-to-run swings on the dedup self-joins without)
@@ -104,7 +195,6 @@ object Bench {
         // ContextCleaner only after their RDD is GC'd — nudge it so the
         // blocks don't sit in the block manager across later queries
         System.gc()
-        name -> elapsed
       }
     // Per-query MIN over `passes` full suite passes (r6; default 2).
     // One cold pass mixes JIT/codegen compilation into whichever
@@ -116,14 +206,16 @@ object Bench {
     // the steady-state throughput number the baseline comparison wants,
     // with run-to-run jitter (GC pause, load spike) filtered out.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
-    val results = (1 to passes).map { _ =>
-        hostSnaps += hostSnapshot()
-        runPass()
-      }
-      .reduce((a, b) => a.zip(b).map { case ((k, v1), (_, v2)) => k -> math.min(v1, v2) })
-      // a query that failed EVERY pass has no real time — report 0 and
-      // rely on the `failed` array (MaxValue would wreck the total)
-      .map { case (k, v) => k -> (if (v == Double.MaxValue) 0.0 else v) }
+    (1 to passes).foreach { _ =>
+      hostSnaps += hostSnapshot()
+      runPass()
+    }
+    // a query that failed EVERY pass has no real time — report 0 and
+    // rely on the `failed` array (a sentinel would wreck the total)
+    val results = order.map { name =>
+      val good = passTimes(name).filter(_ >= 0)
+      name -> (if (good.isEmpty) 0.0 else good.min)
+    }
     // 3-decimal rounding: at 86+ queries, full-precision doubles push
     // the one-line JSON past the driver's captured log tail
     // (BENCH_r07.json came back parsed:null) — ms precision is already
@@ -131,6 +223,13 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val detail = order.map { name =>
+      "\"" + name + "\":{\"passes\":" +
+        passTimes(name).map(r3).mkString("[", ",", "]") +
+        ",\"gc_ms\":" + passGc(name).mkString("[", ",", "]") +
+        ",\"codegen_compiles\":" + passCodegen(name).mkString("[", ",", "]") +
+        "}"
+    }.mkString("{", ",", "}")
     def names(p: Int => Boolean) = failCounts.toSeq.collect {
       case (k, c) if p(c) => k
     }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -140,14 +239,14 @@ object Bench {
     hostSnaps += hostSnapshot() // post-run: catches load that built up DURING
     val hostJson = hostSnaps.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"host":$hostJson}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"steal_pre":$stealPre,"host":$hostJson,"query_detail":$detail}"""
     // At 87 queries the full line is ~2.6 kB — larger than the driver's
     // captured log tail, so it can never be recovered from stdout alone
     // (BENCH_r07/r08 both came back parsed:null). The full record lives
     // in bench_out.json; stdout gets the full line for humans plus a
     // guaranteed-short summary line LAST, sized to always fit the tail.
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"host":$hostJson,"detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"steal_pre":$stealPre,"host":$hostJson,"detail":"bench_out.json"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     // stop BEFORE printing so the JSON lines are the LAST stdout lines —
     // the driver captures a bounded log tail and must find them there
