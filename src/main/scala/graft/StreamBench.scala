@@ -154,33 +154,35 @@ object StreamBench {
     // row count from the final progress (the per-key O(1) contract:
     // state rows ≈ live keys, never input rows).
     val nf = sys.env.getOrElse("SPARK_GRAFT_STREAM_FACE_ROWS", "200000").toLong
-    // the dedup face's closed form (out_rows == nf/4) assumes whole
+    // the dedup face's closed form (out_rows == rows/4) assumes whole
     // quadruples; reject a knob value that would break the in-bench
     // assertion instead of aborting mid-run
     require(nf % 4 == 0,
       s"SPARK_GRAFT_STREAM_FACE_ROWS must be divisible by 4: $nf")
     val faceGapUs = 1000000L // 1 s session gap: cold entities churn
+    def writeFaceTopic(rows: Long, path: String): Unit =
+      spark.range(rows).select(
+          when(col("id") % 10 < 9, lit(0L))
+            .otherwise(col("id") % 10000).as("user"),
+          (lit(baseUs) + col("id") * 1000L).as("tsUs"), // 1 ms spacing
+          col("id").as("eid"),
+          element_at(
+            array(lit("view"), lit("click"), lit("cart"), lit("purchase")),
+            (col("id") % 4 + 1).cast("int")).as("etype"))
+        .repartitionByRange(16, col("tsUs")).sortWithinPartitions(col("tsUs"))
+        .write.mode("overwrite").parquet(path)
     val faceTopic = s"$dir/face_topic"
-    spark.range(nf).select(
-        when(col("id") % 10 < 9, lit(0L))
-          .otherwise(col("id") % 10000).as("user"),
-        (lit(baseUs) + col("id") * 1000L).as("tsUs"), // 1 ms spacing
-        col("id").as("eid"),
-        element_at(
-          array(lit("view"), lit("click"), lit("cart"), lit("purchase")),
-          (col("id") % 4 + 1).cast("int")).as("etype"))
-      .repartitionByRange(16, col("tsUs")).sortWithinPartitions(col("tsUs"))
-      .write.mode("overwrite").parquet(faceTopic)
+    writeFaceTopic(nf, faceTopic)
 
-    def runFaceOnce(face: String, tag: String,
-                    expectRocksDb: Boolean): (Long, Double, Long, Long) = {
+    def runFaceOnce(face: String, tag: String, expectRocksDb: Boolean,
+                    topic: String, rows: Long): (Long, Double, Long, Long) = {
       import spark.implicits._
       val out = s"$dir/fout_$tag"; val ckpt = s"$dir/fckpt_$tag"
       val t0 = System.nanoTime()
       val ds = spark.readStream
         .schema("user bigint, tsUs bigint, eid bigint, etype string")
         .option("maxFilesPerTrigger", "2")
-        .parquet(faceTopic)
+        .parquet(topic)
         .as[graft.streaming.TransEvent]
       val outDf = face match {
         case "transitions" => StreamingOps.transitionsStateful(ds).toDF()
@@ -194,9 +196,9 @@ object StreamBench {
           // events share a content key (integer DIV — `/` on longs is
           // DOUBLE division and would make every key unique), so the
           // within-watermark guarantee collapses each quadruple and
-          // out_rows has the exact closed form nf/4, asserted below.
+          // out_rows has the exact closed form rows/4, asserted below.
           // The grace deliberately covers the whole topic span
-          // (nf ms of event time + slack, SCALED with the row knob —
+          // (rows ms of event time + slack, SCALED with the row knob —
           // a fixed grace would silently re-break past span > grace):
           // FileStreamSource's pickup order is not time order (mtime
           // ties across the range-partitioned files — observed 25%
@@ -209,7 +211,7 @@ object StreamBench {
             ds.toDF()
               .withColumn("ts", timestamp_micros(col("tsUs")))
               .withColumn("ckey", expr("eid DIV 4")),
-            "ts", s"${nf / 1000 + 60} seconds", Seq("ckey"))
+            "ts", s"${rows / 1000 + 60} seconds", Seq("ckey"))
       }
       val q = StreamingOps.sink(outDf, "parquet", Some(out), ckpt,
         trigger = Trigger.AvailableNow()).start()
@@ -228,16 +230,24 @@ object StreamBench {
       val outRows = spark.read.schema(outDf.schema).parquet(out).count()
       // the dedup face's correctness gate rides inside the bench: the
       // closed form holds on any batching (see the face's comment)
-      require(face != "dedup_watermark" || outRows == nf / 4,
-        s"dedup_watermark out_rows=$outRows, expected ${nf / 4}")
+      require(face != "dedup_watermark" || outRows == rows / 4,
+        s"dedup_watermark out_rows=$outRows, expected ${rows / 4}")
       (inputRows, secs, stateRows, outRows)
     }
 
+    /** passes=2 (the Bench min-of-2 convention) for the base size;
+      * the 10x scale point runs ONE pass per provider — at that size a
+      * transient can no longer dominate a 40-80 s run, and a second
+      * pass would double a ~10-minute section for noise filtering the
+      * size already provides.
+      */
     def runFaceProvider(face: String, provTag: String,
-                        expectRocksDb: Boolean): String = {
-      val p1 = runFaceOnce(face, s"${face}_${provTag}_p1", expectRocksDb)
-      val p2 = runFaceOnce(face, s"${face}_${provTag}_p2", expectRocksDb)
-      val best = if (p2._2 <= p1._2) p2 else p1
+                        expectRocksDb: Boolean, topic: String, rows: Long,
+                        passes: Int): String = {
+      val runs = (1 to passes).map(i =>
+        runFaceOnce(face, s"${face}_${provTag}_r${rows}_p$i", expectRocksDb,
+          topic, rows))
+      val best = runs.minBy(_._2)
       val (inputRows, secs, stateRows, outRows) = best
       s""""$provTag":{"rows_per_sec":${inputRows / secs},"secs":$secs,""" +
         s""""input_rows":$inputRows,"out_rows":$outRows,""" +
@@ -247,16 +257,39 @@ object StreamBench {
     val faceNames =
       Seq("transitions", "gaps", "attribution", "entry_exit_timeout",
         "dedup_watermark")
-    val facesFrag = faceNames.map { face =>
-      // RocksDB (still set from the e2e section) first, then the
-      // default provider restored for the hdfs leg
-      val rocks = runFaceProvider(face, "rocksdb_changelog",
-        expectRocksDb = true)
-      spark.conf.set(ProviderConf, defaultProvider)
-      val hdfs = runFaceProvider(face, "hdfs_default", expectRocksDb = false)
-      spark.conf.set(ProviderConf, GraftConf.clusterDefaults(ProviderConf))
-      s""""$face":{$hdfs,$rocks}"""
-    }.mkString("{", ",", "}")
+    def facesAt(topic: String, rows: Long, passes: Int): String =
+      faceNames.map { face =>
+        // RocksDB (still set from the e2e section) first, then the
+        // default provider restored for the hdfs leg
+        val rocks = runFaceProvider(face, "rocksdb_changelog",
+          expectRocksDb = true, topic, rows, passes)
+        spark.conf.set(ProviderConf, defaultProvider)
+        val hdfs = runFaceProvider(face, "hdfs_default",
+          expectRocksDb = false, topic, rows, passes)
+        spark.conf.set(ProviderConf, GraftConf.clusterDefaults(ProviderConf))
+        s""""$face":{$hdfs,$rocks}"""
+      }.mkString("{", ",", "}")
+
+    val facesFrag = facesAt(faceTopic, nf, passes = 2)
+
+    // ---- the 10x scale point (VERDICT r12 item 4): the same five
+    // faces at SPARK_GRAFT_STREAM_FACE_SCALE x the base rows (default
+    // 10 → 2M), so the per-key O(1) state contract is a two-point
+    // CURVE: state_rows must track live keys (≈ constant for the
+    // hot-key faces, rows/4 for dedup), never input rows, and rows/s
+    // must hold within noise of the base point. scale=0 skips (local
+    // iteration).
+    val faceScale =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FACE_SCALE", "10").toInt
+    val scaleFrag =
+      if (faceScale <= 1) ""
+      else {
+        val nfScale = nf * faceScale
+        val scaleTopic = s"$dir/face_topic_${faceScale}x"
+        writeFaceTopic(nfScale, scaleTopic)
+        s""","face_rows_scale":$nfScale,"faces_scale":""" +
+          facesAt(scaleTopic, nfScale, passes = 1)
+      }
 
     // top-level value = the cluster-default provider's rows/s, keeping
     // the {metric,value,unit} shape bench_out.json / stress_out.json use
@@ -264,7 +297,7 @@ object StreamBench {
       s"""{"metric":"stream_e2e_pipeline","value":$rocksRps,"unit":"rows_per_sec",""" +
         s""""rows":$n,"cpus":$cpus,""" +
         s""""providers":{$hdfsFrag,$rocksFrag},""" +
-        s""""face_rows":$nf,"faces":$facesFrag}"""
+        s""""face_rows":$nf,"faces":$facesFrag$scaleFrag}"""
     Files.writeString(Paths.get("stream_bench.json"), line + "\n")
     spark.stop()
     println(line)
