@@ -1045,23 +1045,8 @@ object StressBench {
     // driver closed forms over the BASE seeds: a (width × height)
     // sample of the (w × h) source under the resize index map
     // sx=⌊x·w/width⌋ (identity when width == w)
-    def pixelSum(seed: Long, width: Int, height: Int): Long = {
-      val channels = if (seed % 2 == 1) 3 else 1
-      var sum = 0L
-      var y = 0
-      while (y < height) {
-        val sy = (y.toLong * h / height).toInt
-        var x = 0
-        while (x < width) {
-          val sx = (x.toLong * w / width).toInt
-          var c = 0
-          while (c < channels) { sum += (sx + sy + seed + c) % 256; c += 1 }
-          x += 1
-        }
-        y += 1
-      }
-      sum
-    }
+    def pixelSum(seed: Long, width: Int, height: Int): Long =
+      gradientPixelSum(seed, w, h, width, height)
     val expFull = (0L until nBase).map(pixelSum(_, w, h)).sum * 10L
     val expThumb = (0L until nBase).map(pixelSum(_, tw, th)).sum * 10L
 
@@ -1097,6 +1082,134 @@ object StressBench {
       s""""thumb_sum":$gotThumb,"expected_thumb_sum":$expThumb,""" +
       s""""bad_meta":${badMeta + badThumbMeta},"bad_hist":$badHist,""" +
       s""""ok":$ok}"""
+  }
+
+  /** Driver closed form shared by the raster stresses: sum of the
+    * synthetic gradient's samples (pixel(x, y, c) = (x + y + seed + c)
+    * mod 256, gray for even seeds / RGB for odd) after a
+    * nearest-neighbor resample of the (srcW × srcH) source to
+    * (width × height) — identity when the sizes match.
+    */
+  private def gradientPixelSum(seed: Long, srcW: Int, srcH: Int,
+      width: Int, height: Int): Long = {
+    val channels = if (seed % 2 == 1) 3 else 1
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      val sy = (y.toLong * srcH / height).toInt
+      var x = 0
+      while (x < width) {
+        val sx = (x.toLong * srcW / width).toInt
+        var c = 0
+        while (c < channels) { sum += (sx + sy + seed + c) % 256; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** The [[syntheticNetpbm]] gradient encoded through the JDK's own
+    * image WRITERS (gray for even seeds, RGB for odd): pixels go in
+    * via raw raster samples — `setRGB` on a TYPE_BYTE_GRAY image would
+    * apply the sRGB→linear-gray conversion and corrupt the closed
+    * form — then out through `ImageIO.write(format)`.
+    */
+  private def syntheticImageio(seed: Long, w: Int, h: Int,
+      format: String): Array[Byte] = {
+    val rgb = (seed % 2) == 1
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (rgb) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val channels = if (rgb) 3 else 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < channels) {
+          raster.setSample(x, y, c, ((x + y + seed + c) % 256).toInt)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"no ImageIO writer for format '$format'")
+    baos.toByteArray
+  }
+
+  /** ImageIO codec path under clone pressure — [[netpbmClone10x]]'s
+    * sibling for the JDK-codec decode (VERDICT r12 item 7, the
+    * netpbm_clone10x precedent: new capability → stress-gated, no new
+    * query): the same closed-form gradient corpus is ENCODED through
+    * the JDK's own PNG and JPEG writers on the executors, cloned 10×
+    * by seed reuse, and decoded back through
+    * [[graft.operators.Multimodal.imageioRasterDecoder]] on the real
+    * `mapPartitions` plumbing. PNG is lossless → the decoded pixel sum
+    * and the 16×12 thumbnail sum assert EXACTLY against the driver
+    * closed form (this is what pins the raw-raster-sample read: a
+    * gray→sRGB conversion anywhere in the loop shifts every pixel);
+    * JPEG is lossy → dimensions/channels assert exactly and the
+    * decoded pixel sum must land within 2% of the closed form (encode
+    * and decode share one JVM's codec, so the band absorbs
+    * quantization error only, not environment drift).
+    */
+  private def imageioClone10x(s: SparkSession): String = {
+    import graft.operators.Multimodal
+    val nBase = sys.env.getOrElse("SPARK_GRAFT_STRESS_RASTERS", "400").toInt
+    val (w, h, tw, th) = (64, 48, 16, 12)
+    import s.implicits._
+    def corpus(format: String) = s.range(10L * nBase)
+      .select(col("id"), (col("id") % nBase).as("seed"))
+      .as[(Long, Long)]
+      .map { case (id, seed) => (id, syntheticImageio(seed, w, h, format)) }
+      .toDF("id", "payload")
+    val expFull =
+      (0L until nBase).map(gradientPixelSum(_, w, h, w, h)).sum * 10L
+    val expThumb =
+      (0L until nBase).map(gradientPixelSum(_, w, h, tw, th)).sum * 10L
+
+    def decodeStats(format: String): (Long, Long) = {
+      val decoded =
+        Multimodal.decodePartitionsAs(corpus(format), "id", "payload") {
+          (id, p) =>
+            val img = Multimodal.imageioRasterDecoder(id, p)
+            (img.width, img.height, img.channels,
+              img.pixels.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        }.toDF("w", "h", "c", "pix_sum").persist()
+      val pixSum = decoded.agg(sum(col("pix_sum"))).head().getLong(0)
+      val badMeta = decoded.filter(!(col("w") === w && col("h") === h &&
+        (col("c") === 1 || col("c") === 3))).count()
+      decoded.unpersist(blocking = false)
+      (pixSum, badMeta)
+    }
+
+    val ((pngSum, pngBad, thumbSum, thumbBad, jpegSum, jpegBad), secs) =
+      time {
+        val (pSum, pBad) = decodeStats("png")
+        val thumbs =
+          Multimodal.resizeImageio(corpus("png"), "id", "payload", tw, th)
+            .map(img => (img.width, img.height,
+              img.pixels.foldLeft(0L)((a, b) => a + (b & 0xff))))
+            .toDF("w", "h", "pix_sum").persist()
+        val tSum = thumbs.agg(sum(col("pix_sum"))).head().getLong(0)
+        val tBad = thumbs.filter(!(col("w") === tw && col("h") === th)).count()
+        thumbs.unpersist(blocking = false)
+        val (jSum, jBad) = decodeStats("jpg")
+        (pSum, pBad, tSum, tBad, jSum, jBad)
+      }
+    val jpegRelErr = math.abs(jpegSum.toDouble - expFull) / expFull
+    val ok = pngSum == expFull && thumbSum == expThumb &&
+      pngBad == 0L && thumbBad == 0L && jpegBad == 0L && jpegRelErr <= 0.02
+    s""""imageio_clone10x":{"secs":${r3(secs)},"images":${2 * 10 * nBase},""" +
+      s""""png_pixel_sum":$pngSum,"expected_pixel_sum":$expFull,""" +
+      s""""png_thumb_sum":$thumbSum,"expected_thumb_sum":$expThumb,""" +
+      s""""jpeg_rel_err":${"%.5f".formatLocal(java.util.Locale.ROOT, jpegRelErr)},""" +
+      s""""bad_meta":${pngBad + thumbBad + jpegBad},"ok":$ok}"""
   }
 
   /** The q144 full-exact kNN recall audit, stress-hosted (VERDICT r11
@@ -1145,6 +1258,7 @@ object StressBench {
       "custkey_skew_aqe" -> (() => custkeySkewAqe(spark, sfDir)),
       "suppkey_skew_aqe" -> (() => suppkeySkewAqe(spark, sfDir)),
       "netpbm_clone10x" -> (() => netpbmClone10x(spark)),
+      "imageio_clone10x" -> (() => imageioClone10x(spark)),
       "knn_exact_full" -> (() => knnExactFull(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>

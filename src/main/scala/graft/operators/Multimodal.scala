@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs. The Spark-side
   * machinery — schema, per-batch shape, partition sizing, metadata
-  * extraction, frame sampling — is real; the codec itself is a
-  * clearly-marked deterministic STUB (this container ships no
-  * image/audio libraries), structured so a real decoder drops in as a
-  * `mapPartitions` over the same schema.
+  * extraction, frame sampling — is real, and so are the image/audio
+  * codecs that need no external library: netpbm P5/P6 and WAV PCM by
+  * hand, PNG/JPEG/BMP/GIF pixels via the JDK's `javax.imageio`
+  * ([[imageioRasterDecoder]]), PNG/JPEG/MP3 container headers by
+  * direct byte parse. Only formats that genuinely require external
+  * codec libraries (e.g. video, MP3 audio synthesis) keep the
+  * clearly-marked deterministic STUB, structured so a real decoder
+  * drops in as a `mapPartitions` over the same schema.
   */
 object Multimodal {
 
@@ -54,10 +58,11 @@ object Multimodal {
     * [[sniffingDecoder]] — REAL netpbm decode and REAL PNG/JPEG
     * container-header dimensions by magic, with [[stubDecoder]] (the
     * clearly-marked deterministic stand-in) only for payloads that are
-    * none of those and for the codec-bound PIXEL work (JPEG/MP3 need
-    * real libraries this container doesn't ship — SURVEY.md stub
-    * policy). [[wavDecoder]] is the audio sibling via
-    * [[decodePartitionsAs]].
+    * none of those. Full PNG/JPEG PIXEL decode exists too
+    * ([[imageioRasterDecoder]]) but is invoked explicitly by the
+    * pixel-consuming stages, not by the metadata sniff — a 100 TB
+    * metadata sweep must not pay a full decode per row.
+    * [[wavDecoder]] is the audio sibling via [[decodePartitionsAs]].
     */
   def decodePartitions(df: DataFrame, idCol: String, payloadCol: String,
                        decoder: (Long, Array[Byte]) => DecodedMedia = sniffingDecoder)
@@ -320,6 +325,99 @@ object Multimodal {
     import spark.implicits._
     decodePartitionsAs(df, idCol, payloadCol)((id, payload) =>
       resizeNearest(netpbmRasterDecoder(id, payload), outW, outH))
+  }
+
+  /** REAL pixel decode for PNG/JPEG (and any other container the JDK's
+    * ImageIO service loads — BMP, GIF, WBMP) via `javax.imageio`: the
+    * codec-bound path the netpbm decoder could not cover, now real with
+    * zero added dependencies. Component-backed images read RAW raster
+    * samples (`Raster.getSample`), NOT `getRGB` — `getRGB` on a
+    * TYPE_BYTE_GRAY image applies a linear-gray→sRGB color conversion
+    * that silently rewrites every pixel value, which would break the
+    * exact PNG round-trip the stress gate asserts. Palette (indexed)
+    * images are the one case where samples are indices, so they go
+    * through the color model instead. >8-bit samples are scaled down
+    * to the byte range [[RasterImage]] carries. Payloads no installed
+    * codec accepts THROW (same no-fabrication contract as
+    * [[netpbmDecoder]]).
+    *
+    * [[sniffingDecoder]] deliberately does NOT route here: a metadata
+    * sweep over 100 TB wants the header-only parse (bytes read:
+    * dozens); this full decode is for the pixel-consuming stages
+    * (resize, feature extraction), invoked explicitly.
+    */
+  def imageioRasterDecoder(id: Long, payload: Array[Byte]): RasterImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"no installed ImageIO codec accepts payload: id=$id")
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val cm = img.getColorModel
+    val indexed = cm.isInstanceOf[java.awt.image.IndexColorModel]
+    val gray = !indexed && raster.getNumBands == 1
+    val channels = if (gray) 1 else 3
+    val out = new Array[Byte](w * h * channels)
+    if (indexed) {
+      // palette image: raster samples are palette INDICES — resolve
+      // through the color model (sRGB) instead of reading them raw
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+    } else {
+      val shift = math.max(0, cm.getComponentSize(0) - 8)
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < channels) {
+            out(i) = ((raster.getSample(x, y, c) >> shift) & 0xff).toByte
+            i += 1; c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    RasterImage(id, w, h, channels, out)
+  }
+
+  /** [[imageioRasterDecoder]] + the same 8-bin intensity histogram
+    * feature extraction as [[netpbmDecoder]] — the full-decode
+    * [[DecodedMedia]] for codec-bound containers. `format_id` = 0
+    * (container already recorded by the header pass; this record is
+    * the pixel stage's).
+    */
+  def imageioDecoder(id: Long, payload: Array[Byte]): DecodedMedia = {
+    val img = imageioRasterDecoder(id, payload)
+    val n = img.pixels.length
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < n) { hist(((img.pixels(i) & 0xff) * 8) / 256) += 1; i += 1 }
+    DecodedMedia(id, payload.length.toLong, 0, img.width, img.height,
+      hist.map(v => (v.toDouble / n).toFloat))
+  }
+
+  /** Dataset-level PNG/JPEG resize plumbing — [[resizeNetpbm]]'s
+    * sibling over the ImageIO codec path: decode and thumbnail share
+    * one `mapPartitions` batch, the full raster never leaves the task.
+    */
+  def resizeImageio(df: DataFrame, idCol: String, payloadCol: String,
+                    outW: Int, outH: Int)
+                   : org.apache.spark.sql.Dataset[RasterImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    decodePartitionsAs(df, idCol, payloadCol)((id, payload) =>
+      resizeNearest(imageioRasterDecoder(id, payload), outW, outH))
   }
 
   /** Decoded-audio record: what a PCM decode produces. */

@@ -359,4 +359,63 @@ class MultimodalSpec extends SparkSpec {
       (want.n_bytes, want.format_id, want.width, want.height)
     got.features.toSeq shouldBe want.features.toSeq
   }
+
+  /** Build a real encoded image via the JDK writer, pixels set through
+    * RAW raster samples (setRGB on a gray image would color-convert).
+    */
+  private def encodedGradient(w: Int, h: Int, rgb: Boolean,
+      format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (rgb) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val channels = if (rgb) 3 else 1
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until channels)
+      img.getRaster.setSample(x, y, c, (x * 7 + y * 3 + c) % 256)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos) shouldBe true
+    baos.toByteArray
+  }
+
+  test("imageioRasterDecoder round-trips PNG pixels exactly, gray and RGB") {
+    for (rgb <- Seq(false, true)) {
+      val (w, h) = (9, 5)
+      val img = Multimodal.imageioRasterDecoder(1L, encodedGradient(w, h, rgb, "png"))
+      (img.width, img.height, img.channels) shouldBe (w, h, if (rgb) 3 else 1)
+      val c = img.channels
+      for (y <- 0 until h; x <- 0 until w; k <- 0 until c)
+        (img.pixels((y * w + x) * c + k) & 0xff) shouldBe (x * 7 + y * 3 + k) % 256
+    }
+  }
+
+  test("imageioRasterDecoder decodes JPEG dimensions/channels exactly with bounded pixel error") {
+    val (w, h) = (32, 24)
+    val img = Multimodal.imageioRasterDecoder(2L, encodedGradient(w, h, rgb = true, "jpg"))
+    (img.width, img.height, img.channels) shouldBe (w, h, 3)
+    var got = 0L; var exp = 0L
+    for (y <- 0 until h; x <- 0 until w; k <- 0 until 3) {
+      got += img.pixels((y * w + x) * 3 + k) & 0xff
+      exp += (x * 7 + y * 3 + k) % 256
+    }
+    math.abs(got - exp).toDouble / exp should be < 0.05
+  }
+
+  test("imageioRasterDecoder refuses payloads no codec accepts; imageioDecoder histogram sums to 1") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageioRasterDecoder(3L, "definitely not an image".getBytes("US-ASCII"))
+    val meta = Multimodal.imageioDecoder(4L, encodedGradient(8, 8, rgb = false, "png"))
+    (meta.width, meta.height, meta.n_bytes > 0) shouldBe (8, 8, true)
+    meta.features.map(_.toDouble).sum shouldBe 1.0 +- 1e-6
+  }
+
+  test("resizeImageio thumbnails PNG payloads on the mapPartitions plumbing") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val payload = encodedGradient(16, 8, rgb = true, "png")
+    val df = spark.range(4).select(col("id"), lit(payload).as("payload"))
+    val out = Multimodal.resizeImageio(df, "id", "payload", 4, 2).collect()
+    out.length shouldBe 4
+    all(out.map(r => (r.width, r.height, r.channels))) shouldBe ((4, 2, 3))
+    // nearest-neighbor sample map: out(x,y) = src(⌊x·16/4⌋, ⌊y·8/2⌋)
+    for (r <- out; y <- 0 until 2; x <- 0 until 4; k <- 0 until 3)
+      (r.pixels((y * 4 + x) * 3 + k) & 0xff) shouldBe ((x * 4) * 7 + (y * 4) * 3 + k) % 256
+  }
 }
