@@ -245,8 +245,20 @@ object Bench {
     // (BENCH_r07/r08 both came back parsed:null). The full record lives
     // in bench_out.json; stdout gets the full line for humans plus a
     // guaranteed-short summary line LAST, sized to always fit the tail.
+    // Non-destructive attempts (VERDICT r13 item 2): every run ALSO
+    // lands in bench_attempts/bench_out.<n>.json (first free n), so a
+    // later attempt — or the driver's own run — can never clobber the
+    // only copy of the cleanest record (r13 lost its 216.7 s attempt
+    // that way). bench_out.json stays the driver contract unchanged;
+    // the summary line names its attempt file for the round log.
+    val attemptsDir = Paths.get("bench_attempts")
+    Files.createDirectories(attemptsDir)
+    val attemptPath = Iterator.from(1)
+      .map(n => attemptsDir.resolve(s"bench_out.$n.json"))
+      .find(p => !Files.exists(p)).get
+    Files.writeString(attemptPath, line + "\n")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"steal_pre":$stealPre,"host":$hostJson,"detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"steal_pre":$stealPre,"host":$hostJson,"detail":"bench_out.json","attempt":"$attemptPath"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     // stop BEFORE printing so the JSON lines are the LAST stdout lines —
     // the driver captures a bounded log tail and must find them there

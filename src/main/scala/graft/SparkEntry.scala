@@ -147,9 +147,14 @@ object SparkEntry {
       s.conf.get("spark.graft.seam.checkpoint", "local") match {
         case "local" => df.localCheckpoint(true)
         case "reliable" =>
-          if (s.sparkContext.getCheckpointDir.isEmpty)
-            s.sparkContext.setCheckpointDir(
-              s.conf.get("spark.graft.seam.checkpoint.dir"))
+          if (s.sparkContext.getCheckpointDir.isEmpty) {
+            val dir = s.conf.getOption("spark.graft.seam.checkpoint.dir")
+            require(dir.isDefined,
+              "spark.graft.seam.checkpoint=reliable requires " +
+                "spark.graft.seam.checkpoint.dir or an already-configured " +
+                "sparkContext checkpoint dir")
+            s.sparkContext.setCheckpointDir(dir.get)
+          }
           df.checkpoint(true)
         case other => throw new IllegalArgumentException(
           s"spark.graft.seam.checkpoint must be local|reliable, got: $other")

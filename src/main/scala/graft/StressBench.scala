@@ -1173,9 +1173,9 @@ object StressBench {
     val expThumb =
       (0L until nBase).map(gradientPixelSum(_, w, h, tw, th)).sum * 10L
 
-    def decodeStats(format: String): (Long, Long) = {
+    def decodeStats(src: DataFrame): (Long, Long) = {
       val decoded =
-        Multimodal.decodePartitionsAs(corpus(format), "id", "payload") {
+        Multimodal.decodePartitionsAs(src, "id", "payload") {
           (id, p) =>
             val img = Multimodal.imageioRasterDecoder(id, p)
             (img.width, img.height, img.channels,
@@ -1190,16 +1190,23 @@ object StressBench {
 
     val ((pngSum, pngBad, thumbSum, thumbBad, jpegSum, jpegBad), secs) =
       time {
-        val (pSum, pBad) = decodeStats("png")
+        // the PNG corpus feeds BOTH legs (full decode + thumbnail);
+        // materialize it once so the timed section pays the 10·nBase
+        // PNG encode a single time — the gate measures decode under
+        // clone pressure, not encode×2 (ADVICE r13)
+        val png = corpus("png").persist()
+        png.count()
+        val (pSum, pBad) = decodeStats(png)
         val thumbs =
-          Multimodal.resizeImageio(corpus("png"), "id", "payload", tw, th)
+          Multimodal.resizeImageio(png, "id", "payload", tw, th)
             .map(img => (img.width, img.height,
               img.pixels.foldLeft(0L)((a, b) => a + (b & 0xff))))
             .toDF("w", "h", "pix_sum").persist()
         val tSum = thumbs.agg(sum(col("pix_sum"))).head().getLong(0)
         val tBad = thumbs.filter(!(col("w") === tw && col("h") === th)).count()
         thumbs.unpersist(blocking = false)
-        val (jSum, jBad) = decodeStats("jpg")
+        png.unpersist(blocking = false)
+        val (jSum, jBad) = decodeStats(corpus("jpg"))
         (pSum, pBad, tSum, tBad, jSum, jBad)
       }
     val jpegRelErr = math.abs(jpegSum.toDouble - expFull) / expFull

@@ -336,9 +336,13 @@ object Multimodal {
     * that silently rewrites every pixel value, which would break the
     * exact PNG round-trip the stress gate asserts. Palette (indexed)
     * images are the one case where samples are indices, so they go
-    * through the color model instead. >8-bit samples are scaled down
-    * to the byte range [[RasterImage]] carries. Payloads no installed
-    * codec accepts THROW (same no-fabrication contract as
+    * through the color model instead. Samples are normalized to the
+    * byte range [[RasterImage]] carries PER BAND: >8-bit shift down,
+    * sub-8-bit (4-bit gray, 565-RGB bands) scale up by 255/(2^size−1).
+    * Channel count derives from the band count (>=3 bands → RGB from
+    * bands 0..2; 1–2 bands → gray from band 0, alpha dropped), so a
+    * 2-band gray+alpha PNG decodes instead of faulting. Payloads no
+    * installed codec accepts THROW (same no-fabrication contract as
     * [[netpbmDecoder]]).
     *
     * [[sniffingDecoder]] deliberately does NOT route here: a metadata
@@ -354,8 +358,13 @@ object Multimodal {
     val raster = img.getRaster
     val cm = img.getColorModel
     val indexed = cm.isInstanceOf[java.awt.image.IndexColorModel]
-    val gray = !indexed && raster.getNumBands == 1
-    val channels = if (gray) 1 else 3
+    // channel count derives from the BAND count, never a gray/rgb
+    // guess: a 2-band gray+alpha PNG (JDK-decodable, common) decodes
+    // as 1-channel gray with the alpha band dropped — the old
+    // "not gray means 3 channels" rule read band 2 of a 2-band raster
+    // (ArrayIndexOutOfBounds). >=3 bands read bands 0..2 (alpha band 3
+    // of an RGBA raster likewise dropped).
+    val channels = if (indexed || raster.getNumBands >= 3) 3 else 1
     val out = new Array[Byte](w * h * channels)
     if (indexed) {
       // palette image: raster samples are palette INDICES — resolve
@@ -373,14 +382,30 @@ object Multimodal {
         y += 1
       }
     } else {
-      val shift = math.max(0, cm.getComponentSize(0) - 8)
+      // per-band normalization to the byte range (band depths differ
+      // within one image — TYPE_USHORT_565_RGB is 5/6/5): samples
+      // wider than 8 bits shift down by size-8; NARROWER samples
+      // (4-bit gray PNG, the 565 bands) scale UP by 255/(2^size−1) so
+      // full-scale maps to 255 instead of passing through unscaled
+      val shifts = new Array[Int](channels)
+      val scaleDen = new Array[Int](channels)
+      var b = 0
+      while (b < channels) {
+        val sz = cm.getComponentSize(b)
+        shifts(b) = math.max(0, sz - 8)
+        scaleDen(b) = if (sz < 8) (1 << sz) - 1 else 0
+        b += 1
+      }
       var y = 0; var i = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           var c = 0
           while (c < channels) {
-            out(i) = ((raster.getSample(x, y, c) >> shift) & 0xff).toByte
+            val s0 = raster.getSample(x, y, c)
+            val v = if (scaleDen(c) > 0) s0 * 255 / scaleDen(c)
+                    else s0 >> shifts(c)
+            out(i) = (v & 0xff).toByte
             i += 1; c += 1
           }
           x += 1

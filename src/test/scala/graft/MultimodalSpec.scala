@@ -387,6 +387,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageioRasterDecoder decodes 2-band gray+alpha PNG as 1-channel gray (ADVICE r13)") {
+    // the JDK round-trips gray+alpha PNG as a 2-band non-indexed
+    // ComponentColorModel raster — the old channels=3 guess read band 2
+    // of a 2-band raster (ArrayIndexOutOfBounds); now band count drives
+    // channels and the alpha band is dropped
+    val (w, h) = (6, 4)
+    val cs = java.awt.color.ColorSpace.getInstance(
+      java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(w, h)
+    val src = new java.awt.image.BufferedImage(cm, raster, false, null)
+    for (y <- 0 until h; x <- 0 until w) {
+      raster.setSample(x, y, 0, (x * 7 + y * 3) % 256)
+      raster.setSample(x, y, 1, 255) // opaque: PNG alpha is straight
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", baos) shouldBe true
+    val img = Multimodal.imageioRasterDecoder(7L, baos.toByteArray)
+    (img.width, img.height, img.channels) shouldBe (w, h, 1)
+    for (y <- 0 until h; x <- 0 until w)
+      (img.pixels(y * w + x) & 0xff) shouldBe (x * 7 + y * 3) % 256
+  }
+
+  test("imageioRasterDecoder normalizes bit depth per band: 16-bit gray down, 5/6/5 BMP up (ADVICE r13)") {
+    // 16-bit gray PNG: samples v*257 (full 16-bit scale) shift down to v
+    val (w, h) = (6, 4)
+    val g16 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      g16.getRaster.setSample(x, y, 0, ((x * 7 + y * 3) % 256) * 257)
+    val b1 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(g16, "png", b1) shouldBe true
+    val gray = Multimodal.imageioRasterDecoder(8L, b1.toByteArray)
+    (gray.width, gray.height, gray.channels) shouldBe (w, h, 1)
+    for (y <- 0 until h; x <- 0 until w)
+      (gray.pixels(y * w + x) & 0xff) shouldBe (x * 7 + y * 3) % 256
+    // 565 BMP: the JDK round-trips TYPE_USHORT_565_RGB as a 3-band
+    // raster with component sizes [5,6,5] — each band scales UP by
+    // 255/(2^size−1), not the old pass-through of 0..31/0..63 raw values
+    val rgb565 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_565_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      rgb565.getRaster.setSample(x, y, 0, x % 32)
+      rgb565.getRaster.setSample(x, y, 1, (x + y) % 64)
+      rgb565.getRaster.setSample(x, y, 2, y % 32)
+    }
+    val b2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb565, "bmp", b2) shouldBe true
+    val img = Multimodal.imageioRasterDecoder(9L, b2.toByteArray)
+    (img.width, img.height, img.channels) shouldBe (w, h, 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      (img.pixels((y * w + x) * 3) & 0xff) shouldBe (x % 32) * 255 / 31
+      (img.pixels((y * w + x) * 3 + 1) & 0xff) shouldBe ((x + y) % 64) * 255 / 63
+      (img.pixels((y * w + x) * 3 + 2) & 0xff) shouldBe (y % 32) * 255 / 31
+    }
+  }
+
   test("imageioRasterDecoder decodes JPEG dimensions/channels exactly with bounded pixel error") {
     val (w, h) = (32, 24)
     val img = Multimodal.imageioRasterDecoder(2L, encodedGradient(w, h, rgb = true, "jpg"))
