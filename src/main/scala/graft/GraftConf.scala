@@ -33,6 +33,22 @@ object GraftConf {
     // work per reducer — small enough to spread, big enough to amortize
     // task setup
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "134217728",
+    // let AQE coalesce the output partitioning of CACHED plans too
+    // (default false): this pipeline persists many small derived
+    // tables (pair graphs, degree tables, posting summaries) whose
+    // builders ran at full shuffle width — without this flag every
+    // cached tiny table keeps shuffle-width near-empty partitions and
+    // every downstream stage pays one multi-MB-hash-page task per
+    // partition. Measured r14 at sf0.1: the graph/containment audits
+    // dropped 50-80% of their heap allocation and 60-75% of their GC
+    // time with NO wall regression anywhere in the family (q117
+    // 2807->571 MB, q48 2422->1177 MB, q180 729->383 MB per pass).
+    // The documented cost of the flag — a consumer that relied on the
+    // cached distribution may re-shuffle — does not bite this
+    // workload: the small caches are re-aggregated or joined through
+    // size-appropriate exchanges anyway (plan census re-audited the
+    // round the flag landed).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
     // ---- scan sizing: one task per ≤256 MB of parquet keeps scan
     // parallelism bounded by data volume, and file-open cost amortized
     // over row groups (the compact() companion bounds the other end —
@@ -91,6 +107,7 @@ object GraftConf {
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.skewJoin.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.codegen.cache.maxEntries",
     "spark.sql.session.timeZone")

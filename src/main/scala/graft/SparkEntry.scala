@@ -142,10 +142,18 @@ object SparkEntry {
     * its seams: the checkpoint lives in shared storage and a lost
     * executor's partitions are re-read, not recomputed-from-nothing.
     */
+  /** Row floor per pinned-seam partition: below this average, the pin
+    * is re-cut to size-proportional partitions. 250k narrow rows ≈ a
+    * dozen MB — small enough that one downstream task chews it
+    * instantly, large enough that a billion-pair graph still pins
+    * thousands of partitions.
+    */
+  private val SeamRowsPerPartition = 250000L
+
   private[graft] def pinSeam(s: SparkSession, df: DataFrame): DataFrame = {
-    val pinned =
+    def pin(d: DataFrame): DataFrame =
       s.conf.get("spark.graft.seam.checkpoint", "local") match {
-        case "local" => df.localCheckpoint(true)
+        case "local" => d.localCheckpoint(true)
         case "reliable" =>
           if (s.sparkContext.getCheckpointDir.isEmpty) {
             val dir = s.conf.getOption("spark.graft.seam.checkpoint.dir")
@@ -155,12 +163,36 @@ object SparkEntry {
                 "sparkContext checkpoint dir")
             s.sparkContext.setCheckpointDir(dir.get)
           }
-          df.checkpoint(true)
+          d.checkpoint(true)
         case other => throw new IllegalArgumentException(
           s"spark.graft.seam.checkpoint must be local|reliable, got: $other")
       }
+    val first = pin(df)
     df.unpersist(blocking = false)
-    pinned
+    // Right-size the pin (VERDICT r13 item 1): the checkpoint freezes
+    // the BUILDER's shuffle layout, so a pair graph orders of
+    // magnitude below the corpus gets pinned as dozens of near-empty
+    // partitions — and every stage of every downstream audit then
+    // runs one task per frozen partition, each allocating multi-MB
+    // hash/sort pages (measured: the graph audits allocated ~3 GB and
+    // ran ~1 GB of GC per query at sf0.1 to scan a 256-row graph; the
+    // r13 bench flagged exactly this family gc-hot). Counting the
+    // pinned frame is a local-block scan; when the average partition
+    // falls under [[SeamRowsPerPartition]], re-pin a coalesced read of
+    // the first pin (one cheap pass over pair-graph-sized data) and
+    // free the superseded blocks. Downstream plans keep the identical
+    // LogicalRDD shape — just over size-proportional partitions, which
+    // is also the honest 100 TB layout: compact the small artifact
+    // once, instead of paying its builder's parallelism on every read.
+    val parts = first.rdd.getNumPartitions
+    val target = math.min(parts.toLong,
+      first.count() / SeamRowsPerPartition + 1).toInt
+    if (target >= parts) first
+    else {
+      val sized = pin(first.coalesce(target))
+      operators.Checkpoints.free(first)
+      sized
+    }
   }
 
   private val bpeVocabCache = new java.util.WeakHashMap[SparkSession,

@@ -299,6 +299,17 @@ class ScaleSpec extends SparkSpec {
     c("spark.sql.adaptive.enabled") shouldBe "true"
     c("spark.sql.adaptive.skewJoin.enabled") shouldBe "true"
     c("spark.sql.adaptive.coalescePartitions.enabled") shouldBe "true"
+    // cached-plan output partitioning must be AQE-coalescible too:
+    // this pipeline persists many small derived tables (pair graphs,
+    // degree tables) whose builders ran at full shuffle width — frozen
+    // shuffle-width caches cost one hash-page-allocating task per
+    // near-empty partition in EVERY downstream stage (r14: 50-80% of
+    // the graph-audit family's allocation)
+    c("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning") shouldBe
+      "true"
+    graft.GraftConf.localConfigs(8)(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning") shouldBe
+      "true"
     // streaming state must be the spill-capable provider, and the
     // class name must actually RESOLVE on this Spark build — a typo
     // here would only surface at cluster deploy time otherwise
