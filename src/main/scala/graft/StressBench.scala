@@ -1219,6 +1219,81 @@ object StressBench {
       s""""bad_meta":${pngBad + thumbBad + jpegBad},"ok":$ok}"""
   }
 
+  /** Mixed-codec dispatch stress (VERDICT r13 item 7): ONE corpus
+    * column carries netpbm + PNG + JPEG payloads (codec by id % 3,
+    * the same closed-form gradient in every container) through the
+    * sniff → route → decode dispatcher
+    * ([[graft.operators.Multimodal.rasterDecoder]]) on the real
+    * `mapPartitions` plumbing — the seam the three per-codec stresses
+    * each bypass by constructing a single-codec corpus. Per codec:
+    * netpbm and PNG pixel sums assert EXACTLY against the driver
+    * closed form (any mis-route — e.g. a PNG fed to the netpbm parser
+    * — throws, and a silent color-conversion shifts the sum); JPEG is
+    * lossy, so its sum lands within 2% and its dimensions/channels
+    * assert exactly. A fourth leg feeds a corrupt payload and asserts
+    * the dispatcher THROWS (no stub fall-through on the pixel path).
+    */
+  private def mixedCodecDispatch(s: SparkSession): String = {
+    import graft.operators.Multimodal
+    val nBase = sys.env.getOrElse("SPARK_GRAFT_STRESS_RASTERS", "400").toInt
+    val (w, h) = (64, 48)
+    import s.implicits._
+    val n = 10L * nBase
+    val corpus = s.range(n)
+      .select(col("id"), (col("id") % nBase).as("seed"))
+      .as[(Long, Long)]
+      .map { case (id, seed) =>
+        val payload = (id % 3) match {
+          case 0 => syntheticNetpbm(seed, w, h)
+          case 1 => syntheticImageio(seed, w, h, "png")
+          case _ => syntheticImageio(seed, w, h, "jpg")
+        }
+        (id, payload)
+      }
+      .toDF("id", "payload")
+    // driver closed form per codec over ITS id set (codec = id % 3,
+    // seed = id % nBase — the sets differ because 3 does not divide
+    // the clone factor evenly across seeds)
+    def expectedFor(codec: Int): Long =
+      (0L until n).filter(_ % 3 == codec)
+        .map(id => gradientPixelSum(id % nBase, w, h, w, h)).sum
+    val (rows, secs) = time {
+      Multimodal.decodePartitionsAs(corpus, "id", "payload") { (id, p) =>
+        val img = Multimodal.rasterDecoder(id, p)
+        (id % 3, img.width, img.height, img.channels,
+          img.pixels.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }.toDF("codec", "w", "h", "c", "pix_sum")
+        .groupBy("codec")
+        .agg(count(lit(1)).as("n_images"), sum(col("pix_sum")).as("pix_sum"),
+          sum(when(col("w") === w && col("h") === h &&
+            (col("c") === 1 || col("c") === 3), 0L).otherwise(1L))
+            .as("bad_meta"))
+        .orderBy("codec").collect()
+    }
+    val byCodec = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (netSum, pngSum, jpgSum) =
+      (byCodec(0L)._2, byCodec(1L)._2, byCodec(2L)._2)
+    val badMeta = byCodec.values.map(_._3).sum
+    val jpegRelErr =
+      math.abs(jpgSum.toDouble - expectedFor(2)) / expectedFor(2)
+    // no-fabrication leg: a payload no leg accepts must THROW through
+    // the dispatcher, not fall back to a stub
+    val corruptThrows =
+      try {
+        Multimodal.rasterDecoder(0L, "not an image".getBytes("US-ASCII"))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    val ok = netSum == expectedFor(0) && pngSum == expectedFor(1) &&
+      jpegRelErr <= 0.02 && badMeta == 0L && corruptThrows &&
+      byCodec.values.map(_._1).sum == n
+    s""""mixed_codec_dispatch":{"secs":${r3(secs)},"images":$n,""" +
+      s""""netpbm_pixel_sum":$netSum,"expected_netpbm":${expectedFor(0)},""" +
+      s""""png_pixel_sum":$pngSum,"expected_png":${expectedFor(1)},""" +
+      s""""jpeg_rel_err":${"%.5f".formatLocal(java.util.Locale.ROOT, jpegRelErr)},""" +
+      s""""bad_meta":$badMeta,"corrupt_throws":$corruptThrows,"ok":$ok}"""
+  }
+
   /** The q144 full-exact kNN recall audit, stress-hosted (VERDICT r11
     * item 3): q206's sampled protocol is the bench-resident audit that
     * survives 100×; the corpus² exact side runs HERE at gate scale —
@@ -1266,6 +1341,7 @@ object StressBench {
       "suppkey_skew_aqe" -> (() => suppkeySkewAqe(spark, sfDir)),
       "netpbm_clone10x" -> (() => netpbmClone10x(spark)),
       "imageio_clone10x" -> (() => imageioClone10x(spark)),
+      "mixed_codec_dispatch" -> (() => mixedCodecDispatch(spark)),
       "knn_exact_full" -> (() => knnExactFull(spark, sfDir)))
     val selected = sys.env.get("SPARK_GRAFT_STRESS") match {
       case Some(list) =>

@@ -416,6 +416,24 @@ object Multimodal {
     RasterImage(id, w, h, channels, out)
   }
 
+  /** Full-decode DISPATCH over a mixed-container payload column — the
+    * pixel-stage sibling of [[sniffingDecoder]]'s metadata routing: a
+    * real corpus carries netpbm, PNG and JPEG in ONE binary column, so
+    * the pixel-consuming stages need one entry point that sniffs the
+    * magic and routes to the right raster decoder. Raw netpbm (P5/P6)
+    * takes the zero-dependency byte parser; everything else goes to
+    * the JDK's ImageIO service ([[imageioRasterDecoder]]), which
+    * itself THROWS when no installed codec accepts the payload — so
+    * the dispatcher inherits the no-fabrication contract from both
+    * legs, with no stub fall-through (the pixel stage must decode or
+    * fail, unlike the metadata sweep).
+    */
+  def rasterDecoder(id: Long, payload: Array[Byte]): RasterImage =
+    if (payload.length >= 2 && payload(0) == 'P'.toByte &&
+        (payload(1) == '5'.toByte || payload(1) == '6'.toByte))
+      netpbmRasterDecoder(id, payload)
+    else imageioRasterDecoder(id, payload)
+
   /** [[imageioRasterDecoder]] + the same 8-bin intensity histogram
     * feature extraction as [[netpbmDecoder]] — the full-decode
     * [[DecodedMedia]] for codec-bound containers. `format_id` = 0

@@ -457,6 +457,26 @@ class MultimodalSpec extends SparkSpec {
     math.abs(got - exp).toDouble / exp should be < 0.05
   }
 
+  test("rasterDecoder sniffs the container and routes: netpbm bytes, PNG via ImageIO, corrupt throws") {
+    val (w, h) = (9, 5)
+    // P5 netpbm: the dispatcher must take the raw byte parser leg —
+    // pixel-exact round trip, 1 channel
+    val p5 = (s"P5\n$w $h\n255\n").getBytes("US-ASCII") ++
+      Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 3).toByte)
+    val net = Multimodal.rasterDecoder(1L, p5)
+    (net.width, net.height, net.channels) shouldBe (w, h, 1)
+    for (y <- 0 until h; x <- 0 until w)
+      (net.pixels(y * w + x) & 0xff) shouldBe (x * 7 + y * 3) % 256
+    // PNG: the ImageIO leg — same gradient, still pixel-exact
+    val png = Multimodal.rasterDecoder(2L, encodedGradient(w, h, rgb = false, "png"))
+    (png.width, png.height, png.channels) shouldBe (w, h, 1)
+    for (y <- 0 until h; x <- 0 until w)
+      (png.pixels(y * w + x) & 0xff) shouldBe (x * 7 + y * 3) % 256
+    // neither leg accepts -> THROW (no stub fall-through on the pixel path)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.rasterDecoder(3L, "definitely not an image".getBytes("US-ASCII"))
+  }
+
   test("imageioRasterDecoder refuses payloads no codec accepts; imageioDecoder histogram sums to 1") {
     an[IllegalArgumentException] should be thrownBy
       Multimodal.imageioRasterDecoder(3L, "definitely not an image".getBytes("US-ASCII"))
