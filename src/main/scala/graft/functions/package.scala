@@ -215,6 +215,16 @@ package object functions {
     toCol(graft.expressions.MisraGriesAgg(toExpr(c), capacity)
       .toAggregateExpression())
 
+  /** Bounded top-k by (score DESC, id ASC)
+    * ([[graft.expressions.TopKByScoreAgg]]): k-entry heap state,
+    * map-side combining — replaces the window top-k idiom that sorts
+    * every candidate row per key. Returns `array<struct<id, score>>`
+    * in final rank order.
+    */
+  def topKByScore(id: Column, score: Column, k: Int): Column =
+    toCol(graft.expressions.TopKByScoreAgg(toExpr(id), toExpr(score), k)
+      .toAggregateExpression())
+
   // ------------------------------------------------------------ time
 
   /** Nanosecond-epoch long → microsecond TimestampType by truncation —

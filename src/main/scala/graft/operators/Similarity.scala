@@ -15,10 +15,35 @@ import graft.functions._
   */
 object Similarity {
 
+  /** Shared final ranking of a scored candidate table
+    * `(keyCol, nbr_id, cos_sim, ...)` → `(keyCol, rank, nbr_id,
+    * cos_sim)`, top-k per key by (cos_sim DESC, nbr_id ASC).
+    *
+    * Since r14 a bounded-heap aggregate
+    * ([[graft.functions.topKByScore]]) instead of the
+    * `row_number().over(window)` idiom: the window MATERIALIZED AND
+    * SORTED every candidate row per key (the exact audit buffered its
+    * whole n² broadcast product — 1.8 GB allocated per pass at sf0.1
+    * for k = 5, the r14 bench's gc-share leader at 367%), while the
+    * aggregate folds candidates into k-entry heaps as they stream out
+    * of the join, map-side-combining before any shuffle — at 100 TB
+    * candidate volume never lands in a sorter. Bit-identical output
+    * (same IEEE total order and id tiebreak; SimilaritySpec pins
+    * window parity on a fuzz corpus).
+    */
+  private def rankTopK(scored: DataFrame, keyCol: String, k: Int): DataFrame =
+    scored.groupBy(col(keyCol))
+      .agg(graft.functions.topKByScore(col("nbr_id"), col("cos_sim"), k)
+        .as("topk"))
+      .select(col(keyCol), posexplode(col("topk")))
+      .select(col(keyCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("nbr_id"), col("col.score").as("cos_sim"))
+
   /** Brute-force cosine top-k: every query (a small id set, broadcast)
-    * against every corpus vector. The corpus is scanned once; ranking is
-    * a per-query window over the similarity scores. Exact — serves as
-    * the oracle-checkable baseline and the re-rank primitive for ANN.
+    * against every corpus vector. The corpus is scanned once; ranking
+    * is the bounded-heap top-k aggregate ([[rankTopK]]). Exact —
+    * serves as the oracle-checkable baseline and the re-rank primitive
+    * for ANN.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryIds: Seq[Long], k: Int): DataFrame = {
@@ -27,11 +52,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val scored = corpus.join(broadcast(queries), col("nbr_id") =!= col("query_id"))
       .withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cos_sim")
+    rankTopK(scored, "query_id", k)
   }
 
   /** kNN label-agreement audit — label-noise detection over an
@@ -88,14 +109,14 @@ object Similarity {
     // the probe side REPARTITIONS by id before meeting the broadcast:
     // a small parquet corpus arrives as ONE scan partition, which would
     // put the whole n² cosine product on a single task; hashing by
-    // vec_id also pre-establishes the ranking window's partitioning, so
-    // the explicit exchange REPLACES the window's rather than adding
-    // one. The partition COUNT is pinned to the session's shuffle
-    // parallelism: the exchange's own bytes are tiny (n narrow rows),
-    // so AQE's size-based coalescing would fold it back to one
+    // vec_id also pre-establishes the top-k aggregate's grouping
+    // partitioning, so the explicit exchange REPLACES the agg's rather
+    // than adding one. The partition COUNT is pinned to the session's
+    // shuffle parallelism: the exchange's own bytes are tiny (n narrow
+    // rows), so AQE's size-based coalescing would fold it back to one
     // partition — but the DOWNSTREAM cost is n× per row (the broadcast
     // product), which size-based rules cannot see. The post-join
-    // projection keeps the two 64-float arrays out of the window sort.
+    // projection keeps the two 64-float arrays out of the ranking.
     val probeBase = probeCoin match {
       case Some((salt, hex)) => emb.filter(
         substring(md5(concat(lit(s"$salt#"), col(idCol).cast("string"))),
@@ -109,11 +130,7 @@ object Similarity {
     val scored = probes.join(broadcast(corpus), col("nbr_id") =!= col("vec_id"))
       .withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
       .select(col("vec_id"), col("nbr_id"), col("cos_sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "nbr_id", "cos_sim")
+    rankTopK(scored, "vec_id", k)
   }
 
   /** All-rows APPROXIMATE kNN neighbor table via the [[lshTopK]]
@@ -170,11 +187,7 @@ object Similarity {
     val scored = cand
       .withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
       .select(col("vec_id"), col("nbr_id"), col("cos_sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "nbr_id", "cos_sim")
+    rankTopK(scored, "vec_id", k)
   }
 
   /** [[knnLabelAgreement]] over LSH candidate sets — the NAMED
@@ -634,11 +647,7 @@ object Similarity {
         emb.filter(col(idCol).isin(queryIds: _*))
           .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))), "query_id")
     val scored = cand.withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cos_sim")
+    rankTopK(scored, "query_id", k)
   }
 
   /** IVF (inverted-file) ANN: the second scale path, complementary to
@@ -748,11 +757,7 @@ object Similarity {
     val cand = assigned.join(probes, Seq("cent_id"))
       .filter(col("nbr_id") =!= col("query_id"))
     val scored = cand.withColumn("cos_sim", cosineSim(col("query_vec"), col("nbr_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cos_sim")
+    rankTopK(scored, "query_id", k)
   }
 
   /** Embedding-cosine near-dup pairs (id_a < id_b, cos >= t) via the

@@ -37,6 +37,64 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getLong(1)).toSeq shouldBe Seq(2L, 2L)
   }
 
+  test("topKByScore agg is row-identical to the window top-k it replaced, ties and all (r14)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // deterministic fuzz corpus with ENGINEERED ties: vectors repeat
+    // every 16 ids, so most queries see several exactly-equal cosines
+    // and the (score DESC, id ASC) tiebreak does real work at the k
+    // boundary — the case a buggy heap comparator gets wrong silently
+    val n = 96
+    val fuzz = (0L until n).map { i =>
+      val s = i % 16
+      (i, Array.tabulate(6)(d =>
+        (((s * 2654435761L + d * 40503L) % 1000) - 500).toFloat / 250f))
+    }.toDF("vec_id", "embedding")
+    val corpus = fuzz.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_vec"))
+    val probes = fuzz.select(col("vec_id"), col("embedding").as("query_vec"))
+    val scored = probes.join(corpus, col("nbr_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        graft.functions.cosineSim(col("query_vec"), col("nbr_vec")))
+      .select("vec_id", "nbr_id", "cos_sim")
+    for (k <- Seq(1, 5, 200)) { // 200 > candidates: heap never fills
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+      val viaWindow = scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("vec_id", "rank", "nbr_id", "cos_sim")
+        .orderBy("vec_id", "rank").collect().map(_.toSeq)
+      val viaAgg = scored.groupBy(col("vec_id"))
+        .agg(graft.functions.topKByScore(col("nbr_id"), col("cos_sim"), k)
+          .as("topk"))
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.posexplode(col("topk")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("nbr_id"), col("col.score").as("cos_sim"))
+        .orderBy("vec_id", "rank").collect().map(_.toSeq)
+      viaAgg.length shouldBe viaWindow.length
+      viaAgg.toSeq shouldBe viaWindow.toSeq
+    }
+  }
+
+  test("TopKHeap boundary semantics: NaN sorts first (Spark desc order), -0.0 ties 0.0 by id") {
+    import graft.expressions.TopKHeap
+    // NaN is LARGEST in Spark's double total order → desc-first: a NaN
+    // score must win rank 1 over any finite score
+    val h = new TopKHeap(2)
+    h.offer(7L, 0.9); h.offer(3L, Double.NaN); h.offer(5L, 1.0)
+    h.sortedBestFirst().map(_._1).toSeq shouldBe Seq(3L, 5L)
+    // -0.0 == 0.0 in SQL comparison → tie breaks by id ascending
+    val h2 = new TopKHeap(2)
+    h2.offer(9L, 0.0); h2.offer(4L, -0.0); h2.offer(6L, -1.0)
+    h2.sortedBestFirst().map(_._1).toSeq shouldBe Seq(4L, 9L)
+    // two NaNs tie by id
+    val h3 = new TopKHeap(3)
+    h3.offer(8L, Double.NaN); h3.offer(2L, Double.NaN); h3.offer(1L, 5.0)
+    h3.sortedBestFirst().map(_._1).toSeq shouldBe Seq(2L, 8L, 1L)
+  }
+
   test("knnLabelAgreement: neighbor votes match the obvious geometry; self excluded; rate = n_agree/k") {
     // two tight clusters: x-axis (labels A,A,A) and y-axis (B,B), plus
     // one x-axis vector mislabeled B — its neighbors are all A
