@@ -123,15 +123,34 @@ case class TopKByScoreAgg(
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
+  // Unboxed fast path: by update() time the planner has bound direct
+  // column children to BoundReference, so the hot loop can read the
+  // primitives straight off the row — `eval` would box a Long and a
+  // Double PER CANDIDATE ROW (2 allocations × the n² product on the
+  // exact kNN path; the boxing was the aggregate's own residual gc
+  // signature after the sort went away). Falls back to eval for
+  // computed children (same values, just boxed).
+  @transient private lazy val boundOrdinals: Option[(Int, Int)] =
+    (idChild, scoreChild) match {
+      case (i: org.apache.spark.sql.catalyst.expressions.BoundReference,
+            s: org.apache.spark.sql.catalyst.expressions.BoundReference) =>
+        Some((i.ordinal, s.ordinal))
+      case _ => None
+    }
+
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
-    val id = idChild.eval(input)
-    val score = scoreChild.eval(input)
-    // null id/score rows cannot rank (the window dropped them from
-    // row_number's frame only at the very end; ranking semantics for
-    // the similarity tables never produce them — both legs are
-    // non-null by construction)
-    if (id != null && score != null)
-      buffer.offer(id.asInstanceOf[Long], score.asInstanceOf[Double])
+    boundOrdinals match {
+      case Some((io, so)) =>
+        // null id/score rows cannot rank (the similarity tables never
+        // produce them — both legs are non-null by construction)
+        if (!input.isNullAt(io) && !input.isNullAt(so))
+          buffer.offer(input.getLong(io), input.getDouble(so))
+      case None =>
+        val id = idChild.eval(input)
+        val score = scoreChild.eval(input)
+        if (id != null && score != null)
+          buffer.offer(id.asInstanceOf[Long], score.asInstanceOf[Double])
+    }
     buffer
   }
 
