@@ -253,10 +253,21 @@ object Bench {
     // the summary line names its attempt file for the round log.
     val attemptsDir = Paths.get("bench_attempts")
     Files.createDirectories(attemptsDir)
+    // CREATE_NEW, retrying on collision: a find-free-then-write pair
+    // would let two concurrent bench JVMs (driver-launched racing a
+    // manual run) pick the same n and silently clobber — the exact
+    // loss this file exists to prevent
     val attemptPath = Iterator.from(1)
       .map(n => attemptsDir.resolve(s"bench_out.$n.json"))
-      .find(p => !Files.exists(p)).get
-    Files.writeString(attemptPath, line + "\n")
+      .flatMap { p =>
+        try {
+          Files.writeString(p, line + "\n",
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          Some(p)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => None
+        }
+      }.next()
     val summary =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"steal_pre":$stealPre,"host":$hostJson,"detail":"bench_out.json","attempt":"$attemptPath"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

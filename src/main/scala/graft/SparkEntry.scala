@@ -178,20 +178,31 @@ object SparkEntry {
     // ran ~1 GB of GC per query at sf0.1 to scan a 256-row graph; the
     // r13 bench flagged exactly this family gc-hot). Counting the
     // pinned frame is a local-block scan; when the average partition
-    // falls under [[SeamRowsPerPartition]], re-pin a coalesced read of
-    // the first pin (one cheap pass over pair-graph-sized data) and
-    // free the superseded blocks. Downstream plans keep the identical
-    // LogicalRDD shape — just over size-proportional partitions, which
-    // is also the honest 100 TB layout: compact the small artifact
-    // once, instead of paying its builder's parallelism on every read.
-    val parts = first.rdd.getNumPartitions
-    val target = math.min(parts.toLong,
-      first.count() / SeamRowsPerPartition + 1).toInt
-    if (target >= parts) first
+    // falls under [[SeamRowsPerPartition]] (ceiling division, so a
+    // frame already at the floor is left alone), re-pin a coalesced
+    // read of the first pin (one cheap pass over pair-graph-sized
+    // data) and free the superseded blocks. Downstream plans keep the
+    // identical LogicalRDD shape — just over size-proportional
+    // partitions. LOCAL mode only: a reliable pin lives as files in
+    // shared storage, where the count() would be a full distributed
+    // re-read, the re-pin a second full copy, and Checkpoints.free a
+    // no-op (reliable checkpoints are never block-manager-persisted;
+    // their files are cleaned only under
+    // spark.cleaner.referenceTracking.cleanCheckpoints) — the
+    // near-empty-partition page cost is a rounding error next to
+    // doubling a durable artifact's footprint for the app's life.
+    if (s.conf.get("spark.graft.seam.checkpoint", "local") != "local") first
     else {
-      val sized = pin(first.coalesce(target))
-      operators.Checkpoints.free(first)
-      sized
+      val parts = first.rdd.getNumPartitions
+      val rows = first.count()
+      val target = math.max(1L, math.min(parts.toLong,
+        (rows + SeamRowsPerPartition - 1) / SeamRowsPerPartition)).toInt
+      if (target >= parts) first
+      else {
+        val sized = pin(first.coalesce(target))
+        operators.Checkpoints.free(first)
+        sized
+      }
     }
   }
 

@@ -90,9 +90,12 @@ final class TopKHeap(val k: Int) {
   *
   * Output: `array<struct<id bigint, score double>>` already in final
   * rank order — callers `posexplode` and use pos+1 as the rank.
-  * Bit-identical to the window formulation (same IEEE comparisons,
-  * same NaN-largest/-0.0==0.0 total order, same id tiebreak;
-  * SimilaritySpec pins parity on a fuzz corpus).
+  * Bit-identical to the window formulation for non-null inputs (same
+  * IEEE comparisons, same NaN-largest/-0.0==0.0 total order, same id
+  * tiebreak; SimilaritySpec pins parity on a fuzz corpus). Null id or
+  * score rows NEVER rank — the window's NULLS-LAST desc order instead
+  * padded trailing ranks with them; callers must not rely on that
+  * (spec-pinned).
   */
 case class TopKByScoreAgg(
     idChild: Expression,

@@ -182,9 +182,17 @@ object Multimodal {
     * codec-bound pixel work, format_id keeps the leading-byte
     * convention), anything else falls through to [[stubDecoder]].
     */
+  /** The ONE raw-netpbm magic sniff both routers share —
+    * [[sniffingDecoder]] (metadata sweep) and [[rasterDecoder]] (pixel
+    * dispatch) must route the same payload the same way, so the rule
+    * lives in exactly one place.
+    */
+  private def isRawNetpbm(payload: Array[Byte]): Boolean =
+    payload.length >= 2 && payload(0) == 'P'.toByte &&
+      (payload(1) == '5'.toByte || payload(1) == '6'.toByte)
+
   def sniffingDecoder(id: Long, payload: Array[Byte]): DecodedMedia =
-    if (payload.length >= 2 && payload(0) == 'P'.toByte &&
-        (payload(1) == '5'.toByte || payload(1) == '6'.toByte))
+    if (isRawNetpbm(payload))
       netpbmDecoder(id, payload)
     else {
       val isPngSig = payload.length >= 8 &&
@@ -429,9 +437,7 @@ object Multimodal {
     * fail, unlike the metadata sweep).
     */
   def rasterDecoder(id: Long, payload: Array[Byte]): RasterImage =
-    if (payload.length >= 2 && payload(0) == 'P'.toByte &&
-        (payload(1) == '5'.toByte || payload(1) == '6'.toByte))
-      netpbmRasterDecoder(id, payload)
+    if (isRawNetpbm(payload)) netpbmRasterDecoder(id, payload)
     else imageioRasterDecoder(id, payload)
 
   /** [[imageioRasterDecoder]] + the same 8-bin intensity histogram

@@ -28,8 +28,13 @@ object Similarity {
     * aggregate folds candidates into k-entry heaps as they stream out
     * of the join, map-side-combining before any shuffle — at 100 TB
     * candidate volume never lands in a sorter. Bit-identical output
-    * (same IEEE total order and id tiebreak; SimilaritySpec pins
-    * window parity on a fuzz corpus).
+    * for non-null scores (same IEEE total order and id tiebreak;
+    * SimilaritySpec pins window parity on a fuzz corpus). The ONE
+    * deliberate divergence: a null score never ranks (the window's
+    * NULLS-LAST desc order padded trailing ranks with null-score
+    * rows) — every caller here scores with [[graft.functions.cosineSim]]
+    * over non-null vectors, where a null cannot occur, and a "nearest
+    * neighbor with no similarity" row would be noise if it could.
     */
   private def rankTopK(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     scored.groupBy(col(keyCol))

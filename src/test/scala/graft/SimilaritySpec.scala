@@ -78,6 +78,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topKByScore never ranks null-score rows (deliberate divergence from the window's NULLS LAST)") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val rows = Seq[(Long, Long, Option[Double])](
+      (1L, 10L, Some(0.5)), (1L, 11L, None), (1L, 12L, Some(0.1)),
+      (2L, 20L, None), (2L, 21L, None))
+      .toDF("key", "nbr_id", "cos_sim")
+    val out = rows.groupBy(col("key"))
+      .agg(graft.functions.topKByScore(col("nbr_id"), col("cos_sim"), 5)
+        .as("topk"))
+      .select(col("key"), posexplode(col("topk")))
+      .select(col("key"), col("col.id").as("nbr_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // key 1: the two scored rows rank, the null row does not; key 2:
+    // all-null candidates -> an empty array, exploded away entirely
+    out.toSeq shouldBe Seq((1L, 10L), (1L, 12L))
+  }
+
   test("TopKHeap boundary semantics: NaN sorts first (Spark desc order), -0.0 ties 0.0 by id") {
     import graft.expressions.TopKHeap
     // NaN is LARGEST in Spark's double total order → desc-first: a NaN

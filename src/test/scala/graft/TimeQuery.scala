@@ -14,7 +14,7 @@ object TimeQuery {
     val spark = GraftConf.localSession(32)
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(3).foreach { kv =>
-      val Array(k, v) = kv.split('=')
+      val Array(k, v) = kv.split("=", 2) // values may contain '='
       spark.conf.set(k, v)
       println(s"[timeq] set $k=$v")
     }

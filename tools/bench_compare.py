@@ -64,6 +64,11 @@ def annotate(name, da, db, steal_a, steal_b):
         return [p for p in d.get("passes", []) if p is not None and p >= 0]
 
     for label, d, steals in (("A", da, steal_a), ("B", db, steal_b)):
+        if "passes" not in d:
+            # no query_detail entry is "not instrumented", which must
+            # not read as "every pass failed"
+            notes.append(f"{label}: no per-pass detail in record")
+            continue
         ps = good_passes(d)
         if not ps:
             notes.append(f"{label}: failed all passes")
