@@ -95,6 +95,33 @@ class SimilaritySpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 10L), (1L, 12L))
   }
 
+  test("TopKByScoreAgg serde round-trips the heap (the ObjectHashAggregate spill-fallback path)") {
+    // the sort-based fallback serializes buffers mid-aggregation; the
+    // in-memory path never exercises it on low-cardinality keys, so
+    // pin it directly: serialize -> deserialize -> same k, same ranks
+    import graft.expressions.{TopKByScoreAgg, TopKHeap}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = TopKByScoreAgg(BoundReference(0, LongType, nullable = false),
+      BoundReference(1, DoubleType, nullable = false), k = 3)
+    val h = new TopKHeap(3)
+    Seq((5L, 0.2), (9L, 0.9), (1L, 0.9), (7L, Double.NaN), (3L, -0.5))
+      .foreach { case (id, s) => h.offer(id, s) }
+    val back = agg.deserialize(agg.serialize(h))
+    back.k shouldBe 3
+    // bit-pattern compare: tuple equality would fail on NaN == NaN
+    def bits(a: Array[(Long, Double)]) =
+      a.map { case (id, s) => (id, java.lang.Double.doubleToLongBits(s)) }.toSeq
+    bits(back.sortedBestFirst()) shouldBe bits(h.sortedBestFirst())
+    // and an empty heap survives the trip
+    val empty = agg.deserialize(agg.serialize(new TopKHeap(3)))
+    (empty.k, empty.size) shouldBe (3, 0)
+    // merging a deserialized buffer equals merging the original
+    val h2 = new TopKHeap(3); h2.offer(2L, 0.95)
+    val viaSerde = { val m = agg.deserialize(agg.serialize(h)); agg.merge(m, h2); m }
+    viaSerde.sortedBestFirst().map(_._1).toSeq shouldBe Seq(7L, 2L, 1L)
+  }
+
   test("TopKHeap boundary semantics: NaN sorts first (Spark desc order), -0.0 ties 0.0 by id") {
     import graft.expressions.TopKHeap
     // NaN is LARGEST in Spark's double total order → desc-first: a NaN
