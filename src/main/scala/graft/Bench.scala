@@ -1,35 +1,77 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, timing FULL materialization (noop datasource
   * sink — every row is produced, nothing is collected to the driver),
-  * and prints one machine-parseable JSON line. The same line is also
-  * written to bench_out.json so log noise can never eat it.
+  * and prints one machine-parseable JSON line.
   *
   * The record is SELF-ATTRIBUTING (VERDICT r12 item 1: the r12 driver
   * record read 1.08× while solo re-timings proved 0.79× — the
   * inflation was in-suite/host noise, and nothing in the record let a
-  * reader see that without a judge re-run). Three instruments make an
-  * outlier explainable from the record alone:
+  * reader see that without a judge re-run). The instruments that make
+  * an outlier explainable from the record alone:
   *
   *  - per-query `passes`: ALL pass times, not just the min — a query
   *    whose passes read [16.1, 16.0] regressed; [13.3, 3.6] hit a
   *    transient (GC storm, load burst, codegen compile) on pass 1.
-  *  - per-query `gc_ms` / `codegen_compiles` per pass: executor GC
-  *    millis (summed task jvmGCTime) and Janino compilations during
-  *    the query — the two dominant in-suite inflators. A slow pass
-  *    with gc_ms ≈ its excess is heap pressure; with a compile burst
-  *    it is cache eviction; with neither it is the host.
-  *  - `steal_pre`: a pre-run steal-jiffy sample over
-  *    SPARK_GRAFT_STEAL_SECS seconds (default 120, the SURVEY §18
-  *    clean-host protocol, automated; 0 skips for local iteration) —
-  *    this host's steal arrives in 10-60 min waves, so per-pass
-  *    deltas alone can look clean while the suite ran inside a wave.
+  *  - per-query `gc_ms` / `gc_pause_ms` / `codegen_compiles` per
+  *    pass: `gc_ms` is the summed task jvmGCTime — 32 concurrent
+  *    tasks each count the same collection, so it over-reads real
+  *    pause time by up to the task-slot count (r13/r14 burned
+  *    adjudication time on ">100% gc share" artifacts); `gc_pause_ms`
+  *    is the JVM GarbageCollectorMXBean collection-time delta — the
+  *    REAL wall-clock pause, exact in local[32]'s single JVM (VERDICT
+  *    r14 item 1). Quote gc_pause_ms; gc_ms remains for its
+  *    allocation-pressure signal (tasks × pauses).
+  *  - per-query `steal` per pass + top-level `pass_steal`: host CPU
+  *    steal jiffies accrued during the query / the full-suite pass.
+  *  - `steal_pre`: a pre-run steal sample over SPARK_GRAFT_STEAL_SECS
+  *    seconds (default 120; 0 skips for local iteration) — this
+  *    host's steal arrives in 10-60 min waves, so per-pass deltas
+  *    alone can look clean while the suite ran inside a wave.
+  *
+  * Steal-aware pass retry (VERDICT r14 item 2: all five r14 attempts
+  * ran on 51k-104k-jiffy steal and the round total was unusable
+  * cross-round, while clean windows demonstrably existed): after the
+  * base SPARK_GRAFT_PASSES passes, if fewer than min(2, passes) of
+  * them accrued ≤ SPARK_GRAFT_STEAL_THRESHOLD jiffies (default 2000 ≈
+  * 20 stolen CPU-seconds), up to SPARK_GRAFT_STEAL_RETRIES (default
+  * 3) extra full passes run until enough clean ones exist. Per-query
+  * mins stay min-over-ALL-passes — steal only ever inflates a pass,
+  * so a contaminated pass can never fake a better min — and the
+  * record stamps `pass_steal`, `clean_passes` (indices) and
+  * `no_clean_window` so a reader can see at a glance whether the
+  * total is comparable.
+  *
+  * Record files (VERDICT r14 item 5): every run lands ONLY in
+  * bench_attempts/bench_out.<n>.json (first free n, CREATE_NEW).
+  * `bench_out.json` — the round-record pointer cross-round tooling
+  * reads — is written solely by an explicit
+  * `graft.Bench --promote <n>` step, logged in
+  * bench_attempts/promotions.log, so a driver or manual run can never
+  * silently replace the committed round record in the working tree.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ---- explicit promotion mode: the ONLY writer of bench_out.json
+    if (args.length >= 1 && args(0) == "--promote") {
+      require(args.length == 2, "usage: graft.Bench --promote <n>")
+      val n = args(1).toInt
+      val src = Paths.get("bench_attempts", s"bench_out.$n.json")
+      require(Files.exists(src), s"no such attempt: $src")
+      Files.copy(src, Paths.get("bench_out.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val note = s"promoted attempt $n -> bench_out.json at " +
+        java.time.Instant.now().toString + "\n"
+      Files.writeString(Paths.get("bench_attempts", "promotions.log"), note,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      println(s"[bench] $note")
+      return
+    }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -41,6 +83,16 @@ object Bench {
           if (f.length > 8) f(8).toLong else -1L
         } finally src.close()
       } catch { case _: Throwable => -1L }
+
+    // Real GC pause time: the JVM's own collector-time counter. In
+    // local[32] there is exactly one JVM, so deltas of this counter
+    // ARE the wall-clock milliseconds the collectors ran — no
+    // task-level multi-counting.
+    def gcPauseMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
 
     // Pre-run steal sample BEFORE the session spins up (an idle JVM —
     // any steal observed here is the host's, not ours). Records both
@@ -147,13 +199,19 @@ object Bench {
     // protocol: q144 stays oracle-gated every round via Verify and its
     // full-exact run is stress-hosted (StressBench knn_exact_full),
     // but it is not timed in the resident bench suite. Passing it as
-    // an explicit arg still benches it for local iteration.
-    val benchExcluded = Set("q144_knn_audit_approx")
+    // an explicit arg still benches it for local iteration. The
+    // record DECLARES this (VERDICT r14 item 4) in its `excluded`
+    // field so n=216-vs-217-gated explains itself.
+    val benchExcluded = Map(
+      "q144_knn_audit_approx" ->
+        ("gate-scale full-exact recall audit: oracle-gated every round " +
+          "via Verify, timed as StressBench knn_exact_full; q206 is the " +
+          "benched sampled-probe ANN protocol"))
     // optional args = query-name subset for local iteration; the driver
     // passes none and gets the full suite
     val selected =
       if (args.isEmpty)
-        SparkEntry.queries.filter { case (k, _) => !benchExcluded(k) }
+        SparkEntry.queries.filter { case (k, _) => !benchExcluded.contains(k) }
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     val order = selected.keys.toSeq.sorted
     // per-query, per-pass instrument arrays (a failed pass records
@@ -161,6 +219,10 @@ object Bench {
     val passTimes = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Double]]
     val passGc = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    val passGcPause = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    val passSteal = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Long]]
     val passCodegen = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Long]]
@@ -172,6 +234,7 @@ object Bench {
         val fn = selected(name)
         flushListenerBus()
         val gc0 = gcAccum.get(); val cg0 = codegenCount()
+        val gp0 = gcPauseMs(); val st0 = stealJiffies()
         val t0 = System.nanoTime()
         var ok = true
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -184,6 +247,9 @@ object Bench {
         flushListenerBus()
         buf(passTimes, name) += (if (ok) elapsed else -1.0)
         buf(passGc, name) += gcAccum.get() - gc0
+        buf(passGcPause, name) += gcPauseMs() - gp0
+        val st1 = stealJiffies()
+        buf(passSteal, name) += (if (st0 < 0 || st1 < 0) -1L else st1 - st0)
         val cg1 = codegenCount()
         buf(passCodegen, name) += (if (cg0 < 0 || cg1 < 0) -1L else cg1 - cg0)
         // drop this query's persisted tables so later queries aren't
@@ -194,9 +260,11 @@ object Bench {
         // blocks (the q26/q32 parse boundary) are freed by the
         // ContextCleaner only after their RDD is GC'd — nudge it so the
         // blocks don't sit in the block manager across later queries
+        // (this explicit collection runs AFTER the gc_pause snapshot,
+        // so it is attributed to no query)
         System.gc()
       }
-    // Per-query MIN over `passes` full suite passes (r6; default 2).
+    // Per-query MIN over all full-suite passes (r6; base default 2).
     // One cold pass mixes JIT/codegen compilation into whichever
     // queries run first and leaves heavier ones hostage to transient
     // machine load — measured r6: q01 4.4 s as the suite opener vs
@@ -205,11 +273,37 @@ object Bench {
     // re-run the full plan and only keep warmed codegen — min-of-N is
     // the steady-state throughput number the baseline comparison wants,
     // with run-to-run jitter (GC pause, load spike) filtered out.
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
-    (1 to passes).foreach { _ =>
+    val basePasses =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val stealThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_THRESHOLD", "2000").toLong
+    val maxExtra =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRIES", "3").toInt)
+    val passStealTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def isClean(s: Long): Boolean = s < 0 || s <= stealThreshold
+    val wantClean = math.min(2, basePasses)
+    var done = false
+    while (!done) {
       hostSnaps += hostSnapshot()
+      val st0 = stealJiffies()
       runPass()
+      val st1 = stealJiffies()
+      passStealTotals += (if (st0 < 0 || st1 < 0) -1L else st1 - st0)
+      val ranBase = passStealTotals.size >= basePasses
+      val cleanSoFar = passStealTotals.count(isClean)
+      val extrasLeft = passStealTotals.size - basePasses < maxExtra
+      done = ranBase && (cleanSoFar >= wantClean || !extrasLeft)
     }
+    hostSnaps += hostSnapshot() // post-run: catches load that built up DURING
+    val totalPasses = passStealTotals.size
+    val cleanIdx = passStealTotals.zipWithIndex.collect {
+      case (s, i) if isClean(s) => i
+    }
+    // "no clean window": at least one pass measured real steal and
+    // none came in under threshold (all-unknown stays false — nothing
+    // to adjudicate from)
+    val noCleanWindow = passStealTotals.exists(_ >= 0) &&
+      !passStealTotals.exists(s => s >= 0 && s <= stealThreshold)
     // a query that failed EVERY pass has no real time — report 0 and
     // rely on the `failed` array (a sentinel would wreck the total)
     val results = order.map { name =>
@@ -227,30 +321,40 @@ object Bench {
       "\"" + name + "\":{\"passes\":" +
         passTimes(name).map(r3).mkString("[", ",", "]") +
         ",\"gc_ms\":" + passGc(name).mkString("[", ",", "]") +
+        ",\"gc_pause_ms\":" + passGcPause(name).mkString("[", ",", "]") +
+        ",\"steal\":" + passSteal(name).mkString("[", ",", "]") +
         ",\"codegen_compiles\":" + passCodegen(name).mkString("[", ",", "]") +
         "}"
     }.mkString("{", ",", "}")
     def names(p: Int => Boolean) = failCounts.toSeq.collect {
       case (k, c) if p(c) => k
     }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val failedJson = names(_ == passes) // no pass succeeded: time is 0.0
-    val flakyJson = names(c => c > 0 && c < passes) // timed, but not clean
+    val failedJson = names(_ == totalPasses) // no pass succeeded: time is 0.0
+    val flakyJson = names(c => c > 0 && c < totalPasses) // timed, not clean
     val total = results.map(_._2).sum
-    hostSnaps += hostSnapshot() // post-run: catches load that built up DURING
     val hostJson = hostSnaps.mkString("[", ",", "]")
+    val excludedJson =
+      if (args.nonEmpty) "{}" // explicit subset: nothing auto-excluded
+      else benchExcluded.toSeq.sorted.map { case (k, why) =>
+        "\"" + k + "\":\"" + why + "\""
+      }.mkString("{", ",", "}")
+    val stealJson =
+      s""""steal_threshold":$stealThreshold,"pass_steal":${
+        passStealTotals.mkString("[", ",", "]")},"clean_passes":${
+        cleanIdx.mkString("[", ",", "]")},"no_clean_window":$noCleanWindow"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"steal_pre":$stealPre,"host":$hostJson,"query_detail":$detail}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$totalPasses,"passes_base":$basePasses,$stealJson,"steal_pre":$stealPre,"excluded":$excludedJson,"host":$hostJson,"query_detail":$detail}"""
     // At 87 queries the full line is ~2.6 kB — larger than the driver's
     // captured log tail, so it can never be recovered from stdout alone
     // (BENCH_r07/r08 both came back parsed:null). The full record lives
-    // in bench_out.json; stdout gets the full line for humans plus a
+    // in the attempt file; stdout gets the full line for humans plus a
     // guaranteed-short summary line LAST, sized to always fit the tail.
-    // Non-destructive attempts (VERDICT r13 item 2): every run ALSO
-    // lands in bench_attempts/bench_out.<n>.json (first free n), so a
-    // later attempt — or the driver's own run — can never clobber the
-    // only copy of the cleanest record (r13 lost its 216.7 s attempt
-    // that way). bench_out.json stays the driver contract unchanged;
-    // the summary line names its attempt file for the round log.
+    // Non-destructive attempts (VERDICT r13 item 2): every run lands in
+    // bench_attempts/bench_out.<n>.json (first free n), so a later
+    // attempt — or the driver's own run — can never clobber the only
+    // copy of the cleanest record (r13 lost its 216.7 s attempt that
+    // way). Since r15, bench_out.json itself is written ONLY by
+    // `--promote` (VERDICT r14 item 5).
     val attemptsDir = Paths.get("bench_attempts")
     Files.createDirectories(attemptsDir)
     // CREATE_NEW, retrying on collision: a find-free-then-write pair
@@ -269,8 +373,7 @@ object Bench {
         }
       }.next()
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$passes,"steal_pre":$stealPre,"host":$hostJson,"detail":"bench_out.json","attempt":"$attemptPath"}"""
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir","passes":$totalPasses,"passes_base":$basePasses,$stealJson,"steal_pre":$stealPre,"excluded":$excludedJson,"host":$hostJson,"detail":"$attemptPath","attempt":"$attemptPath"}"""
     // stop BEFORE printing so the JSON lines are the LAST stdout lines —
     // the driver captures a bounded log tail and must find them there
     spark.stop()

@@ -200,6 +200,12 @@ object SparkEntry {
       if (target >= parts) first
       else {
         val sized = pin(first.coalesce(target))
+        // Freeing the first pin also forecloses RECOMPUTE of `sized`'s
+        // lineage (its coalesce reads the first pin's blocks), so a
+        // lost block on the re-pinned seam is unrecoverable even
+        // before localCheckpoint's lineage truncation — acceptable
+        // only because local-checkpoint mode is documented
+        // non-fault-tolerant (SeamMemoSpec pins that loss fails).
         operators.Checkpoints.free(first)
         sized
       }

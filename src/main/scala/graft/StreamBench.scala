@@ -320,12 +320,14 @@ object StreamBench {
         val frags = variants.map { case (tag, confs) =>
           val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
           confs.foreach { case (k, v) => spark.conf.set(k, v) }
-          val frag = runFaceProvider("dedup_watermark", tag,
+          // finally: a face that throws must not leak its tuned confs
+          // (256 MB write buffers, changelog off) into later legs of
+          // the same run (ADVICE r14)
+          try runFaceProvider("dedup_watermark", tag,
             expectRocksDb = true, scaleTopic, nfScale, passes = 1)
-          prior.foreach { case (k, vOpt) =>
+          finally prior.foreach { case (k, vOpt) =>
             vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
           }
-          frag
         }
         faces + s""","rocksdb_dedup_tuning":{${frags.mkString(",")}}"""
       }

@@ -45,11 +45,32 @@ def steal_delta(rec):
 
 
 def per_pass_steal(rec):
-    """Steal jiffies accrued during each pass (snapshot i -> i+1)."""
+    """Steal jiffies accrued during each pass. Prefers the record's own
+    `pass_steal` field (r15+: stamped around each pass directly, and
+    the basis of the in-run retry); falls back to deltas of the host
+    snapshots that bracket every pass."""
+    ps = rec.get("pass_steal")
+    if isinstance(ps, list) and ps:
+        return ps
     snaps = rec.get("host") or []
     vals = [s.get("steal_jiffies") for s in snaps if isinstance(s, dict)]
     vals = [v for v in vals if v is not None]
     return [b - a for a, b in zip(vals, vals[1:])]
+
+
+def clean_note(rec, label):
+    """One-line kept-pass steal summary for an r15+ record."""
+    ps = rec.get("pass_steal")
+    if not isinstance(ps, list) or not ps:
+        return None
+    thr = rec.get("steal_threshold")
+    clean = rec.get("clean_passes", [])
+    ncw = rec.get("no_clean_window")
+    s = (f"{label}: pass_steal={ps} threshold={thr} "
+         f"clean_passes={clean}")
+    if ncw:
+        s += "  !! NO CLEAN WINDOW — total not comparable cross-round"
+    return s
 
 
 def fmt(v, nd=2):
@@ -75,14 +96,26 @@ def annotate(name, da, db, steal_a, steal_b):
             continue
         mn = min(ps)
         mi = d["passes"].index(mn)
-        gc = d.get("gc_ms", [])
+        # real JVM pause time when the record carries it (r15+:
+        # gc_pause_ms is the single-JVM MXBean delta); fall back to the
+        # task-summed jvmGCTime, which multi-counts one pause up to the
+        # task-slot count (>100% shares mean allocation-bound, not
+        # literal pause time)
+        gcp = d.get("gc_pause_ms")
+        gc = gcp if gcp else d.get("gc_ms", [])
+        gc_kind = "gc-pause" if gcp else "gc(task-summed)"
         cg = d.get("codegen_compiles", [])
-        # gc share of the min pass's wall (gc_ms is summed across GC
-        # threads, so >100% is possible and means allocation-bound)
         if mi < len(gc) and gc[mi] is not None and mn > 0:
             share = gc[mi] / (mn * 1000.0)
-            if share >= 0.5:
-                notes.append(f"{label}: gc-hot ({share:.0%} of min-pass wall)")
+            if share >= (0.25 if gcp else 0.5):
+                notes.append(f"{label}: {gc_kind}-hot "
+                             f"({share:.0%} of min-pass wall)")
+        # min chosen from a steal-contaminated QUERY window (r15+
+        # records stamp per-query steal)
+        qsteal = d.get("steal", [])
+        if mi < len(qsteal) and qsteal[mi] is not None and qsteal[mi] > 500:
+            notes.append(f"{label}: min pass stole {qsteal[mi]} jiffies "
+                         f"during this query")
         # codegen-cold first pass: pass 1 compiled, min came from pass 2+
         if len(cg) >= 2 and cg[0] and cg[0] > 0 and mi > 0:
             notes.append(f"{label}: codegen-cold pass 1 ({cg[0]} compiles)")
@@ -123,6 +156,10 @@ def main():
     print(f"B: {args.b}  total={rb.get('value')}s  sf={rb.get('sf')}  "
           f"passes={rb.get('passes')}  "
           f"steal_pre={rb.get('steal_pre')}  run_steal={steal_delta(rb)}")
+    for rec, label in ((ra, "A"), (rb, "B")):
+        note = clean_note(rec, label)
+        if note:
+            print(note)
     sa, sb = steal_delta(ra), steal_delta(rb)
     if sa is not None and sb is not None and min(sa, sb) >= 0:
         louder = "A" if sa > sb else "B"
