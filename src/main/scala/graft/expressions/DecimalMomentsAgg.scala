@@ -1,0 +1,327 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.math.BigInteger
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Exact fixed-point helpers shared by [[DecimalMomentsAgg]]: the
+  * 6-decimal-place HALF_UP rounding Spark's `Cast(double →
+  * DECIMAL(30,6))` applies, reproduced WITHOUT allocating on the hot
+  * path, plus a 128-bit two's-complement accumulator.
+  *
+  * Why this exists: `sum(cast(x AS DECIMAL(30,6)))` allocates per ROW
+  * per SUM — the cast goes through `Double.toString` (shortest-repr
+  * string + BigDecimal + setScale copy) and every sum update adds two
+  * BigDecimal-backed Decimals (precision 38 > the compact-long
+  * threshold). q169's 15-sum correlation pass measured 5.57 GB
+  * allocated per pass at sf0.1 (VERDICT r14 item 3) for ~600k rows —
+  * allocation density, not compute, was the cost.
+  *
+  * Exactness argument for the fast path (spec-fuzzed in
+  * DecimalMomentsSpec, and gated end-to-end by the unchanged q169
+  * oracle hashes at both SFs): Spark's cast rounds the SHORTEST-REPR
+  * decimal r of the double d (`BigDecimal(d)` = `Double.toString`
+  * semantics), with |r − d| ≤ ulp(d)/2. Let y = d·10⁶ computed
+  * EXACTLY as p + e via FMA (p = fl(d·10⁶), e = fma(d, 10⁶, −p); 10⁶
+  * is exact). HALF_UP at 6 dp of any t is floor(t·10⁶ + 0.5) on the
+  * magnitude; that floor is the same for every t within
+  * δ = ulp(d)·5·10⁵ of y unless y+0.5 sits within δ of an integer —
+  * the guard band. Outside the band the rounding of r equals the
+  * rounding of y, computable in pure doubles (p < 2⁵² keeps the
+  * integer/fraction split exact: pi = floor(p) by Sterbenz, u =
+  * pf + e + 0.5 with ≤ 4.5e−16 arithmetic error, absorbed by the
+  * band's +1e−9 margin). Inside the band — or for |d|·10⁶ ≥ 4.4e15,
+  * non-finite d, or > 30-digit results — the SLOW path delegates to
+  * Spark's own `Decimal(d).changePrecision(30, 6)`, so divergence is
+  * impossible where it matters and the fast path only ever commits
+  * when both interpretations agree.
+  */
+object FixedPoint6 {
+  /** Sentinel: the fast path declines (guard band / magnitude /
+    * non-finite) — fall back to [[slowUnscaled6]]. Never a legitimate
+    * fast-path result (those are bounded by 2⁵² + 1 ≪ Long.MaxValue).
+    */
+  final val Slow = Long.MinValue
+
+  /** Unscaled 6-dp HALF_UP value of d per Spark cast semantics, or
+    * [[Slow]]. Allocation-free.
+    */
+  def fastUnscaled6(d: Double): Long = {
+    val a = math.abs(d)
+    val p = a * 1e6
+    // !(p < 4.4e15) also catches NaN/Infinity (comparisons are false);
+    // 4.4e15 < 2^52 keeps floor/fraction arithmetic below exact
+    if (!(p < 4.4e15)) return Slow
+    val e = Math.fma(a, 1e6, -p) // y = p + e is EXACTLY a·10⁶
+    val pi = math.floor(p)
+    val pf = p - pi // exact: Sterbenz for p ≥ 1, pi = 0 otherwise
+    val u = pf + e + 0.5 // ∈ [0.25, 1.75); ≤ ~4.5e-16 arithmetic error
+    val band = Math.ulp(a) * 5e5 + 1e-9
+    if (math.abs(u - 1.0) <= band) return Slow
+    val n = if (u >= 1.0) pi + 1.0 else pi
+    val r = n.toLong
+    if (d < 0) -r else r
+  }
+
+  /** The reference rounding — Spark's own cast path:
+    * `Decimal(d)` (shortest-repr BigDecimal) then
+    * `changePrecision(30, 6)` (setScale HALF_UP + precision check).
+    * Returns null to mean "the cast is null", mirroring how `sum`
+    * then skips the row. Probed semantics of
+    * `cast(double AS DECIMAL(30,6))` on this Spark (spec-pinned):
+    * NaN/Infinity → null under BOTH ANSI modes; a > 30-digit result
+    * throws under ANSI, nulls otherwise.
+    */
+  def slowUnscaled6(d: Double, failOnError: Boolean): BigInteger = {
+    if (!java.lang.Double.isFinite(d)) return null
+    val dec = org.apache.spark.sql.types.Decimal(d)
+    if (!dec.changePrecision(30, 6)) {
+      if (failOnError) throw new ArithmeticException(
+        s"$d cannot be represented as Decimal(30, 6)")
+      return null
+    }
+    dec.toJavaBigDecimal.unscaledValue()
+  }
+}
+
+/** Mutable aggregation buffer: nSums independent 128-bit
+  * two's-complement integer accumulators plus a seen-bitmask (a sum
+  * that received no value evaluates to null, matching builtin `sum`).
+  * Fixed 16·nSums-byte state regardless of row count; updates are
+  * pure long arithmetic.
+  */
+final class MomentsBuffer(val nSums: Int) {
+  require(nSums <= 64, s"seen-bitmask limits nSums to 64: $nSums")
+  val hi = new Array[Long](nSums)
+  val lo = new Array[Long](nSums)
+  var seen: Long = 0L
+
+  /** Add a signed 64-bit addend (sign-extended to 128). */
+  def add(i: Int, v: Long): Unit = {
+    val l = lo(i)
+    val nl = l + v
+    // unsigned carry-out of lo + v, branch-free
+    val carry = ((l & v) | ((l | v) & ~nl)) >>> 63
+    hi(i) += (v >> 63) + carry
+    lo(i) = nl
+    seen |= 1L << i
+  }
+
+  /** Add a full 128-bit two's-complement addend. */
+  def addWide(i: Int, vHi: Long, vLo: Long): Unit = {
+    val l = lo(i)
+    val nl = l + vLo
+    val carry = ((l & vLo) | ((l | vLo) & ~nl)) >>> 63
+    hi(i) += vHi + carry
+    lo(i) = nl
+    seen |= 1L << i
+  }
+
+  def mergeFrom(o: MomentsBuffer): Unit = {
+    var i = 0
+    while (i < nSums) {
+      if ((o.seen & (1L << i)) != 0) addWide(i, o.hi(i), o.lo(i))
+      i += 1
+    }
+  }
+
+  /** The accumulated sum as the exact decimal(scale 6) it represents,
+    * converted to double exactly the way `sum(DECIMAL).cast(double)`
+    * converts (BigDecimal.doubleValue on the same numeric value).
+    */
+  def toDouble(i: Int): Double = {
+    val bytes = new Array[Byte](16)
+    var b = 0
+    while (b < 8) {
+      bytes(b) = (hi(i) >>> (56 - 8 * b)).toByte
+      bytes(b + 8) = (lo(i) >>> (56 - 8 * b)).toByte
+      b += 1
+    }
+    new java.math.BigDecimal(new BigInteger(bytes), 6).doubleValue()
+  }
+}
+
+/** All second-order moments of k double columns — Σround6(xᵢ),
+  * Σround6(xᵢ²) and Σround6(xᵢ·xⱼ) for i < j — in ONE
+  * typed-imperative aggregate whose per-row work is primitive
+  * arithmetic (VERDICT r14 item 3: the equivalent 15-builtin-sum
+  * formulation allocated 5.57 GB/pass at sf0.1; this holds the same
+  * bit-exact DECIMAL(30,6) contract with a 16·nSums-byte buffer and
+  * near-zero per-row allocation). round6 = Spark's
+  * `cast(x AS DECIMAL(30,6))`: [[FixedPoint6]] proves the fast path
+  * and delegates every undecidable case to Spark's own Decimal.
+  *
+  * Null/error semantics replicate the builtin formulation exactly:
+  * a null xᵢ skips s_i/ss_i and every sp containing i (a null
+  * product is a null cast is a skipped sum row); a sum that saw no
+  * value is null. `failOnError` mirrors the session's ANSI flag the
+  * way Cast captures it at plan time: ANSI throws on > 30-digit
+  * inputs, non-ANSI skips them; non-finite inputs are null-skipped
+  * under both modes (the probed builtin behavior, spec-pinned).
+  *
+  * Output: non-null struct of 2k + k(k−1)/2 nullable doubles named
+  * `__s_<c>`, `__ss_<c>`, `__sp_<x>_<y>` — the exact columns the
+  * correlation formula consumed from the builtin sums.
+  *
+  * Scale shape: identical to the builtin sums — one partial-aggregate
+  * pass, 16·nSums bytes of state per map task, a 1-row merge. At
+  * 100 TB the win compounds: the allocation this removes was per row
+  * per sum, i.e. O(cells), the one thing that grows.
+  */
+case class DecimalMomentsAgg(
+    colExprs: Seq[Expression],
+    colNames: Seq[String],
+    failOnError: Boolean,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MomentsBuffer] {
+
+  require(colNames.size == colExprs.size && colExprs.nonEmpty)
+  private val k = colExprs.size
+  private val nSums = 2 * k + k * (k - 1) / 2
+  require(nSums <= 64,
+    s"at most 9 columns (seen-bitmask holds 64 sums): got $k")
+
+  override def children: Seq[Expression] = colExprs
+  override def nullable: Boolean = false
+  override def prettyName: String = "decimal_moments"
+
+  override def dataType: DataType = {
+    val pairs = for {
+      i <- colNames.indices; j <- colNames.indices if i < j
+    } yield s"__sp_${colNames(i)}_${colNames(j)}"
+    StructType(
+      (colNames.map(c => s"__s_$c") ++ colNames.map(c => s"__ss_$c") ++
+        pairs).map(StructField(_, DoubleType, nullable = true)))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (colExprs.forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double columns, got " +
+        colExprs.map(_.dataType.sql).mkString(", "))
+
+  override def createAggregationBuffer(): MomentsBuffer =
+    new MomentsBuffer(nSums)
+
+  // Unboxed fast path (the TopKByScoreAgg pattern): direct column
+  // children are BoundReference by update() time — read primitives
+  // straight off the row instead of boxing one Double per column per
+  // row through eval.
+  @transient private lazy val boundOrdinals: Array[Int] = {
+    val os = colExprs.map {
+      case b: BoundReference => b.ordinal
+      case _ => -1
+    }
+    if (os.forall(_ >= 0)) os.toArray else null
+  }
+
+  // scratch per-row value/null staging, reused across rows (single
+  // writer thread per partial-aggregate buffer, same contract every
+  // imperative aggregate relies on)
+  @transient private lazy val vals = new Array[Double](k)
+  @transient private lazy val isNul = new Array[Boolean](k)
+
+  private def addValue(buf: MomentsBuffer, idx: Int, v: Double): Unit = {
+    val f = FixedPoint6.fastUnscaled6(v)
+    if (f != FixedPoint6.Slow) buf.add(idx, f)
+    else {
+      val bi = FixedPoint6.slowUnscaled6(v, failOnError)
+      if (bi != null) // null = the cast is null (non-ANSI): sum skips
+        buf.addWide(idx, bi.shiftRight(64).longValue(), bi.longValue())
+    }
+  }
+
+  override def update(buf: MomentsBuffer, input: InternalRow): MomentsBuffer = {
+    var i = 0
+    if (boundOrdinals != null) {
+      while (i < k) {
+        val o = boundOrdinals(i)
+        isNul(i) = input.isNullAt(o)
+        if (!isNul(i)) vals(i) = input.getDouble(o)
+        i += 1
+      }
+    } else {
+      while (i < k) {
+        val v = colExprs(i).eval(input)
+        isNul(i) = v == null
+        if (!isNul(i)) vals(i) = v.asInstanceOf[Double]
+        i += 1
+      }
+    }
+    i = 0
+    while (i < k) {
+      if (!isNul(i)) {
+        val x = vals(i)
+        addValue(buf, i, x)
+        addValue(buf, k + i, x * x)
+      }
+      i += 1
+    }
+    var p = 2 * k
+    i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        if (!isNul(i) && !isNul(j)) addValue(buf, p, vals(i) * vals(j))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: MomentsBuffer, other: MomentsBuffer): MomentsBuffer = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: MomentsBuffer): Any = {
+    val out = new Array[Any](nSums)
+    var i = 0
+    while (i < nSums) {
+      out(i) = if ((buf.seen & (1L << i)) != 0) buf.toDouble(i) else null
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def serialize(buf: MomentsBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.nSums)
+    out.writeLong(buf.seen)
+    var i = 0
+    while (i < buf.nSums) {
+      out.writeLong(buf.hi(i)); out.writeLong(buf.lo(i)); i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MomentsBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new MomentsBuffer(in.readInt())
+    buf.seen = in.readLong()
+    var i = 0
+    while (i < buf.nSums) {
+      buf.hi(i) = in.readLong(); buf.lo(i) = in.readLong(); i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): DecimalMomentsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): DecimalMomentsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DecimalMomentsAgg =
+    copy(colExprs = newChildren)
+}

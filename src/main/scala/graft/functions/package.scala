@@ -225,6 +225,18 @@ package object functions {
     toCol(graft.expressions.TopKByScoreAgg(toExpr(id), toExpr(score), k)
       .toAggregateExpression())
 
+  /** All DECIMAL(30,6)-exact second-order moments (Σx, Σx², Σxy) of k
+    * double columns in one allocation-free aggregate
+    * ([[graft.expressions.DecimalMomentsAgg]]) — bit-identical to the
+    * builtin `sum(cast(x AS DECIMAL(30,6))).cast(double)` menu it
+    * replaces in the correlation pass. `failOnError` is captured here
+    * at plan time from the session's ANSI flag, the way Cast does.
+    */
+  def decimalMoments(cols: Seq[Column], names: Seq[String]): Column =
+    toCol(graft.expressions.DecimalMomentsAgg(cols.map(toExpr), names,
+      failOnError = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+      .toAggregateExpression())
+
   // ------------------------------------------------------------ time
 
   /** Nanosecond-epoch long → microsecond TimestampType by truncation —
