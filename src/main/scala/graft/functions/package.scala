@@ -237,6 +237,15 @@ package object functions {
       failOnError = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
       .toAggregateExpression())
 
+  /** Σ(x − c)² over longs into a 128-bit accumulator, emitted as the
+    * DECIMAL(38,0) the builtin `sum((x−c).cast(dec38) * (x−c))` idiom
+    * produced ([[graft.expressions.SumSqDiffAgg]]) — bit-identical,
+    * allocation-free per row.
+    */
+  def sumSqDiff(x: Column, c: Column): Column =
+    toCol(graft.expressions.SumSqDiffAgg(toExpr(x), toExpr(c))
+      .toAggregateExpression())
+
   // ------------------------------------------------------------ time
 
   /** Nanosecond-epoch long → microsecond TimestampType by truncation —

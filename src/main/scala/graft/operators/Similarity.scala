@@ -515,14 +515,16 @@ object Similarity {
       .select(col("cluster"), col("dim"), col("xi").as("ci"))
       .persist()
     cent.count()
-    // per-vector argmin assignment under the CURRENT centroids
+    // per-vector argmin assignment under the CURRENT centroids. The
+    // squared distance uses sumSqDiff (128-bit primitive accumulator,
+    // same DECIMAL(38,0) values bit-for-bit — SumSqDiffSpec) instead
+    // of sum((xi−ci).cast(dec38) * (xi−ci)): the builtin idiom paid a
+    // per-row BigDecimal chain on the rows × k join output every
+    // iteration — q121's 4.7 GB/pass allocation at sf0.1, ~all of it.
     def assign(c: DataFrame): DataFrame = {
       val d2 = x.join(broadcast(c), "dim")
-        .withColumn("sq",
-          (col("xi") - col("ci")).cast("decimal(38,0)") *
-            (col("xi") - col("ci")))
         .groupBy("vec_id", "cluster")
-        .agg(sum(col("sq")).as("d2"))
+        .agg(graft.functions.sumSqDiff(col("xi"), col("ci")).as("d2"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("d2").asc, col("cluster").asc)
       d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
