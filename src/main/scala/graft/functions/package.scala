@@ -246,6 +246,16 @@ package object functions {
     toCol(graft.expressions.SumSqDiffAgg(toExpr(x), toExpr(c))
       .toAggregateExpression())
 
+  /** Every upper-triangle covariance moment (n, Σxi, Σxj, Σxi·xj) of a
+    * long-array column in one pass over unexploded rows
+    * ([[graft.expressions.CovMomentsAgg]]) — array<struct> output,
+    * sums emitted as the DECIMAL(38,0) the posexplode² + decimal-sum
+    * formulation produced, bit-identical.
+    */
+  def covMoments(vec: Column): Column =
+    toCol(graft.expressions.CovMomentsAgg(toExpr(vec))
+      .toAggregateExpression())
+
   // ------------------------------------------------------------ time
 
   /** Nanosecond-epoch long → microsecond TimestampType by truncation —

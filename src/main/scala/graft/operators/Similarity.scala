@@ -435,11 +435,15 @@ object Similarity {
     * so it is shifted by n²·8·10¹⁸ — non-negative for any embedding
     * values in (−2, 2) — divided, and shifted back.
     *
-    * Scale shape: the pair fan-out is a per-row explode of
-    * dims·(dims+1)/2 terms that PARTIALLY AGGREGATES map-side to at
-    * most one row per (i, j) per partition, so the single shuffle
-    * moves O(partitions · dims²) fixed-width rows regardless of corpus
-    * size — no joins, no windows, no driver collect. Envelope:
+    * Scale shape: ONE aggregate over UNEXPLODED rows — each row is
+    * read once and [[graft.functions.covMoments]] accumulates all
+    * dims·(dims+1)/2 pair moments in primitive 128-bit state
+    * (~120 KB/partition at dims = 64), so the single shuffle moves
+    * O(partitions · dims²) fixed-width state regardless of corpus
+    * size — no explode fan-out (the former posexplode² shape paid
+    * three BigDecimal-backed decimal sums on ×2,080 rows/vector:
+    * 7.5 GB allocated and 5.8 s/pass at sf0.1 for 2,000 vectors),
+    * no joins, no windows, no driver collect. Envelope:
     * n ≤ ~3·10⁹ rows — the BINDING term is the offset shift n²·8·10¹⁸
     * (n² · offset exceeds DECIMAL(38,0) at n ≈ 3.5·10⁹), tighter than
     * the n·Σxy bound (~5·10⁹, the [[dimensionStats]] n·s2 class);
@@ -449,19 +453,13 @@ object Similarity {
     */
   def embeddingCovariance(emb: DataFrame, vecCol: String): DataFrame = {
     val offset = 8000000000000000000L // (2e9 nano-units)² × 2 headroom
-    val x = emb
+    val agg = emb
       .withColumn("__xi", transform(col(vecCol),
         v => floor(v.cast("double") * lit(1e9) + lit(0.5)).cast("long")))
-      .select(posexplode(col("__xi")).as(Seq("i", "xi")), col("__xi"))
-      .select(col("i"), col("xi"),
-        posexplode(col("__xi")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-    val agg = x
-      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("xi").cast("decimal(38,0)")).as("sx"),
-        sum(col("xj").cast("decimal(38,0)")).as("sy"),
-        sum(col("xi").cast("decimal(38,0)") * col("xj")).as("sxy"))
+      .agg(graft.functions.covMoments(col("__xi")).as("__m"))
+      .select(explode(col("__m")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.n").as("n"),
+        col("e.sx").as("sx"), col("e.sy").as("sy"), col("e.sxy").as("sxy"))
     val nn = col("n").cast("decimal(38,0)") * col("n")
     val covNum = col("n").cast("decimal(38,0)") * col("sxy") -
       col("sx") * col("sy")
