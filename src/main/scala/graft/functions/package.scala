@@ -16,8 +16,19 @@ package object functions {
     * order); this makes `sum` bit-identical across engines while staying
     * a single-pass partial+final hash aggregate. The DuckDB twin is
     * `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)`.
+    *
+    * Since r15 the accumulation runs in
+    * [[graft.expressions.DSumAgg]] — the same exact fixed-point
+    * arithmetic in a 128-bit primitive accumulator instead of the
+    * per-row BigDecimal cast + DECIMAL(38,6) sum chain (bit-identical,
+    * DSumSpec-pinned; q01/q61 measured 2.7/3.3 GB allocated per pass
+    * at sf0.1 on the builtin formulation). `failOnError` is captured
+    * at plan time from the session's ANSI flag, the way Cast does.
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+  def dsum(c: Column): Column =
+    toCol(graft.expressions.DSumAgg(toExpr(c),
+      failOnError = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+      .toAggregateExpression())
 
   /** Exact mean built on [[dsum]]; IEEE double division is deterministic.
     * DuckDB twin: `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x)`.
