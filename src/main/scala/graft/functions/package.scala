@@ -251,11 +251,27 @@ package object functions {
   /** Σ(x − c)² over longs into a 128-bit accumulator, emitted as the
     * DECIMAL(38,0) the builtin `sum((x−c).cast(dec38) * (x−c))` idiom
     * produced ([[graft.expressions.SumSqDiffAgg]]) — bit-identical,
-    * allocation-free per row.
+    * allocation-free per row. Kept as the spec-pinned PARITY REFERENCE
+    * (the Similarity.bucketCol/bucketsCol discipline) for [[kmeansAssign]],
+    * which embeds the same arithmetic per row after the Lloyd
+    * assignment dropped its join + aggregate + window formulation
+    * (KMeansAssignSpec replays that formulation with this aggregate).
     */
   def sumSqDiff(x: Column, c: Column): Column =
     toCol(graft.expressions.SumSqDiffAgg(toExpr(x), toExpr(c))
       .toAggregateExpression())
+
+  /** Lloyd assignment of a quantized `array<long>` vector against a
+    * literal centroid matrix in one codegen'd pass
+    * ([[graft.expressions.KMeansAssignExpr]]) —
+    * `struct(cluster, d2 DECIMAL(38,0))`, bit-identical to the
+    * join + [[sumSqDiff]] + argmin-window formulation it replaces
+    * (null coordinates skip the term, null d2 orders first, ties break
+    * toward the smaller cluster id).
+    */
+  def kmeansAssign(vec: Column, cent: Array[Array[Long]],
+                   centNull: Array[Array[Boolean]]): Column =
+    toCol(graft.expressions.KMeansAssignExpr(toExpr(vec), cent, centNull))
 
   /** Every upper-triangle covariance moment (n, Σxi, Σxj, Σxi·xj) of a
     * long-array column in one pass over unexploded rows

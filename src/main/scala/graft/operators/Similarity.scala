@@ -482,14 +482,22 @@ object Similarity {
     * (no float drift, no RNG). A cluster that loses all members keeps
     * its previous centroid.
     *
-    * Scale shape per iteration: the centroid table (k × dim rows) is
-    * BROADCAST to the exploded corpus for assignment (map-side
-    * distance partials keyed by (vec, cluster), then a per-vec argmin
-    * window over k rows); the update is one (cluster, dim)-keyed
-    * aggregate. The corpus is exploded once and cached; each round is
-    * materialized and its predecessor released (the BPE trainer's
-    * lazy-round pattern), so plan depth and cache footprint stay
-    * constant in `iters`.
+    * Scale shape per iteration (the MLlib Lloyd shape): centroids are
+    * k·dim SCALARS, so they live on the driver and ride to executors
+    * as a plan constant — assignment is ONE shuffle-free codegen'd map
+    * over unexploded cached vectors
+    * ([[graft.functions.kmeansAssign]]: argmin + exact 128-bit d2 per
+    * row, bit-identical to the former join + sumSqDiff + argmin-window
+    * formulation), and the update is one (cluster, dim)-keyed
+    * aggregate whose output — k·dim longs, ~4 KB at k=8, dim=64 — is
+    * collected back per round (the BPE-argmax trainer-loop collect
+    * class: bounded by k·dim, NOT by corpus size). The former shape
+    * paid, per iteration, a corpus×k broadcast-join fan-out, a
+    * (vec, cluster) exchange, a per-vec argmin WINDOW (exchange +
+    * sort), a corpus-by-vec_id join for the update, and a cached-round
+    * materialization; now corpus rows cross zero exchanges during
+    * assignment and one k·dim-group partial-agg exchange during the
+    * update.
     *
     * Returns the per-cluster summary after `iters` updates: member
     * count and exact SSE (nano²-exact DECIMAL scaled once to double)
@@ -498,61 +506,87 @@ object Similarity {
   def kmeans(emb: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
-    val x = emb.select(col(idCol).as("vec_id"),
-        posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        (floor(col("v").cast("double") * lit(1e9) + lit(0.5)) +
-          lit(2000000000L)).cast("long").as("xi"))
+    import emb.sparkSession.implicits._
+    // the SAME per-element quantization the exploded formulation
+    // applied after posexplode — moved inside transform(), values
+    // bit-identical (same floor/offset/cast chain per element)
+    val q = emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol),
+          v => (floor(v.cast("double") * lit(1e9) + lit(0.5)) +
+            lit(2000000000L)).cast("long")).as("xi"))
       .persist()
-    val seeds = emb.select(col(idCol).as("vec_id"))
-      .orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id"),
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
-          .cast("long").as("cluster"))
-    var cent = x.join(broadcast(seeds), "vec_id")
-      .select(col("cluster"), col("dim"), col("xi").as("ci"))
-      .persist()
-    cent.count()
-    // per-vector argmin assignment under the CURRENT centroids. The
-    // squared distance uses sumSqDiff (128-bit primitive accumulator,
-    // same DECIMAL(38,0) values bit-for-bit — SumSqDiffSpec) instead
-    // of sum((xi−ci).cast(dec38) * (xi−ci)): the builtin idiom paid a
-    // per-row BigDecimal chain on the rows × k join output every
-    // iteration — q121's 4.7 GB/pass allocation at sf0.1, ~all of it.
-    def assign(c: DataFrame): DataFrame = {
-      val d2 = x.join(broadcast(c), "dim")
-        .groupBy("vec_id", "cluster")
-        .agg(graft.functions.sumSqDiff(col("xi"), col("ci")).as("d2"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cluster").asc)
-      d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cluster"), col("d2"))
+    // seeds: the k smallest-id vectors; cluster id = rank. A null/empty
+    // seed array keeps its cluster NUMBER but has no dims (the join
+    // formulation's c0 had no rows for it), so it is never a candidate
+    // and never appears in the output — mirrored below.
+    val seedRows = q.orderBy(col("vec_id")).limit(k).collect()
+    var cent: Array[Array[Long]] = seedRows.map { r =>
+      if (r.isNullAt(1)) Array.empty[Long]
+      else r.getSeq[Any](1).map {
+        case null => 0L
+        case v => v.asInstanceOf[Long]
+      }.toArray
     }
+    var centNull: Array[Array[Boolean]] = seedRows.map { r =>
+      if (r.isNullAt(1)) Array.empty[Boolean]
+      else r.getSeq[Any](1).map(_ == null).toArray
+    }
+    // per-vector argmin assignment under the CURRENT centroids —
+    // struct(cluster, d2), null for vectors posexplode would have
+    // dropped (KMeansAssignSpec pins parity with the join formulation)
+    def assigned(): DataFrame =
+      q.select(col("vec_id"), col("xi"),
+          graft.functions.kmeansAssign(col("xi"), cent, centNull).as("a"))
+        .filter(col("a").isNotNull)
     for (_ <- 1 to iters) {
-      val upd = x.join(assign(cent).select("vec_id", "cluster"), "vec_id")
+      // one (cluster, dim) aggregate over the members' exploded
+      // coordinates: count(*) counts every member row (null elements
+      // included), sum skips nulls — the former x-join semantics. The
+      // collected round is k·dim rows; the left-join-coalesce against
+      // the previous centroids happens on those scalars.
+      val upd = assigned()
+        .select(col("a.cluster").as("cluster"),
+          posexplode(col("xi")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
-        .agg(graft.functions.intDiv(sum(col("xi")), count(lit(1))).as("ci_new"))
-      val next = cent.join(upd, Seq("cluster", "dim"), "left")
-        .select(col("cluster"), col("dim"),
-          coalesce(col("ci_new"), col("ci")).as("ci"))
-      cent = Dedup.materializeAndRelease(next, cent)
+        .agg(graft.functions.intDiv(sum(col("v")), count(lit(1))).as("ci_new"))
+        .collect()
+      val nextV = cent.map(_.clone)
+      val nextN = centNull.map(_.clone)
+      upd.foreach { r =>
+        val c = r.getLong(0).toInt
+        val d = r.getInt(1)
+        // dims beyond the cluster's seed dimensionality are dropped,
+        // exactly as `cent LEFT JOIN upd` kept only cent's dims; a
+        // null quotient (all member elements null) keeps the previous
+        // coordinate, the coalesce(ci_new, ci) semantics
+        if (c >= 0 && c < nextV.length && d < nextV(c).length && !r.isNullAt(2)) {
+          nextV(c)(d) = r.getLong(2)
+          nextN(c)(d) = false
+        }
+      }
+      cent = nextV
+      centNull = nextN
     }
     // SSE leaves integer space through a ≤2^53 gate: Σd2 can exceed
     // 2^53, where DECIMAL→DOUBLE rounding differs across engines by an
     // ULP (observed at sf0.001) — so truncate to nano² units with an
     // integral divide FIRST (exact, ≤~6e10 here), then one exact cast
     // and one correctly-rounded division.
-    val out = assign(cent)
+    val stats = assigned()
+      .select(col("a.cluster").as("cluster"), col("a.d2").as("d2"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
         (graft.functions.intDiv(sum(col("d2")), lit(1000000000L)).cast("double") /
           lit(1e9)).as("sse"))
-      .join(cent.groupBy("cluster").agg(count(lit(1)).as("__d")), Seq("cluster"),
-        "right")
+    // every cluster with ≥1 dim appears, members or not (the former
+    // right join against the centroid table)
+    val clusters = cent.indices.filter(cent(_).length >= 1)
+      .map(_.toLong).toDF("cluster")
+    val out = clusters.join(stats, Seq("cluster"), "left")
       .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sse"), lit(0.0)).as("sse"))
       .orderBy("cluster")
-    Dedup.materializeAndRelease(out, cent, x)
+    Dedup.materializeAndRelease(out, q)
   }
 
   /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
