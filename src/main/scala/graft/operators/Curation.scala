@@ -528,9 +528,12 @@ object Curation {
     require(alpha > 0.0, s"alpha must be positive: $alpha")
     require(budgetFraction > 0.0 && budgetFraction <= 1.0,
       s"budgetFraction must be in (0,1]: $budgetFraction")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-    val tot = df.agg(count(lit(1)).as("__tot"))
-    val weights = counts.crossJoin(broadcast(tot))
+    // N = Σ per-stratum counts over the SAME global window the weight
+    // normalization already pays — the former separate `df.agg(count)`
+    // re-executed df's whole lineage (a join pipeline in q71) for one
+    // scalar; identical long value by definition
+    val weights = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy()))
       .withColumn("__w", round(pow(
         col("__n").cast("double") / col("__tot").cast("double"),
         lit(alpha)), 9))
@@ -578,10 +581,12 @@ object Curation {
     require(alpha > 0.0, s"alpha must be positive: $alpha")
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
     require(maxEpochs > 0.0, s"maxEpochs must be positive: $maxEpochs")
+    // total token mass = Σ per-stratum masses on the global window the
+    // share normalization already pays (the q70 single-pass shape) —
+    // the former separate `df.agg(sum)` was a second full pass
     val cnt = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
-    val tot = df.agg(sum(col(tokensCol)).as("__tot"))
-    cnt.crossJoin(broadcast(tot))
+    cnt.withColumn("__tot", sum(col("n_tokens")).over(Window.partitionBy()))
       .withColumn("weight", round(pow(
         col("n_tokens").cast("double") / col("__tot").cast("double"),
         lit(alpha)), 9))

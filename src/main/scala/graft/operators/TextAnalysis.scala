@@ -271,8 +271,13 @@ object TextAnalysis {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(col("__toks")).as("tok"))
       .persist()
-    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = tok.select(count(lit(1)).as("__total"))
+    // the unigram table is persisted (it feeds BOTH the total and the
+    // scoring join — vocabulary-sized, orders of magnitude below the
+    // token stream) and the grand total is Σ its counts: the former
+    // `tok.select(count(*))` paid a third full scan of the cached
+    // explode for one scalar — same long value by definition
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
+    val total = counts.agg(sum(col("cnt")).as("__total"))
     val nllScaled = (col("__lp_sum") * lit(-1000000000L)).cast("long")
     val meanNano = org.apache.spark.sql.GraftColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
@@ -289,7 +294,7 @@ object TextAnalysis {
       .select(col("id"), col("ntok"),
         col("__lp_sum").cast("double").as("logprob_sum"),
         meanNano.as("nll_mean_nano"))
-    Dedup.materializeAndRelease(out, tok)
+    Dedup.materializeAndRelease(out, tok, counts)
   }
 
   /** [[repetitionStats]] with the required two-step projection: the
