@@ -1617,12 +1617,27 @@ object SparkEntry {
             sha2(graft.functions.normText(col("text")), 256)),
           Seq("__nt"), col("doc_id"))
         .drop("__nt").persist()
-      val contained = Dedup.containmentJoin(canon, "doc_id", "text", n = 3)
-        .select(col("id_a").as("doc_id")).distinct()
+      // ONE corpus tokenize+shingle pass (guide §2.4: remove whole
+      // passes): r15's shape built the hashed-shingle table twice —
+      // containmentJoin over canon, then decontaminate re-shingled
+      // noExcerpts ⊆ canon (~2.5 s of the query's 3.7 s, and a doubled
+      // full-corpus pass at production scale). canon's shingles are
+      // built once here; noExcerpts' rows are derived by id anti-join
+      // (shingling is per-row, so the derived table is row-identical
+      // to re-shingling — ShingleSeamSpec pins both operator parities).
+      val canonSh = Dedup.hashedShingles(canon, "doc_id", "text", n = 3,
+        materialize = false)
+      // contained feeds TWO consumers (the anti-join on canon and the
+      // shingle-side anti-join) — materialized small id list
+      val contained = Dedup.materializeAndRelease(
+        Dedup.containmentJoinPreShingled(canonSh, canon, "doc_id", "text")
+          .select(col("id_a").as("doc_id")).distinct())
       val noExcerpts = canon.join(contained, Seq("doc_id"), "left_anti")
+      val noExSh = canonSh.join(
+        contained.select(col("doc_id").as("id")), Seq("id"), "left_anti")
       val contam = docs.filter(col("doc_id") % 97 === 0)
-      val (clean, _) = Curation.decontaminate(noExcerpts, "doc_id", "text",
-        contam, "doc_id", "text", n = 3, t = 0.5)
+      val (clean, _) = Curation.decontaminatePreShingled(noExSh, noExcerpts,
+        "doc_id", contam, "doc_id", "text", n = 3, t = 0.5)
       val gated = TextAnalysis.withRepetitionStats(clean, "text", n = 3)
         .filter(col("top_token_ratio") <= 0.12)
         .drop("ntok", "dup_ngram_rate", "top_token_ratio")
@@ -1632,7 +1647,7 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id").asc), quota = 10)
         .select(col("source"), col("doc_id"), col("n_chars"))
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
-      Dedup.materializeAndRelease(out, canon)
+      Dedup.materializeAndRelease(out, canon, canonSh, contained)
     }),
 
     // Dial evidence for the prefix df-cap (the q11 algorithm with

@@ -53,11 +53,34 @@ object Curation {
                     contam: DataFrame, contamIdCol: String,
                     contamTextCol: String,
                     n: Int, t: Double): (DataFrame, DataFrame) = {
-    // both shingle tables materialize before the explode: the shared
-    // Dedup cache boundary stops the optimizer from inlining the
-    // tokenize+gram+hash chain into the generator and join keys
+    // the docs shingle table materializes before the explode: the
+    // shared Dedup cache boundary stops the optimizer from inlining
+    // the tokenize+gram+hash chain into the generator and join keys
     // (measured 35.4 s → ~5 s at sf0.1 without/with)
     val d = Dedup.hashedShingles(docs, idCol, textCol, n, materialize = true)
+    val (kept, dropped) = decontaminatePreShingled(d, docs, idCol,
+      contam, contamIdCol, contamTextCol, n, t)
+    // dropped is already materialized by the variant, so the docs
+    // shingle intermediate can be released here (same caching contract
+    // as before the split)
+    d.unpersist(blocking = false)
+    (kept, dropped)
+  }
+
+  /** [[decontaminate]] over a CALLER-OWNED hashed-shingle table for the
+    * corpus side (`d` = [[Dedup.hashedShingles]] of `docs` at the same
+    * n — the caller persists, shares and releases it; the contamination
+    * side is still shingled here, it is benchmark-suite-sized). Output
+    * pair row-identical to [[decontaminate]] by construction (the
+    * public wrapper delegates here), pinned by ShingleSeamSpec. Exists
+    * for the q50 shared-shingle seam: the corpus is tokenized+shingled
+    * once for the containment join and this stage derives its rows by
+    * id anti-join instead of a second full pass.
+    */
+  private[graft] def decontaminatePreShingled(d: DataFrame,
+      docs: DataFrame, idCol: String,
+      contam: DataFrame, contamIdCol: String, contamTextCol: String,
+      n: Int, t: Double): (DataFrame, DataFrame) = {
     val c0 = Dedup.hashedShingles(contam, contamIdCol, contamTextCol, n,
       materialize = true)
     val c = c0.select(col("id").as("cid"), col("sh").as("csh"), col("sz").as("csz"))
@@ -81,7 +104,7 @@ object Curation {
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("id"), col("cid").as("contaminant_id"),
           col("jaccard").as("contaminant_jaccard")),
-      d, c0)
+      c0)
     val kept = docs.join(
       dropped.select(col("id").as(idCol)), Seq(idCol), "left_anti")
     (kept, dropped)

@@ -127,9 +127,9 @@ object Dedup {
     * multi-reference rule holds the projections apart) and its first
     * action is the cheap df-count pass.
     */
-  private[operators] def hashedShingles(docs: DataFrame, idCol: String,
-                                        textCol: String, n: Int,
-                                        materialize: Boolean): DataFrame = {
+  private[graft] def hashedShingles(docs: DataFrame, idCol: String,
+                                    textCol: String, n: Int,
+                                    materialize: Boolean): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
       .select(col("id"),
         transform(col("sh"), s => xxhash64(s)).as("sh"), col("sz"))
@@ -385,6 +385,22 @@ object Dedup {
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
     val sh = hashedShingles(docs, idCol, textCol, n, materialize = false)
+    materializeAndRelease(
+      containmentJoinPreShingled(sh, docs, idCol, textCol), sh)
+  }
+
+  /** [[containmentJoin]] over a CALLER-OWNED hashed-shingle table
+    * (`sh` = [[hashedShingles]] of `docs` at the same n — the caller
+    * persists it, shares it with other consumers, and releases it).
+    * Returns the UNMATERIALIZED pair frame; row-identical to
+    * [[containmentJoin]] by construction (the public wrapper delegates
+    * here), pinned by ShingleSeamSpec. Exists so pipelines that also
+    * shingle (a subset of) the same corpus — q50's decontamination
+    * stage — pay the tokenize+shingle pass ONCE instead of once per
+    * operator (a doubled full-corpus pass at production scale).
+    */
+  private[graft] def containmentJoinPreShingled(sh: DataFrame,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // one index entry per doc: its rarest shingle under the global df
@@ -396,7 +412,11 @@ object Dedup {
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // exact verify on normalized text with sentinel padding; shorter
-    // (or equal with smaller id) text must be the contained side
+    // (or equal with smaller id) text must be the contained side.
+    // normText stays BELOW the joins on purpose: candidates exceed the
+    // document count on collision-prone corpora, so per-doc
+    // normalization beats per-candidate recompute (the deferred
+    // variant measured +0.8 s at sf0.1 — r16 probe).
     val nt = docs.select(col(idCol).as("__cid"),
       graft.functions.normText(col(textCol)).as("__nt"))
     val out = cand
@@ -409,7 +429,7 @@ object Dedup {
         concat(lit(" "), col("nt_b"), lit(" "))
           .contains(concat(lit(" "), col("nt_a"), lit(" "))))
       .select("id_a", "id_b")
-    materializeAndRelease(out, sh)
+    out
   }
 
   /** MinHash signature as ONE per-row expression: slot i is the min of
