@@ -192,6 +192,25 @@ case class KMeansAssignExpr(
 
   override protected def withNewChildInternal(newChild: Expression): KMeansAssignExpr =
     copy(child = newChild)
+
+  // case-class equality over Array fields is reference identity, which
+  // would make two contents-identical instances never semanticEquals
+  // (defeating canonicalization/subexpression elimination). Compare by
+  // contents instead — the arrays are never mutated after construction
+  // (the Lloyd loop builds fresh arrays each round). (ADVICE r15)
+  override def equals(other: Any): Boolean = other match {
+    case o: KMeansAssignExpr =>
+      child == o.child &&
+        java.util.Arrays.deepEquals(
+          cent.asInstanceOf[Array[AnyRef]], o.cent.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          centNull.asInstanceOf[Array[AnyRef]], o.centNull.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cent.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.deepHashCode(centNull.asInstanceOf[Array[AnyRef]])
 }
 
 object KMeansAssignExpr {

@@ -520,6 +520,13 @@ object Similarity {
     // formulation's c0 had no rows for it), so it is never a candidate
     // and never appears in the output — mirrored below.
     val seedRows = q.orderBy(col("vec_id")).limit(k).collect()
+    if (seedRows.isEmpty) {
+      // empty corpus: the former join formulation produced an empty
+      // (cluster, n, sse) frame; KMeansAssignExpr requires >= 1
+      // centroid, so short-circuit before the Lloyd loop (ADVICE r15)
+      q.unpersist(blocking = false)
+      return Seq.empty[(Long, Long, Double)].toDF("cluster", "n", "sse")
+    }
     var cent: Array[Array[Long]] = seedRows.map { r =>
       if (r.isNullAt(1)) Array.empty[Long]
       else r.getSeq[Any](1).map {

@@ -608,6 +608,17 @@ class SimilaritySpec extends SparkSpec {
     out.toSeq shouldBe Seq((0L, 3L, 0.0), (1L, 0L, 0.0))
   }
 
+  test("kmeans: empty input yields an empty (cluster, n, sse) frame, not an exception") {
+    // the pre-r15 join formulation returned an empty frame for an
+    // empty corpus; the driver-centroid Lloyd must match (ADVICE r15:
+    // KMeansAssignExpr requires >= 1 centroid, so kmeans has to
+    // short-circuit before building it)
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(emb, "vec_id", "embedding", k = 2, iters = 2)
+    out.columns.toSeq shouldBe Seq("cluster", "n", "sse")
+    out.count() shouldBe 0L
+  }
+
   test("srpProject: one-hot vectors read the md5 sign matrix exactly; zero vector projects to zero; partition-invariant") {
     import spark.implicits._
     val dims = 4
