@@ -19,8 +19,11 @@ the ratio, and annotations such as:
   - "pass spread 2.4x (A)" — the two passes disagree wildly, the min is
     fragile.
 Record-level header prints total, steal_pre, host loadavg/steal deltas,
-and flags the louder record.  Exit code 0 always (it is a report, not a
-gate).
+and flags the louder record.  Exit code 0 normally (it is a report, not
+a gate), EXCEPT on a pass-count mismatch with no per-pass detail to
+recover a pass-matched comparison from — then it refuses with exit 2,
+because min-of-N totals at different N are not comparable (VERDICT r15
+item 4/5).
 """
 import argparse
 import json
@@ -149,6 +152,37 @@ def main():
     qa, qb = ra.get("queries", {}), rb.get("queries", {})
     da, db = ra.get("query_detail", {}), rb.get("query_detail", {})
     steal_a, steal_b = per_pass_steal(ra), per_pass_steal(rb)
+
+    # Cross-pass-count totals are NOT comparable: min-of-N shrinks
+    # monotonically with N (r15: a 4-pass record read ~0.84x a 2-pass
+    # record of identical code). Refuse the headline ratio and, when
+    # per-pass detail exists on both sides, recompute a pass-matched
+    # comparison over the first k = min(passes) passes of each record.
+    pa, pb = ra.get("passes"), rb.get("passes")
+    pass_mismatch = (pa is not None and pb is not None and pa != pb)
+    if pass_mismatch:
+        print("!!" * 35)
+        print(f"!! PASS-COUNT MISMATCH: A passes={pa}, B passes={pb}.")
+        print("!! Headline totals are NOT comparable (min-of-N shrinks "
+              "with N).")
+        k = min(pa, pb)
+        if da and db:
+            def matched_min(d):
+                ps = [p for p in d.get("passes", [])[:k]
+                      if p is not None and p >= 0]
+                return min(ps) if ps else None
+            qa = {q: matched_min(d) for q, d in da.items()}
+            qa = {q: v for q, v in qa.items() if v is not None}
+            qb = {q: matched_min(d) for q, d in db.items()}
+            qb = {q: v for q, v in qb.items() if v is not None}
+            print(f"!! Comparing min over the FIRST {k} passes of each "
+                  "record instead (pass-matched).")
+        else:
+            print("!! No per-pass detail on both sides — refusing the "
+                  "per-query comparison.")
+            print("!!" * 35)
+            return 2
+        print("!!" * 35)
 
     print(f"A: {args.a}  total={ra.get('value')}s  sf={ra.get('sf')}  "
           f"passes={ra.get('passes')}  "
