@@ -1452,8 +1452,16 @@ object SparkEntry {
         .select(least(col("a.id"), col("b.id")).as("id_a"),
           greatest(col("a.id"), col("b.id")).as("id_b"))
         .distinct().persist()
+      // tables is the recall/cost dial: candidate volume (and the
+      // approx stage's wall) is linear in tables × (planes+1) probe
+      // rows. r16 re-ran the recall evidence across the grid
+      // (ProbeQ37, all 3 SFs): tables=12 keeps recall 1.0 / 1.0 /
+      // 0.9818 (sf0.001/0.01/0.1) against the sampled exact baseline —
+      // ≥ 8 points above the 0.9 gate everywhere — at ~0.7× the
+      // 16-table stage cost; tables=8 still passes but with a 0.038
+      // worst-case margin, too thin for a gated dial.
       val approx = Similarity.cosineNearDup(emb, "vec_id", "embedding", t,
-          tables = 16, multiProbe = true)
+          tables = 12, multiProbe = true)
         .select(col("id_a"), col("id_b")).persist()
       // vacuous truths both ways: zero sampled exact pairs -> recall is
       // 0/0, which must read as "nothing to find" (coalesce true), and
