@@ -2434,16 +2434,31 @@ object SparkEntry {
       // silently collide into the next doc_id's key space, and both
       // engines would compute the same wrong answer (the oracle twin
       // mirrors the packing, so the gate could never catch it).
-      val chunked = Curation.chunkDocs(batch, "doc_id", "text",
+      // chunkDocsToks + the pre-tokenized LM variant: the LM is the
+      // only chunk-payload consumer and immediately re-tokenized the
+      // space-joined chunk_text, so q71 paid array_join + normText +
+      // split over the whole chunk stream for nothing — the slice IS
+      // the token array (tokens is a fixed point on its own output;
+      // UnigramSeamSpec pins row-identity of the pair against the
+      // chunk_text formulation).
+      // The source join exists ONLY for the narrow chunks projection;
+      // the LM path used to execute it too (and with chunk_toks would
+      // carry the token array across it). ckey needs just doc_id +
+      // chunk_idx, and batch.doc_id is unique (a filtered primary
+      // key), so the join is cardinality-neutral: score the LM off
+      // the pre-join chunk stream and join source in only where it is
+      // consumed.
+      val chunked = Curation.chunkDocsToks(batch, "doc_id", "text",
           chunkTokens = 64, strideTokens = 48)
-        .join(batch.select(col("doc_id"), col("source")), "doc_id")
         .withColumn("ckey",
           when(assert_true(col("chunk_idx") < 1000,
               lit("q71 ckey packing assumes < 1000 chunks per doc")).isNull,
             col("doc_id") * 1000 + col("chunk_idx")))
       val chunks = chunked
+        .join(batch.select(col("doc_id"), col("source")), "doc_id")
         .select(col("ckey"), col("source"), col("n_chunk_tok")).persist()
-      val lm = TextAnalysis.unigramLogProb(chunked, "ckey", "chunk_text")
+      val lm = TextAnalysis.unigramLogProbPreTokenized(chunked, "ckey",
+        "chunk_toks")
       val thr = lm.agg(
         org.apache.spark.sql.GraftColumnBridge.column(
           org.apache.spark.sql.catalyst.expressions.IntegralDivide(

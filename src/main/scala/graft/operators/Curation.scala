@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -507,7 +507,27 @@ object Curation {
     * text needs no guard at all: sequence(null) explodes to zero rows.
     */
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
-                chunkTokens: Int, strideTokens: Int): DataFrame = {
+                chunkTokens: Int, strideTokens: Int): DataFrame =
+    chunkDocsBase(df, idCol, textCol, chunkTokens, strideTokens,
+      toks => array_join(toks, " ").as("chunk_text"))
+
+  /** [[chunkDocs]] emitting the raw token-array slice (`chunk_toks`)
+    * instead of the space-joined `chunk_text` — for consumers that
+    * immediately re-tokenize (q71's LM scoring): `tokens` is a fixed
+    * point on its own output, so `tokens(array_join(chunk_toks, " "))
+    * == chunk_toks` row-for-row (incl. the empty-text [""] edge) and
+    * skipping the join+re-split saves two full string passes over the
+    * chunk stream (guide §2.4). Identical rows otherwise; pinned by
+    * UnigramSeamSpec.
+    */
+  private[graft] def chunkDocsToks(df: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, strideTokens: Int): DataFrame =
+    chunkDocsBase(df, idCol, textCol, chunkTokens, strideTokens,
+      toks => toks.as("chunk_toks"))
+
+  private def chunkDocsBase(df: DataFrame, idCol: String, textCol: String,
+                            chunkTokens: Int, strideTokens: Int,
+                            payload: Column => Column): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(strideTokens > 0, s"strideTokens must be positive: $strideTokens")
     df.select(col(idCol),
@@ -521,8 +541,8 @@ object Curation {
         least(lit(chunkTokens),
           size(col("__toks")) - col("__start")).cast("long")
           .as("n_chunk_tok"),
-        array_join(slice(col("__toks"), col("__start") + 1,
-          lit(chunkTokens)), " ").as("chunk_text"))
+        payload(slice(col("__toks"), col("__start") + 1,
+          lit(chunkTokens))))
   }
 
   // ------------------------------------------- temperature mixing

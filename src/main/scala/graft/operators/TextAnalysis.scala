@@ -266,9 +266,27 @@ object TextAnalysis {
     * corpus-typical.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+      : DataFrame =
+    unigramLogProbCore(docs, idCol, tokens(col(textCol)))
+
+  /** [[unigramLogProb]] over an ALREADY-TOKENIZED array column — for
+    * pipelines whose upstream stage materialized the token arrays
+    * (q71: chunk tokens are slices of the doc's `tokens()` output, and
+    * `tokens` is a fixed point on its own output — rejoining with a
+    * space and re-tokenizing reproduces the slice exactly, incl. the
+    * empty-text [""] edge — so scoring the slice directly is
+    * row-identical to re-tokenizing the joined chunk text, pinned by
+    * UnigramSeamSpec). Skips a full normText+split pass over the
+    * corpus (guide §2.4: remove passes).
+    */
+  private[graft] def unigramLogProbPreTokenized(docs: DataFrame,
+      idCol: String, toksCol: String): DataFrame =
+    unigramLogProbCore(docs, idCol, col(toksCol))
+
+  private def unigramLogProbCore(docs: DataFrame, idCol: String,
+                                 toksExpr: Column): DataFrame = {
     val tok = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"), toksExpr.as("__toks"))
       .select(col("id"), explode(col("__toks")).as("tok"))
       .persist()
     // the unigram table is persisted (it feeds BOTH the total and the
