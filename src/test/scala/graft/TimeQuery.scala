@@ -63,19 +63,32 @@ object TimeQuery {
       lastSeen ++= live
       (retiredBytes + live.valuesIterator.sum) / 1e6
     }
+    // Janino compilation counter (the Bench instrument, same
+    // reflection; -1 everywhere if the internals moved)
+    val codegenCount: () => Long =
+      try {
+        val cls = Class.forName(
+          "org.apache.spark.metrics.source.CodegenMetrics$")
+        val mod = cls.getField("MODULE$").get(null)
+        val hist = cls.getMethod("METRIC_COMPILATION_TIME").invoke(mod)
+          .asInstanceOf[com.codahale.metrics.Histogram]
+        () => hist.getCount
+      } catch { case _: Throwable => () => -1L }
     for (name <- names) {
       val runs = (1 to passes).map { _ =>
         spark.catalog.clearCache()
         System.gc() // drain prior garbage so gc_ms is THIS pass's own
         val g0 = gcMs(); val a0 = allocMb(); val s0 = stealJiffies()
+        val c0 = codegenCount()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
         ((System.nanoTime() - t0) / 1e9, gcMs() - g0, allocMb() - a0,
-          stealJiffies() - s0)
+          stealJiffies() - s0, codegenCount() - c0)
       }
       val best = runs.minBy(_._1)
       println(f"[timeq] $name min=${best._1}%.3f gc_at_min=${best._2}ms " +
         f"alloc_at_min=${best._3}%.0fMB steal_at_min=${best._4} " +
+        f"compiles_p1=${runs.head._5} " +
         f"all=${runs.map(r => f"${r._1}%.2f/${r._2}/${r._3}%.0f/${r._4}").mkString(",")}")
     }
     spark.stop()
