@@ -463,6 +463,87 @@ object StressBench {
       s""""clusters":${base.size},"ok":$ok}"""
   }
 
+  /** Embedding-cosine near-dup (the q37 approx stage) under c-fold
+    * exact vector cloning — combinatorially exact expectation, the
+    * dedup_clone10x argument transplanted: clones share every LSH
+    * bucket (signatures are functions of the vector alone), so each
+    * base vector's c copies always collide and verify at cos = 1 —
+    * C(c,2)·n within-group pairs — and a cross-copy pair (a_i, b_j)
+    * is a candidate iff base pair (a, b) was (identical buckets,
+    * identical multiprobe set), verifying at the identical cosine —
+    * so exactly c²·basePairs cross pairs. Work scales with OUTPUT,
+    * never n². Runs at the r16 production dial (tables = 12,
+    * multiprobe — the q37 recall-evidenced setting).
+    */
+  private def neardupClone4x(s: SparkSession, sfDir: String): String = {
+    // 4 copies, not 10: exact-duplicate groups are the LSH worst case
+    // (every clone shares every bucket), so candidate volume — and the
+    // measured wall — scales with c²·basePairs + C(c,2)·n, i.e. with
+    // OUTPUT (a 10-copy probe measured 204× wall for 200× output —
+    // output-proportional, constant ~1); c = 4 keeps the face heavy
+    // enough to show core scaling without dominating the suite.
+    val copies = 4
+    val emb = Tables.embeddings(s, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val offset = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val corpus = emb.withColumnRenamed("vec_id", "doc_id")
+      .transform(clones(_, copies, offset))
+      .withColumnRenamed("doc_id", "vec_id")
+    def pairs(in: DataFrame): Long =
+      Similarity.cosineNearDup(in, "vec_id", "embedding", t = 0.4,
+        tables = 12, multiProbe = true).count()
+    val (basePairs, baseSecs) = time(pairs(emb))
+    val (pairsC, secsC) = time(pairs(corpus))
+    val expected = copies.toLong * (copies - 1) / 2 * n +
+      copies.toLong * copies * basePairs
+    val ok = pairsC == expected
+    s""""neardup_clone4x":{"secs":${r3(secsC)},"base_secs":${r3(baseSecs)},""" +
+      s""""base_pairs":$basePairs,"pairs":$pairsC,""" +
+      s""""expected_pairs":$expected,"ok":$ok}"""
+  }
+
+  /** The q71 chunk+LM stage under 10× document cloning — closed-form
+    * scale invariance of the corpus-trained unigram LM: token counts
+    * and the grand total both scale ×10, so every P(w) = 10·cnt/10·N
+    * is bit-identical, every clone chunk reproduces its base chunk's
+    * exact (ntok, nll_mean_nano), the integral-divide threshold
+    * floor(10·S / 10·C) equals floor(S/C), and the kept-chunk count
+    * scales exactly ×10. Any drift means the LM gate is not
+    * scale-invariant and its sampled-run numbers could not be trusted
+    * at 100 TB. Exercises the r16 pre-tokenized seam
+    * (chunkDocsToks -> unigramLogProbPreTokenized) at volume.
+    */
+  private def lmChunksClone10x(s: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    val offset = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val corpus = clones(docs, 10, offset)
+    def lmStats(in: DataFrame): (Long, Long, Long) = {
+      val chunked = Curation.chunkDocsToks(in, "doc_id", "text",
+          chunkTokens = 64, strideTokens = 48)
+        .withColumn("ckey", col("doc_id") * 1000 + col("chunk_idx"))
+      val lm = TextAnalysis.unigramLogProbPreTokenized(chunked, "ckey",
+        "chunk_toks")
+      val cnt = lm.count()
+      val thr = lm.agg(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              sum(col("nll_mean_nano"))),
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              count(lit(1)))))).head().getLong(0)
+      val kept = lm.filter(col("nll_mean_nano") < lit(thr)).count()
+      lm.unpersist(blocking = false)
+      (cnt, thr, kept)
+    }
+    val ((cnt1, thr1, kept1), secs1) = time(lmStats(docs))
+    val ((cnt10, thr10, kept10), secs10) = time(lmStats(corpus))
+    val ok = cnt10 == 10 * cnt1 && thr10 == thr1 && kept10 == 10 * kept1
+    s""""lm_chunks_clone10x":{"secs":${r3(secs10)},"base_secs":${r3(secs1)},""" +
+      s""""chunks":$cnt10,"expected_chunks":${10 * cnt1},""" +
+      s""""thr":$thr10,"thr_1x":$thr1,"kept":$kept10,""" +
+      s""""expected_kept":${10 * kept1},"ok":$ok}"""
+  }
+
   /** Interval sweep under 10× entity cloning: each cloned entity
     * replays its base entity's exact session intervals. The daily peak
     * then sits in the closed-form envelope
@@ -1331,6 +1412,8 @@ object StressBench {
       "centroid_clone10x" -> (() => centroidClone10x(spark, sfDir)),
       "bpe_clone10x" -> (() => bpeClone10x(spark, sfDir)),
       "kmeans_clone10x" -> (() => kmeansClone10x(spark, sfDir)),
+      "neardup_clone4x" -> (() => neardupClone4x(spark, sfDir)),
+      "lm_chunks_clone10x" -> (() => lmChunksClone10x(spark, sfDir)),
       "concurrency_clone10x" -> (() => concurrencyClone10x(spark, sfDir)),
       "funnel_hot_entity" -> (() => funnelHotEntity(spark, sfDir)),
       "heavy_hitters_clone10x" -> (() => heavyHittersClone10x(spark, sfDir)),

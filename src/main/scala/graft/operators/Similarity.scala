@@ -836,7 +836,19 @@ object Similarity {
       if (!multiProbe) idx
       else idx.select(col("id"), col("tbl"),
         hamming1Probes(col("bucket"), planesPerTable).as("bucket"))
-    val cand = probe.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
+    // Explicit width on the candidate join's streaming side (r16): its
+    // INPUTS are a few narrow MB, so AQE's byte-based coalescing (and
+    // a broadcast join's inherit-the-stream-side rule) collapses the
+    // join to ~1 task — but the join EXPANDS ~Σ n_bucket² rows, so the
+    // whole pair-generation stage ran serially (stress probe: 35 s at
+    // 32 cores ≈ 49 s at 2 cores on a 4× clone corpus). An explicit
+    // numbered repartition is exempt from AQE coalescing; width comes
+    // from the session's shuffle parallelism (cores locally, cluster-
+    // sized in production), never a constant. Map-side partial-distinct
+    // then absorbs the fan-out inside the same parallel tasks.
+    val width = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = probe.repartition(width, col("tbl"), col("bucket"))
+      .as("a").join(idx.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     cand
