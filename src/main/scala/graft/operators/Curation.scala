@@ -582,7 +582,10 @@ object Curation {
         lit(alpha)), 9))
     // global window, not a self-joined aggregate: the strata table is
     // tiny (it IS the stratum list) and the single-partition window
-    // avoids the ambiguous self-join lineage
+    // avoids the ambiguous self-join lineage. CONTRACT: strata must be
+    // driver-scale (sources/domains — thousands, not corpus rows); the
+    // single-partition WindowExec is bounded by that cardinality, so
+    // the "No Partition Defined" warning is expected and safe here
     val rates = weights
       .withColumn("__wsum", sum(col("__w").cast("decimal(20,9)"))
         .over(Window.partitionBy()))
